@@ -1,0 +1,30 @@
+"""arrow_tpu: a TPU-native columnar data engine.
+
+The data model follows the Arrow columnar specification (validated against
+the reference implementation via IPC round-trips); the execution engine is a
+fresh JAX/XLA/Pallas design: columns live as padded device arrays with byte
+validity masks, operators are jitted kernels, distribution is mesh
+collectives (shard_map / all_to_all), not RPC.
+"""
+
+from .types import (  # noqa: F401
+    TypeId, DataType, Field, Schema,
+    null, bool_, int8, int16, int32, int64,
+    uint8, uint16, uint32, uint64,
+    float16, float32, float64,
+    string, large_string, binary, large_binary, fixed_size_binary,
+    date32, date64, timestamp, time32, time64, duration,
+    month_interval, day_time_interval, month_day_nano_interval,
+    decimal128, decimal256,
+    list_, large_list, fixed_size_list, struct, map_,
+    dictionary, sparse_union, dense_union, run_end_encoded,
+    field, schema, from_numpy_dtype,
+)
+from .buffer import Buffer, allocate_buffer, as_buffer  # noqa: F401
+from .array.data import ArrayData  # noqa: F401
+from .array.array import Array, array  # noqa: F401
+from .table import (  # noqa: F401
+    ChunkedArray, RecordBatch, Table, chunked_array, record_batch, table,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,267 @@
+"""User-facing Array wrapper (reference: cpp/src/arrow/array/array_base.h:53).
+
+A thin, typed view over ArrayData with Python-level access for tests and
+ingest. One class (not a hierarchy): the type id drives behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import numpy as np
+
+from ..types import DataType, TypeId
+from .construct import array_data_from_sequence
+from .data import ArrayData
+
+
+class Array:
+    __slots__ = ("data",)
+
+    def __init__(self, data: ArrayData):
+        self.data = data
+
+    # -- properties -----------------------------------------------------
+    @property
+    def type(self) -> DataType:
+        return self.data.type
+
+    @property
+    def null_count(self) -> int:
+        return self.data.null_count
+
+    @property
+    def offset(self) -> int:
+        return self.data.offset
+
+    def __len__(self) -> int:
+        return self.data.length
+
+    @property
+    def dictionary(self) -> Optional["Array"]:
+        return Array(self.data.dictionary) if self.data.dictionary else None
+
+    @property
+    def indices(self) -> "Array":
+        if self.type.id != TypeId.DICTIONARY:
+            raise ValueError("not a dictionary array")
+        d = self.data
+        idx_data = ArrayData(self.type.index_type, d.length,
+                             [d.buffers[0], d.buffers[1]],
+                             null_count=d._null_count, offset=d.offset)
+        return Array(idx_data)
+
+    # -- access ---------------------------------------------------------
+    def is_valid_mask(self) -> np.ndarray:
+        m = self.data.validity_mask()
+        if m is None:
+            return np.ones(len(self), dtype=np.bool_)
+        return m
+
+    def to_numpy(self, zero_copy_only: bool = False) -> np.ndarray:
+        """Primitive arrays -> numpy (nulls must be absent unless float)."""
+        vals = self.data.values()
+        if self.null_count:
+            if zero_copy_only:
+                raise ValueError("nulls present")
+            if self.type.is_floating:
+                vals = vals.copy()
+                vals[~self.is_valid_mask()] = np.nan
+            else:
+                raise ValueError("nulls present in non-float array")
+        return vals
+
+    def to_pylist(self) -> List[Any]:
+        return _to_pylist(self.data)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(len(self))
+            if step != 1:
+                raise ValueError("only unit-step slices")
+            return Array(self.data.slice(start, stop - start))
+        if i < 0:
+            i += len(self)
+        return self.to_pylist()[i] if 0 <= i < len(self) else _raise_oob(i)
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Array":
+        return Array(self.data.slice(offset, length))
+
+    def equals(self, other: "Array") -> bool:
+        """Deep equality. NaNs compare equal (round-trip identity); this is
+        the ``nans_equal=True`` setting of the reference's EqualOptions
+        (cpp/src/arrow/compare.h)."""
+        if self.type != other.type or len(self) != len(other):
+            return False
+        return pylist_equal(self.to_pylist(), other.to_pylist())
+
+    def __eq__(self, other):
+        return isinstance(other, Array) and self.equals(other)
+
+    def __repr__(self):
+        vals = self.to_pylist()
+        shown = vals if len(vals) <= 20 else vals[:10] + ["..."] + vals[-5:]
+        return f"<arrow_tpu.Array {self.type!r}>\n{shown}"
+
+    def cast(self, target: DataType) -> "Array":
+        from ..compute import call_function
+        return call_function("cast", [self], options={"to_type": target})
+
+
+def _raise_oob(i):
+    raise IndexError(i)
+
+
+def pylist_equal(a, b) -> bool:
+    """Element equality with NaN == NaN, recursing into containers."""
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (a != a and b != b)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(pylist_equal(x, y)
+                                        for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return (a.keys() == b.keys()
+                and all(pylist_equal(a[k], b[k]) for k in a))
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(pylist_equal(x, y)
+                                        for x, y in zip(a, b))
+    return a == b
+
+
+def array(values, type: Optional[DataType] = None) -> Array:
+    """Construct an Array from a Python sequence or numpy array."""
+    if isinstance(values, Array):
+        return values if type is None else values.cast(type)
+    return Array(array_data_from_sequence(values, type))
+
+
+def _to_pylist(d: ArrayData) -> List[Any]:
+    t = d.type
+    tid = t.id
+    n = d.length
+    if tid == TypeId.NA:
+        return [None] * n
+    mask = d.validity_mask()
+    valid = (lambda i: True) if mask is None else (lambda i: bool(mask[i]))
+
+    if tid == TypeId.BOOL or t.is_numeric or tid == TypeId.INTERVAL_MONTHS:
+        vals = d.values()
+        return [vals[i].item() if valid(i) else None for i in range(n)]
+
+    if t.is_temporal:
+        import datetime as _dt
+        vals = d.values()
+        unit_us = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 0.001}
+        def conv(x):
+            x = int(x)
+            if tid == TypeId.DATE32:
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=x)
+            if tid == TypeId.DATE64:
+                return _dt.date(1970, 1, 1) + _dt.timedelta(milliseconds=x)
+            if tid == TypeId.TIMESTAMP:
+                us = x * unit_us[t.unit] if t.unit != "ns" else x // 1000
+                out = (_dt.datetime(1970, 1, 1)
+                       + _dt.timedelta(microseconds=int(us)))
+                if t.tz is not None:
+                    import zoneinfo
+                    tzinfo = (_dt.timezone.utc if t.tz.upper() == "UTC"
+                              else zoneinfo.ZoneInfo(t.tz))
+                    out = out.replace(tzinfo=_dt.timezone.utc).astimezone(tzinfo)
+                return out
+            if tid == TypeId.DURATION:
+                us = x * unit_us[t.unit] if t.unit != "ns" else x // 1000
+                return _dt.timedelta(microseconds=int(us))
+            # TIME32/TIME64
+            us = x * unit_us[t.unit] if t.unit != "ns" else x // 1000
+            us = int(us)
+            return _dt.time(us // 3600_000_000, us // 60_000_000 % 60,
+                            us // 1_000_000 % 60, us % 1_000_000)
+        return [conv(vals[i]) if valid(i) else None for i in range(n)]
+
+    if tid in (TypeId.STRING, TypeId.LARGE_STRING, TypeId.BINARY,
+               TypeId.LARGE_BINARY):
+        offs = d.offsets()
+        raw = d.data_bytes().tobytes()
+        out = []
+        for i in range(n):
+            if not valid(i):
+                out.append(None)
+            else:
+                b = raw[offs[i]:offs[i + 1]]
+                out.append(b.decode() if tid in (TypeId.STRING, TypeId.LARGE_STRING) else b)
+        return out
+
+    if tid == TypeId.FIXED_SIZE_BINARY:
+        vals = d.values()
+        return [vals[i].tobytes() if valid(i) else None for i in range(n)]
+
+    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        import decimal as _decimal
+        vals = d.values()
+        out = []
+        for i in range(n):
+            if not valid(i):
+                out.append(None)
+            else:
+                unscaled = int.from_bytes(vals[i].tobytes(), "little",
+                                          signed=True)
+                out.append(_decimal.Decimal(unscaled).scaleb(-t.scale))
+        return out
+
+    if tid in (TypeId.LIST, TypeId.LARGE_LIST):
+        offs = d.offsets()
+        child = _to_pylist(d.children[0])
+        return [child[offs[i]:offs[i + 1]] if valid(i) else None
+                for i in range(n)]
+
+    if tid == TypeId.MAP:
+        offs = d.offsets()
+        entries = _to_pylist(d.children[0])
+        return [[(e["key"], e["value"]) for e in entries[offs[i]:offs[i + 1]]]
+                if valid(i) else None for i in range(n)]
+
+    if tid == TypeId.FIXED_SIZE_LIST:
+        sz = t.list_size
+        child = _to_pylist(d.children[0].slice(d.offset * sz, n * sz))
+        return [child[i * sz:(i + 1) * sz] if valid(i) else None
+                for i in range(n)]
+
+    if tid == TypeId.STRUCT:
+        cols = [_to_pylist(c.slice(d.offset, n)) for c in d.children]
+        names = [f.name for f in t.fields]
+        return [{nm: col[i] for nm, col in zip(names, cols)} if valid(i)
+                else None for i in range(n)]
+
+    if tid == TypeId.DICTIONARY:
+        dict_vals = _to_pylist(d.dictionary)
+        idx = d.values()
+        return [dict_vals[idx[i]] if valid(i) else None for i in range(n)]
+
+    if tid in (TypeId.SPARSE_UNION, TypeId.DENSE_UNION):
+        type_ids = d.type_ids()
+        code_to_child = {c: j for j, c in enumerate(t.type_codes)}
+        kids = [_to_pylist(c) for c in d.children]
+        out = []
+        if tid == TypeId.DENSE_UNION:
+            offs = d.buffers[1].view(np.int32)[d.offset:d.offset + n]
+            for i in range(n):
+                out.append(kids[code_to_child[type_ids[i]]][offs[i]])
+        else:
+            for i in range(n):
+                out.append(kids[code_to_child[type_ids[i]]][d.offset + i])
+        return out
+
+    if tid == TypeId.RUN_END_ENCODED:
+        run_ends = _to_pylist(d.children[0])
+        vals = _to_pylist(d.children[1])
+        out = []
+        prev = 0
+        for re_, v in zip(run_ends, vals):
+            # runs cover logical positions [prev, re_)
+            for pos in range(prev, re_):
+                if d.offset <= pos < d.offset + n:
+                    out.append(v)
+            prev = re_
+        return out
+
+    raise NotImplementedError(f"to_pylist for {t!r}")

@@ -1,0 +1,309 @@
+"""Chunked containers: ChunkedArray, RecordBatch, Table.
+
+Reference analogues: cpp/src/arrow/chunked_array.h:74, record_batch.h:41,
+table.h:43. Host-side only; device execution operates on DeviceBatch
+(arrow_tpu.device).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence, Union
+
+import numpy as np
+
+from . import types as T
+from .array.array import Array, array
+from .array.data import ArrayData
+from .types import DataType, Field, Schema
+
+
+class ChunkedArray:
+    __slots__ = ("chunks", "type")
+
+    def __init__(self, chunks: Sequence[Array], type: Optional[DataType] = None):
+        chunks = [c if isinstance(c, Array) else array(c) for c in chunks]
+        if type is None:
+            if not chunks:
+                raise ValueError("need type for empty ChunkedArray")
+            type = chunks[0].type
+        for c in chunks:
+            if c.type != type:
+                raise TypeError(f"chunk type {c.type!r} != {type!r}")
+        self.chunks = list(chunks)
+        self.type = type
+
+    @property
+    def num_chunks(self) -> int:
+        return len(self.chunks)
+
+    def __len__(self) -> int:
+        return sum(len(c) for c in self.chunks)
+
+    @property
+    def length(self) -> int:
+        return len(self)
+
+    @property
+    def null_count(self) -> int:
+        return sum(c.null_count for c in self.chunks)
+
+    def chunk(self, i: int) -> Array:
+        return self.chunks[i]
+
+    def combine(self) -> Array:
+        """Concatenate chunks into one Array."""
+        from .compute.host_concat import concat_arrays
+        if len(self.chunks) == 1:
+            return self.chunks[0]
+        return concat_arrays(self.chunks, self.type)
+
+    def to_pylist(self) -> List[Any]:
+        out = []
+        for c in self.chunks:
+            out.extend(c.to_pylist())
+        return out
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "ChunkedArray":
+        total = len(self)
+        if length is None:
+            length = total - offset
+        out = []
+        for c in self.chunks:
+            if length <= 0:
+                break
+            if offset >= len(c):
+                offset -= len(c)
+                continue
+            take = min(len(c) - offset, length)
+            out.append(c.slice(offset, take))
+            offset = 0
+            length -= take
+        return ChunkedArray(out, self.type)
+
+    def equals(self, other: "ChunkedArray") -> bool:
+        from .array.array import pylist_equal
+        return (self.type == other.type
+                and pylist_equal(self.to_pylist(), other.to_pylist()))
+
+    def __repr__(self):
+        return f"<ChunkedArray {self.type!r} chunks={self.num_chunks} len={len(self)}>"
+
+
+def chunked_array(chunks, type: Optional[DataType] = None) -> ChunkedArray:
+    if chunks and not isinstance(chunks[0], (Array, ChunkedArray)) and \
+            not _is_seq_of_seqs(chunks):
+        chunks = [chunks]
+    return ChunkedArray([c if isinstance(c, Array) else array(c, type)
+                         for c in chunks], type)
+
+
+def _is_seq_of_seqs(x) -> bool:
+    return (len(x) > 0 and isinstance(x[0], (list, tuple, np.ndarray, Array)))
+
+
+class RecordBatch:
+    __slots__ = ("schema", "columns")
+
+    def __init__(self, schema: Schema, columns: Sequence[Array]):
+        if len(schema) != len(columns):
+            raise ValueError("schema/column count mismatch")
+        n = len(columns[0]) if columns else 0
+        for c in columns:
+            if len(c) != n:
+                raise ValueError("column length mismatch")
+        self.schema = schema
+        self.columns = list(columns)
+
+    @classmethod
+    def from_pydict(cls, data: Mapping[str, Any],
+                    schema: Optional[Schema] = None) -> "RecordBatch":
+        if schema is None:
+            cols = [array(v) if not isinstance(v, Array) else v
+                    for v in data.values()]
+            schema = Schema([Field(k, c.type) for k, c in
+                             zip(data.keys(), cols)])
+        else:
+            cols = [v if isinstance(v, Array) else array(v, schema[i].type)
+                    for i, v in enumerate(data.values())]
+        return cls(schema, cols)
+
+    @classmethod
+    def from_arrays(cls, arrays: Sequence, names: Sequence[str],
+                    schema: Optional[Schema] = None) -> "RecordBatch":
+        cols = [a if isinstance(a, Array) else array(a) for a in arrays]
+        if schema is None:
+            schema = Schema([Field(n, c.type) for n, c in zip(names, cols)])
+        return cls(schema, cols)
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.columns[0]) if self.columns else 0
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.columns)
+
+    def __len__(self) -> int:
+        return self.num_rows
+
+    def column(self, i: Union[int, str]) -> Array:
+        if isinstance(i, str):
+            idx = self.schema.get_field_index(i)
+            if idx < 0:
+                raise KeyError(f"no column named {i!r}")
+            i = idx
+        return self.columns[i]
+
+    def __getitem__(self, i) -> Array:
+        return self.column(i)
+
+    @property
+    def column_names(self) -> List[str]:
+        return self.schema.names
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "RecordBatch":
+        return RecordBatch(self.schema,
+                           [c.slice(offset, length) for c in self.columns])
+
+    def select(self, names: Sequence[Union[str, int]]) -> "RecordBatch":
+        idxs = [self.schema.get_field_index(n) if isinstance(n, str) else n
+                for n in names]
+        return RecordBatch(Schema([self.schema.fields[i] for i in idxs],
+                                  self.schema.metadata),
+                           [self.columns[i] for i in idxs])
+
+    def to_pydict(self) -> Dict[str, List[Any]]:
+        return {f.name: c.to_pylist()
+                for f, c in zip(self.schema.fields, self.columns)}
+
+    def to_pylist(self) -> List[Dict[str, Any]]:
+        cols = self.to_pydict()
+        names = list(cols)
+        return [{n: cols[n][i] for n in names} for i in range(self.num_rows)]
+
+    def equals(self, other: "RecordBatch") -> bool:
+        return (self.schema.equals(other.schema)
+                and all(a.equals(b) for a, b in
+                        zip(self.columns, other.columns)))
+
+    def __repr__(self):
+        return (f"<RecordBatch rows={self.num_rows} "
+                f"cols={self.schema.names}>")
+
+
+def record_batch(data, schema: Optional[Schema] = None,
+                 names: Optional[Sequence[str]] = None) -> RecordBatch:
+    if isinstance(data, Mapping):
+        return RecordBatch.from_pydict(data, schema)
+    if names is not None:
+        return RecordBatch.from_arrays(data, names, schema)
+    raise TypeError("record_batch needs a dict or (arrays, names)")
+
+
+class Table:
+    __slots__ = ("schema", "columns")
+
+    def __init__(self, schema: Schema, columns: Sequence[ChunkedArray]):
+        self.schema = schema
+        self.columns = list(columns)
+
+    @classmethod
+    def from_pydict(cls, data: Mapping[str, Any],
+                    schema: Optional[Schema] = None) -> "Table":
+        rb = RecordBatch.from_pydict(data, schema)
+        return cls.from_batches([rb])
+
+    @classmethod
+    def from_arrays(cls, arrays, names) -> "Table":
+        return cls.from_batches([RecordBatch.from_arrays(arrays, names)])
+
+    @classmethod
+    def from_batches(cls, batches: Sequence[RecordBatch],
+                     schema: Optional[Schema] = None) -> "Table":
+        if not batches:
+            if schema is None:
+                raise ValueError("need schema for empty table")
+            return cls(schema, [ChunkedArray([], f.type) for f in schema])
+        schema = schema or batches[0].schema
+        cols = []
+        for i in range(len(schema)):
+            cols.append(ChunkedArray([b.columns[i] for b in batches],
+                                     schema[i].type))
+        return cls(schema, cols)
+
+    @property
+    def num_rows(self) -> int:
+        return len(self.columns[0]) if self.columns else 0
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.columns)
+
+    @property
+    def column_names(self) -> List[str]:
+        return self.schema.names
+
+    def column(self, i: Union[int, str]) -> ChunkedArray:
+        if isinstance(i, str):
+            idx = self.schema.get_field_index(i)
+            if idx < 0:
+                raise KeyError(f"no column named {i!r}")
+            i = idx
+        return self.columns[i]
+
+    def __getitem__(self, i) -> ChunkedArray:
+        return self.column(i)
+
+    def select(self, names) -> "Table":
+        idxs = [self.schema.get_field_index(n) if isinstance(n, str) else n
+                for n in names]
+        return Table(Schema([self.schema.fields[i] for i in idxs],
+                            self.schema.metadata),
+                     [self.columns[i] for i in idxs])
+
+    def to_batches(self, max_chunksize: Optional[int] = None) -> List[RecordBatch]:
+        combined = [c.combine() for c in self.columns]
+        n = self.num_rows
+        if max_chunksize is None or max_chunksize >= n:
+            return [RecordBatch(self.schema, combined)]
+        out = []
+        for start in range(0, n, max_chunksize):
+            ln = min(max_chunksize, n - start)
+            out.append(RecordBatch(self.schema,
+                                   [c.slice(start, ln) for c in combined]))
+        return out
+
+    def combine_chunks(self) -> "Table":
+        return Table(self.schema,
+                     [ChunkedArray([c.combine()], c.type)
+                      for c in self.columns])
+
+    def to_pydict(self) -> Dict[str, List[Any]]:
+        return {f.name: c.to_pylist()
+                for f, c in zip(self.schema.fields, self.columns)}
+
+    def to_pylist(self) -> List[Dict[str, Any]]:
+        cols = self.to_pydict()
+        names = list(cols)
+        return [{n: cols[n][i] for n in names} for i in range(self.num_rows)]
+
+    def slice(self, offset: int, length: Optional[int] = None) -> "Table":
+        return Table(self.schema,
+                     [c.slice(offset, length) for c in self.columns])
+
+    def equals(self, other: "Table") -> bool:
+        return (self.schema.equals(other.schema)
+                and all(a.equals(b) for a, b in zip(self.columns, other.columns)))
+
+    def __repr__(self):
+        return f"<Table rows={self.num_rows} cols={self.schema.names}>"
+
+
+def table(data, schema: Optional[Schema] = None, names=None) -> Table:
+    if isinstance(data, Mapping):
+        return Table.from_pydict(data, schema)
+    if isinstance(data, Sequence) and data and isinstance(data[0], RecordBatch):
+        return Table.from_batches(data, schema)
+    if names is not None:
+        return Table.from_arrays(data, names)
+    raise TypeError("table needs dict, batches, or (arrays, names)")

@@ -1,0 +1,62 @@
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.types import TypeId
+
+
+def test_type_ids_match_arrow():
+    # discriminants are part of the interop contract
+    assert TypeId.NA == 0
+    assert TypeId.BOOL == 1
+    assert TypeId.INT64 == 9
+    assert TypeId.DOUBLE == 12
+    assert TypeId.STRING == 13
+    assert TypeId.DICTIONARY == 29
+    assert TypeId.LARGE_LIST_VIEW == 42
+
+
+def test_singletons_and_equality():
+    assert at.int64() is at.int64()
+    assert at.int64() == at.int64()
+    assert at.int64() != at.int32()
+    assert at.timestamp("us") == at.timestamp("us")
+    assert at.timestamp("us") != at.timestamp("ns")
+    assert at.timestamp("us", "UTC") != at.timestamp("us")
+    assert at.decimal128(10, 2) == at.decimal128(10, 2)
+    assert at.decimal128(10, 2) != at.decimal128(10, 3)
+    assert at.list_(at.int32()) == at.list_(at.int32())
+    assert at.struct([("a", at.int8())]) == at.struct([("a", at.int8())])
+    assert hash(at.list_(at.int32())) == hash(at.list_(at.int32()))
+
+
+def test_predicates():
+    assert at.int32().is_integer and at.int32().is_signed_integer
+    assert at.uint16().is_unsigned_integer
+    assert at.float64().is_floating and at.float64().is_numeric
+    assert at.date32().is_temporal
+    assert at.list_(at.int32()).is_nested
+    assert at.int64().bit_width == 64
+    assert at.fixed_size_binary(7).byte_width == 7
+    with pytest.raises(ValueError):
+        at.string().bit_width
+
+
+def test_schema_ops():
+    s = at.schema([("a", at.int64()), ("b", at.string())])
+    assert s.names == ["a", "b"]
+    assert s.field("b").type == at.string()
+    assert s.get_field_index("a") == 0
+    assert s.get_field_index("zz") == -1
+    s2 = s.append(at.field("c", at.bool_()))
+    assert len(s2) == 3 and len(s) == 2
+    assert s2.remove(0).names == ["b", "c"]
+    assert s == at.schema([("a", at.int64()), ("b", at.string())])
+
+
+def test_map_and_union_types():
+    m = at.map_(at.string(), at.int64())
+    assert m.key_type == at.string()
+    assert m.item_type == at.int64()
+    u = at.dense_union([at.field("i", at.int8()), at.field("s", at.string())])
+    assert u.mode == "dense"
+    assert u.type_codes == (0, 1)
