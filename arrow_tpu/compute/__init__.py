@@ -1,0 +1,248 @@
+"""Public compute API.
+
+Mirrors pyarrow.compute's surface (reference: python/pyarrow/compute.py:244 —
+wrappers auto-generated from the registry); array-valued functions accept
+host Arrays / ChunkedArrays / python scalars and run the device kernels
+under jit.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..array.array import Array, array as make_array
+from ..table import ChunkedArray, RecordBatch, Table
+from ..types import DataType, TypeId
+from . import aggregate as _aggregate  # noqa: F401  (registers kernels)
+from . import elementwise as _elementwise  # noqa: F401
+from . import grouper as _grouper  # noqa: F401
+from . import hash_agg as _hash_agg  # noqa: F401
+from . import selection as _selection  # noqa: F401
+from . import vector_sort as _vector_sort  # noqa: F401
+from .registry import (ArrowInvalid, ArrowNotImplementedError, ExecContext,
+                       Scalar, call_function, function_registry,
+                       get_function, list_functions)
+
+__all__ = [
+    "call_function", "list_functions", "get_function", "Scalar",
+    "ArrowInvalid", "ArrowNotImplementedError",
+    "filter", "take", "drop_null", "sort_indices", "array_sort_indices",
+    "select_k_unstable", "unique", "value_counts", "dictionary_encode",
+]
+
+
+def _combine(a):
+    if isinstance(a, ChunkedArray):
+        return a.combine()
+    return a
+
+
+def _string_rank_transform(dev_col):
+    """For order-sensitive kernels on dictionary-coded string columns:
+    replace codes with lexicographic ranks of the dictionary values."""
+    from ..device.column import DeviceColumn
+    if dev_col.dictionary is None:
+        return dev_col
+    d = dev_col.dictionary
+    vals = d.to_pylist()
+    order = np.argsort(np.array(vals, dtype=object), kind="stable")
+    ranks = np.empty(len(vals), dtype=np.int64)
+    ranks[order] = np.arange(len(vals))
+    rank_arr = jnp.asarray(ranks)
+    new_vals = rank_arr[dev_col.values.astype(jnp.int64)]
+    from .. import types as T
+    return DeviceColumn(new_vals, dev_col.validity, T.int64())
+
+
+def _upload_for_sort(arrays):
+    from ..device.column import round_up, upload_column
+    n = len(arrays[0])
+    cap = round_up(n)
+    cols = []
+    for a in arrays:
+        c = upload_column(a, cap)
+        if c.dictionary is not None:
+            c = _string_rank_transform(c)
+        cols.append(c)
+    return cols, n, cap
+
+
+def _materialize_vector(result, n_hint=None):
+    from .registry import materialize
+    return materialize(result, n_hint if n_hint is not None else 0)
+
+
+# --- explicit vector wrappers ---------------------------------------------
+
+def filter(values, mask, null_selection_behavior: str = "drop"):
+    if isinstance(values, (Table, RecordBatch)):
+        return _filter_table(values, mask, null_selection_behavior)
+    return call_function("filter", [_combine(values), _combine(mask)],
+                         {"null_selection_behavior": null_selection_behavior})
+
+
+def _filter_table(tbl, mask, null_selection_behavior):
+    from ..device.column import download_batch, upload_batch, upload_column
+    from .selection import filter_batch
+    import jax
+    is_table = isinstance(tbl, Table)
+    rb = tbl.to_batches()[0] if is_table and tbl.num_rows else (
+        tbl if not is_table else RecordBatch(
+            tbl.schema, [c.combine() for c in tbl.columns]))
+    if is_table:
+        rb = RecordBatch(tbl.schema, [c.combine() for c in tbl.columns])
+    db = upload_batch(rb)
+    mask_col = upload_column(_combine(mask), db.capacity)
+    out = jax.jit(filter_batch, static_argnames="null_selection")(
+        db, mask_col, null_selection=null_selection_behavior)
+    out_rb = download_batch(out)
+    return Table.from_batches([out_rb]) if is_table else out_rb
+
+
+def take(values, indices, boundscheck: bool = True):
+    if isinstance(values, (Table, RecordBatch)):
+        return _take_table(values, indices)
+    v = _combine(values)
+    return call_function("take", [v, _combine(indices), len(v)],
+                         {"boundscheck": boundscheck})
+
+
+def _take_table(tbl, indices):
+    is_table = isinstance(tbl, Table)
+    cols = (tbl.columns if not is_table
+            else [c.combine() for c in tbl.columns])
+    taken = [take(_combine(c), _combine(indices)) for c in cols]
+    if is_table:
+        return Table.from_arrays(taken, tbl.schema.names)
+    return RecordBatch.from_arrays(taken, tbl.schema.names)
+
+
+def drop_null(values):
+    if isinstance(values, (Table, RecordBatch)):
+        import functools
+        mask_np = None
+        cols = (values.columns if isinstance(values, RecordBatch)
+                else [c.combine() for c in values.columns])
+        m = np.ones(values.num_rows, dtype=bool)
+        for c in cols:
+            m &= c.is_valid_mask()
+        return filter(values, make_array(m))
+    return call_function("drop_null", [_combine(values)])
+
+
+def _norm_sort_keys(sort_keys):
+    out = []
+    for sk in sort_keys:
+        if isinstance(sk, str):
+            out.append((sk, "ascending"))
+        else:
+            out.append((sk[0], sk[1]))
+    return out
+
+
+def sort_indices(data, sort_keys=None, null_placement: str = "at_end",
+                 order: str = "ascending"):
+    import jax
+    from .keys import sort_key_arrays, stable_sort_indices as _sort
+    from .registry import ExecContext
+    from .. import types as T
+    from ..array.array import Array as _Arr
+
+    if isinstance(data, (Table, RecordBatch)):
+        sort_keys = _norm_sort_keys(sort_keys or
+                                    [(n, "ascending")
+                                     for n in data.schema.names[:1]])
+        arrays = [_combine(data.column(name)) for name, _ in sort_keys]
+        orders = [o for _, o in sort_keys]
+    else:
+        arrays = [_combine(data)]
+        orders = [order]
+    cols, n, cap = _upload_for_sort(arrays)
+
+    @jax.jit
+    def run(cols, row_count):
+        ctx = ExecContext(cap, row_count)
+        keys = sort_key_arrays(cols, orders, null_placement, ctx.row_mask())
+        return _sort(keys, cap)
+
+    perm = run(cols, jnp.asarray(n, jnp.int32))
+    return make_array(np.asarray(perm[:n]).astype(np.uint64), T.uint64())
+
+
+def array_sort_indices(values, order: str = "ascending",
+                       null_placement: str = "at_end"):
+    return sort_indices(values, order=order, null_placement=null_placement)
+
+
+def select_k_unstable(data, k: int, sort_keys=None):
+    idx = sort_indices(data, sort_keys=sort_keys)
+    return idx.slice(0, k)
+
+
+def rank(values, sort_keys="ascending", null_placement: str = "at_end",
+         tiebreaker: str = "first"):
+    return call_function("rank", [_combine(values)],
+                         {"sort_keys": sort_keys,
+                          "null_placement": null_placement,
+                          "tiebreaker": tiebreaker})
+
+
+def unique(values):
+    a = _combine(values)
+    if a.type.id in (TypeId.STRING, TypeId.LARGE_STRING, TypeId.BINARY,
+                     TypeId.LARGE_BINARY, TypeId.DICTIONARY):
+        return _unique_strings(a)
+    return call_function("unique", [a])
+
+
+def _unique_strings(a):
+    out = call_function("unique", [a])
+    return out
+
+
+def value_counts(values):
+    res = call_function("value_counts", [_combine(values)])
+    return res
+
+
+def dictionary_encode(values):
+    return call_function("dictionary_encode", [_combine(values)])
+
+
+def partition_nth_indices(values, pivot: int):
+    return call_function("partition_nth_indices", [_combine(values)],
+                         {"pivot": pivot})
+
+
+# --- generated wrappers ----------------------------------------------------
+
+_EXPLICIT = set(__all__)
+
+
+def _make_wrapper(name):
+    def wrapper(*args, **kwargs):
+        options = kwargs.pop("options", None) or {}
+        options.update(kwargs)
+        return call_function(name, list(args), options or None)
+    wrapper.__name__ = name
+    wrapper.__qualname__ = name
+    fn = get_function(name)
+    wrapper.__doc__ = fn.doc or f"compute function {name!r}"
+    return wrapper
+
+
+_mod = sys.modules[__name__]
+for _name in list_functions():
+    if _name in _EXPLICIT or _name.startswith("hash_"):
+        continue
+    if not hasattr(_mod, _name):
+        setattr(_mod, _name, _make_wrapper(_name))
+        __all__.append(_name)
+
+# python keywords need trailing-underscore aliases (pyarrow convention)
+and_ = getattr(_mod, "and")
+or_ = getattr(_mod, "or")

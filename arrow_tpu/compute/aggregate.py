@@ -1,0 +1,402 @@
+"""Scalar (whole-column) aggregate kernels.
+
+Reference analogues: compute/kernels/aggregate_basic.cc (sum/count/minmax…),
+aggregate_var_std.cc, aggregate_quantile.cc. Null semantics follow
+ScalarAggregateOptions{skip_nulls=True, min_count=1}
+(compute/api_aggregate.h:48, SURVEY A.6).
+
+TPU design: each aggregate is one masked XLA reduction over the padded
+column; there is no consume/merge/finalize state machine — XLA's fused
+reduction replaces it. Reduction order is a fixed tree per capacity,
+deterministic run-to-run.
+
+Accumulation dtypes match the reference: integer sums accumulate in
+int64/uint64, float sums and means in float64.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import types as T
+from ..device.column import DeviceColumn
+from ..types import DataType, TypeId
+from .registry import ArrowInvalid, ExecContext, Scalar, register, \
+    register_alias
+
+
+@jax.tree_util.register_pytree_node_class
+class AggResult:
+    """Jit-transparent aggregate result: device value(s) + validity flag."""
+
+    __slots__ = ("value", "valid", "type", "fields")
+
+    def __init__(self, value, valid, type: DataType, fields=None):
+        self.value = value      # jnp scalar, or tuple of jnp scalars
+        self.valid = valid      # jnp bool scalar, or tuple
+        self.type = type
+        self.fields = fields    # names when value is a tuple (struct result)
+
+    def tree_flatten(self):
+        return (self.value, self.valid), (self.type, self.fields)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+    def to_scalar(self):
+        if self.fields is not None:
+            vals = {}
+            for name, v, ok in zip(self.fields, self.value, self.valid):
+                vals[name] = _py(v) if bool(ok) else None
+            return Scalar(vals, self.type)
+        if not bool(self.valid):
+            return Scalar(None, self.type)
+        return Scalar(_py(self.value), self.type)
+
+
+def _py(v):
+    x = np.asarray(v)
+    if x.dtype == np.bool_:
+        return bool(x)
+    return x.item()
+
+
+def _masked(ctx: ExecContext, col: DeviceColumn, identity):
+    """Returns (masked values, live bool mask, live count)."""
+    live = col.valid_mask(ctx.row_mask())
+    v = jnp.where(live, col.values, jnp.asarray(identity, col.values.dtype))
+    return v, live, jnp.sum(live, dtype=jnp.int64)
+
+
+def _sum_dtype(dt):
+    if jnp.issubdtype(dt, jnp.unsignedinteger):
+        return jnp.uint64
+    if jnp.issubdtype(dt, jnp.integer) or dt == jnp.bool_:
+        return jnp.int64
+    return jnp.float64
+
+
+def _sum_type(t: DataType) -> DataType:
+    if t.id == TypeId.BOOL:
+        return T.uint64()
+    if t.is_unsigned_integer:
+        return T.uint64()
+    if t.is_integer:
+        return T.int64()
+    return T.float64()
+
+
+@register("sum", "aggregate")
+def _sum(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    v, live, n = _masked(ctx, a, 0)
+    acc = _sum_dtype(v.dtype)
+    total = jnp.sum(v.astype(acc))
+    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    return AggResult(total, valid, _sum_type(a.type))
+
+
+@register("product", "aggregate")
+def _product(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    live = a.valid_mask(ctx.row_mask())
+    acc = _sum_dtype(a.values.dtype)
+    v = jnp.where(live, a.values.astype(acc), jnp.asarray(1, acc))
+    total = jnp.prod(v)
+    n = jnp.sum(live, dtype=jnp.int64)
+    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    return AggResult(total, valid, _sum_type(a.type))
+
+
+def _agg_valid(ctx, a, n, skip_nulls, min_count):
+    ok = n >= jnp.asarray(max(min_count, 0), jnp.int64)
+    if not skip_nulls:
+        has_null = _has_null(ctx, a)
+        ok = jnp.logical_and(ok, ~has_null)
+    return ok
+
+
+def _has_null(ctx, a):
+    if a.validity is None:
+        return jnp.asarray(False)
+    return jnp.any(jnp.logical_and(~a.validity, ctx.row_mask()))
+
+
+@register("mean", "aggregate")
+def _mean(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    v, live, n = _masked(ctx, a, 0)
+    total = jnp.sum(v.astype(jnp.float64))
+    mean = total / jnp.maximum(n, 1).astype(jnp.float64)
+    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    return AggResult(mean, valid, T.float64())
+
+
+def _minmax_identity(dt, is_min: bool):
+    if jnp.issubdtype(dt, jnp.floating):
+        return jnp.inf if is_min else -jnp.inf
+    if dt == jnp.bool_:
+        return True if is_min else False
+    info = jnp.iinfo(dt)
+    return info.max if is_min else info.min
+
+
+@register("min", "aggregate")
+def _min(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    v, live, n = _masked(ctx, a, _minmax_identity(a.values.dtype, True))
+    out = jnp.min(v)
+    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    return AggResult(out, valid, a.type)
+
+
+@register("max", "aggregate")
+def _max(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    v, live, n = _masked(ctx, a, _minmax_identity(a.values.dtype, False))
+    out = jnp.max(v)
+    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    return AggResult(out, valid, a.type)
+
+
+@register("min_max", "aggregate")
+def _min_max(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    lo = _min(ctx, a, skip_nulls, min_count)
+    hi = _max(ctx, a, skip_nulls, min_count)
+    return AggResult((lo.value, hi.value), (lo.valid, hi.valid),
+                     T.struct([("min", a.type), ("max", a.type)]),
+                     fields=("min", "max"))
+
+
+@register("count", "aggregate")
+def _count(ctx, a, mode: str = "only_valid"):
+    live = a.valid_mask(ctx.row_mask())
+    if mode == "only_valid":
+        n = jnp.sum(live, dtype=jnp.int64)
+    elif mode == "only_null":
+        n = jnp.sum(jnp.logical_and(~a.valid_mask(None), ctx.row_mask()),
+                    dtype=jnp.int64)
+    elif mode == "all":
+        n = ctx.row_count.astype(jnp.int64)
+    else:
+        raise ArrowInvalid(f"bad count mode {mode!r}")
+    return AggResult(n, jnp.asarray(True), T.int64())
+
+
+@register("count_all", "aggregate")
+def _count_all(ctx, a):
+    return AggResult(ctx.row_count.astype(jnp.int64), jnp.asarray(True),
+                     T.int64())
+
+
+@register("any", "aggregate")
+def _any(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    live = a.valid_mask(ctx.row_mask())
+    vt = jnp.logical_and(a.values.astype(jnp.bool_), live)
+    out = jnp.any(vt)
+    n = jnp.sum(live, dtype=jnp.int64)
+    ok = n >= jnp.asarray(max(min_count, 0), jnp.int64)
+    if not skip_nulls:
+        # Kleene: null poisons unless a true was seen
+        ok = jnp.logical_and(jnp.logical_or(out, ~_has_null(ctx, a)), ok)
+    return AggResult(out, ok, T.bool_())
+
+
+@register("all", "aggregate")
+def _all(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    live = a.valid_mask(ctx.row_mask())
+    vf = jnp.logical_and(~a.values.astype(jnp.bool_), live)
+    any_false = jnp.any(vf)
+    out = ~any_false
+    n = jnp.sum(live, dtype=jnp.int64)
+    ok = n >= jnp.asarray(max(min_count, 0), jnp.int64)
+    if not skip_nulls:
+        ok = jnp.logical_and(jnp.logical_or(any_false, ~_has_null(ctx, a)),
+                             ok)
+    return AggResult(out, ok, T.bool_())
+
+
+@register("first", "aggregate")
+def _first(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    live = a.valid_mask(ctx.row_mask()) if skip_nulls else ctx.row_mask()
+    idx = jnp.argmax(live)  # first True
+    has = jnp.any(live)
+    val = a.values[idx]
+    valid = has
+    if not skip_nulls and a.validity is not None:
+        valid = jnp.logical_and(has, a.validity[idx])
+    return AggResult(val, valid, a.type)
+
+
+@register("last", "aggregate")
+def _last(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    live = a.valid_mask(ctx.row_mask()) if skip_nulls else ctx.row_mask()
+    n = live.shape[0]
+    rev = live[::-1]
+    idx = n - 1 - jnp.argmax(rev)
+    has = jnp.any(live)
+    val = a.values[idx]
+    valid = has
+    if not skip_nulls and a.validity is not None:
+        valid = jnp.logical_and(has, a.validity[idx])
+    return AggResult(val, valid, a.type)
+
+
+@register("first_last", "aggregate")
+def _first_last(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    f = _first(ctx, a, skip_nulls, min_count)
+    l = _last(ctx, a, skip_nulls, min_count)
+    return AggResult((f.value, l.value), (f.valid, l.valid),
+                     T.struct([("first", a.type), ("last", a.type)]),
+                     fields=("first", "last"))
+
+
+@register("index", "aggregate")
+def _index(ctx, a, value=None):
+    if value is None:
+        raise ArrowInvalid("index requires a value option")
+    live = a.valid_mask(ctx.row_mask())
+    hit = jnp.logical_and(live, a.values == jnp.asarray(
+        value, a.values.dtype))
+    found = jnp.any(hit)
+    idx = jnp.where(found, jnp.argmax(hit).astype(jnp.int64),
+                    jnp.asarray(-1, jnp.int64))
+    return AggResult(idx, jnp.asarray(True), T.int64())
+
+
+def _moments(ctx, a):
+    v, live, n = _masked(ctx, a, 0)
+    vf = v.astype(jnp.float64)
+    nf = jnp.maximum(n, 1).astype(jnp.float64)
+    mean = jnp.sum(vf) / nf
+    centered = jnp.where(live, vf - mean, 0.0)
+    m2 = jnp.sum(centered * centered)
+    m3 = jnp.sum(centered ** 3)
+    m4 = jnp.sum(centered ** 4)
+    return n, mean, m2, m3, m4
+
+
+@register("variance", "aggregate")
+def _variance(ctx, a, ddof: int = 0, skip_nulls: bool = True,
+              min_count: int = 0):
+    n, mean, m2, _, _ = _moments(ctx, a)
+    denom = n.astype(jnp.float64) - ddof
+    var = m2 / jnp.maximum(denom, 1.0)
+    ok = jnp.logical_and(n > jnp.asarray(ddof, jnp.int64),
+                         _agg_valid(ctx, a, n, skip_nulls, min_count))
+    return AggResult(var, ok, T.float64())
+
+
+@register("stddev", "aggregate")
+def _stddev(ctx, a, ddof: int = 0, skip_nulls: bool = True,
+            min_count: int = 0):
+    r = _variance(ctx, a, ddof, skip_nulls, min_count)
+    return AggResult(jnp.sqrt(r.value), r.valid, T.float64())
+
+
+@register("skew", "aggregate")
+def _skew(ctx, a, skip_nulls: bool = True, biased: bool = True,
+          min_count: int = 0):
+    n, mean, m2, m3, _ = _moments(ctx, a)
+    nf = n.astype(jnp.float64)
+    var = m2 / jnp.maximum(nf, 1.0)
+    sk = (m3 / jnp.maximum(nf, 1.0)) / jnp.maximum(var, 1e-300) ** 1.5
+    if not biased:
+        sk = sk * jnp.sqrt(nf * (nf - 1.0)) / jnp.maximum(nf - 2.0, 1.0)
+    ok = _agg_valid(ctx, a, n, skip_nulls, max(min_count, 1))
+    return AggResult(sk, ok, T.float64())
+
+
+@register("kurtosis", "aggregate")
+def _kurtosis(ctx, a, skip_nulls: bool = True, biased: bool = True,
+              min_count: int = 0):
+    n, mean, m2, _, m4 = _moments(ctx, a)
+    nf = n.astype(jnp.float64)
+    var = m2 / jnp.maximum(nf, 1.0)
+    kt = (m4 / jnp.maximum(nf, 1.0)) / jnp.maximum(var, 1e-300) ** 2 - 3.0
+    if not biased:
+        kt = ((nf - 1.0) / jnp.maximum((nf - 2.0) * (nf - 3.0), 1.0)
+              * ((nf + 1.0) * kt + 6.0))
+    ok = _agg_valid(ctx, a, n, skip_nulls, max(min_count, 1))
+    return AggResult(kt, ok, T.float64())
+
+
+def _quantile_values(ctx, a, qs, interpolation: str):
+    """Masked quantile via sort: nulls/padding sort to +inf and are excluded
+    by indexing below the live count."""
+    live = a.valid_mask(ctx.row_mask())
+    n = jnp.sum(live, dtype=jnp.int64)
+    v = jnp.where(live, a.values.astype(jnp.float64), jnp.inf)
+    sv = jnp.sort(v)
+    nf = jnp.maximum(n, 1)
+    outs = []
+    for q in qs:
+        pos = q * (nf.astype(jnp.float64) - 1.0)
+        lo = jnp.floor(pos).astype(jnp.int64)
+        hi = jnp.ceil(pos).astype(jnp.int64)
+        frac = pos - lo.astype(jnp.float64)
+        vlo, vhi = sv[lo], sv[hi]
+        if interpolation == "linear":
+            out = vlo + (vhi - vlo) * frac
+        elif interpolation == "lower":
+            out = vlo
+        elif interpolation == "higher":
+            out = vhi
+        elif interpolation == "nearest":
+            out = jnp.where(frac <= 0.5, vlo, vhi)
+        elif interpolation == "midpoint":
+            out = (vlo + vhi) * 0.5
+        else:
+            raise ArrowInvalid(f"bad interpolation {interpolation!r}")
+        outs.append(out)
+    return outs, n
+
+
+@register("quantile", "aggregate")
+def _quantile(ctx, a, q=0.5, interpolation: str = "linear",
+              skip_nulls: bool = True, min_count: int = 0):
+    qs = list(q) if isinstance(q, (list, tuple)) else [q]
+    outs, n = _quantile_values(ctx, a, qs, interpolation)
+    ok = _agg_valid(ctx, a, n, skip_nulls, max(min_count, 1))
+    if len(outs) == 1:
+        return AggResult(outs[0], ok, T.float64())
+    return AggResult(tuple(outs), tuple(ok for _ in outs),
+                     T.list_(T.float64()),
+                     fields=tuple(f"q{i}" for i in range(len(outs))))
+
+
+@register("median", "aggregate")
+def _median(ctx, a, skip_nulls: bool = True, min_count: int = 0):
+    return _quantile(ctx, a, 0.5, "linear", skip_nulls, min_count)
+
+
+@register("approximate_median", "aggregate")
+def _approx_median(ctx, a, skip_nulls: bool = True, min_count: int = 0):
+    # exact median (the reference uses a t-digest sketch; exact is a strict
+    # refinement and fits in one XLA sort)
+    return _median(ctx, a, skip_nulls, min_count)
+
+
+@register("count_distinct", "aggregate")
+def _count_distinct(ctx, a, mode: str = "only_valid"):
+    live = a.valid_mask(ctx.row_mask())
+    # sentinel that sorts AFTER all live values (min-reduction identity)
+    big = jnp.asarray(_minmax_identity(a.values.dtype, True),
+                      a.values.dtype)
+    v = jnp.where(live, a.values, big)
+    sv = jnp.sort(v)
+    n_live = jnp.sum(live, dtype=jnp.int64)
+    # distinct among live values: boundaries in the sorted prefix
+    idx = jnp.arange(sv.shape[0], dtype=jnp.int64)
+    is_new = jnp.where(idx == 0, True, sv != jnp.roll(sv, 1))
+    distinct = jnp.sum(jnp.logical_and(is_new, idx < n_live),
+                      dtype=jnp.int64)
+    if mode == "only_valid":
+        out = distinct
+    elif mode == "only_null":
+        has_null = _has_null(ctx, a)
+        out = has_null.astype(jnp.int64)
+    else:  # all
+        has_null = _has_null(ctx, a)
+        out = distinct + has_null.astype(jnp.int64)
+    return AggResult(out, jnp.asarray(True), T.int64())

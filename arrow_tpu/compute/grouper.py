@@ -1,0 +1,124 @@
+"""Grouper: multi-column key -> dense group ids.
+
+Reference analogue: compute/row/grouper.h (GrouperFastImpl: SwissTable +
+row encoding, grouper.cc:555). TPU redesign: a single multi-operand stable
+sort over equality-normalized key words, boundary detection, and a
+rank-by-first-appearance remap — fully vectorized, no hash table, no
+minibatching. Group ids are assigned in order of first appearance, matching
+the reference's insertion order so downstream results align bit-exactly.
+
+Also powers unique / value_counts / dictionary_encode
+(kernels/vector_hash.cc analogues).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .. import types as T
+from ..device.column import DeviceBatch, DeviceColumn
+from .keys import group_key_arrays, stable_sort_indices
+from .registry import ExecContext, register
+from .selection import Compacted, take_batch
+
+
+class GroupResult(NamedTuple):
+    group_ids: jax.Array      # int64[capacity]; capacity (=invalid) on padding
+    num_groups: jax.Array     # int64 scalar
+    rep_indices: jax.Array    # int64[capacity]: row index of each group's
+                              # first occurrence (garbage past num_groups)
+
+
+def group_ids(ctx: ExecContext,
+              key_cols: Sequence[DeviceColumn]) -> GroupResult:
+    cap = ctx.capacity
+    row_mask = ctx.row_mask()
+    keys = group_key_arrays(key_cols, row_mask)
+    perm = stable_sort_indices(keys, cap)          # stable: padding last
+    sorted_keys = [k[perm] for k in keys]
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    neq = jnp.zeros(cap, jnp.bool_)
+    for k in sorted_keys:
+        neq = jnp.logical_or(neq, k != jnp.roll(k, 1))
+    is_new = jnp.logical_or(idx == 0, neq)
+    sorted_mask = row_mask[perm]
+    is_new = jnp.logical_and(is_new, sorted_mask)
+    # group id in SORTED order
+    gid_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+    num_groups = jnp.sum(is_new, dtype=jnp.int64)
+
+    # first-appearance position of each sorted-group (min original index)
+    first_pos = jax.ops.segment_min(
+        jnp.where(sorted_mask, perm, cap), jnp.where(sorted_mask, gid_sorted, cap - 1),
+        num_segments=cap)
+    # rank groups by first appearance -> appearance-order ids
+    order = jnp.argsort(
+        jnp.where(jnp.arange(cap, dtype=jnp.int64) <
+                  num_groups, first_pos, jnp.asarray(2 * cap, jnp.int64)))
+    rank = jnp.zeros(cap, jnp.int64).at[order].set(
+        jnp.arange(cap, dtype=jnp.int64))
+    gid_appearance_sorted = rank[gid_sorted]
+
+    # scatter back to row order
+    gids = jnp.full(cap, cap, jnp.int64).at[perm].set(
+        jnp.where(sorted_mask, gid_appearance_sorted, cap), mode="drop")
+    rep = first_pos[order]  # appearance-ordered first-occurrence row index
+    return GroupResult(gids, num_groups, rep)
+
+
+def unique_batch(ctx: ExecContext, batch: DeviceBatch,
+                 key_names: Sequence[str]) -> DeviceBatch:
+    cols = [batch.column(n) for n in key_names]
+    g = group_ids(ctx, cols)
+    sub = batch.select(list(key_names))
+    safe_rep = jnp.where(
+        jnp.arange(ctx.capacity, dtype=jnp.int64) < g.num_groups,
+        g.rep_indices, 0)
+    return take_batch(sub, safe_rep, g.num_groups.astype(jnp.int32))
+
+
+@register("unique", "vector")
+def _unique(ctx, col):
+    g = group_ids(ctx, [col])
+    cap = ctx.capacity
+    safe_rep = jnp.where(jnp.arange(cap, dtype=jnp.int64) < g.num_groups,
+                         g.rep_indices, 0)
+    vals = col.values[safe_rep]
+    validity = col.validity[safe_rep] if col.validity is not None else None
+    return Compacted(DeviceColumn(vals, validity, col.type, col.dictionary),
+                     g.num_groups.astype(jnp.int32))
+
+
+@register("value_counts", "vector")
+def _value_counts(ctx, col):
+    g = group_ids(ctx, [col])
+    cap = ctx.capacity
+    live = jnp.where(g.group_ids < cap, 1, 0).astype(jnp.int64)
+    counts = jax.ops.segment_sum(live,
+                                 jnp.minimum(g.group_ids, cap - 1),
+                                 num_segments=cap)
+    safe_rep = jnp.where(jnp.arange(cap, dtype=jnp.int64) < g.num_groups,
+                         g.rep_indices, 0)
+    vals = col.values[safe_rep]
+    validity = col.validity[safe_rep] if col.validity is not None else None
+    n = g.num_groups.astype(jnp.int32)
+    return {
+        "values": Compacted(DeviceColumn(vals, validity, col.type,
+                                         col.dictionary), n),
+        "counts": Compacted(DeviceColumn(counts, None, T.int64()), n),
+    }
+
+
+@register("dictionary_encode", "vector")
+def _dictionary_encode(ctx, col):
+    """Returns appearance-ordered codes; on device strings are already
+    dictionary codes, so this re-densifies to the used value set."""
+    g = group_ids(ctx, [col])
+    cap = ctx.capacity
+    codes = jnp.where(g.group_ids < cap, g.group_ids, 0).astype(jnp.int32)
+    return Compacted(DeviceColumn(codes, col.validity,
+                                  T.dictionary(T.int32(), col.type)),
+                     ctx.row_count)

@@ -1,0 +1,299 @@
+"""Grouped ("hash_") aggregate kernels.
+
+Reference analogues: compute/kernels/hash_aggregate.cc,
+hash_aggregate_numeric.cc — per-group state arrays with
+resize/consume/merge/finalize. TPU redesign: group ids come from the sort-
+based Grouper; every grouped aggregate is a single XLA segment reduction
+(segment_sum/min/max) over the padded column — no mutable state, no merge
+phase (SURVEY §2.9 P7 maps to pre-agg + shuffle at the distributed level).
+
+All kernels take (values, group_ids int64[capacity] with `capacity` as the
+padding sentinel) and return per-group arrays at static capacity plus the
+dynamic group count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import types as T
+from ..device.column import DeviceColumn
+from ..types import DataType
+from .aggregate import _minmax_identity, _sum_dtype, _sum_type
+from .registry import ArrowInvalid, ExecContext, register
+from .selection import Compacted
+
+
+def _prep(ctx, values: DeviceColumn, gids: jax.Array):
+    cap = ctx.capacity
+    live = values.valid_mask(ctx.row_mask())
+    live = jnp.logical_and(live, gids < cap)
+    seg = jnp.where(live, gids, cap - 1)
+    return cap, live, seg
+
+
+def _group_valid_counts(cap, live, seg):
+    return jax.ops.segment_sum(jnp.where(live, 1, 0).astype(jnp.int64),
+                               seg, num_segments=cap)
+
+
+def _grp_validity(counts, num_groups, min_count, cap):
+    ok = counts >= jnp.asarray(max(min_count, 1), jnp.int64)
+    return ok
+
+
+@register("hash_sum", "hash_aggregate")
+def grouped_sum(ctx, values: DeviceColumn, gids, num_groups,
+                skip_nulls: bool = True, min_count: int = 1):
+    cap, live, seg = _prep(ctx, values, gids)
+    acc = _sum_dtype(values.values.dtype)
+    v = jnp.where(live, values.values.astype(acc), jnp.asarray(0, acc))
+    sums = jax.ops.segment_sum(v, seg, num_segments=cap)
+    counts = _group_valid_counts(cap, live, seg)
+    validity = _grp_validity(counts, num_groups, min_count, cap)
+    if not skip_nulls:
+        validity = jnp.logical_and(validity, ~_group_has_null(
+            ctx, values, gids, cap))
+    return Compacted(DeviceColumn(sums, validity, _sum_type(values.type)),
+                     num_groups.astype(jnp.int32))
+
+
+def _group_has_null(ctx, values, gids, cap):
+    if values.validity is None:
+        return jnp.zeros(cap, jnp.bool_)
+    isnull = jnp.logical_and(~values.validity, ctx.row_mask())
+    isnull = jnp.logical_and(isnull, gids < cap)
+    seg = jnp.where(gids < cap, gids, cap - 1)
+    return jax.ops.segment_max(isnull.astype(jnp.int32), seg,
+                               num_segments=cap) > 0
+
+
+@register("hash_product", "hash_aggregate")
+def grouped_product(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                    min_count: int = 1):
+    cap, live, seg = _prep(ctx, values, gids)
+    acc = _sum_dtype(values.values.dtype)
+    v = jnp.where(live, values.values.astype(acc), jnp.asarray(1, acc))
+    prods = jax.ops.segment_prod(v, seg, num_segments=cap)
+    counts = _group_valid_counts(cap, live, seg)
+    validity = _grp_validity(counts, num_groups, min_count, cap)
+    return Compacted(DeviceColumn(prods, validity, _sum_type(values.type)),
+                     num_groups.astype(jnp.int32))
+
+
+@register("hash_mean", "hash_aggregate")
+def grouped_mean(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                 min_count: int = 1):
+    cap, live, seg = _prep(ctx, values, gids)
+    v = jnp.where(live, values.values.astype(jnp.float64), 0.0)
+    sums = jax.ops.segment_sum(v, seg, num_segments=cap)
+    counts = _group_valid_counts(cap, live, seg)
+    means = sums / jnp.maximum(counts, 1).astype(jnp.float64)
+    validity = _grp_validity(counts, num_groups, min_count, cap)
+    return Compacted(DeviceColumn(means, validity, T.float64()),
+                     num_groups.astype(jnp.int32))
+
+
+def _grouped_minmax(ctx, values, gids, num_groups, is_min, skip_nulls,
+                    min_count):
+    cap, live, seg = _prep(ctx, values, gids)
+    ident = _minmax_identity(values.values.dtype, is_min)
+    v = jnp.where(live, values.values, jnp.asarray(ident,
+                                                   values.values.dtype))
+    op = jax.ops.segment_min if is_min else jax.ops.segment_max
+    out = op(v, seg, num_segments=cap)
+    counts = _group_valid_counts(cap, live, seg)
+    validity = _grp_validity(counts, num_groups, min_count, cap)
+    return Compacted(DeviceColumn(out, validity, values.type,
+                                  values.dictionary),
+                     num_groups.astype(jnp.int32))
+
+
+@register("hash_min", "hash_aggregate")
+def grouped_min(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                min_count: int = 1):
+    return _grouped_minmax(ctx, values, gids, num_groups, True, skip_nulls,
+                           min_count)
+
+
+@register("hash_max", "hash_aggregate")
+def grouped_max(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                min_count: int = 1):
+    return _grouped_minmax(ctx, values, gids, num_groups, False, skip_nulls,
+                           min_count)
+
+
+@register("hash_min_max", "hash_aggregate")
+def grouped_min_max(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                    min_count: int = 1):
+    lo = _grouped_minmax(ctx, values, gids, num_groups, True, skip_nulls,
+                         min_count)
+    hi = _grouped_minmax(ctx, values, gids, num_groups, False, skip_nulls,
+                         min_count)
+    return {"min": lo, "max": hi}
+
+
+@register("hash_count", "hash_aggregate")
+def grouped_count(ctx, values, gids, num_groups, mode: str = "only_valid"):
+    cap = ctx.capacity
+    if mode == "only_valid":
+        live = values.valid_mask(ctx.row_mask())
+    elif mode == "only_null":
+        base = (~values.validity if values.validity is not None
+                else jnp.zeros(cap, jnp.bool_))
+        live = jnp.logical_and(base, ctx.row_mask())
+    else:
+        live = ctx.row_mask()
+    live = jnp.logical_and(live, gids < cap)
+    seg = jnp.where(gids < cap, gids, cap - 1)
+    counts = jax.ops.segment_sum(live.astype(jnp.int64), seg,
+                                 num_segments=cap)
+    return Compacted(DeviceColumn(counts, None, T.int64()),
+                     num_groups.astype(jnp.int32))
+
+
+@register("hash_count_all", "hash_aggregate")
+def grouped_count_all(ctx, gids, num_groups):
+    cap = ctx.capacity
+    live = jnp.logical_and(ctx.row_mask(), gids < cap)
+    seg = jnp.where(gids < cap, gids, cap - 1)
+    counts = jax.ops.segment_sum(live.astype(jnp.int64), seg,
+                                 num_segments=cap)
+    return Compacted(DeviceColumn(counts, None, T.int64()),
+                     num_groups.astype(jnp.int32))
+
+
+@register("hash_any", "hash_aggregate")
+def grouped_any(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                min_count: int = 0):
+    cap, live, seg = _prep(ctx, values, gids)
+    trues = jnp.logical_and(values.values.astype(jnp.bool_), live)
+    out = jax.ops.segment_max(trues.astype(jnp.int32), seg,
+                              num_segments=cap) > 0
+    counts = _group_valid_counts(cap, live, seg)
+    validity = counts >= jnp.asarray(max(min_count, 0), jnp.int64) \
+        if min_count > 0 else None
+    return Compacted(DeviceColumn(out, validity, T.bool_()),
+                     num_groups.astype(jnp.int32))
+
+
+@register("hash_all", "hash_aggregate")
+def grouped_all(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                min_count: int = 0):
+    cap, live, seg = _prep(ctx, values, gids)
+    falses = jnp.logical_and(~values.values.astype(jnp.bool_), live)
+    any_false = jax.ops.segment_max(falses.astype(jnp.int32), seg,
+                                    num_segments=cap) > 0
+    validity = None
+    if min_count > 0:
+        counts = _group_valid_counts(cap, live, seg)
+        validity = counts >= jnp.asarray(min_count, jnp.int64)
+    return Compacted(DeviceColumn(~any_false, validity, T.bool_()),
+                     num_groups.astype(jnp.int32))
+
+
+def _grouped_var_m2(ctx, values, gids, num_groups):
+    cap, live, seg = _prep(ctx, values, gids)
+    v = jnp.where(live, values.values.astype(jnp.float64), 0.0)
+    counts = _group_valid_counts(cap, live, seg)
+    sums = jax.ops.segment_sum(v, seg, num_segments=cap)
+    means = sums / jnp.maximum(counts, 1).astype(jnp.float64)
+    centered = jnp.where(live, v - means[seg], 0.0)
+    m2 = jax.ops.segment_sum(centered * centered, seg, num_segments=cap)
+    return counts, m2
+
+
+@register("hash_variance", "hash_aggregate")
+def grouped_variance(ctx, values, gids, num_groups, ddof: int = 0,
+                     skip_nulls: bool = True, min_count: int = 0):
+    counts, m2 = _grouped_var_m2(ctx, values, gids, num_groups)
+    denom = counts.astype(jnp.float64) - ddof
+    var = m2 / jnp.maximum(denom, 1.0)
+    validity = counts > jnp.asarray(ddof, jnp.int64)
+    return Compacted(DeviceColumn(var, validity, T.float64()),
+                     num_groups.astype(jnp.int32))
+
+
+@register("hash_stddev", "hash_aggregate")
+def grouped_stddev(ctx, values, gids, num_groups, ddof: int = 0,
+                   skip_nulls: bool = True, min_count: int = 0):
+    r = grouped_variance(ctx, values, gids, num_groups, ddof, skip_nulls,
+                         min_count)
+    return Compacted(DeviceColumn(jnp.sqrt(r.column.values),
+                                  r.column.validity, T.float64()), r.count)
+
+
+def _grouped_first_last(ctx, values, gids, num_groups, is_first, skip_nulls):
+    cap = ctx.capacity
+    live = values.valid_mask(ctx.row_mask()) if skip_nulls else \
+        ctx.row_mask()
+    live = jnp.logical_and(live, gids < cap)
+    seg = jnp.where(live, gids, cap - 1)
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    if is_first:
+        pos = jax.ops.segment_min(jnp.where(live, idx, cap), seg,
+                                  num_segments=cap)
+    else:
+        pos = jax.ops.segment_max(jnp.where(live, idx, -1), seg,
+                                  num_segments=cap)
+    has = (pos >= 0) & (pos < cap)
+    safe = jnp.where(has, pos, 0)
+    out = values.values[safe]
+    validity = has
+    if not skip_nulls and values.validity is not None:
+        validity = jnp.logical_and(validity, values.validity[safe])
+    return Compacted(DeviceColumn(out, validity, values.type,
+                                  values.dictionary),
+                     num_groups.astype(jnp.int32))
+
+
+@register("hash_first", "hash_aggregate")
+def grouped_first(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                  min_count: int = 0):
+    return _grouped_first_last(ctx, values, gids, num_groups, True,
+                               skip_nulls)
+
+
+@register("hash_last", "hash_aggregate")
+def grouped_last(ctx, values, gids, num_groups, skip_nulls: bool = True,
+                 min_count: int = 0):
+    return _grouped_first_last(ctx, values, gids, num_groups, False,
+                               skip_nulls)
+
+
+@register("hash_one", "hash_aggregate")
+def grouped_one(ctx, values, gids, num_groups):
+    return _grouped_first_last(ctx, values, gids, num_groups, True, True)
+
+
+@register("hash_count_distinct", "hash_aggregate")
+def grouped_count_distinct(ctx, values, gids, num_groups,
+                           mode: str = "only_valid"):
+    """Distinct values per group: stable-sort (gid, value-bits) pairs, count
+    pair boundaries per gid."""
+    from .keys import equality_word, stable_sort_indices
+    cap = ctx.capacity
+    live = values.valid_mask(ctx.row_mask())
+    live = jnp.logical_and(live, gids < cap)
+    gkey = jnp.where(live, gids, cap).astype(jnp.uint64)
+    vkey = jnp.where(live, equality_word(values), jnp.uint64(0))
+    perm = stable_sort_indices([gkey, vkey], cap)
+    sg, sv = gkey[perm], vkey[perm]
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    new_pair = (idx == 0) | (sg != jnp.roll(sg, 1)) | (sv != jnp.roll(sv, 1))
+    slive = live[perm]
+    new_pair = jnp.logical_and(new_pair, slive)
+    seg = jnp.where(slive, sg.astype(jnp.int64), cap - 1)
+    counts = jax.ops.segment_sum(new_pair.astype(jnp.int64), seg,
+                                 num_segments=cap)
+    if mode in ("only_null", "all"):
+        has_null = _group_has_null(ctx, values, gids, cap)
+        if mode == "only_null":
+            counts = has_null.astype(jnp.int64)
+        else:
+            counts = counts + has_null.astype(jnp.int64)
+    return Compacted(DeviceColumn(counts, None, T.int64()),
+                     num_groups.astype(jnp.int32))

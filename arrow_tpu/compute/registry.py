@@ -1,0 +1,250 @@
+"""Compute function model + registry.
+
+Reference analogues: compute/registry.h:46 (FunctionRegistry),
+compute/function.h (Function kinds), compute/exec.cc:1362 (CallFunction).
+
+TPU-native redesign: a kernel is a Python callable over DeviceColumns that
+traces to XLA. There is no per-span chunking executor — XLA fuses whole
+columns — and no preallocation policy: functional arrays replace both.
+Host Arrays passed to ``call_function`` are transparently uploaded, run
+through a cached jitted wrapper, and downloaded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..array.array import Array, array as make_array
+from ..table import ChunkedArray
+from ..types import DataType, TypeId
+
+
+class ArrowInvalid(ValueError):
+    pass
+
+
+class ArrowNotImplementedError(NotImplementedError):
+    pass
+
+
+class Scalar:
+    """A typed single value (reference: scalar.h:54). ``value`` is a python
+    value or None (null)."""
+
+    __slots__ = ("value", "type")
+
+    def __init__(self, value, type: DataType):
+        self.value = value
+        self.type = type
+
+    @property
+    def is_valid(self) -> bool:
+        return self.value is not None
+
+    def as_py(self):
+        return self.value
+
+    def __repr__(self):
+        return f"Scalar({self.value!r}, {self.type!r})"
+
+    def __eq__(self, other):
+        if isinstance(other, Scalar):
+            return self.value == other.value and self.type == other.type
+        return self.value == other
+
+
+class ExecContext:
+    """Per-call execution state handed to kernels."""
+
+    __slots__ = ("capacity", "row_count", "row_mask_")
+
+    def __init__(self, capacity: int, row_count):
+        self.capacity = capacity
+        self.row_count = row_count
+        self.row_mask_ = None
+
+    def row_mask(self):
+        if self.row_mask_ is None:
+            self.row_mask_ = (jnp.arange(self.capacity, dtype=jnp.int32)
+                              < self.row_count)
+        return self.row_mask_
+
+
+class Function:
+    """kind: 'elementwise' (N rows -> N rows), 'aggregate'
+    (N rows -> scalar(s)), 'vector' (N rows -> M rows or indices).
+    ctx_arg: which array argument defines the execution context
+    (capacity/row count) — e.g. take() keys off its indices argument."""
+
+    __slots__ = ("name", "kind", "impl", "doc", "ctx_arg")
+
+    def __init__(self, name: str, kind: str, impl: Callable, doc: str = "",
+                 ctx_arg: int = 0):
+        self.name = name
+        self.kind = kind
+        self.impl = impl
+        self.doc = doc
+        self.ctx_arg = ctx_arg
+
+
+_REGISTRY: Dict[str, Function] = {}
+
+
+def register(name: str, kind: str, doc: str = "", ctx_arg: int = 0):
+    def deco(fn):
+        _REGISTRY[name] = Function(name, kind, fn, doc, ctx_arg)
+        return fn
+    return deco
+
+
+def register_alias(alias: str, name: str):
+    _REGISTRY[alias] = _REGISTRY[name]
+
+
+def get_function(name: str) -> Function:
+    f = _REGISTRY.get(name)
+    if f is None:
+        raise KeyError(f"no compute function registered named {name!r}")
+    return f
+
+
+def list_functions() -> List[str]:
+    return sorted(_REGISTRY)
+
+
+def function_registry() -> Dict[str, Function]:
+    return _REGISTRY
+
+
+# --- host-facing execution -------------------------------------------------
+
+def _options_key(options: Optional[dict]) -> tuple:
+    if not options:
+        return ()
+    def freeze(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(freeze(x) for x in v)
+        return v
+    return tuple(sorted((k, freeze(v)) for k, v in options.items()))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted(name: str, okey: tuple, sig: tuple):
+    fn = get_function(name)
+    options = dict((k, _thaw(v)) for k, v in okey)
+
+    def run(cols, row_count, scalars):
+        ctx_col = min(fn.ctx_arg, len(cols) - 1)
+        ctx = ExecContext(cols[ctx_col].capacity if cols else 0, row_count)
+        args: list = []
+        ci = si = 0
+        for kind in sig:
+            if kind == "c":
+                args.append(cols[ci]); ci += 1
+            else:
+                args.append(scalars[si]); si += 1
+        return fn.impl(ctx, *args, **options)
+
+    return jax.jit(run)
+
+
+def _thaw(v):
+    if isinstance(v, tuple) and v and all(
+            isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], str)
+            for x in v):
+        return {k: _thaw(x) for k, x in v}
+    return v
+
+
+def call_function(name: str, args: Sequence, options: Optional[dict] = None,
+                  memory_pool=None):
+    """pyarrow.compute-style entry point: accepts Arrays / ChunkedArrays /
+    python scalars, runs the device kernel, returns Array or Scalar."""
+    from ..device.column import (DeviceColumn, download_column, round_up,
+                                 upload_column)
+
+    fn = get_function(name)
+    arrays: List[Tuple[int, Array]] = []
+    prepared: List = []
+    for i, a in enumerate(args):
+        if isinstance(a, ChunkedArray):
+            a = a.combine()
+        if isinstance(a, Array):
+            arrays.append((i, a))
+            prepared.append(a)
+        elif isinstance(a, DeviceColumn):
+            prepared.append(a)
+        elif isinstance(a, Scalar):
+            prepared.append(a.value)
+        else:
+            prepared.append(a)
+
+    if arrays:
+        if fn.kind == "elementwise":
+            n = len(arrays[0][1])
+            for _, a in arrays[1:]:
+                if len(a) != n:
+                    raise ArrowInvalid(
+                        "array arguments must have equal length")
+            cap = round_up(n)
+            for i, a in arrays:
+                prepared[i] = upload_column(a, cap)
+        else:
+            # vector/aggregate: each arg keeps its own capacity; the
+            # context row count comes from fn.ctx_arg
+            ctx_pos = min(fn.ctx_arg, len(arrays) - 1)
+            n = len(arrays[ctx_pos][1])
+            for i, a in arrays:
+                prepared[i] = upload_column(a, round_up(len(a)))
+    else:
+        n = None
+
+    cols = [p for p in prepared if isinstance(p, DeviceColumn)]
+    scalars = [p for p in prepared
+               if not isinstance(p, DeviceColumn)]
+    sig = tuple("c" if isinstance(p, DeviceColumn) else "s"
+                for p in prepared)
+    if not cols:
+        raise ArrowInvalid(f"{name}: need at least one array argument")
+    if n is None:
+        n = cols[0].capacity
+    row_count = jnp.asarray(n, dtype=jnp.int32)
+
+    okey = _options_key(options)
+    # scalars that are arrays/tracers must be traced, not baked in; for
+    # simplicity python numbers are baked via closure in options when static
+    runner = _jitted(name, okey, sig)
+    result = runner(cols, row_count, scalars)
+    return materialize(result, n)
+
+
+def materialize(result, n: int):
+    """Convert a kernel result (DeviceColumn / AggResult / Compacted /
+    ErrGuard / tuple) to host Array / Scalar, raising deferred errors."""
+    from ..device.column import DeviceColumn, download_column
+    from .aggregate import AggResult
+    from .elementwise import ErrGuard
+    from .selection import Compacted
+
+    if isinstance(result, ErrGuard):
+        if bool(result.flag):
+            raise ArrowInvalid(result.msg)
+        return materialize(result.result, n)
+    if isinstance(result, Compacted):
+        return materialize(result.column, int(result.count))
+    if isinstance(result, DeviceColumn):
+        return download_column(result, n)
+    if isinstance(result, AggResult):
+        return result.to_scalar()
+    if isinstance(result, tuple):
+        return tuple(materialize(r, n) for r in result)
+    if isinstance(result, dict):
+        return {k: materialize(v, n) for k, v in result.items()}
+    raise TypeError(f"unexpected kernel result {type(result)}")

@@ -1,11 +1,18 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
 sharding paths are exercised without TPU hardware (SURVEY §4: the
-archery-style process-pair analogue)."""
+archery-style process-pair analogue).
+
+Note: the environment pins JAX_PLATFORMS=axon (the TPU tunnel); the env var
+alone does not stick, so we also update jax.config after import."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
