@@ -1,0 +1,9 @@
+"""Acero-style declarative query engine, TPU-native execution."""
+
+from .exec import Declaration, execute_declaration  # noqa: F401
+from .expression import Expression, field, scalar  # noqa: F401
+from .options import (  # noqa: F401
+    AggregateNodeOptions, ExecNodeOptions, FetchNodeOptions,
+    FilterNodeOptions, HashJoinNodeOptions, OrderByNodeOptions,
+    ProjectNodeOptions, TableSourceNodeOptions, UnionNodeOptions,
+)

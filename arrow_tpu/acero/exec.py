@@ -1,0 +1,538 @@
+"""Plan executor.
+
+Reference analogue: the Acero push-based engine (acero/exec_plan.h:54,
+source_node.cc morsels, task scheduler). TPU re-architecture (SURVEY §7
+stage 4): a plan is a tree of Declarations compiled into a few jitted
+device stages over whole DeviceBatches. There is no push dataflow, no task
+scheduler, no backpressure — XLA schedules the fused stage; host sync
+happens only where output capacity is data-dependent (join materialize)
+and at the final download.
+
+Each node is a pure function DeviceBatch -> DeviceBatch. Single-input chains
+are composed into ONE jitted stage so XLA fuses filter+project+aggregate
+end-to-end (the morsel pipeline P1/P2 of SURVEY §2.9 collapses into
+compiler-scheduled fusion on a single chip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import types as T
+from ..array.array import Array, array as make_array
+from ..compute import hash_agg as HA
+from ..compute import join as J
+from ..compute.grouper import group_ids
+from ..compute.registry import ArrowInvalid, ExecContext, get_function
+from ..compute.selection import Compacted, filter_batch, take_batch
+from ..compute.vector_sort import device_sort_indices
+from ..device.column import (BLOCK, DeviceBatch, DeviceColumn,
+                             download_table, round_up, upload_table)
+from ..table import RecordBatch, Table
+from ..types import DataType, Field, Schema, TypeId
+from .expression import Expression
+from .options import (AggregateNodeOptions, FetchNodeOptions,
+                      FilterNodeOptions, HashJoinNodeOptions,
+                      OrderByNodeOptions, ProjectNodeOptions,
+                      TableSourceNodeOptions, UnionNodeOptions)
+
+_JIT_CACHE: Dict[tuple, Callable] = {}
+
+
+def _cached_jit(key: tuple, make_fn: Callable, **jit_kwargs) -> Callable:
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = jax.jit(make_fn(), **jit_kwargs)
+    return fn
+
+
+# --- dictionary utilities (host-side; dictionaries are host metadata) ------
+
+def unify_dictionaries(cols: Sequence[DeviceColumn]) -> List[DeviceColumn]:
+    """Re-encode dictionary-coded columns against their union dictionary so
+    codes are directly comparable (reference precedent:
+    acero/hash_join_dict.cc re-encodes dictionary join keys)."""
+    if all(c.dictionary is None for c in cols):
+        return list(cols)
+    union_vals: List = []
+    memo: Dict = {}
+    per_col_maps = []
+    for c in cols:
+        vals = c.dictionary.to_pylist()
+        mapping = np.empty(max(len(vals), 1), dtype=np.int64)
+        for i, v in enumerate(vals):
+            j = memo.get(v)
+            if j is None:
+                j = memo[v] = len(union_vals)
+                union_vals.append(v)
+            mapping[i] = j
+        per_col_maps.append(mapping)
+    union_arr = make_array(union_vals, cols[0].dictionary.type)
+    out = []
+    for c, mapping in zip(cols, per_col_maps):
+        codes = jnp.asarray(mapping)[c.values.astype(jnp.int64)]
+        out.append(DeviceColumn(codes.astype(jnp.int32), c.validity,
+                                c.type, union_arr))
+    return out
+
+
+# --- node implementations --------------------------------------------------
+
+def _node_filter(options: FilterNodeOptions, schema: Schema):
+    expr = options.filter_expression
+
+    def fn(batch: DeviceBatch) -> DeviceBatch:
+        ctx = ExecContext(batch.capacity, batch.row_count)
+        mask = expr.evaluate(batch, ctx)
+        return filter_batch(batch, mask)
+
+    return fn, schema
+
+
+def _node_project(options: ProjectNodeOptions, schema: Schema):
+    exprs = options.expressions
+    names = options.names or [repr(e) if e.kind != Expression.KIND_FIELD
+                              else e.name for e in exprs]
+
+    def fn(batch: DeviceBatch) -> DeviceBatch:
+        ctx = ExecContext(batch.capacity, batch.row_count)
+        cols = []
+        for e in exprs:
+            c = e.evaluate(batch, ctx)
+            if not isinstance(c, DeviceColumn):
+                # broadcast literal
+                v = jnp.full(batch.capacity, c)
+                from ..types import from_numpy_dtype
+                c = DeviceColumn(v, None, from_numpy_dtype(
+                    np.asarray(c).dtype))
+            cols.append(c)
+        out_schema = Schema([Field(n, c.type) for n, c in zip(names, cols)])
+        return DeviceBatch(out_schema, cols, batch.row_count)
+
+    # output schema resolved lazily on first batch (expression types are
+    # data-driven); we return None and let the executor read batch.schema
+    return fn, None
+
+
+_SCALAR_AGG_0ARY = {"count_all"}
+
+
+def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
+    aggs = options.aggregates
+    keys = options.keys
+
+    if keys:
+        def fn(batch: DeviceBatch) -> DeviceBatch:
+            ctx = ExecContext(batch.capacity, batch.row_count)
+            key_cols = [batch.column(k) for k in keys]
+            g = group_ids(ctx, key_cols)
+            cap = batch.capacity
+            out_cols, out_fields = [], []
+            # keys first (reference output order, groupby_aggregate_node.cc)
+            safe_rep = jnp.where(
+                jnp.arange(cap, dtype=jnp.int64) < g.num_groups,
+                g.rep_indices, 0)
+            for k, kc in zip(keys, key_cols):
+                vals = kc.values[safe_rep]
+                validity = kc.validity[safe_rep] \
+                    if kc.validity is not None else None
+                out_cols.append(DeviceColumn(vals, validity, kc.type,
+                                             kc.dictionary))
+                out_fields.append(Field(k, kc.type))
+            for target, fname, opts, out_name in aggs:
+                dev_name = fname if fname.startswith("hash_") \
+                    else "hash_" + fname
+                impl = get_function(dev_name).impl
+                if fname.replace("hash_", "") == "count_all":
+                    r = impl(ctx, g.group_ids, g.num_groups, **opts)
+                else:
+                    tcol = batch.column(target if isinstance(target, str)
+                                        else target[0])
+                    r = impl(ctx, tcol, g.group_ids, g.num_groups, **opts)
+                if isinstance(r, dict):  # min_max style struct output
+                    for sub, rr in r.items():
+                        out_cols.append(rr.column)
+                        out_fields.append(Field(f"{out_name}_{sub}",
+                                                rr.column.type))
+                else:
+                    out_cols.append(r.column)
+                    out_fields.append(Field(out_name, r.column.type))
+            return DeviceBatch(Schema(out_fields), out_cols,
+                               g.num_groups.astype(jnp.int32))
+        return fn, None
+
+    def fn(batch: DeviceBatch) -> DeviceBatch:
+        ctx = ExecContext(batch.capacity, batch.row_count)
+        out_cols, out_fields = [], []
+        for target, fname, opts, out_name in aggs:
+            impl = get_function(fname).impl
+            if fname in _SCALAR_AGG_0ARY:
+                tcol = batch.columns[0]
+            else:
+                tcol = batch.column(target if isinstance(target, str)
+                                    else target[0])
+            r = impl(ctx, tcol, **opts)
+            vals = r.value if isinstance(r.value, tuple) else (r.value,)
+            valid = r.valid if isinstance(r.valid, tuple) else (r.valid,)
+            names = ([f"{out_name}_{f}" for f in r.fields]
+                     if r.fields else [out_name])
+            for nm, v, ok in zip(names, vals, valid):
+                col_v = jnp.zeros(BLOCK, jnp.asarray(v).dtype).at[0].set(v)
+                col_m = jnp.zeros(BLOCK, jnp.bool_).at[0].set(ok)
+                t = r.type if not r.fields else (
+                    r.type.fields[0].type if r.fields else r.type)
+                out_cols.append(DeviceColumn(col_v, col_m, t))
+                out_fields.append(Field(nm, t))
+        return DeviceBatch(Schema(out_fields), out_cols,
+                           jnp.asarray(1, jnp.int32))
+    return fn, None
+
+
+def _node_order_by(options: OrderByNodeOptions, schema: Schema):
+    names = [k for k, _ in options.sort_keys]
+    orders = [o for _, o in options.sort_keys]
+    placement = options.null_placement
+
+    def fn(batch: DeviceBatch) -> DeviceBatch:
+        ctx = ExecContext(batch.capacity, batch.row_count)
+        cols = []
+        for n in names:
+            c = batch.column(n)
+            if c.dictionary is not None:
+                c = _rank_col(c)
+            cols.append(c)
+        perm = device_sort_indices(ctx, cols, orders, placement)
+        return take_batch(batch, perm, batch.row_count)
+
+    return fn, schema
+
+
+def _rank_col(c: DeviceColumn) -> DeviceColumn:
+    vals = c.dictionary.to_pylist()
+    order = np.argsort(np.array(vals, dtype=object), kind="stable")
+    ranks = np.empty(len(vals), dtype=np.int64)
+    ranks[order] = np.arange(len(vals))
+    new_vals = jnp.asarray(ranks)[c.values.astype(jnp.int64)]
+    return DeviceColumn(new_vals, c.validity, T.int64())
+
+
+def _node_fetch(options: FetchNodeOptions, schema: Schema):
+    offset, count = options.offset, options.count
+
+    def fn(batch: DeviceBatch) -> DeviceBatch:
+        cap = batch.capacity
+        idx = jnp.arange(cap, dtype=jnp.int64) + offset
+        idx = jnp.minimum(idx, cap - 1)
+        remaining = jnp.maximum(batch.row_count - offset, 0)
+        new_count = remaining if count < 0 else \
+            jnp.minimum(remaining, count)
+        return take_batch(batch, idx, new_count.astype(jnp.int32))
+
+    return fn, schema
+
+
+def _union_cols(cols: List[DeviceColumn], total_cap: int):
+    vals = jnp.concatenate([c.values for c in cols])
+    if any(c.validity is not None for c in cols):
+        parts = [c.validity if c.validity is not None
+                 else jnp.ones(c.capacity, jnp.bool_) for c in cols]
+        validity = jnp.concatenate(parts)
+    else:
+        validity = None
+    return vals, validity
+
+
+# --- declaration + executor ------------------------------------------------
+
+class Declaration:
+    """Declarative plan node (reference: acero/exec_plan.h:400)."""
+
+    def __init__(self, factory_name: str, options=None, inputs=()):
+        self.factory_name = factory_name
+        self.options = options
+        self.inputs = list(inputs)
+
+    @staticmethod
+    def from_sequence(decls: Sequence["Declaration"]) -> "Declaration":
+        it = iter(decls)
+        current = next(it)
+        for d in it:
+            d = Declaration(d.factory_name, d.options,
+                            d.inputs + [current] if d.inputs
+                            else [current])
+            current = d
+        return current
+
+    def to_table(self, use_threads: bool = True) -> Table:
+        batch = execute_declaration(self)
+        return download_table(batch)
+
+    def to_batches(self) -> List[RecordBatch]:
+        return self.to_table().to_batches()
+
+    def to_reader(self):
+        return iter(self.to_batches())
+
+    def __repr__(self):
+        return f"Declaration({self.factory_name})"
+
+
+def _config_key(decl: Declaration) -> str:
+    o = decl.options
+    if isinstance(o, FilterNodeOptions):
+        return repr(o.filter_expression)
+    if isinstance(o, ProjectNodeOptions):
+        return repr((o.names, [repr(e) for e in o.expressions]))
+    if isinstance(o, AggregateNodeOptions):
+        return repr((o.aggregates, o.keys))
+    if isinstance(o, OrderByNodeOptions):
+        return repr((o.sort_keys, o.null_placement))
+    if isinstance(o, FetchNodeOptions):
+        return repr((o.offset, o.count))
+    return repr(o.__dict__ if o is not None else None)
+
+
+_CHAINABLE = {
+    "filter": _node_filter,
+    "project": _node_project,
+    "aggregate": _node_aggregate,
+    "order_by": _node_order_by,
+    "fetch": _node_fetch,
+}
+
+
+def execute_declaration(decl: Declaration) -> DeviceBatch:
+    """Recursively execute; fuse single-input chains into one jitted call."""
+    if decl.factory_name in ("table_source", "named_table"):
+        return upload_table(decl.options.table)
+    if decl.factory_name in ("source", "record_batch_source"):
+        return upload_table(decl.options.table)
+
+    if decl.factory_name == "hashjoin":
+        left = execute_declaration(decl.inputs[0])
+        right = execute_declaration(decl.inputs[1])
+        return _execute_hashjoin(decl.options, left, right)
+
+    if decl.factory_name == "union":
+        batches = [execute_declaration(i) for i in decl.inputs]
+        return _execute_union(batches)
+
+    if decl.factory_name in _CHAINABLE:
+        # collect the maximal single-input chain below this node
+        chain = [decl]
+        cur = decl
+        while (len(cur.inputs) == 1
+               and cur.inputs[0].factory_name in _CHAINABLE):
+            cur = cur.inputs[0]
+            chain.append(cur)
+        input_batch = execute_declaration(cur.inputs[0])
+        node_fns = []
+        for d in reversed(chain):
+            fn, _ = _CHAINABLE[d.factory_name](d.options, None)
+            node_fns.append(fn)
+        key = ("chain", tuple((d.factory_name, _config_key(d))
+                              for d in reversed(chain)),
+               _dict_ids(input_batch))
+
+        def make():
+            def staged(batch):
+                for f in node_fns:
+                    batch = f(batch)
+                return batch
+            return staged
+
+        fn = _cached_jit(key, make)
+        return fn(input_batch)
+
+    raise ArrowInvalid(f"unknown node factory {decl.factory_name!r}")
+
+
+def _dict_ids(batch: DeviceBatch) -> tuple:
+    return tuple(id(c.dictionary) if c.dictionary is not None else 0
+                 for c in batch.columns)
+
+
+def _execute_union(batches: List[DeviceBatch]) -> DeviceBatch:
+    schema = batches[0].schema
+    # unify dictionaries per column (host)
+    ncols = len(schema)
+    cols_by_i = []
+    for i in range(ncols):
+        cols = [b.columns[i] for b in batches]
+        if any(c.dictionary is not None for c in cols):
+            cols = unify_dictionaries(cols)
+        cols_by_i.append(cols)
+    total_cap = sum(b.capacity for b in batches)
+    out_cols = []
+    for i in range(ncols):
+        vals, validity = _union_cols(cols_by_i[i], total_cap)
+        out_cols.append(DeviceColumn(vals, validity, cols_by_i[i][0].type,
+                                     cols_by_i[i][0].dictionary))
+    # compact: move all live rows to the front
+    counts = [b.row_count for b in batches]
+    offsets = []
+    pos = 0
+    keep_parts = []
+    for b in batches:
+        keep_parts.append(jnp.arange(b.capacity, dtype=jnp.int32)
+                          < b.row_count)
+    keep = jnp.concatenate(keep_parts)
+    from ..compute.selection import compact_column, compaction_indices
+    positions, count = compaction_indices(keep)
+    out_cols = [compact_column(c, positions) for c in out_cols]
+    return DeviceBatch(schema, out_cols, count)
+
+
+def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
+                      right: DeviceBatch) -> DeviceBatch:
+    """Probe side = LEFT (Acero builds on right input: hash_join_node.cc
+    builds from inputs[1])."""
+    jt = options.join_type
+    lkeys = [left.column(k) for k in options.left_keys]
+    rkeys = [right.column(k) for k in options.right_keys]
+
+    # unify string-key dictionaries pairwise (host step)
+    for i, (lk, rk) in enumerate(zip(lkeys, rkeys)):
+        if lk.dictionary is not None or rk.dictionary is not None:
+            lk2, rk2 = unify_dictionaries([lk, rk])
+            lkeys[i], rkeys[i] = lk2, rk2
+
+    planner_key = ("join_plan", jt, tuple(options.left_keys),
+                   tuple(options.right_keys))
+
+    def make_plan():
+        def fn(build_cols, probe_cols, build_count, probe_count):
+            plan = J.build_join_plan(build_cols, probe_cols, build_count,
+                                     probe_count, jt)
+            unmatched, matched = J.unmatched_build_plan(plan, build_count)
+            n_unmatched = jnp.sum(unmatched, dtype=jnp.int64)
+            n_matched = jnp.sum(matched, dtype=jnp.int64)
+            return plan, unmatched, matched, n_unmatched, n_matched
+        return fn
+
+    plan_fn = _cached_jit(planner_key, make_plan)
+    plan, unmatched, matched, n_unmatched, n_matched = plan_fn(
+        rkeys, lkeys, right.row_count, left.row_count)
+
+    # semi/anti on the BUILD (right) side: pure build-row filters
+    if jt in ("right semi", "right anti"):
+        mask_vals = matched if jt == "right semi" else unmatched
+        mask_col = DeviceColumn(mask_vals, None, T.bool_())
+        return filter_batch(right, mask_col)
+    if jt in ("left semi", "left anti"):
+        total = int(plan.total)
+        out_cap = round_up(max(total, 1))
+        return _join_materialize(options, plan, left, right, out_cap, total,
+                                 0, unmatched, probe_only=True)
+
+    total = int(plan.total)
+    extra = int(n_unmatched) if jt in ("right outer", "full outer") else 0
+    out_cap = round_up(max(total + extra, 1))
+    return _join_materialize(options, plan, left, right, out_cap, total,
+                             extra, unmatched)
+
+
+def _join_output_schema(options: HashJoinNodeOptions, left: DeviceBatch,
+                        right: DeviceBatch, probe_only: bool):
+    lnames = options.left_output if options.left_output is not None \
+        else left.schema.names
+    if probe_only:
+        # semi/anti output only the probe side: no collisions, no suffixes
+        return lnames, [], Schema([left.schema.field(n) for n in lnames])
+    rnames = options.right_output if options.right_output is not None \
+        else right.schema.names
+    fields = []
+    for n in lnames:
+        f = left.schema.field(n)
+        if n in rnames:
+            f = f.with_name(n + options.output_suffix_for_left)
+        fields.append(f)
+    for n in rnames:
+        f = right.schema.field(n)
+        if n in lnames:
+            f = f.with_name(n + options.output_suffix_for_right)
+        fields.append(f)
+    return lnames, rnames, Schema(fields)
+
+
+def _join_materialize(options, plan, left, right, out_cap: int, total: int,
+                      extra: int, unmatched, probe_only: bool = False):
+    jt = options.join_type
+    lnames, rnames, out_schema = _join_output_schema(options, left, right,
+                                                     probe_only)
+    key = ("join_mat", jt, out_cap, tuple(lnames), tuple(rnames),
+           _dict_ids(left), _dict_ids(right))
+
+    def make():
+        def fn(plan, left, right, unmatched):
+            probe_idx, build_idx, build_valid, row_live = \
+                J.join_gather_indices(plan, out_cap, jt)
+            lsub = left.select(list(lnames)) if lnames else left
+            lcols = J.gather_batch_columns(lsub, probe_idx, None, out_cap)
+            out_cols = list(lcols)
+            n_out = plan.total.astype(jnp.int32)
+            if not probe_only:
+                rsub = right.select(list(rnames)) if rnames else right
+                bv = build_valid if jt in ("left outer", "full outer") \
+                    else None
+                rcols = J.gather_batch_columns(rsub, build_idx, bv, out_cap)
+                out_cols = out_cols + rcols
+                if jt in ("right outer", "full outer"):
+                    # append unmatched build rows after the probe output
+                    from ..compute.selection import (compact_column,
+                                                     compaction_indices)
+                    positions, n_unm = compaction_indices(unmatched)
+                    n_l = len(lnames)
+                    appended = []
+                    for ci, c in enumerate(out_cols):
+                        if ci < n_l:  # left side: nulls
+                            newv = c.values
+                            newval = jnp.zeros(out_cap, jnp.bool_) \
+                                if c.validity is None else c.validity
+                            appended.append((newv, newval, None))
+                        else:
+                            src = rsub.columns[ci - n_l]
+                            comp = compact_column(src, positions)
+                            appended.append((comp.values,
+                                             comp.validity if comp.validity
+                                             is not None else
+                                             jnp.ones(src.capacity,
+                                                      jnp.bool_),
+                                             src))
+                    # scatter appended rows at [total, total+extra)
+                    out2 = []
+                    dst = jnp.arange(out_cap, dtype=jnp.int64)
+                    for ci, (c, (av, avalid, src)) in enumerate(
+                            zip(out_cols, appended)):
+                        if ci < n_l:
+                            base_valid = c.validity if c.validity is not None \
+                                else jnp.ones(out_cap, jnp.bool_)
+                            validity = jnp.where(dst < plan.total,
+                                                 base_valid, False)
+                            out2.append(DeviceColumn(c.values, validity,
+                                                     c.type, c.dictionary))
+                        else:
+                            idx2 = dst - plan.total
+                            in_app = jnp.logical_and(idx2 >= 0, True)
+                            safe2 = jnp.clip(idx2, 0,
+                                             av.shape[0] - 1)
+                            vals = jnp.where(in_app, av[safe2], c.values)
+                            base_valid = c.validity if c.validity is not None \
+                                else jnp.ones(out_cap, jnp.bool_)
+                            validity = jnp.where(in_app, avalid[safe2],
+                                                 base_valid)
+                            out2.append(DeviceColumn(vals, validity,
+                                                     c.type, c.dictionary))
+                    out_cols = out2
+                    n_out = (plan.total + n_unm).astype(jnp.int32)
+            return out_cols, n_out
+        return fn
+
+    fn = _cached_jit(key, make)
+    out_cols, n_out = fn(plan, left, right, unmatched)
+    return DeviceBatch(out_schema, out_cols, n_out)

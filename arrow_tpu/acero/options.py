@@ -1,0 +1,92 @@
+"""Plan node options (reference: acero/options.h:64-870)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+from ..table import RecordBatch, Table
+from .expression import Expression
+
+
+class ExecNodeOptions:
+    pass
+
+
+class TableSourceNodeOptions(ExecNodeOptions):
+    def __init__(self, table: Union[Table, RecordBatch]):
+        if isinstance(table, RecordBatch):
+            table = Table.from_batches([table])
+        self.table = table
+
+
+class FilterNodeOptions(ExecNodeOptions):
+    def __init__(self, filter_expression: Expression):
+        self.filter_expression = filter_expression
+
+
+class ProjectNodeOptions(ExecNodeOptions):
+    def __init__(self, expressions: Sequence[Expression],
+                 names: Optional[Sequence[str]] = None):
+        self.expressions = [e if isinstance(e, Expression)
+                            else Expression.literal(e) for e in expressions]
+        self.names = list(names) if names is not None else None
+
+
+class AggregateNodeOptions(ExecNodeOptions):
+    """aggregates: list of (target, function, options, output_name);
+    target is a column name (or list for 0-ary like count_all)."""
+
+    def __init__(self, aggregates: Sequence[Tuple], keys: Sequence = ()):
+        norm = []
+        for agg in aggregates:
+            if len(agg) == 4:
+                target, fn, options, out_name = agg
+            elif len(agg) == 3:
+                target, fn, out_name = agg
+                options = None
+            else:
+                raise ValueError("aggregate spec needs 3 or 4 elements")
+            norm.append((target, fn, options or {}, out_name))
+        self.aggregates = norm
+        self.keys = [k if isinstance(k, str) else str(k) for k in keys]
+
+
+class OrderByNodeOptions(ExecNodeOptions):
+    def __init__(self, sort_keys: Sequence[Tuple[str, str]],
+                 null_placement: str = "at_end"):
+        self.sort_keys = [(k, "ascending") if isinstance(k, str) else
+                          (k[0], k[1]) for k in sort_keys]
+        self.null_placement = null_placement
+
+
+class FetchNodeOptions(ExecNodeOptions):
+    def __init__(self, offset: int = 0, count: int = -1):
+        self.offset = int(offset)
+        self.count = int(count)
+
+
+class HashJoinNodeOptions(ExecNodeOptions):
+    def __init__(self, join_type: str = "inner",
+                 left_keys: Sequence[str] = (),
+                 right_keys: Sequence[str] = (),
+                 left_output: Optional[Sequence[str]] = None,
+                 right_output: Optional[Sequence[str]] = None,
+                 output_suffix_for_left: str = "",
+                 output_suffix_for_right: str = ""):
+        valid = {"inner", "left outer", "right outer", "full outer",
+                 "left semi", "right semi", "left anti", "right anti"}
+        if join_type not in valid:
+            raise ValueError(f"bad join type {join_type!r}")
+        self.join_type = join_type
+        self.left_keys = list(left_keys)
+        self.right_keys = list(right_keys)
+        self.left_output = list(left_output) if left_output is not None \
+            else None
+        self.right_output = list(right_output) if right_output is not None \
+            else None
+        self.output_suffix_for_left = output_suffix_for_left
+        self.output_suffix_for_right = output_suffix_for_right
+
+
+class UnionNodeOptions(ExecNodeOptions):
+    pass

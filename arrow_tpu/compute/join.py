@@ -1,0 +1,192 @@
+"""Equi-join kernels.
+
+Reference analogue: acero/swiss_join.cc (SwissTableForJoin build +
+JoinProbeProcessor). TPU redesign: instead of a mutable swiss table, both
+sides' keys are mapped to dense ids by ONE shared grouper over the
+concatenated key columns (equality by construction), the build side is
+sorted by id, and probes find match ranges with two binary searches
+(searchsorted). Match expansion — the JoinMatchIterator analogue
+(swiss_join_internal.h:834) — is a prefix-sum + searchsorted inversion, all
+static-shape XLA.
+
+Two-phase execution (SURVEY §7 hard-part 1): ``join_plan`` (one jit) returns
+everything shape-independent incl. the total match count; the host picks a
+bucketed output capacity; ``join_gather`` (jit per capacity bucket)
+materializes row indices.
+
+Join types: inner, left/right/full outer, left/right semi/anti. Null keys
+never match (class sentinel per side) but still surface in outer results.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..device.column import DeviceBatch, DeviceColumn
+from .keys import equality_word, stable_sort_indices
+from .registry import ExecContext
+
+
+class JoinPlan(NamedTuple):
+    """Shape-independent probe state (everything sized by input caps)."""
+    order_b: jax.Array        # build rows sorted by gid
+    sorted_gb: jax.Array      # build gids in sorted order (uint64)
+    left: jax.Array           # per probe row: start in sorted build
+    counts: jax.Array         # per probe row: number of matches
+    offsets: jax.Array        # exclusive prefix sum of output counts
+    total: jax.Array          # total output rows (int64)
+    probe_live: jax.Array     # probe row produces output group
+    build_matched: jax.Array  # per build row: participated in a match
+
+
+def _side_gids(build_cols: Sequence[DeviceColumn],
+               probe_cols: Sequence[DeviceColumn],
+               build_mask: jax.Array, probe_mask: jax.Array):
+    """Map both sides' keys to shared dense ids via one sorted grouping over
+    the concatenation. Null keys get per-side non-matching sentinels."""
+    b_cap = build_cols[0].capacity
+    p_cap = probe_cols[0].capacity
+    n = b_cap + p_cap
+
+    keys = []
+    null_b = jnp.zeros(b_cap, jnp.bool_)
+    null_p = jnp.zeros(p_cap, jnp.bool_)
+    for bc, pc_ in zip(build_cols, probe_cols):
+        if bc.validity is not None:
+            null_b = jnp.logical_or(null_b, ~bc.validity)
+        if pc_.validity is not None:
+            null_p = jnp.logical_or(null_p, ~pc_.validity)
+        wb = equality_word(bc)
+        wp = equality_word(pc_)
+        keys.append(jnp.concatenate([wb, wp]))
+    live = jnp.concatenate([jnp.logical_and(build_mask, ~null_b),
+                            jnp.logical_and(probe_mask, ~null_p)])
+    # class: 0 = live key, 1 = dead (null key or padding)
+    cls = jnp.where(live, jnp.uint64(0), jnp.uint64(1))
+    all_keys = [cls] + [jnp.where(live, k, jnp.uint64(0)) for k in keys]
+
+    perm = stable_sort_indices(all_keys, n)
+    sorted_keys = [k[perm] for k in all_keys]
+    idx = jnp.arange(n, dtype=jnp.int64)
+    neq = jnp.zeros(n, jnp.bool_)
+    for k in sorted_keys:
+        neq = jnp.logical_or(neq, k != jnp.roll(k, 1))
+    is_new = jnp.logical_or(idx == 0, neq)
+    gid_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+    gids = jnp.zeros(n, jnp.int64).at[perm].set(gid_sorted)
+    # dead keys -> per-row unique negative ids so they never equal anything
+    gids = jnp.where(live, gids, -(idx + 2))
+    return gids[:b_cap], gids[b_cap:]
+
+
+def build_join_plan(build_cols: Sequence[DeviceColumn],
+                    probe_cols: Sequence[DeviceColumn],
+                    build_count, probe_count,
+                    join_type: str = "inner") -> JoinPlan:
+    b_cap = build_cols[0].capacity
+    p_cap = probe_cols[0].capacity
+    build_mask = jnp.arange(b_cap, dtype=jnp.int32) < build_count
+    probe_mask = jnp.arange(p_cap, dtype=jnp.int32) < probe_count
+
+    gb, gp = _side_gids(build_cols, probe_cols, build_mask, probe_mask)
+
+    # sort build rows by gid (dead rows get big sentinel, sort last)
+    sort_key = jnp.where(gb >= 0, gb.astype(jnp.uint64) * 2,
+                         jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    order_b = stable_sort_indices([sort_key], b_cap)
+    sorted_gb = jnp.where(gb[order_b] >= 0, gb[order_b],
+                          jnp.asarray(2 ** 62, jnp.int64))
+
+    probe_valid_key = gp >= 0
+    gp_search = jnp.where(probe_valid_key, gp, -1)
+    left = jnp.searchsorted(sorted_gb, gp_search, side="left")
+    right = jnp.searchsorted(sorted_gb, gp_search, side="right")
+    counts = jnp.where(probe_valid_key, right - left, 0).astype(jnp.int64)
+
+    if join_type in ("left outer", "full outer"):
+        out_counts = jnp.where(jnp.logical_and(probe_mask, counts == 0),
+                               1, counts)
+    elif join_type == "left semi":
+        out_counts = jnp.where(counts > 0, 1, 0).astype(jnp.int64)
+    elif join_type == "left anti":
+        out_counts = jnp.where(jnp.logical_and(probe_mask, counts == 0),
+                               1, 0).astype(jnp.int64)
+    else:
+        out_counts = counts
+    out_counts = jnp.where(probe_mask, out_counts, 0)
+
+    offsets = jnp.cumsum(out_counts) - out_counts  # exclusive
+    total = jnp.sum(out_counts)
+
+    # build rows that matched at least one live probe row
+    matched_hits = jnp.zeros(b_cap + 1, jnp.int64)
+    # scatter-add probe counts at 'left' positions, subtract after 'right'
+    matched_hits = matched_hits.at[left].add(
+        jnp.where(counts > 0, 1, 0))
+    matched_hits = matched_hits.at[right].add(
+        jnp.where(counts > 0, -1, 0))
+    covered = jnp.cumsum(matched_hits[:-1]) > 0  # sorted-build positions
+    build_matched = jnp.zeros(b_cap, jnp.bool_).at[order_b].set(covered)
+
+    if join_type in ("right outer", "full outer", "right semi",
+                     "right anti"):
+        pass  # build_matched consumed by the caller for the scan phase
+
+    return JoinPlan(order_b, sorted_gb, left, counts, offsets, total,
+                    probe_mask, build_matched)
+
+
+def join_gather_indices(plan: JoinPlan, out_capacity: int,
+                        join_type: str = "inner"):
+    """Expand the plan into (probe_idx, build_idx, build_valid, row_live)
+    arrays of length out_capacity.
+
+    build_valid=False rows are outer-join rows with a null build side."""
+    out_i = jnp.arange(out_capacity, dtype=jnp.int64)
+    row_live = out_i < plan.total
+    # which probe row produced output row i: offsets are sorted
+    probe_idx = jnp.searchsorted(plan.offsets + _counts_of(plan, join_type),
+                                 out_i, side="right")
+    probe_idx = jnp.minimum(probe_idx, plan.offsets.shape[0] - 1)
+    k = out_i - plan.offsets[probe_idx]
+    has_match = plan.counts[probe_idx] > 0
+    sorted_pos = plan.left[probe_idx] + jnp.minimum(
+        k, jnp.maximum(plan.counts[probe_idx] - 1, 0))
+    build_idx = plan.order_b[jnp.minimum(sorted_pos,
+                                         plan.order_b.shape[0] - 1)]
+    build_valid = jnp.logical_and(has_match, row_live)
+    return probe_idx, build_idx, build_valid, row_live
+
+
+def _counts_of(plan: JoinPlan, join_type: str):
+    # reconstruct out_counts from offsets: offsets is exclusive prefix sum,
+    # so counts[i] = offsets[i+1]-offsets[i]; compute via shifted diff
+    offs = plan.offsets
+    nxt = jnp.concatenate([offs[1:], plan.total[None]])
+    return nxt - offs
+
+
+def gather_batch_columns(batch: DeviceBatch, idx: jax.Array,
+                         valid: Optional[jax.Array],
+                         out_capacity: int) -> List[DeviceColumn]:
+    cols = []
+    safe = jnp.clip(idx, 0, batch.capacity - 1)
+    for c in batch.columns:
+        vals = c.values[safe]
+        v = c.validity[safe] if c.validity is not None else None
+        if valid is not None:
+            v = valid if v is None else jnp.logical_and(v, valid)
+        cols.append(DeviceColumn(vals, v, c.type, c.dictionary))
+    return cols
+
+
+def unmatched_build_plan(plan: JoinPlan, build_count):
+    """For right/full outer + right semi/anti: mask of build rows to emit."""
+    b_cap = plan.build_matched.shape[0]
+    build_mask = jnp.arange(b_cap, dtype=jnp.int32) < build_count
+    unmatched = jnp.logical_and(build_mask, ~plan.build_matched)
+    matched = jnp.logical_and(build_mask, plan.build_matched)
+    return unmatched, matched

@@ -298,6 +298,97 @@ class Table:
     def __repr__(self):
         return f"<Table rows={self.num_rows} cols={self.schema.names}>"
 
+    # --- compute conveniences (pyarrow.Table parity) --------------------
+
+    def filter(self, mask, null_selection_behavior: str = "drop") -> "Table":
+        from .compute import filter as _filter
+        if not isinstance(mask, (Array, ChunkedArray)):
+            from .acero import Declaration, FilterNodeOptions, \
+                TableSourceNodeOptions
+            return Declaration.from_sequence([
+                Declaration("table_source", TableSourceNodeOptions(self)),
+                Declaration("filter", FilterNodeOptions(mask)),
+            ]).to_table()
+        return _filter(self, mask, null_selection_behavior)
+
+    def take(self, indices) -> "Table":
+        from .compute import take as _take
+        return _take(self, indices)
+
+    def drop_null(self) -> "Table":
+        from .compute import drop_null as _dn
+        return _dn(self)
+
+    def sort_by(self, sorting, null_placement: str = "at_end") -> "Table":
+        from .acero import Declaration, OrderByNodeOptions, \
+            TableSourceNodeOptions
+        if isinstance(sorting, str):
+            sorting = [(sorting, "ascending")]
+        return Declaration.from_sequence([
+            Declaration("table_source", TableSourceNodeOptions(self)),
+            Declaration("order_by", OrderByNodeOptions(sorting,
+                                                       null_placement)),
+        ]).to_table()
+
+    def group_by(self, keys, use_threads: bool = True) -> "TableGroupBy":
+        return TableGroupBy(self, keys)
+
+    def join(self, right_table: "Table", keys, right_keys=None,
+             join_type: str = "left outer", left_suffix: str = "",
+             right_suffix: str = "", coalesce_keys: bool = True) -> "Table":
+        from .acero import Declaration, HashJoinNodeOptions, \
+            TableSourceNodeOptions
+        if isinstance(keys, str):
+            keys = [keys]
+        if right_keys is None:
+            right_keys = keys
+        elif isinstance(right_keys, str):
+            right_keys = [right_keys]
+        right_output = None
+        if coalesce_keys and join_type not in ("right semi", "right anti"):
+            right_output = [n for n in right_table.schema.names
+                            if n not in right_keys]
+        decl = Declaration("hashjoin", HashJoinNodeOptions(
+            join_type, left_keys=list(keys), right_keys=list(right_keys),
+            right_output=right_output,
+            output_suffix_for_left=left_suffix,
+            output_suffix_for_right=right_suffix), inputs=[
+                Declaration("table_source", TableSourceNodeOptions(self)),
+                Declaration("table_source",
+                            TableSourceNodeOptions(right_table))])
+        return decl.to_table()
+
+
+class TableGroupBy:
+    """pyarrow.TableGroupBy parity (python/pyarrow/table.pxi group_by)."""
+
+    def __init__(self, table: Table, keys):
+        if isinstance(keys, str):
+            keys = [keys]
+        self.table = table
+        self.keys = list(keys)
+
+    def aggregate(self, aggregations) -> Table:
+        from .acero import AggregateNodeOptions, Declaration, \
+            TableSourceNodeOptions
+        aggs = []
+        for spec in aggregations:
+            if len(spec) == 3:
+                target, fn, opts = spec
+            else:
+                target, fn = spec
+                opts = None
+            fn_base = fn[5:] if fn.startswith("hash_") else fn
+            target_label = target if isinstance(target, str) else \
+                "_".join(target) if target else ""
+            out = f"{target_label}_{fn_base}" if target_label else \
+                fn_base
+            aggs.append((target, fn_base, opts, out))
+        return Declaration.from_sequence([
+            Declaration("table_source", TableSourceNodeOptions(self.table)),
+            Declaration("aggregate", AggregateNodeOptions(aggs, self.keys)),
+        ]).to_table()
+
 
 def table(data, schema: Optional[Schema] = None, names=None) -> Table:
     if isinstance(data, Mapping):

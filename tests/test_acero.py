@@ -1,0 +1,209 @@
+"""Plan-level differential tests vs pyarrow.acero (reference engine),
+mirroring the reference's engine-test strategy (SURVEY §4:
+hash_join_node_test.cc runs joins against a naive reference join)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.acero as pacero
+import pyarrow.compute as ppc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import acero
+from arrow_tpu.acero import Declaration, field
+from arrow_tpu.array.array import pylist_equal
+
+
+def to_pa(t: at.Table) -> pa.Table:
+    return pa.table(t.to_pydict())
+
+
+def sorted_rows(t) -> list:
+    rows = (t.to_pylist() if isinstance(t, pa.Table) else t.to_pylist())
+    def key(r):
+        return tuple((v is None, str(type(v)), v if v is not None else 0)
+                     for v in r.values())
+    return sorted(rows, key=key)
+
+
+def make_tables():
+    rng = np.random.default_rng(0)
+    n = 500
+    ours = at.table({
+        "k": [f"k{int(v)}" for v in rng.integers(0, 20, n)],
+        "v": [None if m else float(v) for m, v in
+              zip(rng.random(n) < 0.1, rng.normal(size=n))],
+        "q": [int(v) for v in rng.integers(0, 100, n)],
+    })
+    theirs = to_pa(ours)
+    return ours, theirs
+
+
+def test_filter_project_aggregate_orderby():
+    ours_t, pa_t = make_tables()
+    plan = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(ours_t)),
+        Declaration("filter", acero.FilterNodeOptions(field("q") > 30)),
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("k"), field("v"), field("v") * 2.0], ["k", "v", "v2"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("v", "sum", None, "v_sum"), ("v2", "mean", None, "v2_mean"),
+             ("v", "count", None, "n")], keys=["k"])),
+        Declaration("order_by", acero.OrderByNodeOptions([("k",
+                                                           "ascending")])),
+    ])
+    ours = plan.to_table()
+
+    pa_plan = pacero.Declaration.from_sequence([
+        pacero.Declaration("table_source",
+                           pacero.TableSourceNodeOptions(pa_t)),
+        pacero.Declaration("filter", pacero.FilterNodeOptions(
+            ppc.field("q") > 30)),
+        pacero.Declaration("project", pacero.ProjectNodeOptions(
+            [ppc.field("k"), ppc.field("v"),
+             ppc.multiply(ppc.field("v"), 2.0)], ["k", "v", "v2"])),
+        pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+            [("v", "hash_sum", None, "v_sum"),
+             ("v2", "hash_mean", None, "v2_mean"),
+             ("v", "hash_count", None, "n")], keys=["k"])),
+        pacero.Declaration("order_by", pacero.OrderByNodeOptions(
+            [("k", "ascending")])),
+    ])
+    theirs = pa_plan.to_table()
+    assert ours.column_names == theirs.column_names
+    o, t = ours.to_pydict(), theirs.to_pydict()
+    assert o["k"] == t["k"]
+    assert o["n"] == t["n"]
+    np.testing.assert_allclose(o["v_sum"], t["v_sum"], rtol=1e-9)
+    np.testing.assert_allclose(o["v2_mean"], t["v2_mean"], rtol=1e-9)
+
+
+def make_join_tables(n_left=300, n_right=80, nulls=True):
+    rng = np.random.default_rng(3)
+    lk = [None if (nulls and m) else int(v) for m, v in
+          zip(rng.random(n_left) < 0.05, rng.integers(0, 60, n_left))]
+    rk = [None if (nulls and m) else int(v) for m, v in
+          zip(rng.random(n_right) < 0.05,
+              rng.integers(0, 100, n_right))]
+    ours_l = at.table({"key": lk,
+                       "lv": [float(i) for i in range(n_left)]})
+    ours_r = at.table({"key": rk,
+                       "rv": [float(-i) for i in range(n_right)]})
+    return ours_l, ours_r, to_pa(ours_l), to_pa(ours_r)
+
+
+JOIN_TYPES = ["inner", "left outer", "right outer", "full outer",
+              "left semi", "left anti", "right semi", "right anti"]
+
+
+@pytest.mark.parametrize("jt", JOIN_TYPES)
+def test_hashjoin_vs_reference(jt):
+    ol, orr, pl, pr = make_join_tables()
+    ours = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        jt, left_keys=["key"], right_keys=["key"],
+        output_suffix_for_left="_l", output_suffix_for_right="_r"),
+        inputs=[
+            Declaration("table_source", acero.TableSourceNodeOptions(ol)),
+            Declaration("table_source", acero.TableSourceNodeOptions(orr)),
+        ]).to_table()
+    theirs = pacero.Declaration("hashjoin", pacero.HashJoinNodeOptions(
+        jt, left_keys=["key"], right_keys=["key"],
+        output_suffix_for_left="_l", output_suffix_for_right="_r"),
+        inputs=[
+            pacero.Declaration("table_source",
+                               pacero.TableSourceNodeOptions(pl)),
+            pacero.Declaration("table_source",
+                               pacero.TableSourceNodeOptions(pr)),
+        ]).to_table()
+    assert ours.num_rows == theirs.num_rows
+    assert sorted_rows(ours) == sorted_rows(theirs)
+
+
+def test_join_multikey_and_strings():
+    ol = at.table({"a": [1, 1, 2, 2, None], "s": ["x", "y", "x", "y", "x"],
+                   "lv": [1, 2, 3, 4, 5]})
+    orr = at.table({"a": [1, 2, 2, 3], "s": ["y", "x", "zz", "y"],
+                    "rv": [10, 20, 30, 40]})
+    ours = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["a", "s"], right_keys=["a", "s"],
+        output_suffix_for_left="_l", output_suffix_for_right="_r"),
+        inputs=[
+            Declaration("table_source", acero.TableSourceNodeOptions(ol)),
+            Declaration("table_source", acero.TableSourceNodeOptions(orr)),
+        ]).to_table()
+    theirs = pacero.Declaration("hashjoin", pacero.HashJoinNodeOptions(
+        "inner", left_keys=["a", "s"], right_keys=["a", "s"],
+        output_suffix_for_left="_l", output_suffix_for_right="_r"),
+        inputs=[
+            pacero.Declaration("table_source",
+                               pacero.TableSourceNodeOptions(to_pa(ol))),
+            pacero.Declaration("table_source",
+                               pacero.TableSourceNodeOptions(to_pa(orr))),
+        ]).to_table()
+    assert sorted_rows(ours) == sorted_rows(theirs)
+
+
+def test_fetch_and_union():
+    t = at.table({"x": list(range(10))})
+    plan = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(t)),
+        Declaration("fetch", acero.FetchNodeOptions(3, 4)),
+    ])
+    assert plan.to_table().to_pydict() == {"x": [3, 4, 5, 6]}
+
+    u = Declaration("union", acero.UnionNodeOptions(), inputs=[
+        Declaration("table_source", acero.TableSourceNodeOptions(
+            at.table({"x": [1, 2], "s": ["a", "b"]}))),
+        Declaration("table_source", acero.TableSourceNodeOptions(
+            at.table({"x": [3], "s": ["c"]}))),
+    ])
+    assert u.to_table().to_pydict() == {"x": [1, 2, 3],
+                                        "s": ["a", "b", "c"]}
+
+
+def test_scalar_aggregate_node():
+    t = at.table({"v": [1.0, 2.0, None, 4.0]})
+    plan = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(t)),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("v", "sum", None, "total"), ("v", "mean", None, "avg"),
+             ("v", "min_max", None, "mm")])),
+    ])
+    out = plan.to_table()
+    assert out.num_rows == 1
+    d = out.to_pydict()
+    assert d["total"] == [7.0]
+    assert d["avg"] == [pytest.approx(7 / 3)]
+    assert d["mm_min"] == [1.0] and d["mm_max"] == [4.0]
+
+
+def test_table_convenience_api():
+    t = at.table({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    g = t.group_by("k").aggregate([("v", "sum")])
+    pa_g = to_pa(t).group_by("k").aggregate([("v", "sum")])
+    assert g.column_names == pa_g.column_names
+    assert sorted_rows(g) == sorted_rows(pa_g)
+
+    s = t.sort_by([("v", "descending")])
+    assert s.to_pydict()["v"] == [3, 2, 1]
+
+    j = t.join(at.table({"k": ["a"], "w": [9]}), keys="k",
+               join_type="inner")
+    pa_j = to_pa(t).join(pa.table({"k": ["a"], "w": [9]}), keys="k",
+                         join_type="inner")
+    assert sorted_rows(j) == sorted_rows(pa_j)
+
+    f = t.filter(field("v") > 1)
+    assert f.to_pydict()["v"] == [2, 3]
+
+
+def test_simplify_with_guarantee():
+    from arrow_tpu.acero.expression import simplify_with_guarantee
+    e = (field("part") == "x") & (field("v") > 3)
+    g = field("part") == "x"
+    s = simplify_with_guarantee(e, g)
+    # the partition predicate folds away, leaving the data predicate
+    assert "part" not in s.field_names()
+    e2 = (field("part") == "y") & (field("v") > 3)
+    s2 = simplify_with_guarantee(e2, g)
+    assert repr(s2) == "False"
