@@ -536,3 +536,23 @@ def _join_materialize(options, plan, left, right, out_cap: int, total: int,
     fn = _cached_jit(key, make)
     out_cols, n_out = fn(plan, left, right, unmatched)
     return DeviceBatch(out_schema, out_cols, n_out)
+
+
+def compile_chain(decls: Sequence[Declaration]) -> Callable:
+    """Compose a sequence of chainable node declarations (filter/project/
+    aggregate/order_by/fetch) into ONE jitted DeviceBatch -> DeviceBatch
+    function. Used by benchmarks and the multi-chip driver to time pure
+    device execution with a pre-uploaded batch."""
+    node_fns = []
+    for d in decls:
+        if d.factory_name not in _CHAINABLE:
+            raise ArrowInvalid(f"{d.factory_name!r} is not chainable")
+        fn, _ = _CHAINABLE[d.factory_name](d.options, None)
+        node_fns.append(fn)
+
+    def staged(batch):
+        for f in node_fns:
+            batch = f(batch)
+        return batch
+
+    return jax.jit(staged)

@@ -1,0 +1,140 @@
+"""TPC-H style benchmark plans over the arrow_tpu engine.
+
+Q1 (pricing summary), Q3-style (join + group-by + top-k), Q9-style
+(multi-join + aggregate) — the BASELINE.json config suite shapes.
+Reference plan shapes: acero/tpch_benchmark.cc:39 (Plan_Q1).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from .. import acero
+from ..acero import Declaration, field
+from ..table import Table
+
+DATE_1998_09_02 = (datetime.date(1998, 9, 2)
+                   - datetime.date(1970, 1, 1)).days
+DATE_1995_03_15 = (datetime.date(1995, 3, 15)
+                   - datetime.date(1970, 1, 1)).days
+
+
+def q1_plan(lineitem: Table) -> Declaration:
+    disc_price = field("l_extendedprice") * (1.0 - field("l_discount"))
+    charge = disc_price * (1.0 + field("l_tax"))
+    return Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(lineitem)),
+        Declaration("filter", acero.FilterNodeOptions(
+            field("l_shipdate") <= DATE_1998_09_02)),
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("l_returnflag"), field("l_linestatus"),
+             field("l_quantity"), field("l_extendedprice"),
+             disc_price, charge, field("l_discount")],
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "disc_price", "charge", "l_discount"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("l_quantity", "sum", None, "sum_qty"),
+             ("l_extendedprice", "sum", None, "sum_base_price"),
+             ("disc_price", "sum", None, "sum_disc_price"),
+             ("charge", "sum", None, "sum_charge"),
+             ("l_quantity", "mean", None, "avg_qty"),
+             ("l_extendedprice", "mean", None, "avg_price"),
+             ("l_discount", "mean", None, "avg_disc"),
+             ("l_quantity", "count", None, "count_order")],
+            keys=["l_returnflag", "l_linestatus"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])),
+    ])
+
+
+def q3_plan(customer: Table, orders: Table, lineitem: Table,
+            limit: int = 10) -> Declaration:
+    cust = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(customer)),
+        Declaration("filter", acero.FilterNodeOptions(
+            field("c_mktsegment") == "BUILDING")),
+    ])
+    ords = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(orders)),
+        Declaration("filter", acero.FilterNodeOptions(
+            field("o_orderdate") < DATE_1995_03_15)),
+    ])
+    li = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(lineitem)),
+        Declaration("filter", acero.FilterNodeOptions(
+            field("l_shipdate") > DATE_1995_03_15)),
+    ])
+    co = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["o_custkey"], right_keys=["c_custkey"],
+        right_output=[]), inputs=[ords, cust])
+    col = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+        right_output=["o_orderdate", "o_shippriority"]), inputs=[li, co])
+    return Declaration.from_sequence([
+        col,
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("l_orderkey"),
+             field("l_extendedprice") * (1.0 - field("l_discount")),
+             field("o_orderdate"), field("o_shippriority")],
+            ["l_orderkey", "volume", "o_orderdate", "o_shippriority"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("volume", "sum", None, "revenue")],
+            keys=["l_orderkey", "o_orderdate", "o_shippriority"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("revenue", "descending"), ("o_orderdate", "ascending")])),
+        Declaration("fetch", acero.FetchNodeOptions(0, limit)),
+    ])
+
+
+def q9_style_plan(part: Table, supplier: Table, lineitem: Table,
+                  partsupp: Table, orders: Table, nation: Table
+                  ) -> Declaration:
+    """Multi-way join + high-cardinality aggregate (BASELINE config 4
+    shape): part ⋈ partsupp ⋈ lineitem ⋈ supplier ⋈ nation ⋈ orders,
+    grouped by nation and order-year."""
+    li = Declaration("table_source", acero.TableSourceNodeOptions(lineitem))
+    ps = Declaration("table_source", acero.TableSourceNodeOptions(partsupp))
+    pt = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(part)),
+        Declaration("filter", acero.FilterNodeOptions(
+            Expression_match(field("p_type"), "BRASS"))),
+    ])
+    sup = Declaration("table_source", acero.TableSourceNodeOptions(supplier))
+    nat = Declaration("table_source", acero.TableSourceNodeOptions(nation))
+    ords = Declaration("table_source", acero.TableSourceNodeOptions(orders))
+
+    j1 = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_partkey"], right_keys=["p_partkey"],
+        right_output=[]), inputs=[li, pt])
+    j2 = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_partkey", "l_suppkey"],
+        right_keys=["ps_partkey", "ps_suppkey"],
+        right_output=["ps_supplycost"]), inputs=[j1, ps])
+    j3 = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_suppkey"], right_keys=["s_suppkey"],
+        right_output=["s_nationkey"]), inputs=[j2, sup])
+    j4 = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["s_nationkey"], right_keys=["n_nationkey"],
+        right_output=["n_name"]), inputs=[j3, nat])
+    j5 = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+        right_output=["o_orderdate"]), inputs=[j4, ords])
+    return Declaration.from_sequence([
+        j5,
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("n_name"),
+             acero.Expression.call("divide", field("o_orderdate"), 365),
+             field("l_extendedprice") * (1.0 - field("l_discount"))
+             - field("ps_supplycost") * field("l_quantity")],
+            ["nation", "o_year", "amount"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("amount", "sum", None, "sum_profit")],
+            keys=["nation", "o_year"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("nation", "ascending"), ("o_year", "descending")])),
+    ])
+
+
+def Expression_match(f, pattern):
+    from ..acero.expression import Expression
+    return Expression.call("match_substring", f, pattern=pattern)

@@ -1,0 +1,488 @@
+"""Distributed execution over a device mesh.
+
+The TPU-native replacement for the reference's distribution story (SURVEY
+§2.9 P4/P7/P8): instead of Flight gRPC + per-thread merge phases, rows are
+sharded over a 1-D mesh axis and repartitioned with ``all_to_all`` over ICI
+under ``shard_map``:
+
+* distributed group-by = local partial aggregate -> hash-partition groups
+  -> all_to_all -> final aggregate (beats the reference's merge-into-
+  thread-0, groupby_aggregate_node.cc:255, which serializes)
+* distributed join = hash-partition both sides' rows by key -> all_to_all
+  -> independent local joins (partitioning replaces SwissTableMerge)
+
+Every step is a single SPMD program; XLA overlaps the exchange with
+compute where profitable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map_mod  # jax >= 0.6 style
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..compute.grouper import group_ids
+from ..compute.keys import equality_word
+from ..compute.registry import ExecContext
+from ..device.column import (DeviceBatch, DeviceColumn, round_up,
+                             upload_table)
+from ..table import Table
+from ..types import Schema, Field
+from .. import types as T
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _mix64(h: jax.Array) -> jax.Array:
+    """splitmix64 finalizer — deterministic partitioning hash."""
+    h = h.astype(jnp.uint64)
+    h = (h ^ (h >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    return h ^ (h >> 31)
+
+
+def partition_ids(key_words: Sequence[jax.Array], n_parts: int) -> jax.Array:
+    h = jnp.zeros_like(key_words[0], dtype=jnp.uint64)
+    for w in key_words:
+        h = _mix64(h ^ _mix64(w))
+    return (h % jnp.uint64(n_parts)).astype(jnp.int32)
+
+
+def _partition_scatter(rows_valid: jax.Array, pid: jax.Array,
+                       n_parts: int, arrays: Sequence[jax.Array]):
+    """Scatter rows into (n_parts, cap) send buffers by partition id.
+    Returns (buffers..., slot_valid)."""
+    cap = pid.shape[0]
+    pid = jnp.where(rows_valid, pid, n_parts)
+    one_hot = (pid[:, None] == jnp.arange(n_parts, dtype=jnp.int32)[None, :])
+    slot = jnp.cumsum(one_hot.astype(jnp.int32), axis=0) - 1
+    slot_of_row = jnp.take_along_axis(
+        slot, jnp.minimum(pid, n_parts - 1)[:, None], axis=1)[:, 0]
+    dest = jnp.where(rows_valid, pid * cap + slot_of_row,
+                     n_parts * cap)
+    outs = []
+    for a in arrays:
+        buf = jnp.zeros((n_parts * cap,) + a.shape[1:], a.dtype)
+        outs.append(buf.at[dest].set(a, mode="drop").reshape(
+            (n_parts, cap) + a.shape[1:]))
+    sv = jnp.zeros(n_parts * cap, jnp.bool_).at[dest].set(
+        rows_valid, mode="drop").reshape(n_parts, cap)
+    return outs, sv
+
+
+class DistAggSpec(NamedTuple):
+    column: str          # value column name
+    fn: str              # sum | count | min | max | mean
+    out_name: str
+
+
+def distributed_groupby(mesh: Mesh, batch: DeviceBatch,
+                        key_names: Sequence[str],
+                        aggs: Sequence[DistAggSpec],
+                        axis: str = "d"):
+    """batch: global DeviceBatch whose arrays are shardable along rows into
+    mesh.devices.size equal chunks; row_counts: per-shard live-row counts
+    carried in batch.row_count as an (ndev,) array.
+
+    Returns host Table of grouped results (small)."""
+    ndev = mesh.devices.size
+    cap = batch.capacity
+    assert cap % ndev == 0, "global capacity must divide evenly"
+    local_cap = cap // ndev
+
+    key_cols = [batch.column(k) for k in key_names]
+    agg_cols = [batch.column(a.column) for a in aggs]
+    key_types = [c.type for c in key_cols]
+    key_dicts = [c.dictionary for c in key_cols]
+
+    vals_in = {f"k{i}": c.values for i, c in enumerate(key_cols)}
+    vals_in.update({f"kv{i}": (c.validity if c.validity is not None
+                               else jnp.ones(cap, jnp.bool_))
+                    for i, c in enumerate(key_cols)})
+    vals_in.update({f"a{i}": c.values for i, c in enumerate(agg_cols)})
+    vals_in.update({f"av{i}": (c.validity if c.validity is not None
+                               else jnp.ones(cap, jnp.bool_))
+                    for i, c in enumerate(agg_cols)})
+    counts = batch.row_count  # (ndev,) int32
+    nk, na = len(key_cols), len(agg_cols)
+    fns = [a.fn for a in aggs]
+
+    def spmd(data: Dict[str, jax.Array], cnt: jax.Array):
+        # --- phase 1: local partial aggregation --------------------------
+        kcols = [DeviceColumn(data[f"k{i}"], data[f"kv{i}"], key_types[i])
+                 for i in range(nk)]
+        ctx = ExecContext(local_cap, cnt[0])
+        g = group_ids(ctx, kcols)
+        seg = jnp.minimum(g.group_ids, local_cap - 1)
+        live_row = g.group_ids < local_cap
+
+        partials = {}
+        for i, fn in enumerate(fns):
+            av = data[f"a{i}"]
+            alive = jnp.logical_and(live_row, data[f"av{i}"])
+            cnt_i = jax.ops.segment_sum(
+                jnp.where(alive, 1, 0).astype(jnp.int64), seg,
+                num_segments=local_cap)
+            if fn in ("sum", "mean"):
+                s = jax.ops.segment_sum(
+                    jnp.where(alive, av.astype(jnp.float64), 0.0), seg,
+                    num_segments=local_cap)
+                partials[f"s{i}"] = s
+            elif fn == "min":
+                partials[f"s{i}"] = jax.ops.segment_min(
+                    jnp.where(alive, av.astype(jnp.float64), jnp.inf),
+                    seg, num_segments=local_cap)
+            elif fn == "max":
+                partials[f"s{i}"] = jax.ops.segment_max(
+                    jnp.where(alive, av.astype(jnp.float64), -jnp.inf),
+                    seg, num_segments=local_cap)
+            elif fn == "count":
+                partials[f"s{i}"] = cnt_i.astype(jnp.float64)
+            partials[f"c{i}"] = cnt_i
+
+        # group-representative keys
+        safe_rep = jnp.where(
+            jnp.arange(local_cap, dtype=jnp.int64) < g.num_groups,
+            g.rep_indices, 0)
+        grp_valid = jnp.arange(local_cap, dtype=jnp.int64) < g.num_groups
+        gkeys = [data[f"k{i}"][safe_rep] for i in range(nk)]
+        gkeyv = [data[f"kv{i}"][safe_rep] for i in range(nk)]
+
+        # --- phase 2: hash-partition groups + all_to_all ------------------
+        kwords = []
+        for i in range(nk):
+            kc = DeviceColumn(gkeys[i], None, key_types[i])
+            w = equality_word(kc)
+            w = jnp.where(gkeyv[i], w, jnp.uint64(0x517CC1B727220A95))
+            kwords.append(w)
+        pid = partition_ids(kwords, ndev)
+        payload = gkeys + [v.astype(jnp.uint64) for v in gkeyv] + \
+            [partials[f"s{i}"] for i in range(na)] + \
+            [partials[f"c{i}"] for i in range(na)]
+        bufs, slot_valid = _partition_scatter(grp_valid, pid, ndev, payload)
+        exchanged = [jax.lax.all_to_all(b, axis, 0, 0, tiled=False)
+                     for b in bufs]
+        slot_valid_x = jax.lax.all_to_all(slot_valid, axis, 0, 0,
+                                          tiled=False)
+
+        # --- phase 3: final aggregation over received groups --------------
+        rcap = ndev * local_cap
+        flat = [e.reshape((rcap,) + e.shape[2:]) for e in exchanged]
+        fvalid = slot_valid_x.reshape(rcap)
+        rkeys = flat[:nk]
+        rkeyv = [v.astype(jnp.bool_) for v in flat[nk:2 * nk]]
+        rsums = flat[2 * nk:2 * nk + na]
+        rcounts = flat[2 * nk + na:]
+
+        kcols2 = [DeviceColumn(rkeys[i],
+                               jnp.logical_and(rkeyv[i], fvalid),
+                               key_types[i]) for i in range(nk)]
+        # treat received-invalid rows as padding: give ctx a full mask
+        ctx2 = ExecContext(rcap, jnp.asarray(rcap, jnp.int32))
+        # mask out dead slots by pushing them into a dedicated key class:
+        # set validity via fvalid handled above; dead rows share key but we
+        # drop them via counts=0 contributions
+        g2 = group_ids(ctx2, kcols2 + [DeviceColumn(
+            fvalid.astype(jnp.int8), None, T.int8())])
+        seg2 = jnp.minimum(g2.group_ids, rcap - 1)
+        out = {}
+        for i, fn in enumerate(fns):
+            c_i = jnp.where(fvalid, rcounts[i], 0)
+            s_i = jnp.where(fvalid, rsums[i],
+                            jnp.inf if fn == "min" else
+                            (-jnp.inf if fn == "max" else 0.0))
+            csum = jax.ops.segment_sum(c_i, seg2, num_segments=rcap)
+            if fn in ("sum", "count"):
+                out[f"s{i}"] = jax.ops.segment_sum(
+                    jnp.where(fvalid, rsums[i], 0.0), seg2,
+                    num_segments=rcap)
+            elif fn == "mean":
+                ssum = jax.ops.segment_sum(
+                    jnp.where(fvalid, rsums[i], 0.0), seg2,
+                    num_segments=rcap)
+                out[f"s{i}"] = ssum / jnp.maximum(csum, 1).astype(
+                    jnp.float64)
+            elif fn == "min":
+                out[f"s{i}"] = jax.ops.segment_min(s_i, seg2,
+                                                   num_segments=rcap)
+            elif fn == "max":
+                out[f"s{i}"] = jax.ops.segment_max(s_i, seg2,
+                                                   num_segments=rcap)
+            out[f"c{i}"] = csum
+
+        safe2 = jnp.where(
+            jnp.arange(rcap, dtype=jnp.int64) < g2.num_groups,
+            g2.rep_indices, 0)
+        # drop the pure-padding group (fvalid False)
+        rep_live = fvalid[safe2]
+        n_groups_live = jnp.sum(
+            jnp.logical_and(
+                jnp.arange(rcap, dtype=jnp.int64) < g2.num_groups,
+                rep_live), dtype=jnp.int32)
+        out_keys = [rkeys[i][safe2] for i in range(nk)]
+        out_keyv = [rkeyv[i][safe2] for i in range(nk)]
+        res = {"n": n_groups_live[None],
+               "live": jnp.logical_and(
+                   jnp.arange(rcap, dtype=jnp.int64) < g2.num_groups,
+                   rep_live)}
+        for i in range(nk):
+            res[f"key{i}"] = out_keys[i]
+            res[f"keyv{i}"] = out_keyv[i]
+        for i in range(na):
+            res[f"agg{i}"] = out[f"s{i}"][safe2]
+            res[f"aggc{i}"] = out[f"c{i}"][safe2]
+        return res
+
+    in_specs = ({k: P(axis) for k in vals_in}, P(axis))
+    out_specs = {k: P(axis) for k in
+                 ["n", "live"] + [f"key{i}" for i in range(nk)]
+                 + [f"keyv{i}" for i in range(nk)]
+                 + [f"agg{i}" for i in range(na)]
+                 + [f"aggc{i}" for i in range(na)]}
+
+    fn = jax.jit(shard_map(spmd, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs))
+    res = fn(vals_in, counts)
+    return _collect_groupby(res, key_names, key_types, key_dicts, aggs,
+                            ndev)
+
+
+def _collect_groupby(res, key_names, key_types, key_dicts, aggs, ndev):
+    """Gather per-device disjoint group results into one host Table."""
+    from ..device.column import download_column
+    live = np.asarray(res["live"])
+    idx = np.nonzero(live)[0]
+    cols = {}
+    fields = []
+    for i, (nm, t) in enumerate(zip(key_names, key_types)):
+        vals = np.asarray(res[f"key{i}"])[idx]
+        keyv = np.asarray(res[f"keyv{i}"])[idx]
+        col = DeviceColumn(jnp.asarray(vals), jnp.asarray(keyv), t,
+                           key_dicts[i])
+        cols[nm] = download_column(col, len(idx))
+        fields.append(Field(nm, t))
+    for i, a in enumerate(aggs):
+        vals = np.asarray(res[f"agg{i}"])[idx]
+        cnts = np.asarray(res[f"aggc{i}"])[idx]
+        if a.fn == "count":
+            arr_vals = vals.astype(np.int64)
+            col = DeviceColumn(jnp.asarray(arr_vals), None, T.int64())
+        else:
+            valid = cnts > 0
+            col = DeviceColumn(jnp.asarray(vals),
+                               jnp.asarray(valid), T.float64())
+        cols[a.out_name] = download_column(col, len(idx))
+    return Table.from_pydict(cols)
+
+
+def shard_table(mesh: Mesh, table: Table, axis: str = "d") -> DeviceBatch:
+    """Upload a table row-sharded across the mesh: rows are split evenly,
+    each shard padded to a common local capacity; per-shard live counts
+    ride in row_count as an (ndev,) array."""
+    ndev = mesh.devices.size
+    n = table.num_rows
+    per = -(-n // ndev)
+    local_cap = round_up(per)
+    batches = []
+    counts = []
+    combined = [c.combine() for c in table.columns]
+    from ..table import RecordBatch
+    parts = []
+    for d in range(ndev):
+        start = min(d * per, n)
+        ln = min(per, n - start)
+        counts.append(ln)
+        parts.append(RecordBatch(table.schema,
+                                 [c.slice(start, ln) for c in combined]))
+    # upload each shard at local_cap then stack on host ordering; rely on
+    # jax.device_put with NamedSharding for placement
+    from ..device.column import upload_batch
+    shard_batches = [upload_batch(p, local_cap) for p in parts]
+    # unify dictionaries across shards per column
+    cols = []
+    for i, f in enumerate(table.schema.fields):
+        per_dev = [sb.columns[i] for sb in shard_batches]
+        if any(c.dictionary is not None for c in per_dev):
+            from ..acero.exec import unify_dictionaries
+            per_dev = unify_dictionaries(per_dev)
+        values = jnp.concatenate([c.values for c in per_dev])
+        if any(c.validity is not None for c in per_dev):
+            validity = jnp.concatenate(
+                [c.validity if c.validity is not None
+                 else jnp.ones(local_cap, jnp.bool_) for c in per_dev])
+        else:
+            validity = None
+        sharding = NamedSharding(mesh, P(axis))
+        values = jax.device_put(values, sharding)
+        if validity is not None:
+            validity = jax.device_put(validity, sharding)
+        cols.append(DeviceColumn(values, validity, f.type,
+                                 per_dev[0].dictionary))
+    counts_arr = jax.device_put(jnp.asarray(counts, jnp.int32),
+                                NamedSharding(mesh, P(axis)))
+    return DeviceBatch(table.schema, cols, counts_arr)
+
+
+def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
+                            left_keys: Sequence[str],
+                            right_keys: Sequence[str],
+                            join_type: str = "inner",
+                            out_cap_per_device: Optional[int] = None,
+                            axis: str = "d") -> Table:
+    """Distributed equi-join: hash-partition both sides' rows across the
+    mesh by key, exchange via all_to_all, then run independent local joins
+    per device (SURVEY §2.9 P4: partitioning replaces the reference's
+    RowArrayMerge/SwissTableMerge phase).
+
+    out_cap_per_device bounds each device's output (static shape); defaults
+    to the received probe capacity (sufficient for unique build keys)."""
+    from ..compute import join as J
+    from ..acero.exec import unify_dictionaries
+    from ..acero.options import HashJoinNodeOptions
+    from ..device.column import download_column
+
+    if join_type not in ("inner", "left outer"):
+        raise NotImplementedError(
+            f"distributed join type {join_type!r} (use single-device plan)")
+
+    ndev = mesh.devices.size
+    lb = shard_table(mesh, left, axis)
+    rb = shard_table(mesh, right, axis)
+    # unify key dictionaries ACROSS sides (host metadata step)
+    for lk, rk in zip(left_keys, right_keys):
+        lc, rc = lb.column(lk), rb.column(rk)
+        if lc.dictionary is not None or rc.dictionary is not None:
+            lc2, rc2 = unify_dictionaries([lc, rc])
+            lb.columns[lb.schema.get_field_index(lk)] = lc2
+            rb.columns[rb.schema.get_field_index(rk)] = rc2
+
+    l_cap = lb.capacity // ndev
+    r_cap = rb.capacity // ndev
+    out_cap = out_cap_per_device or (ndev * l_cap)
+    l_types = [c.type for c in lb.columns]
+    r_types = [c.type for c in rb.columns]
+    l_dicts = [c.dictionary for c in lb.columns]
+    r_dicts = [c.dictionary for c in rb.columns]
+    lk_idx = [lb.schema.get_field_index(k) for k in left_keys]
+    rk_idx = [rb.schema.get_field_index(k) for k in right_keys]
+    nl, nr = len(l_types), len(r_types)
+
+    def pack(batch, prefix, cap):
+        d = {}
+        for i, c in enumerate(batch.columns):
+            d[f"{prefix}{i}"] = c.values
+            d[f"{prefix}v{i}"] = (c.validity if c.validity is not None
+                                  else jnp.ones(batch.capacity, jnp.bool_))
+        return d
+
+    data = {**pack(lb, "l", l_cap), **pack(rb, "r", r_cap)}
+
+    def exchange_side(data, prefix, n_cols, cap, key_idx, cnt, types):
+        rows_valid = jnp.arange(cap, dtype=jnp.int32) < cnt[0]
+        kwords = []
+        for ki in key_idx:
+            col = DeviceColumn(data[f"{prefix}{ki}"],
+                               data[f"{prefix}v{ki}"], types[ki])
+            w = equality_word(col)
+            kwords.append(jnp.where(data[f"{prefix}v{ki}"], w,
+                                    jnp.uint64(0x9E3779B97F4A7C15)))
+        pid = partition_ids(kwords, ndev)
+        payload = [data[f"{prefix}{i}"] for i in range(n_cols)] + \
+            [data[f"{prefix}v{i}"].astype(jnp.uint8)
+             for i in range(n_cols)]
+        bufs, slot_valid = _partition_scatter(rows_valid, pid, ndev,
+                                              payload)
+        ex = [jax.lax.all_to_all(b, axis, 0, 0, tiled=False) for b in bufs]
+        sv = jax.lax.all_to_all(slot_valid, axis, 0, 0, tiled=False)
+        rcap = ndev * cap
+        flat = [e.reshape((rcap,) + e.shape[2:]) for e in ex]
+        fvalid = sv.reshape(rcap)
+        cols = []
+        for i in range(n_cols):
+            validity = jnp.logical_and(flat[n_cols + i].astype(jnp.bool_),
+                                       fvalid)
+            cols.append(DeviceColumn(flat[i], validity, types[i]))
+        count = jnp.sum(fvalid, dtype=jnp.int32)
+        # received rows are scattered (not compacted); row_mask must come
+        # from fvalid, so compact them to the front
+        from ..compute.selection import compact_column, compaction_indices
+        positions, count = compaction_indices(fvalid)
+        cols = [compact_column(c, positions) for c in cols]
+        return cols, count
+
+    def spmd(data, lcnt, rcnt):
+        lcols, lcount = exchange_side(data, "l", nl, l_cap, lk_idx, lcnt,
+                                      l_types)
+        rcols, rcount = exchange_side(data, "r", nr, r_cap, rk_idx, rcnt,
+                                      r_types)
+        plan = J.build_join_plan([rcols[i] for i in rk_idx],
+                                 [lcols[i] for i in lk_idx],
+                                 rcount, lcount, join_type)
+        probe_idx, build_idx, build_valid, row_live = \
+            J.join_gather_indices(plan, out_cap, join_type)
+        out = {}
+        safe_p = jnp.clip(probe_idx, 0, ndev * l_cap - 1)
+        safe_b = jnp.clip(build_idx, 0, ndev * r_cap - 1)
+        for i in range(nl):
+            out[f"l{i}"] = lcols[i].values[safe_p]
+            lv = (lcols[i].validity[safe_p]
+                  if lcols[i].validity is not None
+                  else jnp.ones(out_cap, jnp.bool_))
+            out[f"lv{i}"] = jnp.logical_and(lv, row_live)
+        for i in range(nr):
+            out[f"r{i}"] = rcols[i].values[safe_b]
+            rv = (rcols[i].validity[safe_b]
+                  if rcols[i].validity is not None
+                  else jnp.ones(out_cap, jnp.bool_))
+            if join_type == "left outer":
+                rv = jnp.logical_and(rv, build_valid)
+            out[f"rv{i}"] = jnp.logical_and(rv, row_live)
+        out["n"] = plan.total.astype(jnp.int32)[None]
+        out["live"] = row_live
+        return out
+
+    in_specs = ({k: P(axis) for k in data}, P(axis), P(axis))
+    out_names = [f"l{i}" for i in range(nl)] + \
+        [f"lv{i}" for i in range(nl)] + \
+        [f"r{i}" for i in range(nr)] + [f"rv{i}" for i in range(nr)] + \
+        ["n", "live"]
+    out_specs = {k: P(axis) for k in out_names}
+    fn = jax.jit(shard_map(spmd, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs))
+    res = fn(data, lb.row_count, rb.row_count)
+
+    # host collection of live rows across shards
+    from ..device.column import download_column
+    live = np.asarray(res["live"])
+    idx = np.nonzero(live)[0]
+    cols, names = [], []
+    rnames = set(right.schema.names)
+    for i, f in enumerate(left.schema.fields):
+        col = DeviceColumn(jnp.asarray(np.asarray(res[f"l{i}"])[idx]),
+                           jnp.asarray(np.asarray(res[f"lv{i}"])[idx]),
+                           l_types[i], l_dicts[i])
+        cols.append(download_column(col, len(idx)))
+        names.append(f.name + ("_l" if f.name in rnames else ""))
+    lnames = set(left.schema.names)
+    for i, f in enumerate(right.schema.fields):
+        col = DeviceColumn(jnp.asarray(np.asarray(res[f"r{i}"])[idx]),
+                           jnp.asarray(np.asarray(res[f"rv{i}"])[idx]),
+                           r_types[i], r_dicts[i])
+        cols.append(download_column(col, len(idx)))
+        names.append(f.name + ("_r" if f.name in lnames else ""))
+    return Table.from_arrays(cols, names)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Headline benchmark: TPC-H Q1 (filter + project + hash aggregate +
+order-by) rows/s on one chip, device-resident input.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rows/s", "vs_baseline": R}
+
+vs_baseline = our rows/s divided by the reference engine's (pyarrow Acero,
+all CPU threads) rows/s on the SAME generated data on this host.
+
+Env knobs: ARROW_TPU_BENCH_SF (default 1.0), ARROW_TPU_BENCH_ITERS (5).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def bench_ours(lineitem, iters: int) -> float:
+    import jax
+
+    from arrow_tpu.acero.exec import compile_chain
+    from arrow_tpu.device.column import upload_table
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _q1_chain_decls
+
+    batch = upload_table(lineitem)
+    fn = compile_chain(_q1_chain_decls())
+    # warmup / compile
+    jax.block_until_ready(fn(batch))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return lineitem.num_rows / dt
+
+
+def bench_reference(lineitem, iters: int) -> float:
+    """pyarrow Acero Q1 on the same data (reference engine, this host)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.acero  # noqa: F401
+    except ImportError:
+        return 0.0
+    import datetime
+
+    import pyarrow.acero as pacero
+    import pyarrow.compute as ppc
+
+    from arrow_tpu import ipc
+    out = pa.ipc.open_stream(ipc.serialize_table(lineitem)).read_all()
+    cols = []
+    for name in out.column_names:
+        c = out.column(name)
+        if pa.types.is_dictionary(c.type):
+            c = c.cast(pa.string())
+        cols.append(c)
+    pa_t = pa.table(cols, names=out.column_names).combine_chunks()
+
+    f = ppc.field
+    disc_price = ppc.multiply(f("l_extendedprice"),
+                              ppc.subtract(ppc.scalar(1.0),
+                                           f("l_discount")))
+    charge = ppc.multiply(disc_price, ppc.add(ppc.scalar(1.0), f("l_tax")))
+
+    def plan():
+        return pacero.Declaration.from_sequence([
+            pacero.Declaration("table_source",
+                               pacero.TableSourceNodeOptions(pa_t)),
+            pacero.Declaration("filter", pacero.FilterNodeOptions(
+                ppc.less_equal(f("l_shipdate"),
+                               ppc.scalar(datetime.date(1998, 9, 2))))),
+            pacero.Declaration("project", pacero.ProjectNodeOptions(
+                [f("l_returnflag"), f("l_linestatus"), f("l_quantity"),
+                 f("l_extendedprice"), disc_price, charge,
+                 f("l_discount")],
+                ["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "disc_price", "charge",
+                 "l_discount"])),
+            pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+                [("l_quantity", "hash_sum", None, "sum_qty"),
+                 ("l_extendedprice", "hash_sum", None, "sum_base_price"),
+                 ("disc_price", "hash_sum", None, "sum_disc_price"),
+                 ("charge", "hash_sum", None, "sum_charge"),
+                 ("l_quantity", "hash_mean", None, "avg_qty"),
+                 ("l_quantity", "hash_count", None, "count_order")],
+                keys=["l_returnflag", "l_linestatus"])),
+            pacero.Declaration("order_by", pacero.OrderByNodeOptions(
+                [("l_returnflag", "ascending"),
+                 ("l_linestatus", "ascending")])),
+        ]).to_table()
+
+    plan()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        plan()
+    dt = (time.perf_counter() - t0) / iters
+    return pa_t.num_rows / dt
+
+
+def main():
+    sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
+    iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "5"))
+
+    from arrow_tpu.io import tpch
+    lineitem = tpch.lineitem_table(sf)
+
+    ours = bench_ours(lineitem, iters)
+    ref = bench_reference(lineitem, max(iters // 2, 1))
+    vs = (ours / ref) if ref > 0 else 0.0
+    print(json.dumps({
+        "metric": f"tpch_q1_sf{sf:g}_rows_per_s",
+        "value": round(ours, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
