@@ -27,7 +27,7 @@ from .. import types as T
 from ..array.array import Array, array as make_array
 from ..compute import hash_agg as HA
 from ..compute import join as J
-from ..compute.grouper import group_ids
+from ..compute.grouper import group_capacity_bound, group_ids
 from ..compute.registry import ArrowInvalid, ExecContext, get_function
 from ..compute.selection import Compacted, filter_batch, take_batch
 from ..compute.vector_sort import device_sort_indices
@@ -162,6 +162,14 @@ def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
                 else:
                     out_cols.append(r.column)
                     out_fields.append(Field(out_name, r.column.type))
+            # shrink to the static group bound (perfect-hash keys):
+            # downstream nodes then operate on a tiny batch
+            bound = group_capacity_bound(key_cols, cap)
+            if bound < cap:
+                out_cols = [DeviceColumn(
+                    c.values[:bound],
+                    c.validity[:bound] if c.validity is not None else None,
+                    c.type, c.dictionary) for c in out_cols]
             return DeviceBatch(Schema(out_fields), out_cols,
                                g.num_groups.astype(jnp.int32))
         return fn, None

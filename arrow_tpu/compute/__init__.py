@@ -22,6 +22,8 @@ from . import elementwise as _elementwise  # noqa: F401
 from . import grouper as _grouper  # noqa: F401
 from . import hash_agg as _hash_agg  # noqa: F401
 from . import selection as _selection  # noqa: F401
+from . import strings as _strings  # noqa: F401
+from . import temporal as _temporal  # noqa: F401
 from . import vector_sort as _vector_sort  # noqa: F401
 from .registry import (ArrowInvalid, ArrowNotImplementedError, ExecContext,
                        Scalar, call_function, function_registry,

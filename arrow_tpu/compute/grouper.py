@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from .. import types as T
 from ..device.column import DeviceBatch, DeviceColumn
+from ..types import TypeId
 from .keys import group_key_arrays, stable_sort_indices
 from .registry import ExecContext, register
 from .selection import Compacted, take_batch
@@ -32,9 +33,75 @@ class GroupResult(NamedTuple):
                               # first occurrence (garbage past num_groups)
 
 
+_PERFECT_HASH_MAX_SLOTS = 1 << 16
+
+
+def _perfect_hash_sizes(key_cols: Sequence[DeviceColumn], cap: int):
+    """If every key is dictionary-coded or bool with a small combined slot
+    space, grouping needs no sort: slot = mixed-radix code. Returns per-key
+    radix sizes (incl. a null bucket) or None."""
+    sizes = []
+    total = 1
+    for c in key_cols:
+        if c.dictionary is not None:
+            size = len(c.dictionary) + 1
+        elif c.type.id == TypeId.BOOL:
+            size = 3
+        else:
+            return None
+        sizes.append(size)
+        total *= size
+        if total > min(cap, _PERFECT_HASH_MAX_SLOTS):
+            return None
+    return sizes
+
+
+def _group_ids_perfect(ctx: ExecContext,
+                       key_cols: Sequence[DeviceColumn],
+                       sizes) -> GroupResult:
+    """O(n) grouping via direct slot indexing — the TPU fast path replacing
+    GrouperFastImpl's swiss table for low-cardinality keys."""
+    cap = ctx.capacity
+    row_mask = ctx.row_mask()
+    n_slots = 1
+    for s in sizes:
+        n_slots *= s
+    slot = jnp.zeros(cap, jnp.int32)
+    for c, size in zip(key_cols, sizes):
+        code = c.values.astype(jnp.int32)
+        if c.type.id == TypeId.BOOL:
+            code = c.values.astype(jnp.int32)
+        null_code = size - 1
+        if c.validity is not None:
+            code = jnp.where(c.validity, code, null_code)
+        code = jnp.clip(code, 0, null_code)
+        slot = slot * size + code
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    seg = jnp.where(row_mask, slot, 0)
+    first_pos = jax.ops.segment_min(
+        jnp.where(row_mask, idx, cap), seg, num_segments=n_slots)
+    observed = first_pos < cap
+    big = jnp.asarray(2 * cap, jnp.int64)
+    order = jnp.argsort(jnp.where(observed, first_pos, big))
+    rank = jnp.zeros(n_slots, jnp.int64).at[order].set(
+        jnp.arange(n_slots, dtype=jnp.int64))
+    num_groups = jnp.sum(observed, dtype=jnp.int64)
+    gids = jnp.where(row_mask, rank[slot], cap)
+    rep_small = first_pos[order]
+    if n_slots < cap:
+        rep = jnp.concatenate([rep_small,
+                               jnp.zeros(cap - n_slots, jnp.int64)])
+    else:
+        rep = rep_small[:cap]
+    return GroupResult(gids, num_groups, rep)
+
+
 def group_ids(ctx: ExecContext,
               key_cols: Sequence[DeviceColumn]) -> GroupResult:
     cap = ctx.capacity
+    sizes = _perfect_hash_sizes(key_cols, cap)
+    if sizes is not None:
+        return _group_ids_perfect(ctx, key_cols, sizes)
     row_mask = ctx.row_mask()
     keys = group_key_arrays(key_cols, row_mask)
     perm = stable_sort_indices(keys, cap)          # stable: padding last
@@ -122,3 +189,18 @@ def _dictionary_encode(ctx, col):
     return Compacted(DeviceColumn(codes, col.validity,
                                   T.dictionary(T.int32(), col.type)),
                      ctx.row_count)
+
+
+def group_capacity_bound(key_cols: Sequence[DeviceColumn],
+                         cap: int) -> int:
+    """Static upper bound on the number of groups: the perfect-hash slot
+    count when available, else the row capacity. Lets plan nodes shrink
+    aggregate output batches."""
+    sizes = _perfect_hash_sizes(key_cols, cap)
+    if sizes is None:
+        return cap
+    n = 1
+    for s in sizes:
+        n *= s
+    from ..device.column import round_up
+    return min(cap, round_up(n, 1024))
