@@ -349,8 +349,14 @@ def execute_declaration(decl: Declaration) -> DeviceBatch:
 
         def make():
             def staged(batch):
-                for f in node_fns:
+                for i, f in enumerate(node_fns):
                     batch = f(batch)
+                    if i + 1 < len(node_fns):
+                        # barrier between nodes: stops XLA from fusing a
+                        # node's scatter/compaction into every downstream
+                        # consumer (recomputation blow-up measured at 60x
+                        # on v5e); intermediates materialize once
+                        batch = _barrier_batch(batch)
                 return batch
             return staged
 
@@ -546,6 +552,12 @@ def _join_materialize(options, plan, left, right, out_cap: int, total: int,
     return DeviceBatch(out_schema, out_cols, n_out)
 
 
+def _barrier_batch(batch: DeviceBatch) -> DeviceBatch:
+    leaves, treedef = jax.tree_util.tree_flatten(batch)
+    leaves = jax.lax.optimization_barrier(leaves)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def compile_chain(decls: Sequence[Declaration]) -> Callable:
     """Compose a sequence of chainable node declarations (filter/project/
     aggregate/order_by/fetch) into ONE jitted DeviceBatch -> DeviceBatch
@@ -559,8 +571,10 @@ def compile_chain(decls: Sequence[Declaration]) -> Callable:
         node_fns.append(fn)
 
     def staged(batch):
-        for f in node_fns:
+        for i, f in enumerate(node_fns):
             batch = f(batch)
+            if i + 1 < len(node_fns):
+                batch = _barrier_batch(batch)
         return batch
 
     return jax.jit(staged)

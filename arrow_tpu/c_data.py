@@ -1,0 +1,409 @@
+"""Arrow C Data Interface (zero-copy in-process interchange).
+
+Reference: cpp/src/arrow/c/abi.h:50,66 (ArrowSchema / ArrowArray structs),
+bridge in c/bridge.cc. Implemented with ctypes against the stable C ABI so
+arrays move between this engine and any Arrow implementation in-process
+without copying value buffers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import types as T
+from .array.array import Array
+from .array.data import ArrayData
+from .buffer import Buffer
+from .types import DataType, Field, Schema, TypeId
+
+ARROW_FLAG_NULLABLE = 2
+ARROW_FLAG_DICTIONARY_ORDERED = 1
+ARROW_FLAG_MAP_KEYS_SORTED = 4
+
+
+class ArrowSchemaStruct(ctypes.Structure):
+    pass
+
+
+ArrowSchemaStruct._fields_ = [
+    ("format", ctypes.c_char_p),
+    ("name", ctypes.c_char_p),
+    ("metadata", ctypes.c_void_p),
+    ("flags", ctypes.c_int64),
+    ("n_children", ctypes.c_int64),
+    ("children", ctypes.POINTER(ctypes.POINTER(ArrowSchemaStruct))),
+    ("dictionary", ctypes.POINTER(ArrowSchemaStruct)),
+    ("release", ctypes.CFUNCTYPE(None,
+                                 ctypes.POINTER(ArrowSchemaStruct))),
+    ("private_data", ctypes.c_void_p),
+]
+
+
+class ArrowArrayStruct(ctypes.Structure):
+    pass
+
+
+ArrowArrayStruct._fields_ = [
+    ("length", ctypes.c_int64),
+    ("null_count", ctypes.c_int64),
+    ("offset", ctypes.c_int64),
+    ("n_buffers", ctypes.c_int64),
+    ("n_children", ctypes.c_int64),
+    ("buffers", ctypes.POINTER(ctypes.c_void_p)),
+    ("children", ctypes.POINTER(ctypes.POINTER(ArrowArrayStruct))),
+    ("dictionary", ctypes.POINTER(ArrowArrayStruct)),
+    ("release", ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowArrayStruct))),
+    ("private_data", ctypes.c_void_p),
+]
+
+
+_FORMAT_FOR = {
+    TypeId.NA: "n", TypeId.BOOL: "b",
+    TypeId.INT8: "c", TypeId.UINT8: "C",
+    TypeId.INT16: "s", TypeId.UINT16: "S",
+    TypeId.INT32: "i", TypeId.UINT32: "I",
+    TypeId.INT64: "l", TypeId.UINT64: "L",
+    TypeId.HALF_FLOAT: "e", TypeId.FLOAT: "f", TypeId.DOUBLE: "g",
+    TypeId.STRING: "u", TypeId.BINARY: "z",
+    TypeId.LARGE_STRING: "U", TypeId.LARGE_BINARY: "Z",
+    TypeId.DATE32: "tdD", TypeId.DATE64: "tdm",
+    TypeId.INTERVAL_MONTHS: "tiM",
+    TypeId.INTERVAL_DAY_TIME: "tiD",
+    TypeId.INTERVAL_MONTH_DAY_NANO: "tin",
+    TypeId.LIST: "+l", TypeId.LARGE_LIST: "+L", TypeId.STRUCT: "+s",
+    TypeId.MAP: "+m", TypeId.RUN_END_ENCODED: "+r",
+}
+
+_UNIT_CODE = {"s": "s", "ms": "m", "us": "u", "ns": "n"}
+_CODE_UNIT = {v: k for k, v in _UNIT_CODE.items()}
+
+
+def format_for_type(t: DataType) -> str:
+    tid = t.id
+    if tid in _FORMAT_FOR:
+        return _FORMAT_FOR[tid]
+    if tid == TypeId.TIMESTAMP:
+        return f"ts{_UNIT_CODE[t.unit]}:{t.tz or ''}"
+    if tid == TypeId.TIME32:
+        return f"tt{_UNIT_CODE[t.unit]}"
+    if tid == TypeId.TIME64:
+        return f"tt{_UNIT_CODE[t.unit]}"
+    if tid == TypeId.DURATION:
+        return f"tD{_UNIT_CODE[t.unit]}"
+    if tid == TypeId.FIXED_SIZE_BINARY:
+        return f"w:{t.byte_width}"
+    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        bits = "" if tid == TypeId.DECIMAL128 else ",256"
+        return f"d:{t.precision},{t.scale}{bits}"
+    if tid == TypeId.FIXED_SIZE_LIST:
+        return f"+w:{t.list_size}"
+    if tid == TypeId.SPARSE_UNION:
+        return "+us:" + ",".join(map(str, t.type_codes))
+    if tid == TypeId.DENSE_UNION:
+        return "+ud:" + ",".join(map(str, t.type_codes))
+    if tid == TypeId.DICTIONARY:
+        return format_for_type(t.index_type)
+    raise NotImplementedError(f"C ABI format for {t!r}")
+
+
+def type_for_format(fmt: str, children: List[Field]) -> DataType:
+    simple = {v: k for k, v in _FORMAT_FOR.items()}
+    if fmt in simple:
+        tid = simple[fmt]
+        if tid == TypeId.LIST:
+            return T.ListType(children[0])
+        if tid == TypeId.LARGE_LIST:
+            return T.ListType(children[0], TypeId.LARGE_LIST)
+        if tid == TypeId.STRUCT:
+            return T.StructType(children)
+        if tid == TypeId.MAP:
+            entries = children[0].type
+            return T.map_(entries.fields[0].type, entries.fields[1].type)
+        if tid == TypeId.RUN_END_ENCODED:
+            return T.RunEndEncodedType(children[0].type, children[1].type)
+        return T.DataType(tid)
+    if fmt.startswith("ts"):
+        unit = _CODE_UNIT[fmt[2]]
+        tz = fmt[4:] or None
+        return T.timestamp(unit, tz)
+    if fmt.startswith("tt"):
+        unit = _CODE_UNIT[fmt[2]]
+        return T.time32(unit) if unit in ("s", "ms") else T.time64(unit)
+    if fmt.startswith("tD"):
+        return T.duration(_CODE_UNIT[fmt[2]])
+    if fmt.startswith("w:"):
+        return T.fixed_size_binary(int(fmt[2:]))
+    if fmt.startswith("d:"):
+        parts = fmt[2:].split(",")
+        if len(parts) == 3 and parts[2] == "256":
+            return T.decimal256(int(parts[0]), int(parts[1]))
+        return T.decimal128(int(parts[0]), int(parts[1]))
+    if fmt.startswith("+w:"):
+        return T.FixedSizeListType(children[0], int(fmt[3:]))
+    if fmt.startswith("+us:"):
+        codes = [int(c) for c in fmt[4:].split(",")]
+        return T.UnionType(children, codes, "sparse")
+    if fmt.startswith("+ud:"):
+        codes = [int(c) for c in fmt[4:].split(",")]
+        return T.UnionType(children, codes, "dense")
+    raise NotImplementedError(f"C ABI format {fmt!r}")
+
+
+# --- export ----------------------------------------------------------------
+
+_EXPORT_KEEPALIVE = {}
+_next_export_id = [0]
+
+
+@ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowSchemaStruct))
+def _release_schema(ptr):
+    s = ptr.contents
+    key = s.private_data
+    s.release = ctypes.cast(None, type(s.release))
+    if key in _EXPORT_KEEPALIVE:
+        del _EXPORT_KEEPALIVE[key]
+
+
+@ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowArrayStruct))
+def _release_array(ptr):
+    a = ptr.contents
+    key = a.private_data
+    a.release = ctypes.cast(None, type(a.release))
+    if key in _EXPORT_KEEPALIVE:
+        del _EXPORT_KEEPALIVE[key]
+
+
+def _keepalive(objs) -> int:
+    _next_export_id[0] += 1
+    key = _next_export_id[0]
+    _EXPORT_KEEPALIVE[key] = objs
+    return key
+
+
+def _export_schema_into(field: Field, out: ArrowSchemaStruct, keep: list):
+    t = field.type
+    fmt = format_for_type(t).encode()
+    name = field.name.encode()
+    keep.extend([fmt, name])
+    out.format = fmt
+    out.name = name
+    out.metadata = None
+    out.flags = ARROW_FLAG_NULLABLE if field.nullable else 0
+    child_fields = (t.value_type.fields if t.id == TypeId.DICTIONARY
+                    else t.fields)
+    n = len(child_fields)
+    out.n_children = n
+    if n:
+        arr_t = ctypes.POINTER(ArrowSchemaStruct) * n
+        ptrs = arr_t()
+        keep.append(ptrs)
+        for i, cf in enumerate(child_fields):
+            child = ArrowSchemaStruct()
+            keep.append(child)
+            _export_schema_into(cf, child, keep)
+            ptrs[i] = ctypes.pointer(child)
+        out.children = ctypes.cast(ptrs,
+                                   ctypes.POINTER(
+                                       ctypes.POINTER(ArrowSchemaStruct)))
+    else:
+        out.children = None
+    if t.id == TypeId.DICTIONARY:
+        d = ArrowSchemaStruct()
+        keep.append(d)
+        _export_schema_into(Field("", t.value_type), d, keep)
+        out.dictionary = ctypes.pointer(d)
+        if t.ordered:
+            out.flags |= ARROW_FLAG_DICTIONARY_ORDERED
+    else:
+        out.dictionary = None
+    out.release = _release_schema
+    out.private_data = None
+
+
+def _np_of_buffer(buf: Optional[Buffer]):
+    return None if buf is None else buf.to_numpy()
+
+
+def _export_array_into(data: ArrayData, out: ArrowArrayStruct, keep: list):
+    out.length = data.length
+    out.null_count = data.null_count
+    out.offset = data.offset
+    bufs = data.buffers
+    out.n_buffers = len(bufs) if data.type.id != TypeId.NA else 1
+    nb = out.n_buffers
+    if nb:
+        arr_t = ctypes.c_void_p * nb
+        ptrs = arr_t()
+        keep.append(ptrs)
+        for i in range(nb):
+            b = bufs[i] if i < len(bufs) else None
+            npb = _np_of_buffer(b)
+            if npb is None or npb.size == 0:
+                ptrs[i] = None
+            else:
+                keep.append(npb)
+                ptrs[i] = npb.ctypes.data_as(ctypes.c_void_p)
+        out.buffers = ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p))
+    else:
+        out.buffers = None
+    n = len(data.children)
+    out.n_children = n
+    if n:
+        arr_t = ctypes.POINTER(ArrowArrayStruct) * n
+        cptrs = arr_t()
+        keep.append(cptrs)
+        for i, c in enumerate(data.children):
+            child = ArrowArrayStruct()
+            keep.append(child)
+            _export_array_into(c, child, keep)
+            cptrs[i] = ctypes.pointer(child)
+        out.children = ctypes.cast(cptrs,
+                                   ctypes.POINTER(
+                                       ctypes.POINTER(ArrowArrayStruct)))
+    else:
+        out.children = None
+    if data.dictionary is not None:
+        d = ArrowArrayStruct()
+        keep.append(d)
+        _export_array_into(data.dictionary, d, keep)
+        out.dictionary = ctypes.pointer(d)
+    else:
+        out.dictionary = None
+    out.release = _release_array
+    out.private_data = None
+
+
+def export_array(arr: Array, array_ptr: int, schema_ptr: int):
+    """Export to caller-allocated ArrowArray/ArrowSchema structs (addresses
+    as ints, matching pyarrow's _export_to_c convention)."""
+    schema = ctypes.cast(schema_ptr,
+                         ctypes.POINTER(ArrowSchemaStruct)).contents
+    array = ctypes.cast(array_ptr,
+                        ctypes.POINTER(ArrowArrayStruct)).contents
+    # SEPARATE keepalives: consumers may release the schema while the
+    # array's zero-copied buffers are still in use
+    schema_keep: list = []
+    array_keep: list = []
+    _export_schema_into(Field("", arr.type, nullable=True), schema,
+                        schema_keep)
+    _export_array_into(arr.data, array, array_keep)
+    schema.private_data = _keepalive(schema_keep)
+    array.private_data = _keepalive(array_keep)
+
+
+# --- import ----------------------------------------------------------------
+
+def _import_field(s: ArrowSchemaStruct) -> Field:
+    fmt = s.format.decode()
+    children = []
+    for i in range(s.n_children):
+        children.append(_import_field(s.children[i].contents))
+    t = type_for_format(fmt, children)
+    if s.dictionary:
+        vt = _import_field(s.dictionary.contents).type
+        t = T.dictionary(t, vt,
+                         bool(s.flags & ARROW_FLAG_DICTIONARY_ORDERED))
+    name = s.name.decode() if s.name else ""
+    return Field(name, t, bool(s.flags & ARROW_FLAG_NULLABLE))
+
+
+def _buffer_from_ptr(ptr, nbytes: int) -> Optional[Buffer]:
+    if not ptr or nbytes == 0:
+        return None
+    raw = (ctypes.c_uint8 * nbytes).from_address(ptr)
+    return Buffer(np.frombuffer(raw, dtype=np.uint8).copy())
+
+
+def _expected_buffer_sizes(t: DataType, a) -> List[int]:
+    """Byte sizes to copy for each buffer given length/offset."""
+    n = a.length + a.offset
+    tid = t.id
+    validity = (n + 7) // 8
+    if tid == TypeId.NA:
+        return []
+    if tid == TypeId.BOOL:
+        return [validity, (n + 7) // 8]
+    if tid == TypeId.DICTIONARY:
+        return [validity, n * (t.index_type.bit_width // 8)]
+    if t.is_primitive:
+        return [validity, n * max(t.bit_width // 8, 1)]
+    if tid in (TypeId.STRING, TypeId.BINARY):
+        return [validity, (n + 1) * 4, -1]
+    if tid in (TypeId.LARGE_STRING, TypeId.LARGE_BINARY):
+        return [validity, (n + 1) * 8, -1]
+    if tid in (TypeId.LIST, TypeId.MAP):
+        return [validity, (n + 1) * 4]
+    if tid == TypeId.LARGE_LIST:
+        return [validity, (n + 1) * 8]
+    if tid in (TypeId.STRUCT, TypeId.FIXED_SIZE_LIST):
+        return [validity]
+    if tid == TypeId.SPARSE_UNION:
+        return [n]
+    if tid == TypeId.DENSE_UNION:
+        return [n, n * 4]
+    if tid == TypeId.RUN_END_ENCODED:
+        return []
+    raise NotImplementedError(f"import sizes for {t!r}")
+
+
+def _import_array_data(a: ArrowArrayStruct, t: DataType) -> ArrayData:
+    sizes = _expected_buffer_sizes(t, a)
+    bufs: List[Optional[Buffer]] = []
+    var_data_size = None
+    for i, size in enumerate(sizes):
+        ptr = a.buffers[i] if a.buffers else None
+        if size == -1:
+            # data buffer of a varbinary: size = last offset
+            offsets = bufs[-1]
+            if offsets is None:
+                bufs.append(None)
+                continue
+            dt = np.int32 if t.id in (TypeId.STRING, TypeId.BINARY) \
+                else np.int64
+            end = int(offsets.view(dt)[a.offset + a.length])
+            bufs.append(_buffer_from_ptr(ptr, end))
+        else:
+            bufs.append(_buffer_from_ptr(ptr, size))
+    children = []
+    child_types = (t.value_type.fields if t.id == TypeId.DICTIONARY
+                   else t.fields)
+    for i in range(a.n_children):
+        ct = _child_type(t, i)
+        children.append(_import_array_data(a.children[i].contents, ct))
+    dictionary = None
+    if a.dictionary and t.id == TypeId.DICTIONARY:
+        dictionary = _import_array_data(a.dictionary.contents,
+                                        t.value_type)
+    return ArrayData(t, a.length, bufs, children,
+                     null_count=a.null_count, offset=a.offset,
+                     dictionary=dictionary)
+
+
+def _child_type(t: DataType, i: int) -> DataType:
+    if t.id in (TypeId.LIST, TypeId.LARGE_LIST, TypeId.MAP):
+        return t.value_type if t.id == TypeId.MAP else t.value_field.type
+    if t.id == TypeId.FIXED_SIZE_LIST:
+        return t.value_type
+    return t.fields[i].type
+
+
+def import_array(array_ptr: int, schema_ptr: int) -> Array:
+    """Import from ArrowArray/ArrowSchema struct addresses. Buffers are
+    copied (the source may release them after import); call the source's
+    release through us afterwards."""
+    s = ctypes.cast(schema_ptr, ctypes.POINTER(ArrowSchemaStruct)).contents
+    a = ctypes.cast(array_ptr, ctypes.POINTER(ArrowArrayStruct)).contents
+    field = _import_field(s)
+    data = _import_array_data(a, field.type)
+    out = Array(data)
+    # release the exporter's structures
+    if a.release:
+        a.release(ctypes.cast(array_ptr,
+                              ctypes.POINTER(ArrowArrayStruct)))
+    if s.release:
+        s.release(ctypes.cast(schema_ptr,
+                              ctypes.POINTER(ArrowSchemaStruct)))
+    return out

@@ -1,0 +1,297 @@
+"""CSV reader/writer.
+
+Reference analogue: cpp/src/arrow/csv/ (chunked reader: chunker -> parser ->
+column builders -> converters, csv/reader.h:40). Host-side implementation:
+parsing via the C-accelerated stdlib csv module, conversion vectorized with
+numpy, type inference matching the reference's resolution order
+(csv/inference_internal.h): null -> int64 -> float64 -> bool -> timestamp ->
+date -> string.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import datetime
+import io
+from typing import BinaryIO, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from .. import types as T
+from ..array.array import Array, array as make_array
+from ..table import RecordBatch, Table
+from ..types import DataType, Schema
+
+DEFAULT_NULL_VALUES = ["", "#N/A", "#N/A N/A", "#NA", "-1.#IND",
+                       "-1.#QNAN", "-NaN", "-nan", "1.#IND", "1.#QNAN",
+                       "N/A", "NA", "NULL", "NaN", "n/a", "nan", "null"]
+DEFAULT_TRUE = ["1", "True", "TRUE", "true"]
+DEFAULT_FALSE = ["0", "False", "FALSE", "false"]
+
+
+class ReadOptions:
+    def __init__(self, use_threads: bool = True, block_size: int = 1 << 20,
+                 skip_rows: int = 0, column_names: Optional[List[str]] = None,
+                 autogenerate_column_names: bool = False,
+                 encoding: str = "utf8", skip_rows_after_names: int = 0):
+        self.use_threads = use_threads
+        self.block_size = block_size
+        self.skip_rows = skip_rows
+        self.column_names = column_names
+        self.autogenerate_column_names = autogenerate_column_names
+        self.encoding = encoding
+        self.skip_rows_after_names = skip_rows_after_names
+
+
+class ParseOptions:
+    def __init__(self, delimiter: str = ",", quote_char: str = '"',
+                 double_quote: bool = True, escape_char=False,
+                 newlines_in_values: bool = False,
+                 ignore_empty_lines: bool = True):
+        self.delimiter = delimiter
+        self.quote_char = quote_char
+        self.double_quote = double_quote
+        self.escape_char = escape_char
+        self.newlines_in_values = newlines_in_values
+        self.ignore_empty_lines = ignore_empty_lines
+
+
+class ConvertOptions:
+    def __init__(self, check_utf8: bool = True,
+                 column_types: Optional[Dict[str, DataType]] = None,
+                 null_values: Optional[List[str]] = None,
+                 true_values: Optional[List[str]] = None,
+                 false_values: Optional[List[str]] = None,
+                 strings_can_be_null: bool = False,
+                 include_columns: Optional[List[str]] = None,
+                 include_missing_columns: bool = False,
+                 auto_dict_encode: bool = False,
+                 timestamp_parsers=None):
+        self.check_utf8 = check_utf8
+        self.column_types = column_types or {}
+        self.null_values = (null_values if null_values is not None
+                            else list(DEFAULT_NULL_VALUES))
+        self.true_values = true_values or list(DEFAULT_TRUE)
+        self.false_values = false_values or list(DEFAULT_FALSE)
+        self.strings_can_be_null = strings_can_be_null
+        self.include_columns = include_columns
+        self.include_missing_columns = include_missing_columns
+        self.auto_dict_encode = auto_dict_encode
+        self.timestamp_parsers = timestamp_parsers
+
+
+class WriteOptions:
+    def __init__(self, include_header: bool = True,
+                 batch_size: int = 1024, delimiter: str = ",",
+                 quoting_style: str = "needed"):
+        self.include_header = include_header
+        self.batch_size = batch_size
+        self.delimiter = delimiter
+        self.quoting_style = quoting_style
+
+
+def _open_text(source, encoding):
+    if isinstance(source, (str,)):
+        return open(source, "r", encoding=encoding, newline="")
+    if isinstance(source, bytes):
+        return io.StringIO(source.decode(encoding))
+    if hasattr(source, "read"):
+        data = source.read()
+        if isinstance(data, bytes):
+            data = data.decode(encoding)
+        return io.StringIO(data)
+    raise TypeError(f"cannot read CSV from {type(source)}")
+
+
+_INT_RE_TYPES = (T.int64(),)
+
+
+def _try_int64(vals: np.ndarray, nulls: np.ndarray):
+    try:
+        out = np.where(nulls, "0", vals).astype(np.int64)
+        return out
+    except ValueError:
+        return None
+
+
+def _try_float64(vals: np.ndarray, nulls: np.ndarray):
+    try:
+        out = np.where(nulls, "0", vals).astype(np.float64)
+        return out
+    except ValueError:
+        return None
+
+
+def _convert_column(strs: List[Optional[str]], opts: ConvertOptions,
+                    explicit: Optional[DataType]) -> Array:
+    n = len(strs)
+    null_set = set(opts.null_values)
+    raw = np.array([s if s is not None else "" for s in strs], dtype=object)
+    nulls = np.array([(s is None) or (s in null_set) for s in strs],
+                     dtype=np.bool_)
+
+    def with_nulls(values, t):
+        return make_array([None if m else v
+                           for m, v in zip(nulls, values)], t)
+
+    if explicit is not None:
+        t = explicit
+        if t.id == T.TypeId.STRING:
+            can_null = opts.strings_can_be_null
+            return make_array([None if (s is None or (can_null and
+                                                      s in null_set))
+                               else s for s in strs], t)
+        if t.id == T.TypeId.BOOL:
+            tv, fv = set(opts.true_values), set(opts.false_values)
+            return with_nulls([v in tv for v in raw], t)
+        if t.is_integer or t.is_floating:
+            dt = t.to_numpy_dtype()
+            vals = np.where(nulls, "0", raw.astype(str)).astype(dt)
+            return with_nulls(vals.tolist(), t)
+        if t.id == T.TypeId.DATE32:
+            return with_nulls([_parse_date(v) for v in raw], t)
+        if t.id == T.TypeId.TIMESTAMP:
+            return with_nulls([_parse_ts(v) for v in raw], t)
+        raise NotImplementedError(f"CSV conversion to {t!r}")
+
+    # inference (reference order)
+    if nulls.all():
+        return make_array([None] * n, T.null())
+    svals = raw.astype(str)
+    out = _try_int64(svals, nulls)
+    if out is not None:
+        return with_nulls(out.tolist(), T.int64())
+    out = _try_float64(svals, nulls)
+    if out is not None:
+        return with_nulls(out.tolist(), T.float64())
+    tv, fv = set(DEFAULT_TRUE), set(DEFAULT_FALSE)
+    if all(nulls[i] or svals[i] in tv or svals[i] in fv for i in range(n)):
+        return with_nulls([v in tv for v in svals], T.bool_())
+    try:
+        return with_nulls([_parse_date(v) if not m else None
+                           for v, m in zip(svals, nulls)], T.date32())
+    except Exception:
+        pass
+    try:
+        return with_nulls([_parse_ts(v) if not m else None
+                           for v, m in zip(svals, nulls)], T.timestamp("s"))
+    except Exception:
+        pass
+    can_null = opts.strings_can_be_null
+    return make_array([None if (s is None or (can_null and s in null_set))
+                       else s for s in strs], T.string())
+
+
+def _parse_date(v):
+    return datetime.date.fromisoformat(v)
+
+
+def _parse_ts(v):
+    return datetime.datetime.fromisoformat(v)
+
+
+def read_csv(source, read_options: Optional[ReadOptions] = None,
+             parse_options: Optional[ParseOptions] = None,
+             convert_options: Optional[ConvertOptions] = None) -> Table:
+    ro = read_options or ReadOptions()
+    po = parse_options or ParseOptions()
+    co = convert_options or ConvertOptions()
+
+    f = _open_text(source, ro.encoding)
+    reader = _csv.reader(
+        f, delimiter=po.delimiter, quotechar=po.quote_char,
+        doublequote=po.double_quote,
+        escapechar=(po.escape_char if isinstance(po.escape_char, str)
+                    else None))
+    rows = iter(reader)
+    for _ in range(ro.skip_rows):
+        next(rows, None)
+
+    if ro.column_names is not None:
+        names = list(ro.column_names)
+    elif ro.autogenerate_column_names:
+        first = next(rows)
+        names = [f"f{i}" for i in range(len(first))]
+        rows = _chain_one(first, rows)
+    else:
+        names = next(rows)
+    for _ in range(ro.skip_rows_after_names):
+        next(rows, None)
+
+    cols: List[List[Optional[str]]] = [[] for _ in names]
+    for row in rows:
+        if not row and po.ignore_empty_lines:
+            continue
+        for i in range(len(names)):
+            cols[i].append(row[i] if i < len(row) else None)
+
+    arrays, out_names = [], []
+    for name, col in zip(names, cols):
+        if co.include_columns is not None and \
+                name not in co.include_columns:
+            continue
+        arrays.append(_convert_column(col, co,
+                                      co.column_types.get(name)))
+        out_names.append(name)
+    if co.include_columns:
+        order = [n for n in co.include_columns if n in out_names]
+        idx = [out_names.index(n) for n in order]
+        arrays = [arrays[i] for i in idx]
+        out_names = order
+    return Table.from_arrays(arrays, out_names)
+
+
+def _chain_one(first, rest):
+    yield first
+    yield from rest
+
+
+def open_csv(source, read_options=None, parse_options=None,
+             convert_options=None):
+    """Streaming reader (single chunk per block for now)."""
+    tbl = read_csv(source, read_options, parse_options, convert_options)
+    return iter(tbl.to_batches())
+
+
+def _format_value(v) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.decode("utf8", "replace")
+    return str(v)
+
+
+def write_csv(data: Union[Table, RecordBatch], sink,
+              write_options: Optional[WriteOptions] = None):
+    wo = write_options or WriteOptions()
+    close = False
+    if isinstance(sink, str):
+        sink = open(sink, "w", newline="")
+        close = True
+    text = sink
+    wrap = False
+    if hasattr(sink, "write"):
+        try:
+            sink.write("")
+        except TypeError:
+            text = io.TextIOWrapper(sink, encoding="utf8", newline="")
+            wrap = True
+    w = _csv.writer(text, delimiter=wo.delimiter,
+                    quoting=_csv.QUOTE_MINIMAL, lineterminator="\r\n")
+    names = data.column_names
+    if wo.include_header:
+        w.writerow(names)
+    pyd = data.to_pydict()
+    n = data.num_rows
+    cols = [pyd[nm] for nm in names]
+    for i in range(n):
+        w.writerow([_format_value(c[i]) for c in cols])
+    if wrap:
+        text.flush()
+        text.detach()
+    if close:
+        text.close()

@@ -1,0 +1,119 @@
+"""CSV + C Data Interface tests (differential vs pyarrow)."""
+
+import ctypes
+import io
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import c_data
+from arrow_tpu.io import csv as atcsv
+
+CSV_DATA = b"""a,b,c,d,e
+1,1.5,x,true,2021-01-01
+2,,y,false,2021-06-15
+,3.25,"z,w",true,
+4,4.0,,TRUE,1999-12-31
+"""
+
+
+def test_csv_inference_matches_pyarrow():
+    ours = atcsv.read_csv(CSV_DATA)
+    theirs = pacsv.read_csv(pa.BufferReader(CSV_DATA))
+    assert ours.to_pydict() == theirs.to_pydict()
+    assert ours.column_names == theirs.column_names
+
+
+def test_csv_options():
+    t = atcsv.read_csv(
+        CSV_DATA,
+        convert_options=atcsv.ConvertOptions(
+            column_types={"a": at.float64()},
+            include_columns=["a", "c"]))
+    assert t.column_names == ["a", "c"]
+    assert t.column("a").to_pylist() == [1.0, 2.0, None, 4.0]
+
+    t2 = atcsv.read_csv(b"1,x\n2,y\n",
+                        read_options=atcsv.ReadOptions(
+                            column_names=["n", "s"]))
+    assert t2.to_pydict() == {"n": [1, 2], "s": ["x", "y"]}
+
+    t3 = atcsv.read_csv(b"9;q\n", read_options=atcsv.ReadOptions(
+        autogenerate_column_names=True),
+        parse_options=atcsv.ParseOptions(delimiter=";"))
+    assert t3.to_pydict() == {"f0": [9], "f1": ["q"]}
+
+
+def test_csv_write_read_roundtrip():
+    t = at.table({"x": [1, None, 3], "s": ["a", "b,c", None],
+                  "f": [1.5, 2.0, None]})
+    buf = io.StringIO()
+    atcsv.write_csv(t, buf)
+    back = atcsv.read_csv(buf.getvalue().encode())
+    assert back.column("x").to_pylist() == [1, None, 3]
+    assert back.column("f").to_pylist() == [1.5, 2.0, None]
+    # empty strings read back as "" (strings_can_be_null=False default)
+    assert back.column("s").to_pylist() == ["a", "b,c", ""]
+
+
+def test_csv_written_readable_by_pyarrow():
+    t = at.table({"x": [1, 2], "s": ["a", "b"]})
+    buf = io.StringIO()
+    atcsv.write_csv(t, buf)
+    theirs = pacsv.read_csv(pa.BufferReader(buf.getvalue().encode()))
+    assert theirs.to_pydict() == {"x": [1, 2], "s": ["a", "b"]}
+
+
+CDATA_CASES = [
+    ([1, 2, None], None),
+    (["a", None, "bb"], None),
+    ([1.5, None], None),
+    ([True, None], None),
+    ([b"xy", None], at.binary()),
+    ([[1, 2], None], at.list_(at.int64())),
+    ([{"a": 1, "b": "z"}, None],
+     at.struct([("a", at.int64()), ("b", at.string())])),
+    (["u", "v", "u", None], at.dictionary(at.int32(), at.string())),
+]
+
+
+@pytest.mark.parametrize("case", range(len(CDATA_CASES)))
+def test_c_data_export_to_pyarrow(case):
+    vals, typ = CDATA_CASES[case]
+    a = at.array(vals, typ)
+    sch = c_data.ArrowSchemaStruct()
+    arr = c_data.ArrowArrayStruct()
+    c_data.export_array(a, ctypes.addressof(arr), ctypes.addressof(sch))
+    pa_arr = pa.Array._import_from_c(ctypes.addressof(arr),
+                                     ctypes.addressof(sch))
+    assert pa_arr.to_pylist() == a.to_pylist()
+
+
+@pytest.mark.parametrize("case", range(len(CDATA_CASES)))
+def test_c_data_import_from_pyarrow(case):
+    vals, typ = CDATA_CASES[case]
+    a = at.array(vals, typ)
+    pa_arr = pa.array(a.to_pylist(),
+                      type=None if typ is None else None)
+    if typ is not None and typ.id == at.TypeId.DICTIONARY:
+        pa_arr = pa.array(vals).dictionary_encode()
+    elif typ is not None and typ.id == at.TypeId.BINARY:
+        pa_arr = pa.array(vals, type=pa.binary())
+    sch = c_data.ArrowSchemaStruct()
+    arr = c_data.ArrowArrayStruct()
+    pa_arr._export_to_c(ctypes.addressof(arr), ctypes.addressof(sch))
+    ours = c_data.import_array(ctypes.addressof(arr),
+                               ctypes.addressof(sch))
+    assert ours.to_pylist() == pa_arr.to_pylist()
+
+
+def test_c_data_sliced_array():
+    pa_arr = pa.array([1, 2, None, 4, 5]).slice(1, 3)
+    sch = c_data.ArrowSchemaStruct()
+    arr = c_data.ArrowArrayStruct()
+    pa_arr._export_to_c(ctypes.addressof(arr), ctypes.addressof(sch))
+    ours = c_data.import_array(ctypes.addressof(arr),
+                               ctypes.addressof(sch))
+    assert ours.to_pylist() == [2, None, 4]
