@@ -24,6 +24,7 @@ from . import hash_agg as _hash_agg  # noqa: F401
 from . import selection as _selection  # noqa: F401
 from . import strings as _strings  # noqa: F401
 from . import temporal as _temporal  # noqa: F401
+from . import vector_misc as _vector_misc  # noqa: F401
 from . import vector_sort as _vector_sort  # noqa: F401
 from .registry import (ArrowInvalid, ArrowNotImplementedError, ExecContext,
                        Scalar, call_function, function_registry,

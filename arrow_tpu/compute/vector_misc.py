@@ -1,0 +1,175 @@
+"""Set lookup, null-filling scans, masked replace, run-end encoding.
+
+Reference analogues: kernels/scalar_set_lookup.cc (is_in/index_in),
+vector_replace.cc (replace_with_mask, fill_null_forward/backward),
+vector_run_end_encode.cc.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import types as T
+from ..device.column import DeviceColumn
+from ..types import TypeId
+from .registry import ArrowInvalid, ExecContext, register
+from .selection import Compacted
+
+
+def _value_set_lookup(ctx, col: DeviceColumn, value_set,
+                      skip_nulls: bool = False):
+    """Returns (found bool[cap], index i32[cap]) of each row in value_set
+    (first-occurrence index, reference semantics)."""
+    if col.dictionary is not None:
+        dvals = col.dictionary.to_pylist()
+        code_index = np.full(len(dvals), -1, dtype=np.int64)
+        for i, v in enumerate(value_set):
+            if v is None:
+                continue
+            try:
+                c = dvals.index(v)
+            except ValueError:
+                continue
+            if code_index[c] < 0:
+                code_index[c] = i
+        table = jnp.asarray(code_index)
+        idx = table[col.values.astype(jnp.int64)]
+        return idx >= 0, idx
+
+    found = jnp.zeros(col.capacity, jnp.bool_)
+    idx = jnp.full(col.capacity, -1, jnp.int64)
+    for i, v in enumerate(value_set):
+        if v is None:
+            continue
+        hit = col.values == jnp.asarray(v, col.values.dtype)
+        newly = jnp.logical_and(hit, ~found)
+        idx = jnp.where(newly, i, idx)
+        found = jnp.logical_or(found, hit)
+    return found, idx
+
+
+@register("is_in", "elementwise")
+def _is_in(ctx, col, value_set=(), skip_nulls: bool = False):
+    found, _ = _value_set_lookup(ctx, col, list(value_set))
+    null_in_set = any(v is None for v in value_set)
+    from .elementwise import _col
+    if col.validity is not None and null_in_set and not skip_nulls:
+        out = jnp.where(col.validity, found, True)
+        return _col(out, None, T.bool_())
+    out = found
+    if col.validity is not None:
+        out = jnp.logical_and(out, col.validity)
+    return _col(out, None, T.bool_())
+
+
+@register("index_in", "elementwise")
+def _index_in(ctx, col, value_set=(), skip_nulls: bool = False):
+    found, idx = _value_set_lookup(ctx, col, list(value_set))
+    null_idx = next((i for i, v in enumerate(value_set) if v is None), -1)
+    validity = found
+    if col.validity is not None:
+        if null_idx >= 0 and not skip_nulls:
+            idx = jnp.where(col.validity, idx, null_idx)
+            validity = jnp.where(col.validity, found, True)
+        else:
+            validity = jnp.logical_and(found, col.validity)
+    out = jnp.where(validity, idx, 0).astype(jnp.int32)
+    return DeviceColumn(out, validity, T.int32())
+
+
+@register("fill_null_forward", "elementwise")
+def _fill_null_forward(ctx, col):
+    cap = ctx.capacity
+    live = col.valid_mask(ctx.row_mask())
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    last_valid = jnp.maximum.accumulate(jnp.where(live, idx, -1))
+    has = last_valid >= 0
+    src = jnp.where(has, last_valid, 0)
+    out = col.values[src]
+    validity = has
+    if col.validity is None and ctx.row_count is None:
+        validity = None
+    return DeviceColumn(out, jnp.logical_and(validity, ctx.row_mask()),
+                        col.type, col.dictionary)
+
+
+@register("fill_null_backward", "elementwise")
+def _fill_null_backward(ctx, col):
+    cap = ctx.capacity
+    live = col.valid_mask(ctx.row_mask())
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    rev_next = jnp.minimum.accumulate(
+        jnp.where(live, idx, 2 * cap)[::-1])[::-1]
+    has = rev_next < cap
+    src = jnp.where(has, rev_next, 0)
+    out = col.values[src]
+    return DeviceColumn(out, jnp.logical_and(has, ctx.row_mask()),
+                        col.type, col.dictionary)
+
+
+@register("replace_with_mask", "vector")
+def _replace_with_mask(ctx, col, mask: DeviceColumn,
+                       replacements: DeviceColumn):
+    """Rows where mask is true take successive values from replacements
+    (reference: vector_replace.cc)."""
+    mv = jnp.logical_and(mask.values.astype(jnp.bool_), ctx.row_mask())
+    if mask.validity is not None:
+        mv = jnp.logical_and(mv, mask.validity)
+    # k-th true mask row <- replacements[k]
+    k = jnp.cumsum(mv.astype(jnp.int64)) - 1
+    safe_k = jnp.clip(k, 0, replacements.capacity - 1)
+    rep_vals = replacements.values[safe_k].astype(col.values.dtype)
+    out = jnp.where(mv, rep_vals, col.values)
+    base_valid = (col.validity if col.validity is not None
+                  else jnp.ones(ctx.capacity, jnp.bool_))
+    rep_valid = (replacements.validity[safe_k]
+                 if replacements.validity is not None
+                 else jnp.ones(ctx.capacity, jnp.bool_))
+    validity = jnp.where(mv, rep_valid, base_valid)
+    # null mask slots produce null outputs
+    if mask.validity is not None:
+        validity = jnp.logical_and(validity, mask.validity)
+    return Compacted(DeviceColumn(out, validity, col.type, col.dictionary),
+                     ctx.row_count)
+
+
+@register("run_end_encode", "vector")
+def _run_end_encode(ctx, col):
+    """Returns dict(run_ends, values) with dynamic run count."""
+    cap = ctx.capacity
+    live = ctx.row_mask()
+    idx = jnp.arange(cap, dtype=jnp.int64)
+    valid = (col.validity if col.validity is not None
+             else jnp.ones(cap, jnp.bool_))
+    prev_vals = jnp.roll(col.values, 1)
+    prev_valid = jnp.roll(valid, 1)
+    changed = jnp.logical_or(col.values != prev_vals, valid != prev_valid)
+    is_new = jnp.logical_and(jnp.logical_or(idx == 0, changed), live)
+    run_id = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+    n_runs = jnp.sum(is_new, dtype=jnp.int64)
+    run_end = jax.ops.segment_max(jnp.where(live, idx + 1, 0),
+                                  jnp.where(live, run_id, cap - 1),
+                                  num_segments=cap)
+    run_start = jax.ops.segment_min(jnp.where(live, idx, cap),
+                                    jnp.where(live, run_id, cap - 1),
+                                    num_segments=cap)
+    safe_start = jnp.clip(run_start, 0, cap - 1)
+    out_vals = col.values[safe_start]
+    out_valid = valid[safe_start]
+    n = n_runs.astype(jnp.int32)
+    return {
+        "run_ends": Compacted(DeviceColumn(run_end.astype(jnp.int32),
+                                           None, T.int32()), n),
+        "values": Compacted(DeviceColumn(out_vals, out_valid, col.type,
+                                         col.dictionary), n),
+    }
+
+
+@register("list_value_length", "elementwise")
+def _list_value_length(ctx, col):
+    raise ArrowInvalid(
+        "list columns are host-side; use Array-level list accessors")

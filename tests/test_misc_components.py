@@ -1,0 +1,125 @@
+"""Validation, pretty printing, tensors, set-lookup/replace kernels."""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as ppc
+import pytest
+
+import arrow_tpu as at
+import arrow_tpu.compute as pc
+from arrow_tpu.array.validate import ValidationError, validate, validate_full
+from arrow_tpu.buffer import Buffer
+from arrow_tpu.array.data import ArrayData
+from arrow_tpu.pretty import array_to_string, table_to_string
+from arrow_tpu.tensor import (SparseCOOTensor, SparseCSRMatrix, Tensor,
+                              read_tensor, write_tensor)
+
+
+def test_validate_ok():
+    for vals, t in [([1, None], None), (["a", None], None),
+                    ([[1], None], at.list_(at.int64())),
+                    (["a", "a", None], at.dictionary(at.int32(),
+                                                     at.string()))]:
+        a = at.array(vals, t)
+        validate(a.data)
+        validate_full(a.data)
+
+
+def test_validate_catches_bad_offsets():
+    good = at.array(["ab", "c"]).data
+    bad = ArrayData(good.type, good.length,
+                    [good.buffers[0],
+                     Buffer(np.array([0, 5, 3], dtype=np.int32)),
+                     good.buffers[2]])
+    with pytest.raises(ValidationError):
+        validate_full(bad)
+
+
+def test_validate_catches_bad_utf8():
+    bad = ArrayData(at.string(), 1,
+                    [None, Buffer(np.array([0, 2], dtype=np.int32)),
+                     Buffer(b"\xff\xfe")])
+    with pytest.raises(ValidationError):
+        validate_full(bad)
+    # structural-only validation passes
+    validate(bad)
+
+
+def test_validate_catches_bad_dictionary_index():
+    d = at.array(["a", "b"]).data
+    bad = ArrayData(at.dictionary(at.int32(), at.string()), 2,
+                    [None, Buffer(np.array([0, 7], dtype=np.int32))],
+                    dictionary=d)
+    with pytest.raises(ValidationError):
+        validate_full(bad)
+
+
+def test_pretty_print():
+    s = array_to_string(at.array([1, None, 3]))
+    assert "null" in s and "1" in s
+    ts = table_to_string(at.table({"x": [1, 2], "name": ["ab", None]}))
+    assert "x" in ts and "name" in ts and "null" in ts
+    long = table_to_string(at.table({"x": list(range(100))}), max_rows=5)
+    assert "95 more rows" in long
+
+
+def test_tensor_ipc_with_pyarrow():
+    t = Tensor.from_numpy(np.arange(12, dtype=np.float32).reshape(3, 4),
+                          ["r", "c"])
+    buf = io.BytesIO()
+    write_tensor(t, buf)
+    assert read_tensor(buf.getvalue()).equals(t)
+    pa_t = pa.ipc.read_tensor(pa.BufferReader(buf.getvalue()))
+    assert pa_t.dim_names == ["r", "c"]
+    assert np.array_equal(pa_t.to_numpy(), t.data)
+    sink = pa.BufferOutputStream()
+    pa.ipc.write_tensor(pa.Tensor.from_numpy(np.ones((2, 2))), sink)
+    ours = read_tensor(sink.getvalue().to_pybytes())
+    assert ours.shape == (2, 2)
+
+
+def test_sparse_tensors():
+    dense = np.array([[0, 1, 0], [2, 0, 3]])
+    coo = SparseCOOTensor.from_dense_numpy(dense)
+    assert coo.non_zero_length == 3
+    assert np.array_equal(coo.to_dense(), dense)
+    csr = SparseCSRMatrix.from_dense_numpy(dense)
+    assert np.array_equal(csr.to_dense(), dense)
+
+
+def test_is_in_index_in():
+    a = at.array([1, 2, None, 5, 2])
+    p = pa.array([1, 2, None, 5, 2])
+    assert pc.is_in(a, value_set=[2, 5]).to_pylist() == \
+        ppc.is_in(p, value_set=pa.array([2, 5])).to_pylist()
+    assert pc.index_in(a, value_set=[5, 2]).to_pylist() == \
+        ppc.index_in(p, value_set=pa.array([5, 2])).to_pylist()
+    s = at.array(["a", "b", None])
+    ps = pa.array(["a", "b", None])
+    assert pc.is_in(s, value_set=["b"]).to_pylist() == \
+        ppc.is_in(ps, value_set=pa.array(["b"])).to_pylist()
+
+
+def test_fill_scans_and_replace():
+    f = at.array([None, 1.5, None, 2.5, None])
+    pf = pa.array([None, 1.5, None, 2.5, None])
+    assert pc.fill_null_forward(f).to_pylist() == \
+        ppc.fill_null_forward(pf).to_pylist()
+    assert pc.fill_null_backward(f).to_pylist() == \
+        ppc.fill_null_backward(pf).to_pylist()
+    r = pc.replace_with_mask(at.array([1, 2, 3, 4]),
+                             at.array([True, False, True, False]),
+                             at.array([9, 8]))
+    pr = ppc.replace_with_mask(pa.array([1, 2, 3, 4]),
+                               pa.array([True, False, True, False]),
+                               pa.array([9, 8]))
+    assert r.to_pylist() == pr.to_pylist()
+
+
+def test_run_end_encode():
+    ree = pc.call_function("run_end_encode",
+                           [at.array([1, 1, 2, 2, 2, None, 3])])
+    assert ree["run_ends"].to_pylist() == [2, 5, 6, 7]
+    assert ree["values"].to_pylist() == [1, 2, None, 3]
