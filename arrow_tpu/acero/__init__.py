@@ -3,7 +3,8 @@
 from .exec import Declaration, execute_declaration  # noqa: F401
 from .expression import Expression, field, scalar  # noqa: F401
 from .options import (  # noqa: F401
-    AggregateNodeOptions, ExecNodeOptions, FetchNodeOptions,
-    FilterNodeOptions, HashJoinNodeOptions, OrderByNodeOptions,
-    ProjectNodeOptions, TableSourceNodeOptions, UnionNodeOptions,
+    AggregateNodeOptions, AsofJoinNodeOptions, ExecNodeOptions,
+    FetchNodeOptions, FilterNodeOptions, HashJoinNodeOptions,
+    OrderByNodeOptions, ProjectNodeOptions, SortedMergeNodeOptions,
+    TableSourceNodeOptions, UnionNodeOptions,
 )

@@ -330,6 +330,15 @@ def execute_declaration(decl: Declaration) -> DeviceBatch:
         batches = [execute_declaration(i) for i in decl.inputs]
         return _execute_union(batches)
 
+    if decl.factory_name == "asofjoin":
+        left = execute_declaration(decl.inputs[0])
+        right = execute_declaration(decl.inputs[1])
+        return _execute_asof_join(decl.options, left, right)
+
+    if decl.factory_name == "sorted_merge":
+        batches = [execute_declaration(i) for i in decl.inputs]
+        return _execute_sorted_merge(decl.options, batches)
+
     if decl.factory_name in _CHAINABLE:
         # collect the maximal single-input chain below this node
         chain = [decl]
@@ -578,3 +587,112 @@ def compile_chain(decls: Sequence[Declaration]) -> Callable:
         return batch
 
     return jax.jit(staged)
+
+
+def _execute_asof_join(options, left: DeviceBatch,
+                       right: DeviceBatch) -> DeviceBatch:
+    """Vectorized as-of join: map by-keys to shared ids, rank right `on`
+    values, pack (gid, on_rank) into one u64 word, one searchsorted finds
+    each probe row's most recent match (the MemoStore of
+    asof_join_node.cc:225 collapses into a sort + binary search)."""
+    from ..compute.join import _side_gids
+    from ..compute.keys import stable_sort_indices
+
+    lon = left.column(options.left_on)
+    ron = right.column(options.right_on)
+    lby = [left.column(k) for k in options.left_by]
+    rby = [right.column(k) for k in options.right_by]
+    for i, (lk, rk) in enumerate(zip(lby, rby)):
+        if lk.dictionary is not None or rk.dictionary is not None:
+            lk2, rk2 = unify_dictionaries([lk, rk])
+            lby[i], rby[i] = lk2, rk2
+    tol = options.tolerance
+
+    key = ("asof", tuple(options.left_by), tuple(options.right_by),
+           options.left_on, options.right_on, tol,
+           _dict_ids(left), _dict_ids(right))
+
+    def make():
+        def fn(left, right, lon, ron, lby, rby):
+            l_cap, r_cap = left.capacity, right.capacity
+            lmask = left.row_mask()
+            rmask = right.row_mask()
+            if rby:
+                gb, gp = _side_gids(rby, lby, rmask, lmask)
+            else:
+                gb = jnp.zeros(r_cap, jnp.int64)
+                gp = jnp.zeros(l_cap, jnp.int64)
+                gb = jnp.where(rmask, gb, -(jnp.arange(r_cap,
+                                                       dtype=jnp.int64) + 2))
+                gp = jnp.where(lmask, gp, -1)
+
+            lv = lon.values.astype(jnp.int64)
+            rv = ron.values.astype(jnp.int64)
+            # sorted right on-values with padding pushed to +inf so ranks
+            # of real values are unaffected
+            rv_sorted = jnp.sort(
+                jnp.where(rmask, rv, jnp.asarray(2**62, jnp.int64)))
+            # probe rank: number of right values <= lv  (tolerance<=0
+            # means "most recent at or before")
+            lrank = jnp.searchsorted(rv_sorted, lv, side="right")
+            rrank = jnp.searchsorted(rv_sorted, rv, side="right")
+
+            SHIFT = jnp.uint64(32)
+            def pack(g, r):
+                gg = jnp.where(g >= 0, g, 0).astype(jnp.uint64)
+                return (gg << SHIFT) | r.astype(jnp.uint64)
+
+            rkey = pack(gb, rrank)
+            rkey = jnp.where(jnp.logical_and(rmask, gb >= 0), rkey,
+                             jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            rs_order = stable_sort_indices([rkey], r_cap)
+            rkey_sorted = rkey[rs_order]
+            lkey = pack(gp, lrank)
+            pos = jnp.searchsorted(rkey_sorted, lkey, side="right") - 1
+            safe_pos = jnp.clip(pos, 0, r_cap - 1)
+            cand = rs_order[safe_pos]
+            cand_g = gb[cand]
+            cand_v = rv[cand]
+            ok = (pos >= 0) & (cand_g == gp) & (gp >= 0) & lmask
+            if tol <= 0:
+                ok = jnp.logical_and(ok, cand_v >= lv + tol)
+                ok = jnp.logical_and(ok, cand_v <= lv)
+            else:
+                ok = jnp.logical_and(ok, cand_v <= lv + tol)
+            safe_cand = jnp.where(ok, cand, 0)
+
+            out_cols = list(left.columns)
+            rnames = [n for n in right.schema.names
+                      if n not in (options.right_on, *options.right_by)]
+            extra = []
+            for n in rnames:
+                c = right.column(n)
+                vals = c.values[safe_cand]
+                validity = ok
+                if c.validity is not None:
+                    validity = jnp.logical_and(ok, c.validity[safe_cand])
+                extra.append(DeviceColumn(vals, validity, c.type,
+                                          c.dictionary))
+            return out_cols + extra, rnames
+        return fn
+
+    fn_impl = make()
+    jitted = _JIT_CACHE.get(key)
+    if jitted is None:
+        jitted = _JIT_CACHE[key] = jax.jit(
+            lambda l, r, lo, ro, lb, rb: fn_impl(l, r, lo, ro, lb, rb)[0])
+    cols = jitted(left, right, lon, ron, lby, rby)
+    rnames = [n for n in right.schema.names
+              if n not in (options.right_on, *options.right_by)]
+    fields = list(left.schema.fields) + \
+        [right.schema.field(n) for n in rnames]
+    return DeviceBatch(Schema(fields), cols, left.row_count)
+
+
+def _execute_sorted_merge(options, batches: List[DeviceBatch]
+                          ) -> DeviceBatch:
+    merged = _execute_union(batches)
+    fn, _ = _node_order_by(OrderByNodeOptions(options.sort_keys,
+                                              options.null_placement),
+                           None)
+    return jax.jit(fn)(merged)

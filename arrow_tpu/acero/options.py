@@ -90,3 +90,27 @@ class HashJoinNodeOptions(ExecNodeOptions):
 
 class UnionNodeOptions(ExecNodeOptions):
     pass
+
+
+class AsofJoinNodeOptions(ExecNodeOptions):
+    """As-of join (reference: acero/asof_join_node.cc:1612): for each left
+    row, the most recent right row whose `on` value is <= (tolerance < 0)
+    or >= (tolerance > 0) within |tolerance|, matching on by-keys."""
+
+    def __init__(self, left_on: str, left_by: Sequence[str],
+                 right_on: str, right_by: Sequence[str],
+                 tolerance: int = 0):
+        self.left_on = left_on
+        self.left_by = list(left_by)
+        self.right_on = right_on
+        self.right_by = list(right_by)
+        self.tolerance = int(tolerance)
+
+
+class SortedMergeNodeOptions(ExecNodeOptions):
+    """K-way merge of sorted inputs (reference: sorted_merge_node.cc)."""
+
+    def __init__(self, sort_keys, null_placement: str = "at_end"):
+        self.sort_keys = [(k, "ascending") if isinstance(k, str) else
+                          (k[0], k[1]) for k in sort_keys]
+        self.null_placement = null_placement
