@@ -340,34 +340,18 @@ def execute_declaration(decl: Declaration) -> DeviceBatch:
         return _execute_sorted_merge(decl.options, batches)
 
     if decl.factory_name in _CHAINABLE:
-        # collect the maximal single-input chain below this node
-        chain = [decl]
-        cur = decl
-        while (len(cur.inputs) == 1
-               and cur.inputs[0].factory_name in _CHAINABLE):
-            cur = cur.inputs[0]
-            chain.append(cur)
-        input_batch = execute_declaration(cur.inputs[0])
-        node_fns = []
-        for d in reversed(chain):
-            fn, _ = _CHAINABLE[d.factory_name](d.options, None)
-            node_fns.append(fn)
-        key = ("chain", tuple((d.factory_name, _config_key(d))
-                              for d in reversed(chain)),
+        # Per-node jit, NOT one fused program: measured on v5e, fusing the
+        # whole chain into a single XLA computation regresses Q1 by ~60x
+        # (scatter/segment fusions recompute across consumers; barriers
+        # do not help). Node-level executables dispatch asynchronously so
+        # the pipeline still overlaps without host round-trips.
+        input_batch = execute_declaration(decl.inputs[0])
+        key = (decl.factory_name, _config_key(decl),
                _dict_ids(input_batch))
 
         def make():
-            def staged(batch):
-                for i, f in enumerate(node_fns):
-                    batch = f(batch)
-                    if i + 1 < len(node_fns):
-                        # barrier between nodes: stops XLA from fusing a
-                        # node's scatter/compaction into every downstream
-                        # consumer (recomputation blow-up measured at 60x
-                        # on v5e); intermediates materialize once
-                        batch = _barrier_batch(batch)
-                return batch
-            return staged
+            fn, _ = _CHAINABLE[decl.factory_name](decl.options, None)
+            return fn
 
         fn = _cached_jit(key, make)
         return fn(input_batch)
@@ -579,14 +563,14 @@ def compile_chain(decls: Sequence[Declaration]) -> Callable:
         fn, _ = _CHAINABLE[d.factory_name](d.options, None)
         node_fns.append(fn)
 
+    jitted = [jax.jit(f) for f in node_fns]
+
     def staged(batch):
-        for i, f in enumerate(node_fns):
+        for f in jitted:
             batch = f(batch)
-            if i + 1 < len(node_fns):
-                batch = _barrier_batch(batch)
         return batch
 
-    return jax.jit(staged)
+    return staged
 
 
 def _execute_asof_join(options, left: DeviceBatch,

@@ -1,0 +1,411 @@
+"""Arrow Flight RPC (gRPC data plane).
+
+Reference analogue: cpp/src/arrow/flight/ (FlightServerBase server.h:248,
+FlightClient client.h). The wire protocol (vendored format/Flight.proto) is
+the compatibility contract: streams carry IPC record batches inside
+FlightData frames, so any Arrow Flight implementation can exchange data
+with this engine over the network.
+
+In the TPU architecture Flight is the EDGE transport for external clients
+(SURVEY §2.9 P8); intra-pod distribution uses ICI collectives, not RPC.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import threading
+from concurrent import futures
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import grpc
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "proto"))
+from . import proto  # noqa: F401  (namespace)
+import Flight_pb2 as fp  # noqa: E402
+
+from ..ipc.message import parse_message_meta, serialize_record_batch, \
+    serialize_schema_message  # noqa: E402
+from ..ipc.reader_writer import MessageStream, RecordBatchStreamReader, \
+    _attach_dictionaries, _collect_dictionaries  # noqa: E402
+from ..ipc import fb as _fb  # noqa: E402
+from ..ipc.message import ArrayLoader, RecordBatchMeta, \
+    serialize_dictionary_batch  # noqa: E402
+from ..ipc.schema_fb import DictionaryFieldMapper, read_schema  # noqa: E402
+from ..array.array import Array  # noqa: E402
+from ..table import RecordBatch, Table  # noqa: E402
+from ..types import Schema  # noqa: E402
+
+_SERVICE = "arrow.flight.protocol.FlightService"
+
+
+class FlightDescriptor:
+    PATH = fp.FlightDescriptor.PATH
+    CMD = fp.FlightDescriptor.CMD
+
+    def __init__(self, dtype, path=None, cmd=None):
+        self.descriptor_type = dtype
+        self.path = list(path) if path else []
+        self.command = cmd
+
+    @classmethod
+    def for_path(cls, *path) -> "FlightDescriptor":
+        return cls(cls.PATH, path=[p if isinstance(p, bytes)
+                                   else p.encode() for p in path])
+
+    @classmethod
+    def for_command(cls, cmd) -> "FlightDescriptor":
+        return cls(cls.CMD, cmd=cmd if isinstance(cmd, bytes)
+                   else cmd.encode())
+
+    def to_pb(self) -> fp.FlightDescriptor:
+        d = fp.FlightDescriptor()
+        d.type = self.descriptor_type
+        if self.descriptor_type == self.PATH:
+            d.path.extend([p.decode() for p in self.path])
+        else:
+            d.cmd = self.command or b""
+        return d
+
+    @classmethod
+    def from_pb(cls, d) -> "FlightDescriptor":
+        if d.type == fp.FlightDescriptor.PATH:
+            return cls.for_path(*d.path)
+        return cls.for_command(d.cmd)
+
+    def __repr__(self):
+        if self.descriptor_type == self.PATH:
+            return f"FlightDescriptor(path={self.path})"
+        return f"FlightDescriptor(cmd={self.command})"
+
+
+class Ticket:
+    def __init__(self, ticket: bytes):
+        self.ticket = ticket if isinstance(ticket, bytes) \
+            else ticket.encode()
+
+
+class FlightEndpoint:
+    def __init__(self, ticket, locations=()):
+        self.ticket = ticket if isinstance(ticket, Ticket) \
+            else Ticket(ticket)
+        self.locations = list(locations)
+
+
+class FlightInfo:
+    def __init__(self, schema: Schema, descriptor: FlightDescriptor,
+                 endpoints: List[FlightEndpoint],
+                 total_records: int = -1, total_bytes: int = -1):
+        self.schema = schema
+        self.descriptor = descriptor
+        self.endpoints = endpoints
+        self.total_records = total_records
+        self.total_bytes = total_bytes
+
+    def to_pb(self) -> fp.FlightInfo:
+        out = fp.FlightInfo()
+        mapper = DictionaryFieldMapper()
+        out.schema = serialize_schema_message(self.schema, mapper)
+        out.flight_descriptor.CopyFrom(self.descriptor.to_pb())
+        for ep in self.endpoints:
+            e = out.endpoint.add()
+            e.ticket.ticket = ep.ticket.ticket
+        out.total_records = self.total_records
+        out.total_bytes = self.total_bytes
+        return out
+
+
+# --- IPC <-> FlightData framing -------------------------------------------
+
+def _strip_framing(framed: bytes) -> bytes:
+    """Remove the <continuation><len> prefix: FlightData.data_header is the
+    bare flatbuffer message."""
+    import struct
+    (word,) = struct.unpack_from("<I", framed, 0)
+    if word == 0xFFFFFFFF:
+        (ln,) = struct.unpack_from("<I", framed, 4)
+        return framed[8:8 + ln]
+    return framed[4:4 + word]
+
+
+def _table_to_flight_datas(tbl: Table) -> Iterator[fp.FlightData]:
+    mapper = DictionaryFieldMapper()
+    schema_msg = serialize_schema_message(tbl.schema, mapper)
+    fd = fp.FlightData()
+    fd.data_header = _strip_framing(schema_msg)
+    yield fd
+    for rb in tbl.to_batches():
+        dicts = []
+        for col in rb.columns:
+            _collect_dictionaries(col.data, dicts)
+        for did, dd in zip(mapper.ordered_ids, dicts):
+            meta, body = serialize_dictionary_batch(did, dd)
+            fd = fp.FlightData()
+            fd.data_header = _strip_framing(meta)
+            fd.data_body = body
+            yield fd
+        meta, body = serialize_record_batch(
+            [c.data for c in rb.columns], rb.num_rows)
+        fd = fp.FlightData()
+        fd.data_header = _strip_framing(meta)
+        fd.data_body = body
+        yield fd
+
+
+class _FlightStreamAssembler:
+    """Rebuild RecordBatches from a FlightData stream."""
+
+    def __init__(self):
+        self.schema: Optional[Schema] = None
+        self.mapper = DictionaryFieldMapper()
+        self.memo: Dict[int, object] = {}
+        self.descriptor: Optional[FlightDescriptor] = None
+
+    def feed(self, fd: fp.FlightData) -> Optional[RecordBatch]:
+        if fd.HasField("flight_descriptor"):
+            self.descriptor = FlightDescriptor.from_pb(fd.flight_descriptor)
+        if not fd.data_header:
+            return None
+        htype, header, body_len = parse_message_meta(fd.data_header)
+        body = fd.data_body
+        if htype == _fb.MSG_SCHEMA:
+            self.schema = read_schema(header, self.mapper)
+            return None
+        if htype == _fb.MSG_DICTIONARY_BATCH:
+            did = header.i64(0)
+            meta = RecordBatchMeta(header.table(1))
+            loader = ArrayLoader(meta, body)
+            vtype = self.mapper.id_to_type[did].value_type
+            self.memo[did] = loader.load(vtype)
+            return None
+        if htype == _fb.MSG_RECORD_BATCH:
+            meta = RecordBatchMeta(header)
+            loader = ArrayLoader(meta, body)
+            cols = [loader.load(f.type) for f in self.schema.fields]
+            pos = [0]
+            for c in cols:
+                _attach_dictionaries(c, self.mapper.ordered_ids,
+                                     self.memo, pos)
+            return RecordBatch(self.schema, [Array(c) for c in cols])
+        raise ValueError(f"unexpected flight message type {htype}")
+
+
+# --- server ----------------------------------------------------------------
+
+class FlightServerBase:
+    """Subclass and override list_flights / get_flight_info / do_get /
+    do_put / do_action / list_actions (reference: flight/server.h:248)."""
+
+    def __init__(self, location: str = "grpc://0.0.0.0:0"):
+        self._location = location
+        self._server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=8))
+        handlers = {
+            "ListFlights": grpc.unary_stream_rpc_method_handler(
+                self._list_flights,
+                request_deserializer=fp.Criteria.FromString,
+                response_serializer=fp.FlightInfo.SerializeToString),
+            "GetFlightInfo": grpc.unary_unary_rpc_method_handler(
+                self._get_flight_info,
+                request_deserializer=fp.FlightDescriptor.FromString,
+                response_serializer=fp.FlightInfo.SerializeToString),
+            "GetSchema": grpc.unary_unary_rpc_method_handler(
+                self._get_schema,
+                request_deserializer=fp.FlightDescriptor.FromString,
+                response_serializer=fp.SchemaResult.SerializeToString),
+            "DoGet": grpc.unary_stream_rpc_method_handler(
+                self._do_get,
+                request_deserializer=fp.Ticket.FromString,
+                response_serializer=fp.FlightData.SerializeToString),
+            "DoPut": grpc.stream_stream_rpc_method_handler(
+                self._do_put,
+                request_deserializer=fp.FlightData.FromString,
+                response_serializer=fp.PutResult.SerializeToString),
+            "DoAction": grpc.unary_stream_rpc_method_handler(
+                self._do_action,
+                request_deserializer=fp.Action.FromString,
+                response_serializer=fp.Result.SerializeToString),
+            "ListActions": grpc.unary_stream_rpc_method_handler(
+                self._list_actions,
+                request_deserializer=fp.Empty.FromString,
+                response_serializer=fp.ActionType.SerializeToString),
+        }
+        self._server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(_SERVICE, handlers),))
+        host_port = location.replace("grpc://", "").replace(
+            "grpc+tcp://", "")
+        self.port = self._server.add_insecure_port(host_port)
+
+    # -- overridables --
+    def list_flights(self, criteria: bytes) -> Iterator[FlightInfo]:
+        return iter(())
+
+    def get_flight_info(self, descriptor: FlightDescriptor) -> FlightInfo:
+        raise NotImplementedError
+
+    def do_get(self, ticket: Ticket) -> Table:
+        raise NotImplementedError
+
+    def do_put(self, descriptor: FlightDescriptor, table: Table):
+        raise NotImplementedError
+
+    def do_action(self, action_type: str, body: bytes) -> List[bytes]:
+        raise NotImplementedError(f"action {action_type!r}")
+
+    def list_actions(self) -> List[Tuple[str, str]]:
+        return []
+
+    # -- grpc glue --
+    def _list_flights(self, request, context):
+        for info in self.list_flights(request.expression):
+            yield info.to_pb()
+
+    def _get_flight_info(self, request, context):
+        return self.get_flight_info(
+            FlightDescriptor.from_pb(request)).to_pb()
+
+    def _get_schema(self, request, context):
+        info = self.get_flight_info(FlightDescriptor.from_pb(request))
+        mapper = DictionaryFieldMapper()
+        out = fp.SchemaResult()
+        out.schema = serialize_schema_message(info.schema, mapper)
+        return out
+
+    def _do_get(self, request, context):
+        tbl = self.do_get(Ticket(request.ticket))
+        yield from _table_to_flight_datas(tbl)
+
+    def _do_put(self, request_iterator, context):
+        asm = _FlightStreamAssembler()
+        batches = []
+        for fd in request_iterator:
+            rb = asm.feed(fd)
+            if rb is not None:
+                batches.append(rb)
+        tbl = Table.from_batches(batches) if batches else None
+        self.do_put(asm.descriptor, tbl)
+        yield fp.PutResult()
+
+    def _do_action(self, request, context):
+        for body in self.do_action(request.type, request.body):
+            r = fp.Result()
+            r.body = body
+            yield r
+
+    def _list_actions(self, request, context):
+        for (t, desc) in self.list_actions():
+            a = fp.ActionType()
+            a.type = t
+            a.description = desc
+            yield a
+
+    def serve(self, block: bool = False):
+        self._server.start()
+        if block:
+            self._server.wait_for_termination()
+
+    def shutdown(self):
+        self._server.stop(grace=None)
+
+    def __enter__(self):
+        self.serve()
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+
+# --- client ----------------------------------------------------------------
+
+class FlightClient:
+    def __init__(self, location: str):
+        host_port = location.replace("grpc://", "").replace(
+            "grpc+tcp://", "")
+        self._channel = grpc.insecure_channel(host_port)
+
+    def _method(self, name):
+        return f"/{_SERVICE}/{name}"
+
+    def get_flight_info(self, descriptor: FlightDescriptor):
+        stub = self._channel.unary_unary(
+            self._method("GetFlightInfo"),
+            request_serializer=fp.FlightDescriptor.SerializeToString,
+            response_deserializer=fp.FlightInfo.FromString)
+        info = stub(descriptor.to_pb())
+        mapper = DictionaryFieldMapper()
+        rdr = RecordBatchStreamReader(info.schema)
+        endpoints = [FlightEndpoint(Ticket(e.ticket.ticket))
+                     for e in info.endpoint]
+        return FlightInfo(rdr.schema, descriptor, endpoints,
+                          info.total_records, info.total_bytes)
+
+    def list_flights(self, criteria: bytes = b""):
+        stub = self._channel.unary_stream(
+            self._method("ListFlights"),
+            request_serializer=fp.Criteria.SerializeToString,
+            response_deserializer=fp.FlightInfo.FromString)
+        req = fp.Criteria()
+        req.expression = criteria
+        for info in stub(req):
+            rdr = RecordBatchStreamReader(info.schema)
+            yield FlightInfo(
+                rdr.schema, FlightDescriptor.from_pb(
+                    info.flight_descriptor),
+                [FlightEndpoint(Ticket(e.ticket.ticket))
+                 for e in info.endpoint],
+                info.total_records, info.total_bytes)
+
+    def do_get(self, ticket: Ticket) -> Table:
+        stub = self._channel.unary_stream(
+            self._method("DoGet"),
+            request_serializer=fp.Ticket.SerializeToString,
+            response_deserializer=fp.FlightData.FromString)
+        req = fp.Ticket()
+        req.ticket = ticket.ticket
+        asm = _FlightStreamAssembler()
+        batches = []
+        for fd in stub(req):
+            rb = asm.feed(fd)
+            if rb is not None:
+                batches.append(rb)
+        return Table.from_batches(batches, asm.schema)
+
+    def do_put(self, descriptor: FlightDescriptor, tbl: Table):
+        stub = self._channel.stream_stream(
+            self._method("DoPut"),
+            request_serializer=fp.FlightData.SerializeToString,
+            response_deserializer=fp.PutResult.FromString)
+
+        def gen():
+            first = True
+            for fd in _table_to_flight_datas(tbl):
+                if first:
+                    fd.flight_descriptor.CopyFrom(descriptor.to_pb())
+                    first = False
+                yield fd
+        list(stub(gen()))
+
+    def do_action(self, action_type: str, body: bytes = b""):
+        stub = self._channel.unary_stream(
+            self._method("DoAction"),
+            request_serializer=fp.Action.SerializeToString,
+            response_deserializer=fp.Result.FromString)
+        a = fp.Action()
+        a.type = action_type
+        a.body = body
+        return [r.body for r in stub(a)]
+
+    def list_actions(self):
+        stub = self._channel.unary_stream(
+            self._method("ListActions"),
+            request_serializer=fp.Empty.SerializeToString,
+            response_deserializer=fp.ActionType.FromString)
+        return [(a.type, a.description) for a in stub(fp.Empty())]
+
+    def close(self):
+        self._channel.close()
+
+
+def connect(location: str) -> FlightClient:
+    return FlightClient(location)

@@ -1,0 +1,102 @@
+"""Flight RPC tests: our server ⇄ our client, plus cross-implementation
+interop with pyarrow.flight in both directions (SURVEY §4's process-pair
+integration pattern, in-process via localhost gRPC)."""
+
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import flight
+
+paf = pytest.importorskip("pyarrow.flight")
+import pyarrow as pa  # noqa: E402
+
+
+class Server(flight.FlightServerBase):
+    def __init__(self):
+        super().__init__("grpc://127.0.0.1:0")
+        self.tables = {
+            "t1": at.table({"x": [1, 2, None], "s": ["a", None, "c"]})}
+        self.received = {}
+
+    def get_flight_info(self, desc):
+        name = desc.path[0].decode()
+        t = self.tables[name]
+        return flight.FlightInfo(
+            t.schema, desc, [flight.FlightEndpoint(name.encode())],
+            t.num_rows, -1)
+
+    def do_get(self, ticket):
+        return self.tables[ticket.ticket.decode()]
+
+    def do_put(self, desc, tbl):
+        self.received[desc.path[0].decode()] = tbl
+
+    def list_flights(self, criteria):
+        for name, t in self.tables.items():
+            yield flight.FlightInfo(
+                t.schema, flight.FlightDescriptor.for_path(name),
+                [flight.FlightEndpoint(name.encode())], t.num_rows, -1)
+
+    def do_action(self, action_type, body):
+        return [b"echo:" + body]
+
+    def list_actions(self):
+        return [("ping", "echo the body")]
+
+
+@pytest.fixture(scope="module")
+def server():
+    with Server() as srv:
+        yield srv
+
+
+def test_roundtrip_own_client(server):
+    cli = flight.connect(f"grpc://127.0.0.1:{server.port}")
+    infos = list(cli.list_flights())
+    assert infos[0].total_records == 3
+    info = cli.get_flight_info(flight.FlightDescriptor.for_path("t1"))
+    assert info.schema.names == ["x", "s"]
+    t = cli.do_get(flight.Ticket(b"t1"))
+    assert t.to_pydict() == {"x": [1, 2, None], "s": ["a", None, "c"]}
+    cli.do_put(flight.FlightDescriptor.for_path("up"),
+               at.table({"y": [9, 8]}))
+    assert server.received["up"].to_pydict() == {"y": [9, 8]}
+    assert cli.do_action("ping", b"hi") == [b"echo:hi"]
+    assert cli.list_actions() == [("ping", "echo the body")]
+    cli.close()
+
+
+def test_pyarrow_client_reads_our_server(server):
+    pcli = paf.connect(f"grpc://127.0.0.1:{server.port}")
+    t = pcli.do_get(paf.Ticket(b"t1")).read_all()
+    assert t.to_pydict() == {"x": [1, 2, None], "s": ["a", None, "c"]}
+    info = pcli.get_flight_info(paf.FlightDescriptor.for_path(b"t1"))
+    assert info.total_records == 3
+    pcli.close()
+
+
+def test_pyarrow_client_puts_to_our_server(server):
+    pcli = paf.connect(f"grpc://127.0.0.1:{server.port}")
+    data = pa.table({"z": [1.5, None]})
+    writer, _ = pcli.do_put(paf.FlightDescriptor.for_path(b"from_pa"),
+                            data.schema)
+    writer.write_table(data)
+    writer.close()
+    pcli.close()
+    assert server.received["from_pa"].to_pydict() == {"z": [1.5, None]}
+
+
+def test_our_client_reads_pyarrow_server():
+    class PaServer(paf.FlightServerBase):
+        def __init__(self):
+            super().__init__("grpc://127.0.0.1:0")
+
+        def do_get(self, context, ticket):
+            t = pa.table({"q": [7, None, 9]})
+            return paf.RecordBatchStream(t)
+
+    with PaServer() as psrv:
+        cli = flight.connect(f"grpc://127.0.0.1:{psrv.port}")
+        t = cli.do_get(flight.Ticket(b"anything"))
+        assert t.to_pydict() == {"q": [7, None, 9]}
+        cli.close()
