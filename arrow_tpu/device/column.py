@@ -206,12 +206,26 @@ class DeviceBatch:
 
 def _dictionary_encode_host(arr: Array) -> Tuple[np.ndarray, Optional[np.ndarray], Array]:
     """Host-side dictionary encode of string/binary values -> (codes,
-    valid_mask, dictionary). Vectorized via numpy."""
+    valid_mask, dictionary). Native C++ hash-map encoder when available
+    (arrow_tpu.native), numpy fallback otherwise."""
     d = arr.data
     mask = d.validity_mask()
     offs = d.offsets().astype(np.int64)
     raw = d.data_bytes()
-    # np.unique on object arrays of bytes
+    is_str = arr.type.id in (TypeId.STRING, TypeId.LARGE_STRING)
+
+    from ..native import dict_encode_binary
+    native = dict_encode_binary(
+        raw, offs, None if mask is None else mask.astype(np.uint8))
+    if native is not None:
+        codes, uoffs, ubytes = native
+        dict_type = T.string() if is_str else T.binary()
+        dict_arr = Array(ArrayData(dict_type, len(uoffs) - 1,
+                                   [None, Buffer(uoffs), Buffer(ubytes)],
+                                   null_count=0))
+        return codes, mask, dict_arr
+
+    # numpy fallback
     vals = np.empty(d.length, dtype=object)
     rawb = raw.tobytes()
     for i in range(d.length):
@@ -227,7 +241,6 @@ def _dictionary_encode_host(arr: Array) -> Tuple[np.ndarray, Optional[np.ndarray
     rank[order] = np.arange(len(order))
     codes = rank[codes].astype(np.int32)
     uniq = uniq[order]
-    is_str = arr.type.id in (TypeId.STRING, TypeId.LARGE_STRING)
     dict_vals = [u.decode() if is_str else bytes(u) for u in uniq]
     dict_arr = make_array(dict_vals,
                           T.string() if is_str else T.binary())
