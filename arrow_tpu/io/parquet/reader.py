@@ -1,0 +1,440 @@
+"""Parquet file reader.
+
+Reference analogue: cpp/src/parquet/file_reader.h + arrow bridge
+(parquet/arrow/reader.h). Scope: flat schemas (no nested), PLAIN +
+dictionary encodings, data pages v1/v2, UNCOMPRESSED/ZSTD codecs — the
+subset pyarrow writes by default plus zstd.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import BinaryIO, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ... import types as T
+from ...array.array import Array
+from ...array.data import ArrayData
+from ...buffer import Buffer
+from ...table import RecordBatch, Table
+from ...types import DataType, Field, Schema, TypeId
+from ...utils import bits as bitutil
+from .rle import decode_rle
+from .thrift import CompactReader
+
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+MAGIC = b"PAR1"
+
+# physical types
+BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
+
+# encodings
+ENC_PLAIN = 0
+ENC_PLAIN_DICTIONARY = 2
+ENC_RLE = 3
+ENC_RLE_DICTIONARY = 8
+
+# codecs
+CODEC_UNCOMPRESSED = 0
+CODEC_SNAPPY = 1
+CODEC_GZIP = 2
+CODEC_ZSTD = 6
+
+PAGE_DATA = 0
+PAGE_INDEX = 1
+PAGE_DICT = 2
+PAGE_DATA_V2 = 3
+
+
+def _decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
+    if codec == CODEC_UNCOMPRESSED:
+        return data
+    if codec == CODEC_ZSTD:
+        if _zstd is None:
+            raise NotImplementedError("zstandard not available")
+        return _zstd.ZstdDecompressor().decompress(
+            data, max_output_size=uncompressed_size)
+    if codec == CODEC_GZIP:
+        import zlib
+        return zlib.decompress(data, wbits=31)
+    raise NotImplementedError(f"parquet codec {codec} not supported "
+                              "(snappy/brotli unavailable)")
+
+
+class ColumnSchema:
+    __slots__ = ("name", "physical", "type_length", "arrow_type",
+                 "nullable")
+
+    def __init__(self, name, physical, type_length, arrow_type, nullable):
+        self.name = name
+        self.physical = physical
+        self.type_length = type_length
+        self.arrow_type = arrow_type
+        self.nullable = nullable
+
+
+def _logical_to_arrow(elem: Dict, physical: int,
+                      type_length: int) -> DataType:
+    logical = elem.get(10)
+    if logical is not None:
+        if 1 in logical:
+            return T.string()
+        if 5 in logical:   # DECIMAL {1: scale, 2: precision}
+            d = logical[5]
+            return T.decimal128(d.get(2, 38), d.get(1, 0))
+        if 6 in logical:
+            return T.date32()
+        if 7 in logical:   # TIME {1: utc, 2: unit}
+            unit = _time_unit(logical[7].get(2, {}))
+            return T.time32(unit) if unit in ("s", "ms") else T.time64(unit)
+        if 8 in logical:   # TIMESTAMP
+            ts = logical[8]
+            unit = _time_unit(ts.get(2, {}))
+            tz = "UTC" if ts.get(1) else None
+            return T.timestamp(unit, tz)
+        if 10 in logical:  # INTEGER {1: bitWidth, 2: isSigned}
+            it = logical[10]
+            bw, signed = it.get(1, 32), it.get(2, True)
+            m = {(8, True): T.int8(), (16, True): T.int16(),
+                 (32, True): T.int32(), (64, True): T.int64(),
+                 (8, False): T.uint8(), (16, False): T.uint16(),
+                 (32, False): T.uint32(), (64, False): T.uint64()}
+            return m[(bw, signed)]
+    conv = elem.get(6)
+    if conv is not None:
+        m = {0: T.string(), 6: T.date32(), 7: T.time32("ms"),
+             8: T.time64("us"), 9: T.timestamp("ms", "UTC"),
+             10: T.timestamp("us", "UTC"),
+             15: T.int8(), 16: T.int16(), 17: T.int32(), 18: T.int64(),
+             11: T.uint8(), 12: T.uint16(), 13: T.uint32(),
+             14: T.uint64()}
+        if conv in m:
+            return m[conv]
+        if conv == 5:  # DECIMAL
+            return T.decimal128(elem.get(8, 38), elem.get(7, 0))
+    m = {BOOLEAN: T.bool_(), INT32: T.int32(), INT64: T.int64(),
+         FLOAT: T.float32(), DOUBLE: T.float64(),
+         BYTE_ARRAY: T.binary()}
+    if physical in m:
+        return m[physical]
+    if physical == FLBA:
+        return T.fixed_size_binary(type_length)
+    if physical == INT96:
+        return T.timestamp("ns")
+    raise NotImplementedError(f"parquet physical type {physical}")
+
+
+def _time_unit(unit_union: Dict) -> str:
+    if 1 in unit_union:
+        return "ms"
+    if 2 in unit_union:
+        return "us"
+    if 3 in unit_union:
+        return "ns"
+    return "ms"
+
+
+class ParquetFile:
+    def __init__(self, source):
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            source = io.BytesIO(source)
+        elif isinstance(source, str):
+            source = open(source, "rb")
+        self.src = source
+        self._parse_footer()
+
+    def _parse_footer(self):
+        src = self.src
+        src.seek(0, 2)
+        size = src.tell()
+        src.seek(size - 8)
+        tail = src.read(8)
+        if tail[4:] != MAGIC:
+            raise ValueError("not a parquet file")
+        (flen,) = struct.unpack("<i", tail[:4])
+        src.seek(size - 8 - flen)
+        footer = src.read(flen)
+        md = CompactReader(footer).read_struct()
+        self.version = md.get(1, 1)
+        self.num_rows = md.get(3, 0)
+        self.created_by = (md.get(6) or b"").decode("utf8", "replace")
+        self.key_value_metadata = {
+            kv.get(1, b"").decode(): (kv.get(2) or b"").decode()
+            for kv in md.get(5, [])}
+
+        schema_elems = md.get(2, [])
+        root = schema_elems[0]
+        n_children = root.get(5, 0)
+        self.columns: List[ColumnSchema] = []
+        idx = 1
+        for _ in range(n_children):
+            elem = schema_elems[idx]
+            idx += 1
+            if elem.get(5):  # nested group
+                raise NotImplementedError(
+                    "nested parquet schemas not supported yet")
+            name = elem.get(4, b"").decode()
+            physical = elem.get(1)
+            type_length = elem.get(2, 0)
+            repetition = elem.get(3, 0)
+            at = _logical_to_arrow(elem, physical, type_length)
+            self.columns.append(ColumnSchema(
+                name, physical, type_length, at, repetition == 1))
+
+        self.row_groups = md.get(4, [])
+
+    @property
+    def schema_arrow(self) -> Schema:
+        return Schema([Field(c.name, c.arrow_type, c.nullable)
+                       for c in self.columns])
+
+    @property
+    def num_row_groups(self) -> int:
+        return len(self.row_groups)
+
+    @property
+    def metadata(self):
+        return self
+
+    def read(self, columns: Optional[List[str]] = None) -> Table:
+        batches = [self.read_row_group(i, columns)
+                   for i in range(self.num_row_groups)]
+        schema = (batches[0].schema if batches else
+                  self._selected_schema(columns))
+        return Table.from_batches(batches, schema)
+
+    def _selected_schema(self, columns):
+        cols = self.columns if columns is None else \
+            [c for c in self.columns if c.name in columns]
+        return Schema([Field(c.name, c.arrow_type, c.nullable)
+                       for c in cols])
+
+    def read_row_group(self, i: int,
+                       columns: Optional[List[str]] = None) -> RecordBatch:
+        rg = self.row_groups[i]
+        chunks = rg.get(1, [])
+        num_rows = rg.get(3, 0)
+        arrays, fields = [], []
+        for col_schema, chunk in zip(self.columns, chunks):
+            if columns is not None and col_schema.name not in columns:
+                continue
+            arrays.append(self._read_chunk(col_schema, chunk, num_rows))
+            fields.append(Field(col_schema.name, col_schema.arrow_type,
+                                col_schema.nullable))
+        return RecordBatch(Schema(fields), arrays)
+
+    def _read_chunk(self, cs: ColumnSchema, chunk: Dict,
+                    num_rows: int) -> Array:
+        meta = chunk.get(3)
+        codec = meta.get(4, 0)
+        num_values = meta.get(5, 0)
+        data_off = meta.get(9)
+        dict_off = meta.get(11)
+        start = dict_off if dict_off is not None else data_off
+        self.src.seek(start)
+        # read generously: total compressed size + headroom for headers
+        total = meta.get(7, 0) + (1 << 16)
+        blob = self.src.read(total)
+
+        pos = 0
+        dictionary = None
+        values_parts: List[np.ndarray] = []
+        bin_parts: List[Tuple] = []
+        def_parts: List[np.ndarray] = []
+        consumed = 0
+        while consumed < num_values:
+            header = CompactReader(blob, pos)
+            ph = header.read_struct()
+            pos = header.pos
+            ptype = ph.get(1)
+            uncomp = ph.get(2, 0)
+            comp = ph.get(3, 0)
+            payload = blob[pos:pos + comp]
+            pos += comp
+            if ptype == PAGE_DICT:
+                dph = ph.get(7, {})
+                payload = _decompress(codec, payload, uncomp)
+                dictionary = _decode_plain(cs, payload, dph.get(1, 0))
+            elif ptype == PAGE_DATA:
+                dph = ph.get(5, {})
+                nvals = dph.get(1, 0)
+                enc = dph.get(2, 0)
+                payload = _decompress(codec, payload, uncomp)
+                p = 0
+                if cs.nullable:
+                    (lvl_len,) = struct.unpack_from("<i", payload, 0)
+                    p = 4 + lvl_len
+                    defs = decode_rle(payload, 4, nvals, 1)
+                else:
+                    defs = np.ones(nvals, dtype=np.int64)
+                def_parts.append(defs)
+                n_present = int(defs.sum())
+                _decode_values(cs, enc, payload, p, n_present, dictionary,
+                               values_parts, bin_parts)
+                consumed += nvals
+            elif ptype == PAGE_DATA_V2:
+                d2 = ph.get(8, {})
+                nvals = d2.get(1, 0)
+                nnulls = d2.get(2, 0)
+                enc = d2.get(4, 0)
+                dl_len = d2.get(5, 0)
+                rl_len = d2.get(6, 0)
+                lvl = payload[:dl_len + rl_len]
+                body = payload[dl_len + rl_len:]
+                if d2.get(7, True):
+                    body = _decompress(codec, body,
+                                       uncomp - dl_len - rl_len)
+                if cs.nullable and dl_len:
+                    defs = decode_rle(lvl, rl_len, nvals, 1)
+                else:
+                    defs = np.ones(nvals, dtype=np.int64)
+                def_parts.append(defs)
+                n_present = nvals - nnulls
+                _decode_values(cs, enc, body, 0, n_present, dictionary,
+                               values_parts, bin_parts)
+                consumed += nvals
+            else:
+                continue  # index pages etc.
+
+        defs = np.concatenate(def_parts) if def_parts else \
+            np.ones(0, dtype=np.int64)
+        return _assemble(cs, defs, values_parts, bin_parts, dictionary)
+
+
+def _decode_values(cs, enc, payload, p, n_present, dictionary,
+                   values_parts, bin_parts):
+    if enc in (ENC_RLE_DICTIONARY, ENC_PLAIN_DICTIONARY):
+        bw = payload[p]
+        idx = decode_rle(payload, p + 1, n_present, bw)
+        values_parts.append(("dict", idx))
+    elif enc == ENC_PLAIN:
+        values_parts.append(("plain",
+                             _decode_plain(cs, payload[p:], n_present)))
+    else:
+        raise NotImplementedError(f"parquet encoding {enc}")
+
+
+def _decode_plain(cs: ColumnSchema, data: bytes, n: int):
+    ph = cs.physical
+    if ph == BOOLEAN:
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                             bitorder="little")
+        return bits[:n].astype(np.bool_)
+    if ph == INT32:
+        return np.frombuffer(data, dtype=np.int32, count=n)
+    if ph == INT64:
+        return np.frombuffer(data, dtype=np.int64, count=n)
+    if ph == FLOAT:
+        return np.frombuffer(data, dtype=np.float32, count=n)
+    if ph == DOUBLE:
+        return np.frombuffer(data, dtype=np.float64, count=n)
+    if ph == FLBA:
+        w = cs.type_length
+        return np.frombuffer(data, dtype=np.uint8,
+                             count=n * w).reshape(n, w)
+    if ph == BYTE_ARRAY:
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        chunks = []
+        pos = 0
+        mv = memoryview(data)
+        for i in range(n):
+            (ln,) = struct.unpack_from("<I", mv, pos)
+            pos += 4
+            chunks.append(bytes(mv[pos:pos + ln]))
+            pos += ln
+            offsets[i + 1] = offsets[i] + ln
+        return offsets, b"".join(chunks)
+    raise NotImplementedError(f"plain decode for physical {ph}")
+
+
+def _assemble(cs: ColumnSchema, defs: np.ndarray, values_parts,
+              bin_parts, dictionary) -> Array:
+    n = len(defs)
+    present = defs.astype(np.bool_)
+    null_count = int(n - present.sum())
+    validity = None if null_count == 0 else \
+        Buffer(bitutil.pack_bits(present))
+    t = cs.arrow_type
+
+    # merge parts into one dense value array (present values only)
+    plain_vals = []
+    for kind, v in values_parts:
+        if kind == "dict":
+            plain_vals.append(("dict", v))
+        else:
+            plain_vals.append(("plain", v))
+
+    if cs.physical == BYTE_ARRAY:
+        # build offsets+data over PRESENT values, then spread
+        all_offs, all_bytes = [], []
+        for kind, v in plain_vals:
+            if kind == "dict":
+                doffs, dbytes = dictionary
+                lens = (doffs[1:] - doffs[:-1])[v]
+                starts = doffs[:-1][v]
+                bs = b"".join(dbytes[int(s):int(s + l)] for s, l in
+                              zip(starts, lens)) if len(v) else b""
+                all_offs.append(lens)
+                all_bytes.append(bs)
+            else:
+                offs, bs = v
+                all_offs.append(np.diff(offs))
+                all_bytes.append(bs)
+        lens_present = (np.concatenate(all_offs) if all_offs
+                        else np.zeros(0, dtype=np.int64))
+        data_bytes = b"".join(all_bytes)
+        lens_full = np.zeros(n, dtype=np.int64)
+        lens_full[present] = lens_present
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens_full, out=offsets[1:])
+        off_dt = np.int32 if t.id in (TypeId.STRING, TypeId.BINARY) \
+            else np.int64
+        return Array(ArrayData(
+            t if t.id in (TypeId.STRING, TypeId.BINARY,
+                          TypeId.LARGE_STRING, TypeId.LARGE_BINARY)
+            else T.binary(), n,
+            [validity, Buffer(offsets.astype(off_dt)),
+             Buffer(data_bytes)], null_count=null_count))
+
+    dense_parts = []
+    for kind, v in plain_vals:
+        if kind == "dict":
+            dense_parts.append(np.asarray(dictionary)[v])
+        else:
+            dense_parts.append(v)
+    dense = (np.concatenate(dense_parts) if dense_parts
+             else np.zeros(0, dtype=np.int64))
+
+    if cs.physical == FLBA:
+        w = cs.type_length
+        full = np.zeros((n, w), dtype=np.uint8)
+        vals = dense.reshape(-1, w)
+        if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+            vals = vals[:, ::-1]  # parquet decimals are big-endian
+        full[present] = vals
+        return Array(ArrayData(t, n, [validity, Buffer(full.reshape(-1))],
+                               null_count=null_count))
+
+    if t.id == TypeId.BOOL:
+        full = np.zeros(n, dtype=np.bool_)
+        full[present] = dense.astype(np.bool_)
+        return Array(ArrayData(t, n,
+                               [validity,
+                                Buffer(bitutil.pack_bits(full))],
+                               null_count=null_count))
+
+    np_dt = t.to_numpy_dtype()
+    full = np.zeros(n, dtype=np_dt)
+    full[present] = dense.astype(np_dt)
+    return Array(ArrayData(t, n, [validity, Buffer(full)],
+                           null_count=null_count))
+
+
+def read_table(source, columns: Optional[List[str]] = None) -> Table:
+    return ParquetFile(source).read(columns)

@@ -1,0 +1,355 @@
+"""Parquet file writer.
+
+Reference analogue: cpp/src/parquet/file_writer.h + arrow bridge
+(parquet/arrow/writer.h). Writes v1 data pages, PLAIN encoding for
+numerics and dictionary (RLE_DICTIONARY) for binary columns,
+UNCOMPRESSED or ZSTD, one row group per call (configurable chunking).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import BinaryIO, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ... import types as T
+from ...array.array import Array
+from ...table import RecordBatch, Table
+from ...types import DataType, Schema, TypeId
+from ...utils import bits as bitutil
+from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
+                     DOUBLE, ENC_PLAIN, ENC_RLE, ENC_RLE_DICTIONARY, FLBA,
+                     FLOAT, INT32, INT64, MAGIC, PAGE_DATA, PAGE_DICT)
+from .rle import bit_width_for, encode_rle
+from .thrift import (CT_BINARY, CT_I32, CT_I64, CT_STRUCT, CompactWriter)
+
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+
+def _physical_for(t: DataType) -> Tuple[int, int]:
+    """arrow type -> (physical, type_length)."""
+    tid = t.id
+    if tid == TypeId.BOOL:
+        return BOOLEAN, 0
+    if tid in (TypeId.INT8, TypeId.INT16, TypeId.INT32, TypeId.UINT8,
+               TypeId.UINT16, TypeId.DATE32, TypeId.TIME32):
+        return INT32, 0
+    if tid in (TypeId.INT64, TypeId.UINT32, TypeId.UINT64,
+               TypeId.TIMESTAMP, TypeId.TIME64, TypeId.DURATION,
+               TypeId.DATE64):
+        return INT64, 0
+    if tid == TypeId.HALF_FLOAT or tid == TypeId.FLOAT:
+        return FLOAT, 0
+    if tid == TypeId.DOUBLE:
+        return DOUBLE, 0
+    if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
+               TypeId.LARGE_BINARY, TypeId.DICTIONARY):
+        return BYTE_ARRAY, 0
+    if tid == TypeId.DECIMAL128:
+        return FLBA, 16
+    if tid == TypeId.FIXED_SIZE_BINARY:
+        return FLBA, t.byte_width
+    raise NotImplementedError(f"parquet write for {t!r}")
+
+
+def _write_logical(w: CompactWriter, t: DataType):
+    """SchemaElement converted_type (6) + logicalType (10) fields."""
+    tid = t.id
+
+    def logical(union_fid, builder=None):
+        w.field_struct_begin(10)
+        w.field_struct_begin(union_fid)
+        if builder:
+            builder()
+        w.struct_end()
+        w.struct_end()
+
+    if tid in (TypeId.STRING, TypeId.LARGE_STRING) or (
+            tid == TypeId.DICTIONARY and
+            t.value_type.id in (TypeId.STRING, TypeId.LARGE_STRING)):
+        w.field_i32(6, 0)  # UTF8
+        logical(1)
+    elif tid == TypeId.DATE32:
+        w.field_i32(6, 6)  # DATE
+        logical(6)
+    elif tid == TypeId.TIMESTAMP:
+        conv = {"ms": 9, "us": 10}.get(t.unit)
+        if conv is not None and t.tz:
+            w.field_i32(6, conv)
+
+        def ts_body():
+            w.field_bool(1, t.tz is not None)
+            w.field_struct_begin(2)
+            unit_fid = {"ms": 1, "us": 2, "ns": 3}.get(t.unit, 2)
+            w.field_struct_begin(unit_fid)
+            w.struct_end()
+            w.struct_end()
+        logical(8, ts_body)
+    elif tid == TypeId.DECIMAL128:
+        w.field_i32(6, 5)
+        w.field_i32(7, t.scale)
+        w.field_i32(8, t.precision)
+
+        def dec_body():
+            w.field_i32(1, t.scale)
+            w.field_i32(2, t.precision)
+        logical(5, dec_body)
+    elif t.is_integer and tid not in (TypeId.INT32, TypeId.INT64):
+        conv = {TypeId.INT8: 15, TypeId.INT16: 16, TypeId.UINT8: 11,
+                TypeId.UINT16: 12, TypeId.UINT32: 13,
+                TypeId.UINT64: 14}.get(tid)
+        if conv is not None:
+            w.field_i32(6, conv)
+        # logicalType INTEGER {1: byte bitWidth, 2: bool isSigned}
+        w.field_struct_begin(10)
+        w.field_struct_begin(10)
+        w.buf.append((1 << 4) | 3)  # field 1, type BYTE
+        w.buf.append(t.bit_width & 0xFF)
+        w._last_fid[-1] = 1
+        w.field_bool(2, t.is_signed_integer)
+        w.struct_end()
+        w.struct_end()
+
+
+def _plain_encode(t: DataType, arr: Array, present: np.ndarray) -> bytes:
+    tid = t.id
+    d = arr.data
+    if tid == TypeId.BOOL:
+        vals = d.values()[present]
+        return bitutil.pack_bits(vals).tobytes()
+    if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
+               TypeId.LARGE_BINARY):
+        offs = d.offsets().astype(np.int64)
+        raw = d.data_bytes().tobytes()
+        out = bytearray()
+        for i in np.nonzero(present)[0]:
+            b = raw[offs[i]:offs[i + 1]]
+            out += struct.pack("<I", len(b))
+            out += b
+        return bytes(out)
+    if tid in (TypeId.DECIMAL128, TypeId.FIXED_SIZE_BINARY):
+        w = t.byte_width
+        vals = d.values()[present]
+        if tid == TypeId.DECIMAL128:
+            # parquet stores decimals big-endian
+            return vals[:, ::-1].tobytes()
+        return vals.tobytes()
+    vals = d.values()[present]
+    physical, _ = _physical_for(t)
+    np_dt = {INT32: np.int32, INT64: np.int64, FLOAT: np.float32,
+             DOUBLE: np.float64}[physical]
+    return vals.astype(np_dt).tobytes()
+
+
+def _compress(codec: int, data: bytes) -> bytes:
+    if codec == CODEC_UNCOMPRESSED:
+        return data
+    if codec == CODEC_ZSTD:
+        return _zstd.ZstdCompressor().compress(data)
+    raise NotImplementedError(f"codec {codec}")
+
+
+def _page_header(ptype: int, uncomp: int, comp: int,
+                 data_hdr: Optional[Dict] = None,
+                 dict_hdr: Optional[Dict] = None) -> bytes:
+    w = CompactWriter()
+    w.field_i32(1, ptype)
+    w.field_i32(2, uncomp)
+    w.field_i32(3, comp)
+    if data_hdr is not None:
+        w.field_struct_begin(5)
+        w.field_i32(1, data_hdr["num_values"])
+        w.field_i32(2, data_hdr["encoding"])
+        w.field_i32(3, ENC_RLE)
+        w.field_i32(4, ENC_RLE)
+        w.struct_end()
+    if dict_hdr is not None:
+        w.field_struct_begin(7)
+        w.field_i32(1, dict_hdr["num_values"])
+        w.field_i32(2, ENC_PLAIN)
+        w.struct_end()
+    w.struct_end()
+    return w.bytes()
+
+
+class ParquetWriter:
+    def __init__(self, sink: Union[str, BinaryIO], schema: Schema,
+                 compression: Optional[str] = None,
+                 use_dictionary: bool = True):
+        self._close = False
+        if isinstance(sink, str):
+            sink = open(sink, "wb")
+            self._close = True
+        self.sink = sink
+        self.schema = schema
+        self.codec = {None: CODEC_UNCOMPRESSED, "none": CODEC_UNCOMPRESSED,
+                      "zstd": CODEC_ZSTD}[
+            compression.lower() if isinstance(compression, str)
+            else compression]
+        self.use_dictionary = use_dictionary
+        self.row_groups: List[Dict] = []
+        self.num_rows = 0
+        self.sink.write(MAGIC)
+        self.pos = 4
+
+    def _w(self, data: bytes) -> int:
+        off = self.pos
+        self.sink.write(data)
+        self.pos += len(data)
+        return off
+
+    def write_table(self, tbl: Table, row_group_size: Optional[int] = None):
+        for rb in tbl.to_batches(row_group_size):
+            self.write_batch(rb)
+
+    def write_batch(self, rb: RecordBatch):
+        chunks = []
+        for f, col in zip(self.schema.fields, rb.columns):
+            chunks.append(self._write_column(f.type, col))
+        self.row_groups.append({
+            "columns": chunks, "num_rows": rb.num_rows,
+            "total_byte_size": sum(c["total_uncompressed_size"]
+                                   for c in chunks)})
+        self.num_rows += rb.num_rows
+
+    def _write_column(self, t: DataType, col: Array) -> Dict:
+        n = len(col)
+        present = col.is_valid_mask()
+        nullable = True
+        physical, type_length = _physical_for(t)
+
+        use_dict = (self.use_dictionary and physical == BYTE_ARRAY)
+        encodings = [ENC_RLE, ENC_PLAIN]
+        dict_page_offset = None
+        total_comp = 0
+        total_uncomp = 0
+
+        # definition levels
+        defs = encode_rle(present.astype(np.int64), 1)
+        def_block = struct.pack("<i", len(defs)) + defs
+
+        if use_dict:
+            from ...device.column import _dictionary_encode_host
+            if t.id == TypeId.DICTIONARY:
+                codes_np = col.data.values().astype(np.int64)
+                dict_arr = Array(col.data.dictionary)
+                codes = codes_np
+            else:
+                codes, _, dict_arr = _dictionary_encode_host(col)
+                codes = codes.astype(np.int64)
+            dict_present = np.ones(len(dict_arr), dtype=bool)
+            dict_payload = _plain_encode(
+                dict_arr.type, dict_arr, dict_present)
+            comp_dict = _compress(self.codec, dict_payload)
+            hdr = _page_header(PAGE_DICT, len(dict_payload),
+                               len(comp_dict),
+                               dict_hdr={"num_values": len(dict_arr)})
+            dict_page_offset = self._w(hdr + comp_dict)
+            total_comp += len(hdr) + len(comp_dict)
+            total_uncomp += len(hdr) + len(dict_payload)
+
+            bw = bit_width_for(max(len(dict_arr) - 1, 1))
+            idx = codes[present]
+            body = bytes([bw]) + encode_rle(idx, bw)
+            payload = def_block + body
+            enc = ENC_RLE_DICTIONARY
+            encodings.append(ENC_RLE_DICTIONARY)
+        else:
+            body = _plain_encode(t, col, present)
+            payload = def_block + body
+            enc = ENC_PLAIN
+
+        comp_payload = _compress(self.codec, payload)
+        hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                           data_hdr={"num_values": n, "encoding": enc})
+        data_page_offset = self._w(hdr + comp_payload)
+        total_comp += len(hdr) + len(comp_payload)
+        total_uncomp += len(hdr) + len(payload)
+
+        return {
+            "physical": physical, "type_length": type_length,
+            "encodings": encodings, "codec": self.codec,
+            "num_values": n,
+            "total_uncompressed_size": total_uncomp,
+            "total_compressed_size": total_comp,
+            "data_page_offset": data_page_offset,
+            "dictionary_page_offset": dict_page_offset,
+        }
+
+    def close(self):
+        footer = self._footer()
+        self._w(footer)
+        self.sink.write(struct.pack("<i", len(footer)))
+        self.sink.write(MAGIC)
+        if self._close:
+            self.sink.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _footer(self) -> bytes:
+        w = CompactWriter()
+        w.field_i32(1, 2)  # version
+        # schema elements
+        w.field_list_begin(2, CT_STRUCT, len(self.schema) + 1)
+        w.elem_struct_begin()
+        w.field_binary(4, b"schema")
+        w.field_i32(5, len(self.schema))
+        w.struct_end()
+        for f in self.schema.fields:
+            physical, type_length = _physical_for(f.type)
+            w.elem_struct_begin()
+            w.field_i32(1, physical)
+            if type_length:
+                w.field_i32(2, type_length)
+            w.field_i32(3, 1 if f.nullable else 0)
+            w.field_binary(4, f.name.encode())
+            _write_logical(w, f.type)
+            w.struct_end()
+        w.field_i64(3, self.num_rows)
+        # row groups
+        w.field_list_begin(4, CT_STRUCT, len(self.row_groups))
+        for rg in self.row_groups:
+            w.elem_struct_begin()
+            w.field_list_begin(1, CT_STRUCT, len(rg["columns"]))
+            for f, c in zip(self.schema.fields, rg["columns"]):
+                w.elem_struct_begin()  # ColumnChunk
+                w.field_i64(2, c["data_page_offset"])
+                w.field_struct_begin(3)  # ColumnMetaData
+                w.field_i32(1, c["physical"])
+                w.field_list_begin(2, CT_I32, len(c["encodings"]))
+                for e in c["encodings"]:
+                    w.elem_i32(e)
+                w.field_list_begin(3, CT_BINARY, 1)
+                w.elem_binary(f.name.encode())
+                w.field_i32(4, c["codec"])
+                w.field_i64(5, c["num_values"])
+                w.field_i64(6, c["total_uncompressed_size"])
+                w.field_i64(7, c["total_compressed_size"])
+                w.field_i64(9, c["data_page_offset"])
+                if c["dictionary_page_offset"] is not None:
+                    w.field_i64(11, c["dictionary_page_offset"])
+                w.struct_end()
+                w.struct_end()
+            w.field_i64(2, rg["total_byte_size"])
+            w.field_i64(3, rg["num_rows"])
+            w.struct_end()
+        w.field_binary(6, b"arrow_tpu parquet writer")
+        w.struct_end()
+        return w.bytes()
+
+
+def write_table(tbl: Table, sink, compression: Optional[str] = None,
+                use_dictionary: bool = True,
+                row_group_size: Optional[int] = None):
+    with ParquetWriter(sink, tbl.schema, compression,
+                       use_dictionary) as w:
+        w.write_table(tbl, row_group_size)

@@ -1,0 +1,163 @@
+"""Parquet differential tests vs pyarrow.parquet."""
+
+import datetime
+import decimal
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as papq
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.array.array import pylist_equal
+from arrow_tpu.io import parquet as pq
+
+
+def ours_to_bytes(t, **kw) -> bytes:
+    buf = io.BytesIO()
+    pq.write_table(t, buf, **kw)
+    return buf.getvalue()
+
+
+def pa_to_bytes(pt, **kw) -> bytes:
+    sink = pa.BufferOutputStream()
+    papq.write_table(pt, sink, **kw)
+    return sink.getvalue().to_pybytes()
+
+
+BASE = {
+    "i64": [1, None, 3, -9],
+    "f64": [1.5, 2.5, None, float("nan")],
+    "f32": at.array([0.5, None, 2.0, 3.0], at.float32()),
+    "s": ["aa", None, "", "ddd"],
+    "b": [True, False, None, True],
+    "i32": at.array([7, None, -2, 0], at.int32()),
+    "bin": at.array([b"\x00\x01", None, b"", b"xyz"], at.binary()),
+}
+
+
+def test_roundtrip_and_pyarrow_reads_ours():
+    t = at.table(BASE)
+    data = ours_to_bytes(t)
+    assert pq.read_table(data).equals(t)
+    pa_t = papq.read_table(pa.BufferReader(data))
+    assert pylist_equal(pa_t.to_pylist(), t.to_pylist())
+
+
+def test_ours_reads_pyarrow_default():
+    t = at.table(BASE)
+    pa_t = pa.table(t.to_pydict())
+    ours = pq.read_table(pa_to_bytes(pa_t, compression="none"))
+    assert pylist_equal(ours.to_pylist(), t.to_pylist())
+
+
+@pytest.mark.parametrize("compression", ["none", "zstd"])
+@pytest.mark.parametrize("use_dictionary", [True, False])
+def test_pyarrow_write_options_matrix(compression, use_dictionary):
+    t = at.table({"x": list(range(100)),
+                  "s": [f"v{i % 9}" for i in range(100)]})
+    pa_t = pa.table(t.to_pydict())
+    data = pa_to_bytes(pa_t, compression=compression,
+                       use_dictionary=use_dictionary)
+    assert pq.read_table(data).equals(t)
+
+
+@pytest.mark.parametrize("compression", [None, "zstd"])
+@pytest.mark.parametrize("use_dictionary", [True, False])
+def test_our_write_options_matrix(compression, use_dictionary):
+    t = at.table({"x": list(range(100)),
+                  "s": [f"v{i % 9}" for i in range(100)]})
+    data = ours_to_bytes(t, compression=compression,
+                         use_dictionary=use_dictionary)
+    assert pq.read_table(data).equals(t)
+    pa_t = papq.read_table(pa.BufferReader(data))
+    assert pa_t.to_pydict() == t.to_pydict()
+
+
+def test_temporal_decimal_types():
+    t = at.table({
+        "d": at.array([datetime.date(2021, 5, 4), None]),
+        "ts": at.array([datetime.datetime(2020, 1, 2, 3, 4, 5), None],
+                       at.timestamp("us")),
+        "dec": at.array([decimal.Decimal("12.34"), None],
+                        at.decimal128(9, 2)),
+    })
+    data = ours_to_bytes(t)
+    back = pq.read_table(data)
+    assert back.column("d").to_pylist() == t.column("d").to_pylist()
+    assert back.column("ts").to_pylist() == t.column("ts").to_pylist()
+    assert back.column("dec").to_pylist() == t.column("dec").to_pylist()
+    pa_t = papq.read_table(pa.BufferReader(data))
+    assert pa_t.column("d").to_pylist() == t.column("d").to_pylist()
+    assert pa_t.column("dec").to_pylist() == t.column("dec").to_pylist()
+
+    # read pyarrow's temporal file
+    pd = pa.table({"d": pa.array([datetime.date(1999, 1, 1), None]),
+                   "ts": pa.array([datetime.datetime(2000, 6, 1), None],
+                                  type=pa.timestamp("ms"))})
+    ours = pq.read_table(pa_to_bytes(pd, compression="none"))
+    assert ours.column("d").to_pylist() == pd.column("d").to_pylist()
+    assert ours.column("ts").to_pylist() == pd.column("ts").to_pylist()
+
+
+def test_row_groups_and_column_selection():
+    t = at.table({"x": list(range(1000)),
+                  "y": [float(i) for i in range(1000)]})
+    data = ours_to_bytes(t, row_group_size=300)
+    f = pq.ParquetFile(data)
+    assert f.num_row_groups == 4
+    assert f.num_rows == 1000
+    sel = f.read(columns=["y"])
+    assert sel.column_names == ["y"]
+    assert sel.num_rows == 1000
+    # pyarrow respects our row groups
+    pf = papq.ParquetFile(pa.BufferReader(data))
+    assert pf.num_row_groups == 4
+    assert pf.read_row_group(1).to_pydict()["x"][:3] == [300, 301, 302]
+    # read a multi-row-group pyarrow file
+    pa_t = pa.table(t.to_pydict())
+    data2 = pa_to_bytes(pa_t, row_group_size=300, compression="none")
+    assert pq.read_table(data2).equals(t)
+
+
+def test_metadata_surface():
+    t = at.table({"x": [1]})
+    f = pq.ParquetFile(ours_to_bytes(t))
+    assert f.schema_arrow.names == ["x"]
+    assert "arrow_tpu" in f.created_by
+
+
+def test_unsupported_codec_raises():
+    pa_t = pa.table({"x": [1, 2, 3]})
+    data = pa_to_bytes(pa_t, compression="snappy")
+    with pytest.raises(NotImplementedError):
+        pq.read_table(data)
+
+
+def test_randomized_large():
+    rng = np.random.default_rng(11)
+    n = 5000
+    mask = rng.random(n) < 0.2
+    t = at.table({
+        "i": [None if m else int(v)
+              for m, v in zip(mask, rng.integers(-10**9, 10**9, n))],
+        "f": [float(v) for v in rng.normal(size=n)],
+        "s": [None if m else f"str{int(v)}"
+              for m, v in zip(rng.random(n) < 0.1,
+                              rng.integers(0, 500, n))],
+    })
+    for comp in [None, "zstd"]:
+        data = ours_to_bytes(t, compression=comp)
+        assert pq.read_table(data).equals(t)
+        pa_t = papq.read_table(pa.BufferReader(data))
+        assert pylist_equal(pa_t.to_pylist(), t.to_pylist())
+    data = pa_to_bytes(pa.table(t.to_pydict()), compression="zstd")
+    assert pq.read_table(data).equals(t)
+
+
+def test_pyarrow_default_snappy_guarded():
+    # pyarrow defaults to snappy; we surface a clear error
+    data = pa_to_bytes(pa.table({"x": [1]}))
+    with pytest.raises(NotImplementedError):
+        pq.read_table(data)
