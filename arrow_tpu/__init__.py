@@ -27,4 +27,21 @@ from .table import (  # noqa: F401
     ChunkedArray, RecordBatch, Table, chunked_array, record_batch, table,
 )
 
+from . import compute  # noqa: F401
+from . import ipc  # noqa: F401
+
+
+def __getattr__(name):
+    # heavier subsystems load lazily
+    import importlib
+    lazy = {"acero": ".acero", "dataset": ".dataset", "fs": ".fs",
+            "flight": ".flight", "parallel": ".parallel",
+            "tensor": ".tensor", "c_data": ".c_data",
+            "gandiva": ".gandiva", "device": ".device",
+            "pretty": ".pretty"}
+    if name in lazy:
+        return importlib.import_module(lazy[name], __name__)
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"

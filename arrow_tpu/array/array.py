@@ -107,6 +107,18 @@ class Array:
         from ..compute import call_function
         return call_function("cast", [self], options={"to_type": target})
 
+    def __arrow_c_array__(self, requested_schema=None):
+        from ..c_data import array_capsules
+        return array_capsules(self)
+
+    def to_pandas(self):
+        import pandas as pd
+        if self.type.is_numeric and self.null_count == 0:
+            return pd.Series(self.data.values())
+        if self.type.is_floating:
+            return pd.Series(self.to_numpy())
+        return pd.Series(self.to_pylist(), dtype=object)
+
 
 def _raise_oob(i):
     raise IndexError(i)

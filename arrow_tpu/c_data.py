@@ -160,20 +160,26 @@ _next_export_id = [0]
 
 @ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowSchemaStruct))
 def _release_schema(ptr):
-    s = ptr.contents
-    key = s.private_data
-    s.release = ctypes.cast(None, type(s.release))
-    if key in _EXPORT_KEEPALIVE:
-        del _EXPORT_KEEPALIVE[key]
+    try:
+        s = ptr.contents
+        key = s.private_data
+        ctypes.memset(ctypes.addressof(s) + ArrowSchemaStruct.release.offset,
+                      0, ctypes.sizeof(ctypes.c_void_p))
+        _EXPORT_KEEPALIVE.pop(key, None)
+    except Exception:
+        pass  # interpreter shutdown
 
 
 @ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowArrayStruct))
 def _release_array(ptr):
-    a = ptr.contents
-    key = a.private_data
-    a.release = ctypes.cast(None, type(a.release))
-    if key in _EXPORT_KEEPALIVE:
-        del _EXPORT_KEEPALIVE[key]
+    try:
+        a = ptr.contents
+        key = a.private_data
+        ctypes.memset(ctypes.addressof(a) + ArrowArrayStruct.release.offset,
+                      0, ctypes.sizeof(ctypes.c_void_p))
+        _EXPORT_KEEPALIVE.pop(key, None)
+    except Exception:
+        pass
 
 
 def _keepalive(objs) -> int:
@@ -407,3 +413,120 @@ def import_array(array_ptr: int, schema_ptr: int) -> Array:
         s.release(ctypes.cast(schema_ptr,
                               ctypes.POINTER(ArrowSchemaStruct)))
     return out
+
+
+# --- PyCapsule protocol (__arrow_c_schema__/__arrow_c_array__/stream) ------
+
+_PyCapsule_New = ctypes.pythonapi.PyCapsule_New
+_PyCapsule_New.restype = ctypes.py_object
+_PyCapsule_New.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                           ctypes.c_void_p]
+_PyCapsule_GetPointer = ctypes.pythonapi.PyCapsule_GetPointer
+_PyCapsule_GetPointer.restype = ctypes.c_void_p
+_PyCapsule_GetPointer.argtypes = [ctypes.py_object, ctypes.c_char_p]
+
+
+def _capsule(struct_obj, name: bytes):
+    # the struct object itself is kept alive through the keepalive registry
+    # until the consumer calls release
+    _EXPORT_KEEPALIVE[id(struct_obj)] = struct_obj
+    return _PyCapsule_New(ctypes.addressof(struct_obj), name, None)
+
+
+def array_capsules(arr: Array):
+    """Returns (schema_capsule, array_capsule) per the Arrow PyCapsule
+    interface (consumed by pyarrow/pandas/polars)."""
+    sch = ArrowSchemaStruct()
+    a = ArrowArrayStruct()
+    export_array(arr, ctypes.addressof(a), ctypes.addressof(sch))
+    return (_capsule(sch, b"arrow_schema"), _capsule(a, b"arrow_array"))
+
+
+class ArrowArrayStreamStruct(ctypes.Structure):
+    pass
+
+
+ArrowArrayStreamStruct._fields_ = [
+    ("get_schema", ctypes.CFUNCTYPE(
+        ctypes.c_int, ctypes.POINTER(ArrowArrayStreamStruct),
+        ctypes.POINTER(ArrowSchemaStruct))),
+    ("get_next", ctypes.CFUNCTYPE(
+        ctypes.c_int, ctypes.POINTER(ArrowArrayStreamStruct),
+        ctypes.POINTER(ArrowArrayStruct))),
+    ("get_last_error", ctypes.CFUNCTYPE(
+        ctypes.c_char_p, ctypes.POINTER(ArrowArrayStreamStruct))),
+    ("release", ctypes.CFUNCTYPE(
+        None, ctypes.POINTER(ArrowArrayStreamStruct))),
+    ("private_data", ctypes.c_void_p),
+]
+
+
+_STREAM_STATE: dict = {}
+
+
+@ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ArrowArrayStreamStruct),
+                  ctypes.POINTER(ArrowSchemaStruct))
+def _stream_get_schema(stream_ptr, schema_out):
+    state = _STREAM_STATE.get(stream_ptr.contents.private_data)
+    if state is None:
+        return 5  # EIO
+    keep: list = []
+    _export_schema_into(state["schema_field"], schema_out.contents, keep)
+    schema_out.contents.private_data = _keepalive(keep)
+    return 0
+
+
+@ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ArrowArrayStreamStruct),
+                  ctypes.POINTER(ArrowArrayStruct))
+def _stream_get_next(stream_ptr, array_out):
+    state = _STREAM_STATE.get(stream_ptr.contents.private_data)
+    if state is None:
+        return 5
+    if state["pos"] >= len(state["batches"]):
+        array_out.contents.release = ctypes.cast(
+            None, type(array_out.contents.release))
+        return 0  # end of stream
+    data = state["batches"][state["pos"]]
+    state["pos"] += 1
+    keep: list = []
+    _export_array_into(data, array_out.contents, keep)
+    array_out.contents.private_data = _keepalive(keep)
+    return 0
+
+
+@ctypes.CFUNCTYPE(ctypes.c_char_p,
+                  ctypes.POINTER(ArrowArrayStreamStruct))
+def _stream_get_last_error(stream_ptr):
+    return None
+
+
+@ctypes.CFUNCTYPE(None, ctypes.POINTER(ArrowArrayStreamStruct))
+def _stream_release(stream_ptr):
+    s = stream_ptr.contents
+    _STREAM_STATE.pop(s.private_data, None)
+    s.release = ctypes.cast(None, type(s.release))
+
+
+def stream_capsule(batches, schema_field: Field):
+    """ArrowArrayStream capsule over struct-wrapped record batches.
+
+    batches: list of ArrayData of STRUCT type (one per RecordBatch)."""
+    stream = ArrowArrayStreamStruct()
+    stream.get_schema = _stream_get_schema
+    stream.get_next = _stream_get_next
+    stream.get_last_error = _stream_get_last_error
+    stream.release = _stream_release
+    _next_export_id[0] += 1
+    key = _next_export_id[0]
+    stream.private_data = key
+    _STREAM_STATE[key] = {"schema_field": schema_field,
+                          "batches": list(batches), "pos": 0}
+    return _capsule(stream, b"arrow_array_stream")
+
+
+def batch_to_struct_data(rb) -> "ArrayData":
+    """RecordBatch -> struct-typed ArrayData (C stream representation)."""
+    fields = list(rb.schema.fields)
+    st = T.StructType(fields)
+    return ArrayData(st, rb.num_rows, [None],
+                     [c.data for c in rb.columns], null_count=0)

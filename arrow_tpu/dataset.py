@@ -1,0 +1,354 @@
+"""Multi-file datasets: discovery, partitioning, pruned scans, writes.
+
+Reference analogue: cpp/src/arrow/dataset/ — Dataset/Fragment
+(dataset.h:361,156), Scanner (scanner.h:418), hive/directory Partitioning
+(partition.h:67) with expression-based pruning via SimplifyWithGuarantee,
+partitioned writes (dataset_writer.cc). Scans funnel into the same plan
+executor as in-memory tables.
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from . import types as T
+from .acero import (Declaration, FilterNodeOptions, TableSourceNodeOptions,
+                    field)
+from .acero.expression import Expression, simplify_with_guarantee
+from .array.array import array as make_array
+from .fs import FileSelector, FileSystem, FileType, LocalFileSystem
+from .table import RecordBatch, Table
+from .types import DataType, Field, Schema
+
+
+class Partitioning:
+    def parse(self, rel_path: str):
+        """dir path -> ({name: value}, guarantee Expression or None)."""
+        raise NotImplementedError
+
+    def format(self, values: Dict[str, object]) -> str:
+        raise NotImplementedError
+
+
+class HivePartitioning(Partitioning):
+    """key=value directory scheme (reference: partition.h HivePartitioning)."""
+
+    def __init__(self, schema: Optional[Schema] = None):
+        self.schema = schema
+
+    def _coerce(self, name: str, raw: str):
+        if self.schema is not None:
+            idx = self.schema.get_field_index(name)
+            if idx >= 0:
+                t = self.schema.fields[idx].type
+                if t.is_integer:
+                    return int(raw)
+                if t.is_floating:
+                    return float(raw)
+                return raw
+        if re.fullmatch(r"-?\d+", raw):
+            return int(raw)
+        return raw
+
+    def parse(self, rel_path: str):
+        values: Dict[str, object] = {}
+        guarantee = None
+        for part in rel_path.split("/"):
+            if "=" not in part:
+                continue
+            k, v = part.split("=", 1)
+            val = self._coerce(k, v)
+            values[k] = val
+            term = field(k) == val
+            guarantee = term if guarantee is None else \
+                Expression.call("and_kleene", guarantee, term)
+        return values, guarantee
+
+    def format(self, values: Dict[str, object]) -> str:
+        return "/".join(f"{k}={v}" for k, v in values.items())
+
+
+class DirectoryPartitioning(Partitioning):
+    """Positional directory scheme: /<v1>/<v2>/ mapped to schema fields."""
+
+    def __init__(self, schema: Schema):
+        self.schema = schema
+
+    def parse(self, rel_path: str):
+        parts = [p for p in rel_path.split("/") if p]
+        values: Dict[str, object] = {}
+        guarantee = None
+        for f, raw in zip(self.schema.fields, parts):
+            val = int(raw) if f.type.is_integer else raw
+            values[f.name] = val
+            term = field(f.name) == val
+            guarantee = term if guarantee is None else \
+                Expression.call("and_kleene", guarantee, term)
+        return values, guarantee
+
+    def format(self, values: Dict[str, object]) -> str:
+        return "/".join(str(values[f.name]) for f in self.schema.fields)
+
+
+def partitioning(schema: Optional[Schema] = None,
+                 flavor: Optional[str] = None) -> Partitioning:
+    if flavor == "hive":
+        return HivePartitioning(schema)
+    if schema is None:
+        raise ValueError("directory partitioning needs a schema")
+    return DirectoryPartitioning(schema)
+
+
+class FileFormat:
+    name = "?"
+
+    def read(self, fs: FileSystem, path: str,
+             columns: Optional[List[str]] = None) -> Table:
+        raise NotImplementedError
+
+    def write(self, tbl: Table, fs: FileSystem, path: str):
+        raise NotImplementedError
+
+    @property
+    def default_extname(self) -> str:
+        raise NotImplementedError
+
+
+class ParquetFileFormat(FileFormat):
+    name = "parquet"
+    default_extname = "parquet"
+
+    def read(self, fs, path, columns=None):
+        from .io import parquet as pq
+        with fs.open_input_stream(path) as f:
+            return pq.ParquetFile(f.read()).read(columns)
+
+    def write(self, tbl, fs, path):
+        from .io import parquet as pq
+        with fs.open_output_stream(path) as f:
+            pq.write_table(tbl, f)
+
+
+class IpcFileFormat(FileFormat):
+    name = "ipc"
+    default_extname = "arrow"
+
+    def read(self, fs, path, columns=None):
+        from . import ipc
+        with fs.open_input_stream(path) as f:
+            t = ipc.open_file(f.read()).read_all()
+        return t.select(columns) if columns else t
+
+    def write(self, tbl, fs, path):
+        from . import ipc
+        with fs.open_output_stream(path) as f:
+            with ipc.new_file(f, tbl.schema) as w:
+                w.write_table(tbl)
+
+
+class CsvFileFormat(FileFormat):
+    name = "csv"
+    default_extname = "csv"
+
+    def read(self, fs, path, columns=None):
+        from .io import csv as atcsv
+        with fs.open_input_stream(path) as f:
+            t = atcsv.read_csv(f.read())
+        return t.select(columns) if columns else t
+
+    def write(self, tbl, fs, path):
+        from .io import csv as atcsv
+        import io as _io
+        buf = _io.StringIO()
+        atcsv.write_csv(tbl, buf)
+        with fs.open_output_stream(path) as f:
+            f.write(buf.getvalue().encode())
+
+
+_FORMATS = {"parquet": ParquetFileFormat, "ipc": IpcFileFormat,
+            "arrow": IpcFileFormat, "feather": IpcFileFormat,
+            "csv": CsvFileFormat}
+
+
+class FileFragment:
+    """One file + its partition guarantee (reference: dataset.h:156)."""
+
+    def __init__(self, fs: FileSystem, path: str, format: FileFormat,
+                 partition_values: Dict[str, object],
+                 partition_expression: Optional[Expression]):
+        self.fs = fs
+        self.path = path
+        self.format = format
+        self.partition_values = partition_values
+        self.partition_expression = partition_expression
+
+    def to_table(self, columns: Optional[List[str]] = None) -> Table:
+        file_cols = None
+        if columns is not None:
+            file_cols = [c for c in columns
+                         if c not in self.partition_values]
+        tbl = self.format.read(self.fs, self.path, file_cols)
+        # attach partition columns
+        part_cols = (self.partition_values if columns is None else
+                     {k: v for k, v in self.partition_values.items()
+                      if k in columns})
+        if part_cols:
+            n = tbl.num_rows
+            arrays = [c.combine() for c in tbl.columns]
+            names = list(tbl.column_names)
+            for k, v in part_cols.items():
+                arrays.append(make_array([v] * n))
+                names.append(k)
+            tbl = Table.from_arrays(arrays, names)
+        if columns is not None:
+            tbl = tbl.select([c for c in columns
+                              if c in tbl.column_names])
+        return tbl
+
+    def __repr__(self):
+        return f"FileFragment({self.path!r})"
+
+
+class Dataset:
+    def __init__(self, fragments: List[FileFragment], schema: Schema):
+        self.fragments = fragments
+        self.schema = schema
+
+    def get_fragments(self, filter: Optional[Expression] = None):
+        for frag in self.fragments:
+            if filter is not None and frag.partition_expression is not None:
+                simplified = simplify_with_guarantee(
+                    filter, frag.partition_expression)
+                if simplified.kind == Expression.KIND_LITERAL and \
+                        simplified.value is False:
+                    continue  # pruned
+            yield frag
+
+    def to_table(self, columns: Optional[List[str]] = None,
+                 filter: Optional[Expression] = None) -> Table:
+        batches: List[RecordBatch] = []
+        schema = None
+        for frag in self.get_fragments(filter):
+            tbl = frag.to_table(columns)
+            if filter is not None:
+                residual = filter if frag.partition_expression is None \
+                    else simplify_with_guarantee(
+                        filter, frag.partition_expression)
+                if not (residual.kind == Expression.KIND_LITERAL
+                        and residual.value is True):
+                    tbl = Declaration.from_sequence([
+                        Declaration("table_source",
+                                    TableSourceNodeOptions(tbl)),
+                        Declaration("filter",
+                                    FilterNodeOptions(residual)),
+                    ]).to_table()
+            schema = tbl.schema
+            batches.extend(tbl.to_batches())
+        if schema is None:
+            raise ValueError("no fragments matched")
+        return Table.from_batches(batches, schema)
+
+    def scanner(self, columns=None, filter=None):
+        return Scanner(self, columns, filter)
+
+    head = None
+
+    def count_rows(self, filter=None) -> int:
+        return self.to_table(filter=filter).num_rows
+
+
+class Scanner:
+    def __init__(self, dataset: Dataset, columns=None, filter=None):
+        self.dataset = dataset
+        self.columns = columns
+        self.filter = filter
+
+    def to_table(self) -> Table:
+        return self.dataset.to_table(self.columns, self.filter)
+
+    def to_batches(self):
+        return self.to_table().to_batches()
+
+    def head(self, n: int) -> Table:
+        return self.to_table().slice(0, n)
+
+    def count_rows(self) -> int:
+        return self.to_table().num_rows
+
+
+def dataset(source, format: Union[str, FileFormat] = "parquet",
+            partitioning: Optional[Partitioning] = None,
+            filesystem: Optional[FileSystem] = None) -> Dataset:
+    fs = filesystem or LocalFileSystem()
+    fmt = _FORMATS[format]() if isinstance(format, str) else format
+
+    if isinstance(source, (list, tuple)):
+        frags = [FileFragment(fs, p, fmt, {}, None) for p in source]
+    else:
+        infos = fs.get_file_info(FileSelector(source, recursive=True))
+        frags = []
+        for info in infos:
+            if not info.is_file:
+                continue
+            rel = posixpath.relpath(info.path, source)
+            rel_dir = posixpath.dirname(rel)
+            values, guarantee = ({}, None)
+            if partitioning is not None and rel_dir:
+                values, guarantee = partitioning.parse(rel_dir)
+            frags.append(FileFragment(fs, info.path, fmt, values,
+                                      guarantee))
+    if not frags:
+        raise ValueError(f"no files found in {source!r}")
+    schema = frags[0].to_table().schema
+    return Dataset(frags, schema)
+
+
+def write_dataset(data: Union[Table, RecordBatch], base_dir: str,
+                  format: Union[str, FileFormat] = "parquet",
+                  partitioning: Optional[Partitioning] = None,
+                  partitioning_flavor: Optional[str] = None,
+                  filesystem: Optional[FileSystem] = None,
+                  basename_template: str = "part-{i}.{ext}",
+                  existing_data_behavior: str = "overwrite_or_ignore"):
+    """Partitioned write (reference: dataset/dataset_writer.cc)."""
+    fs = filesystem or LocalFileSystem()
+    fmt = _FORMATS[format]() if isinstance(format, str) else format
+    if isinstance(data, RecordBatch):
+        data = Table.from_batches([data])
+    if isinstance(partitioning, (list, tuple)):
+        part_schema = Schema([data.schema.field(n)
+                              for n in partitioning])
+        partitioning = (HivePartitioning(part_schema)
+                        if partitioning_flavor == "hive"
+                        else DirectoryPartitioning(part_schema))
+
+    fs.create_dir(base_dir)
+    if partitioning is None:
+        name = basename_template.format(i=0, ext=fmt.default_extname)
+        fmt.write(data, fs, posixpath.join(base_dir, name))
+        return
+
+    part_names = [f.name for f in partitioning.schema.fields]
+    rest = [n for n in data.column_names if n not in part_names]
+    # group rows by partition values (host-side)
+    cols = {n: data.column(n).to_pylist() for n in part_names}
+    n = data.num_rows
+    groups: Dict[tuple, List[int]] = {}
+    for i in range(n):
+        key = tuple(cols[k][i] for k in part_names)
+        groups.setdefault(key, []).append(i)
+    pyd = data.to_pydict()
+    for gi, (key, idxs) in enumerate(sorted(groups.items(),
+                                            key=lambda kv: str(kv[0]))):
+        values = dict(zip(part_names, key))
+        sub = Table.from_pydict(
+            {nm: [pyd[nm][i] for i in idxs] for nm in rest},
+            Schema([data.schema.field(nm) for nm in rest]))
+        d = posixpath.join(base_dir, partitioning.format(values))
+        fs.create_dir(d)
+        name = basename_template.format(i=0, ext=fmt.default_extname)
+        fmt.write(sub, fs, posixpath.join(d, name))

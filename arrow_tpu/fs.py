@@ -1,0 +1,245 @@
+"""Filesystem abstraction.
+
+Reference analogue: cpp/src/arrow/filesystem/filesystem.h — FileSystem API
+with FileInfo/FileSelector, LocalFileSystem, SubTreeFileSystem and an
+in-memory MockFileSystem (filesystem/mockfs.h) for tests. Cloud
+implementations (S3/GCS/Azure) plug into the same interface; this
+environment has no egress so only local/in-memory are provided.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+import shutil
+from typing import Dict, Iterator, List, Optional
+
+
+class FileType:
+    NotFound = "NotFound"
+    File = "File"
+    Directory = "Directory"
+
+
+class FileInfo:
+    __slots__ = ("path", "type", "size", "mtime")
+
+    def __init__(self, path: str, type: str, size: int = -1, mtime=None):
+        self.path = path
+        self.type = type
+        self.size = size
+        self.mtime = mtime
+
+    @property
+    def base_name(self) -> str:
+        return posixpath.basename(self.path)
+
+    @property
+    def is_file(self) -> bool:
+        return self.type == FileType.File
+
+    def __repr__(self):
+        return f"FileInfo({self.path!r}, {self.type}, size={self.size})"
+
+
+class FileSelector:
+    def __init__(self, base_dir: str, recursive: bool = False,
+                 allow_not_found: bool = False):
+        self.base_dir = base_dir
+        self.recursive = recursive
+        self.allow_not_found = allow_not_found
+
+
+class FileSystem:
+    def get_file_info(self, path_or_selector):
+        raise NotImplementedError
+
+    def open_input_stream(self, path: str):
+        raise NotImplementedError
+
+    def open_input_file(self, path: str):
+        return self.open_input_stream(path)
+
+    def open_output_stream(self, path: str):
+        raise NotImplementedError
+
+    def create_dir(self, path: str, recursive: bool = True):
+        raise NotImplementedError
+
+    def delete_dir(self, path: str):
+        raise NotImplementedError
+
+    def delete_file(self, path: str):
+        raise NotImplementedError
+
+    def move(self, src: str, dest: str):
+        raise NotImplementedError
+
+    def equals(self, other) -> bool:
+        return self is other
+
+
+class LocalFileSystem(FileSystem):
+    def get_file_info(self, path_or_selector):
+        if isinstance(path_or_selector, FileSelector):
+            sel = path_or_selector
+            out: List[FileInfo] = []
+            if not os.path.isdir(sel.base_dir):
+                if sel.allow_not_found:
+                    return out
+                raise FileNotFoundError(sel.base_dir)
+            if sel.recursive:
+                for root, dirs, files in os.walk(sel.base_dir):
+                    for d in dirs:
+                        p = os.path.join(root, d)
+                        out.append(FileInfo(p, FileType.Directory))
+                    for f in files:
+                        p = os.path.join(root, f)
+                        out.append(FileInfo(p, FileType.File,
+                                            os.path.getsize(p),
+                                            os.path.getmtime(p)))
+            else:
+                for name in sorted(os.listdir(sel.base_dir)):
+                    p = os.path.join(sel.base_dir, name)
+                    if os.path.isdir(p):
+                        out.append(FileInfo(p, FileType.Directory))
+                    else:
+                        out.append(FileInfo(p, FileType.File,
+                                            os.path.getsize(p),
+                                            os.path.getmtime(p)))
+            return sorted(out, key=lambda i: i.path)
+        p = path_or_selector
+        if os.path.isdir(p):
+            return FileInfo(p, FileType.Directory)
+        if os.path.isfile(p):
+            return FileInfo(p, FileType.File, os.path.getsize(p),
+                            os.path.getmtime(p))
+        return FileInfo(p, FileType.NotFound)
+
+    def open_input_stream(self, path: str):
+        return open(path, "rb")
+
+    def open_output_stream(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        return open(path, "wb")
+
+    def create_dir(self, path: str, recursive: bool = True):
+        os.makedirs(path, exist_ok=True)
+
+    def delete_dir(self, path: str):
+        shutil.rmtree(path)
+
+    def delete_file(self, path: str):
+        os.remove(path)
+
+    def move(self, src: str, dest: str):
+        shutil.move(src, dest)
+
+
+class MockFileSystem(FileSystem):
+    """In-memory filesystem (reference: filesystem/mockfs.h)."""
+
+    def __init__(self):
+        self.files: Dict[str, bytes] = {}
+        self.dirs = {""}
+
+    def _norm(self, p: str) -> str:
+        return p.strip("/")
+
+    def get_file_info(self, path_or_selector):
+        if isinstance(path_or_selector, FileSelector):
+            sel = path_or_selector
+            base = self._norm(sel.base_dir)
+            out = []
+            seen_dirs = set()
+            for p, data in sorted(self.files.items()):
+                if base and not p.startswith(base + "/"):
+                    continue
+                rel = p[len(base) + 1:] if base else p
+                if "/" in rel:
+                    d = rel.split("/")[0]
+                    full_d = posixpath.join(base, d) if base else d
+                    if full_d not in seen_dirs:
+                        seen_dirs.add(full_d)
+                        out.append(FileInfo(full_d, FileType.Directory))
+                    if not sel.recursive:
+                        continue
+                out.append(FileInfo(p, FileType.File, len(data)))
+            return sorted(out, key=lambda i: i.path)
+        p = self._norm(path_or_selector)
+        if p in self.files:
+            return FileInfo(p, FileType.File, len(self.files[p]))
+        if p in self.dirs or any(f.startswith(p + "/")
+                                 for f in self.files):
+            return FileInfo(p, FileType.Directory)
+        return FileInfo(p, FileType.NotFound)
+
+    def open_input_stream(self, path: str):
+        p = self._norm(path)
+        if p not in self.files:
+            raise FileNotFoundError(path)
+        return io.BytesIO(self.files[p])
+
+    def open_output_stream(self, path: str):
+        fs = self
+        p = self._norm(path)
+
+        class _Sink(io.BytesIO):
+            def close(self):
+                fs.files[p] = self.getvalue()
+                super().close()
+
+            def __exit__(self, *exc):
+                self.close()
+        return _Sink()
+
+    def create_dir(self, path: str, recursive: bool = True):
+        self.dirs.add(self._norm(path))
+
+    def delete_dir(self, path: str):
+        p = self._norm(path)
+        self.dirs.discard(p)
+        for f in [f for f in self.files if f.startswith(p + "/")]:
+            del self.files[f]
+
+    def delete_file(self, path: str):
+        del self.files[self._norm(path)]
+
+    def move(self, src: str, dest: str):
+        self.files[self._norm(dest)] = self.files.pop(self._norm(src))
+
+
+class SubTreeFileSystem(FileSystem):
+    """Re-roots another filesystem at a prefix
+    (reference: filesystem/filesystem.h SubTreeFileSystem)."""
+
+    def __init__(self, base_path: str, base_fs: FileSystem):
+        self.base_path = base_path.rstrip("/")
+        self.base_fs = base_fs
+
+    def _full(self, p: str) -> str:
+        return posixpath.join(self.base_path, p.lstrip("/"))
+
+    def get_file_info(self, path_or_selector):
+        if isinstance(path_or_selector, FileSelector):
+            sel = FileSelector(self._full(path_or_selector.base_dir),
+                               path_or_selector.recursive,
+                               path_or_selector.allow_not_found)
+            return self.base_fs.get_file_info(sel)
+        return self.base_fs.get_file_info(self._full(path_or_selector))
+
+    def open_input_stream(self, path):
+        return self.base_fs.open_input_stream(self._full(path))
+
+    def open_output_stream(self, path):
+        return self.base_fs.open_output_stream(self._full(path))
+
+    def create_dir(self, path, recursive=True):
+        return self.base_fs.create_dir(self._full(path), recursive)
+
+    def delete_dir(self, path):
+        return self.base_fs.delete_dir(self._full(path))
+
+    def delete_file(self, path):
+        return self.base_fs.delete_file(self._full(path))

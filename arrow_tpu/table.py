@@ -104,6 +104,15 @@ def _is_seq_of_seqs(x) -> bool:
 class RecordBatch:
     __slots__ = ("schema", "columns")
 
+    def __arrow_c_stream__(self, requested_schema=None):
+        from .c_data import batch_to_struct_data, stream_capsule
+        return stream_capsule(
+            [batch_to_struct_data(self)],
+            Field("", T.struct(list(self.schema.fields))))
+
+    def to_pandas(self):
+        return Table.from_batches([self]).to_pandas()
+
     def __init__(self, schema: Schema, columns: Sequence[Array]):
         if len(schema) != len(columns):
             raise ValueError("schema/column count mismatch")
@@ -332,6 +341,36 @@ class Table:
 
     def group_by(self, keys, use_threads: bool = True) -> "TableGroupBy":
         return TableGroupBy(self, keys)
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        from .c_data import batch_to_struct_data, stream_capsule
+        batches = [batch_to_struct_data(rb) for rb in self.to_batches()]
+        return stream_capsule(batches,
+                              Field("", T.struct(list(self.schema.fields))))
+
+    def to_pandas(self):
+        import pandas as pd
+        cols = {}
+        for f in self.schema.fields:
+            cols[f.name] = self.column(f.name).combine().to_pandas()
+        return pd.DataFrame(cols)
+
+    @classmethod
+    def from_pandas(cls, df, schema: Optional[Schema] = None) -> "Table":
+        import numpy as np
+        import pandas as pd
+        cols = {}
+        for name in df.columns:
+            s = df[name]
+            if s.dtype == object:
+                cols[name] = [None if (v is None or (isinstance(v, float)
+                                                     and v != v)) else v
+                              for v in s.tolist()]
+            elif str(s.dtype).startswith("datetime64"):
+                cols[name] = array(s.to_numpy())
+            else:
+                cols[name] = array(s.to_numpy())
+        return cls.from_pydict(cols, schema)
 
     def join(self, right_table: "Table", keys, right_keys=None,
              join_type: str = "left outer", left_suffix: str = "",

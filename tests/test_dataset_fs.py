@@ -1,0 +1,129 @@
+"""Filesystem + dataset layer tests."""
+
+import os
+
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import dataset as ds
+from arrow_tpu.acero import field
+from arrow_tpu.fs import (FileSelector, FileType, LocalFileSystem,
+                          MockFileSystem, SubTreeFileSystem)
+
+
+def test_local_fs(tmp_path):
+    fs = LocalFileSystem()
+    p = str(tmp_path / "a" / "f.bin")
+    with fs.open_output_stream(p) as f:
+        f.write(b"hello")
+    info = fs.get_file_info(p)
+    assert info.is_file and info.size == 5
+    with fs.open_input_stream(p) as f:
+        assert f.read() == b"hello"
+    infos = fs.get_file_info(FileSelector(str(tmp_path), recursive=True))
+    assert any(i.path.endswith("f.bin") for i in infos)
+    fs.delete_file(p)
+    assert fs.get_file_info(p).type == FileType.NotFound
+
+
+def test_mock_fs():
+    fs = MockFileSystem()
+    with fs.open_output_stream("dir/x.txt") as f:
+        f.write(b"abc")
+    assert fs.get_file_info("dir/x.txt").size == 3
+    assert fs.get_file_info("dir").type == FileType.Directory
+    with fs.open_input_stream("dir/x.txt") as f:
+        assert f.read() == b"abc"
+    infos = fs.get_file_info(FileSelector("dir"))
+    assert [i.path for i in infos if i.is_file] == ["dir/x.txt"]
+    fs.move("dir/x.txt", "y.txt")
+    assert fs.get_file_info("dir/x.txt").type == FileType.NotFound
+    assert fs.get_file_info("y.txt").is_file
+
+
+def test_subtree_fs(tmp_path):
+    base = LocalFileSystem()
+    sub = SubTreeFileSystem(str(tmp_path), base)
+    with sub.open_output_stream("inner/f.txt") as f:
+        f.write(b"z")
+    assert (tmp_path / "inner" / "f.txt").exists()
+    assert sub.get_file_info("inner/f.txt").is_file
+
+
+@pytest.fixture
+def sample_table():
+    return at.table({"year": [2020, 2020, 2021, 2021, 2022],
+                     "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+                     "s": ["a", "b", "c", "d", "e"]})
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "ipc", "csv"])
+def test_dataset_roundtrip_formats(tmp_path, sample_table, fmt):
+    d = str(tmp_path / fmt)
+    ds.write_dataset(sample_table, d, format=fmt)
+    data = ds.dataset(d, format=fmt)
+    back = data.to_table()
+    assert back.num_rows == 5
+    assert sorted(back.column_names) == ["s", "v", "year"]
+
+
+def test_hive_partitioned_roundtrip_and_pruning(tmp_path, sample_table):
+    d = str(tmp_path / "hive")
+    ds.write_dataset(sample_table, d, partitioning=["year"],
+                     partitioning_flavor="hive")
+    data = ds.dataset(d, partitioning=ds.partitioning(flavor="hive"))
+    assert data.to_table().num_rows == 5
+
+    pruned = data.to_table(filter=(field("year") == 2021))
+    assert sorted(pruned.to_pydict()["v"]) == [3.0, 4.0]
+    # fragments actually pruned, not just filtered
+    frags = list(data.get_fragments(field("year") == 2021))
+    assert len(frags) == 1
+
+    mixed = data.to_table(filter=(field("year") == 2021)
+                          & (field("v") > 3.0))
+    assert mixed.to_pydict()["v"] == [4.0]
+
+    sel = data.to_table(columns=["v", "year"])
+    assert sel.column_names == ["v", "year"]
+
+
+def test_directory_partitioning(tmp_path, sample_table):
+    d = str(tmp_path / "dirpart")
+    ds.write_dataset(sample_table, d, partitioning=["year"])
+    part = ds.partitioning(at.schema([("year", at.int64())]))
+    data = ds.dataset(d, partitioning=part)
+    t = data.to_table(filter=(field("year") == 2022))
+    assert t.to_pydict()["v"] == [5.0]
+
+
+def test_pyarrow_reads_our_dataset(tmp_path, sample_table):
+    pads = pytest.importorskip("pyarrow.dataset")
+    d = str(tmp_path / "interop")
+    ds.write_dataset(sample_table, d, partitioning=["year"],
+                     partitioning_flavor="hive")
+    pa_ds = pads.dataset(d, partitioning="hive")
+    assert pa_ds.to_table().num_rows == 5
+
+
+def test_our_dataset_reads_pyarrow_written(tmp_path, sample_table):
+    pads = pytest.importorskip("pyarrow.dataset")
+    import pyarrow as pa
+    import pyarrow.parquet  # noqa: F401
+    d = str(tmp_path / "pa_written")
+    pads.write_dataset(
+        pa.table(sample_table.to_pydict()), d, format="parquet",
+        partitioning=["year"], partitioning_flavor="hive",
+        file_options=pads.ParquetFileFormat().make_write_options(
+            compression="zstd"))
+    data = ds.dataset(d, partitioning=ds.partitioning(flavor="hive"))
+    t = data.to_table()
+    assert t.num_rows == 5
+    assert sorted(t.to_pydict()["year"]) == [2020, 2020, 2021, 2021, 2022]
+
+
+def test_mock_fs_dataset(sample_table):
+    fs = MockFileSystem()
+    ds.write_dataset(sample_table, "root", format="ipc", filesystem=fs)
+    data = ds.dataset("root", format="ipc", filesystem=fs)
+    assert data.to_table().num_rows == 5
