@@ -134,9 +134,10 @@ def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
             cap = batch.capacity
             out_cols, out_fields = [], []
             # keys first (reference output order, groupby_aggregate_node.cc)
+            rep_bound = group_capacity_bound(key_cols, cap)
             safe_rep = jnp.where(
-                jnp.arange(cap, dtype=jnp.int64) < g.num_groups,
-                g.rep_indices, 0)
+                jnp.arange(rep_bound, dtype=jnp.int64) < g.num_groups,
+                g.rep_indices[:rep_bound], 0)
             for k, kc in zip(keys, key_cols):
                 vals = kc.values[safe_rep]
                 validity = kc.validity[safe_rep] \
@@ -144,16 +145,19 @@ def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
                 out_cols.append(DeviceColumn(vals, validity, kc.type,
                                              kc.dictionary))
                 out_fields.append(Field(k, kc.type))
+            bound_static = group_capacity_bound(key_cols, cap)
             for target, fname, opts, out_name in aggs:
                 dev_name = fname if fname.startswith("hash_") \
                     else "hash_" + fname
                 impl = get_function(dev_name).impl
+                kw = dict(opts)
+                kw["num_segments"] = bound_static
                 if fname.replace("hash_", "") == "count_all":
-                    r = impl(ctx, g.group_ids, g.num_groups, **opts)
+                    r = impl(ctx, g.group_ids, g.num_groups, **kw)
                 else:
                     tcol = batch.column(target if isinstance(target, str)
                                         else target[0])
-                    r = impl(ctx, tcol, g.group_ids, g.num_groups, **opts)
+                    r = impl(ctx, tcol, g.group_ids, g.num_groups, **kw)
                 if isinstance(r, dict):  # min_max style struct output
                     for sub, rr in r.items():
                         out_cols.append(rr.column)
@@ -207,6 +211,8 @@ def _node_order_by(options: OrderByNodeOptions, schema: Schema):
     placement = options.null_placement
 
     def fn(batch: DeviceBatch) -> DeviceBatch:
+        from ..compute.keys import sort_key_arrays
+        from ..compute.move import sort_with_payload
         ctx = ExecContext(batch.capacity, batch.row_count)
         cols = []
         for n in names:
@@ -214,8 +220,26 @@ def _node_order_by(options: OrderByNodeOptions, schema: Schema):
             if c.dictionary is not None:
                 c = _rank_col(c)
             cols.append(c)
-        perm = device_sort_indices(ctx, cols, orders, placement)
-        return take_batch(batch, perm, batch.row_count)
+        keys = sort_key_arrays(cols, orders, placement, ctx.row_mask())
+        # carry every buffer through the ONE sort (element gathers are
+        # quadratic on TPU; payload sorts are linear — compute/move.py)
+        arrays, spec = [], []
+        for c in batch.columns:
+            arrays.append(c.values)
+            has_v = c.validity is not None
+            if has_v:
+                arrays.append(c.validity)
+            spec.append(has_v)
+        outs = sort_with_payload(keys, arrays)
+        out_cols, i = [], 0
+        for c, has_v in zip(batch.columns, spec):
+            vals = outs[i]; i += 1
+            validity = None
+            if has_v:
+                validity = outs[i]; i += 1
+            out_cols.append(DeviceColumn(vals, validity, c.type,
+                                         c.dictionary))
+        return DeviceBatch(batch.schema, out_cols, batch.row_count)
 
     return fn, schema
 
@@ -233,13 +257,19 @@ def _node_fetch(options: FetchNodeOptions, schema: Schema):
     offset, count = options.offset, options.count
 
     def fn(batch: DeviceBatch) -> DeviceBatch:
-        cap = batch.capacity
-        idx = jnp.arange(cap, dtype=jnp.int64) + offset
-        idx = jnp.minimum(idx, cap - 1)
         remaining = jnp.maximum(batch.row_count - offset, 0)
         new_count = remaining if count < 0 else \
             jnp.minimum(remaining, count)
-        return take_batch(batch, idx, new_count.astype(jnp.int32))
+        cols = []
+        for c in batch.columns:
+            # static-shift roll is linear on TPU (slice + concat)
+            vals = jnp.roll(c.values, -offset) if offset else c.values
+            validity = (jnp.roll(c.validity, -offset)
+                        if (c.validity is not None and offset)
+                        else c.validity)
+            cols.append(DeviceColumn(vals, validity, c.type, c.dictionary))
+        return DeviceBatch(batch.schema, cols,
+                           new_count.astype(jnp.int32))
 
     return fn, schema
 

@@ -69,17 +69,18 @@ def _group_ids_perfect(ctx: ExecContext,
     slot = jnp.zeros(cap, jnp.int32)
     for c, size in zip(key_cols, sizes):
         code = c.values.astype(jnp.int32)
-        if c.type.id == TypeId.BOOL:
-            code = c.values.astype(jnp.int32)
         null_code = size - 1
         if c.validity is not None:
             code = jnp.where(c.validity, code, null_code)
         code = jnp.clip(code, 0, null_code)
         slot = slot * size + code
-    idx = jnp.arange(cap, dtype=jnp.int64)
+    from .move import segment_reduce
+    idx32 = jnp.arange(cap, dtype=jnp.int32)
     seg = jnp.where(row_mask, slot, 0)
-    first_pos = jax.ops.segment_min(
-        jnp.where(row_mask, idx, cap), seg, num_segments=n_slots)
+    first_pos = segment_reduce(
+        jnp.where(row_mask, idx32, cap), seg, n_slots, "min",
+        cap).astype(jnp.int64)
+    idx = jnp.arange(cap, dtype=jnp.int64)
     observed = first_pos < cap
     big = jnp.asarray(2 * cap, jnp.int64)
     order = jnp.argsort(jnp.where(observed, first_pos, big))
@@ -117,21 +118,26 @@ def group_ids(ctx: ExecContext,
     gid_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
     num_groups = jnp.sum(is_new, dtype=jnp.int64)
 
-    # first-appearance position of each sorted-group (min original index)
-    first_pos = jax.ops.segment_min(
-        jnp.where(sorted_mask, perm, cap), jnp.where(sorted_mask, gid_sorted, cap - 1),
-        num_segments=cap)
+    # first-appearance position of each sorted-group (min original index);
+    # int32 payloads keep every scatter on the TPU-linear path
+    perm32 = perm.astype(jnp.int32)
+    first_pos32 = jnp.full(cap, cap, jnp.int32).at[
+        jnp.where(sorted_mask, gid_sorted, cap).astype(jnp.int32)].min(
+        jnp.where(sorted_mask, perm32, cap), mode="drop")
+    first_pos = first_pos32.astype(jnp.int64)
     # rank groups by first appearance -> appearance-order ids
     order = jnp.argsort(
         jnp.where(jnp.arange(cap, dtype=jnp.int64) <
                   num_groups, first_pos, jnp.asarray(2 * cap, jnp.int64)))
-    rank = jnp.zeros(cap, jnp.int64).at[order].set(
-        jnp.arange(cap, dtype=jnp.int64))
-    gid_appearance_sorted = rank[gid_sorted]
+    rank32 = jnp.zeros(cap, jnp.int32).at[order].set(
+        jnp.arange(cap, dtype=jnp.int32))
+    gid_appearance_sorted = rank32[gid_sorted]
 
-    # scatter back to row order
-    gids = jnp.full(cap, cap, jnp.int64).at[perm].set(
-        jnp.where(sorted_mask, gid_appearance_sorted, cap), mode="drop")
+    # scatter back to row order (int32 payload)
+    gids32 = jnp.full(cap, cap, jnp.int32).at[perm].set(
+        jnp.where(sorted_mask, gid_appearance_sorted,
+                  cap).astype(jnp.int32), mode="drop")
+    gids = gids32.astype(jnp.int64)
     rep = first_pos[order]  # appearance-ordered first-occurrence row index
     return GroupResult(gids, num_groups, rep)
 

@@ -27,17 +27,28 @@ from .registry import ArrowInvalid, ExecContext, register
 from .selection import Compacted
 
 
-def _prep(ctx, values: DeviceColumn, gids: jax.Array):
+def _prep(ctx, values: DeviceColumn, gids: jax.Array,
+          num_segments=None):
+    """live mask + in-range segment ids. With `num_segments` (a static
+    bound from the planner) reductions run at the bound, not the row
+    capacity — and through the TPU-safe paths in compute/move.py."""
     cap = ctx.capacity
+    nseg = num_segments if num_segments is not None else cap
     live = values.valid_mask(ctx.row_mask())
     live = jnp.logical_and(live, gids < cap)
-    seg = jnp.where(live, gids, cap - 1)
-    return cap, live, seg
+    seg = jnp.where(live, gids, 0).astype(jnp.int32)
+    return nseg, live, seg
 
 
-def _group_valid_counts(cap, live, seg):
-    return jax.ops.segment_sum(jnp.where(live, 1, 0).astype(jnp.int64),
-                               seg, num_segments=cap)
+def _segment_reduce(v, live, seg, nseg, op, identity):
+    from .move import segment_reduce
+    v = jnp.where(live, v, jnp.asarray(identity, v.dtype))
+    return segment_reduce(v, seg, nseg, op, identity)
+
+
+def _group_valid_counts(nseg, live, seg):
+    from .move import segment_count
+    return segment_count(live, seg, nseg)
 
 
 def _grp_validity(counts, num_groups, min_count, cap):
@@ -47,66 +58,66 @@ def _grp_validity(counts, num_groups, min_count, cap):
 
 @register("hash_sum", "hash_aggregate")
 def grouped_sum(ctx, values: DeviceColumn, gids, num_groups,
-                skip_nulls: bool = True, min_count: int = 1):
-    cap, live, seg = _prep(ctx, values, gids)
+                skip_nulls: bool = True, min_count: int = 1,
+                num_segments=None):
+    nseg, live, seg = _prep(ctx, values, gids, num_segments)
     acc = _sum_dtype(values.values.dtype)
-    v = jnp.where(live, values.values.astype(acc), jnp.asarray(0, acc))
-    sums = jax.ops.segment_sum(v, seg, num_segments=cap)
-    counts = _group_valid_counts(cap, live, seg)
-    validity = _grp_validity(counts, num_groups, min_count, cap)
+    sums = _segment_reduce(values.values.astype(acc), live, seg, nseg,
+                           "sum", 0)
+    counts = _group_valid_counts(nseg, live, seg)
+    validity = _grp_validity(counts, num_groups, min_count, nseg)
     if not skip_nulls:
         validity = jnp.logical_and(validity, ~_group_has_null(
-            ctx, values, gids, cap))
+            ctx, values, gids, nseg))
     return Compacted(DeviceColumn(sums, validity, _sum_type(values.type)),
                      num_groups.astype(jnp.int32))
 
 
-def _group_has_null(ctx, values, gids, cap):
+def _group_has_null(ctx, values, gids, nseg):
+    from .move import segment_count
     if values.validity is None:
-        return jnp.zeros(cap, jnp.bool_)
+        return jnp.zeros(nseg, jnp.bool_)
+    cap = ctx.capacity
     isnull = jnp.logical_and(~values.validity, ctx.row_mask())
     isnull = jnp.logical_and(isnull, gids < cap)
-    seg = jnp.where(gids < cap, gids, cap - 1)
-    return jax.ops.segment_max(isnull.astype(jnp.int32), seg,
-                               num_segments=cap) > 0
+    seg = jnp.where(isnull, gids, 0).astype(jnp.int32)
+    return segment_count(isnull, seg, nseg) > 0
 
 
 @register("hash_product", "hash_aggregate")
 def grouped_product(ctx, values, gids, num_groups, skip_nulls: bool = True,
-                    min_count: int = 1):
-    cap, live, seg = _prep(ctx, values, gids)
+                    min_count: int = 1, num_segments=None):
+    nseg, live, seg = _prep(ctx, values, gids, num_segments)
     acc = _sum_dtype(values.values.dtype)
     v = jnp.where(live, values.values.astype(acc), jnp.asarray(1, acc))
-    prods = jax.ops.segment_prod(v, seg, num_segments=cap)
-    counts = _group_valid_counts(cap, live, seg)
-    validity = _grp_validity(counts, num_groups, min_count, cap)
+    prods = jax.ops.segment_prod(v, seg, num_segments=nseg)
+    counts = _group_valid_counts(nseg, live, seg)
+    validity = _grp_validity(counts, num_groups, min_count, nseg)
     return Compacted(DeviceColumn(prods, validity, _sum_type(values.type)),
                      num_groups.astype(jnp.int32))
 
 
 @register("hash_mean", "hash_aggregate")
 def grouped_mean(ctx, values, gids, num_groups, skip_nulls: bool = True,
-                 min_count: int = 1):
-    cap, live, seg = _prep(ctx, values, gids)
-    v = jnp.where(live, values.values.astype(jnp.float64), 0.0)
-    sums = jax.ops.segment_sum(v, seg, num_segments=cap)
-    counts = _group_valid_counts(cap, live, seg)
+                 min_count: int = 1, num_segments=None):
+    nseg, live, seg = _prep(ctx, values, gids, num_segments)
+    sums = _segment_reduce(values.values.astype(jnp.float64), live, seg,
+                           nseg, "sum", 0.0)
+    counts = _group_valid_counts(nseg, live, seg)
     means = sums / jnp.maximum(counts, 1).astype(jnp.float64)
-    validity = _grp_validity(counts, num_groups, min_count, cap)
+    validity = _grp_validity(counts, num_groups, min_count, nseg)
     return Compacted(DeviceColumn(means, validity, T.float64()),
                      num_groups.astype(jnp.int32))
 
 
 def _grouped_minmax(ctx, values, gids, num_groups, is_min, skip_nulls,
-                    min_count):
-    cap, live, seg = _prep(ctx, values, gids)
+                    min_count, num_segments=None):
+    nseg, live, seg = _prep(ctx, values, gids, num_segments)
     ident = _minmax_identity(values.values.dtype, is_min)
-    v = jnp.where(live, values.values, jnp.asarray(ident,
-                                                   values.values.dtype))
-    op = jax.ops.segment_min if is_min else jax.ops.segment_max
-    out = op(v, seg, num_segments=cap)
-    counts = _group_valid_counts(cap, live, seg)
-    validity = _grp_validity(counts, num_groups, min_count, cap)
+    out = _segment_reduce(values.values, live, seg, nseg,
+                          "min" if is_min else "max", ident)
+    counts = _group_valid_counts(nseg, live, seg)
+    validity = _grp_validity(counts, num_groups, min_count, nseg)
     return Compacted(DeviceColumn(out, validity, values.type,
                                   values.dictionary),
                      num_groups.astype(jnp.int32))
@@ -114,31 +125,34 @@ def _grouped_minmax(ctx, values, gids, num_groups, is_min, skip_nulls,
 
 @register("hash_min", "hash_aggregate")
 def grouped_min(ctx, values, gids, num_groups, skip_nulls: bool = True,
-                min_count: int = 1):
+                min_count: int = 1, num_segments=None):
     return _grouped_minmax(ctx, values, gids, num_groups, True, skip_nulls,
-                           min_count)
+                           min_count, num_segments)
 
 
 @register("hash_max", "hash_aggregate")
 def grouped_max(ctx, values, gids, num_groups, skip_nulls: bool = True,
-                min_count: int = 1):
+                min_count: int = 1, num_segments=None):
     return _grouped_minmax(ctx, values, gids, num_groups, False, skip_nulls,
-                           min_count)
+                           min_count, num_segments)
 
 
 @register("hash_min_max", "hash_aggregate")
 def grouped_min_max(ctx, values, gids, num_groups, skip_nulls: bool = True,
-                    min_count: int = 1):
+                    min_count: int = 1, num_segments=None):
     lo = _grouped_minmax(ctx, values, gids, num_groups, True, skip_nulls,
-                         min_count)
+                         min_count, num_segments)
     hi = _grouped_minmax(ctx, values, gids, num_groups, False, skip_nulls,
-                         min_count)
+                         min_count, num_segments)
     return {"min": lo, "max": hi}
 
 
 @register("hash_count", "hash_aggregate")
-def grouped_count(ctx, values, gids, num_groups, mode: str = "only_valid"):
+def grouped_count(ctx, values, gids, num_groups, mode: str = "only_valid",
+                  num_segments=None):
+    from .move import segment_count
     cap = ctx.capacity
+    nseg = num_segments if num_segments is not None else cap
     if mode == "only_valid":
         live = values.valid_mask(ctx.row_mask())
     elif mode == "only_null":
@@ -148,20 +162,20 @@ def grouped_count(ctx, values, gids, num_groups, mode: str = "only_valid"):
     else:
         live = ctx.row_mask()
     live = jnp.logical_and(live, gids < cap)
-    seg = jnp.where(gids < cap, gids, cap - 1)
-    counts = jax.ops.segment_sum(live.astype(jnp.int64), seg,
-                                 num_segments=cap)
+    seg = jnp.where(live, gids, 0).astype(jnp.int32)
+    counts = segment_count(live, seg, nseg)
     return Compacted(DeviceColumn(counts, None, T.int64()),
                      num_groups.astype(jnp.int32))
 
 
 @register("hash_count_all", "hash_aggregate")
-def grouped_count_all(ctx, gids, num_groups):
+def grouped_count_all(ctx, gids, num_groups, num_segments=None):
+    from .move import segment_count
     cap = ctx.capacity
+    nseg = num_segments if num_segments is not None else cap
     live = jnp.logical_and(ctx.row_mask(), gids < cap)
-    seg = jnp.where(gids < cap, gids, cap - 1)
-    counts = jax.ops.segment_sum(live.astype(jnp.int64), seg,
-                                 num_segments=cap)
+    seg = jnp.where(live, gids, 0).astype(jnp.int32)
+    counts = segment_count(live, seg, nseg)
     return Compacted(DeviceColumn(counts, None, T.int64()),
                      num_groups.astype(jnp.int32))
 

@@ -1,0 +1,163 @@
+"""TPU-safe bulk data movement.
+
+Measured on v5e (see docs/ARCHITECTURE.md): XLA lowers 1-D element gathers
+(any dtype) and 64-bit scatters QUADRATICALLY; int32 1-D scatter,
+multi-operand sort (any payload dtype), and scans are linear. Every bulk
+reordering in the engine therefore routes through lax.sort payload carries
+or int32 scatters:
+
+* compaction (filter)      -> ONE stable sort keyed on the drop-flag,
+                              all columns riding as payload operands
+* reordering (order_by)    -> payload carry in the key sort itself
+* segment reductions (agg) -> masked per-slot loop for small group bounds,
+                              sort + segmented scan + boundary diff for
+                              large ones
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_SMALL_SEGMENT_LOOP = 64
+
+
+def sort_with_payload(keys: Sequence[jax.Array],
+                      payloads: Sequence[jax.Array]) -> List[jax.Array]:
+    """Stable multi-operand sort; returns sorted payloads."""
+    n_keys = len(keys)
+    out = jax.lax.sort(tuple(keys) + tuple(payloads), dimension=0,
+                       is_stable=True, num_keys=n_keys)
+    return list(out[n_keys:])
+
+
+def compact_by_mask(keep: jax.Array,
+                    arrays: Sequence[jax.Array]) -> Tuple[List[jax.Array],
+                                                          jax.Array]:
+    """Move rows where keep is True to the front, preserving order.
+    Returns (compacted arrays, count)."""
+    drop_key = (~keep).astype(jnp.uint8)
+    outs = sort_with_payload([drop_key], arrays)
+    count = jnp.sum(keep, dtype=jnp.int32)
+    return outs, count
+
+
+def scatter_i32(dest_size: int, positions: jax.Array,
+                values: jax.Array) -> jax.Array:
+    """Linear scatter for <=32-bit payloads (positions int32; out-of-range
+    drops)."""
+    return jnp.zeros(dest_size, values.dtype).at[positions].set(
+        values, mode="drop")
+
+
+def segment_reduce(values: jax.Array, gids: jax.Array, num_segments: int,
+                   op: str, identity) -> jax.Array:
+    """Per-segment reduce tolerant of 64-bit dtypes.
+
+    gids must be < num_segments for live rows (dead rows already mapped to
+    an in-range trash slot by callers, with `values` holding the
+    identity)."""
+    if num_segments <= _SMALL_SEGMENT_LOOP:
+        return _segment_reduce_loop(values, gids, num_segments, op,
+                                    identity)
+    return _segment_reduce_sorted(values, gids, num_segments, op, identity)
+
+
+def _segment_reduce_loop(values, gids, num_segments, op, identity):
+    fns = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}
+    fn = fns[op]
+    parts = []
+    for s in range(num_segments):
+        parts.append(fn(jnp.where(gids == s, values,
+                                  jnp.asarray(identity, values.dtype))))
+    return jnp.stack(parts)
+
+
+def _segment_reduce_sorted(values, gids, num_segments, op, identity):
+    """Sort rows by gid (payload carry), segmented scan, take boundary
+    values, then place per-segment results densely via int32-safe moves.
+
+    Only 'sum' needs the scan; min/max sort the VALUE as a secondary key
+    and read segment boundaries."""
+    cap = values.shape[0]
+    g32 = gids.astype(jnp.int32)
+    if op == "sum":
+        sv, sg = sort_with_payload([g32], [values, g32])
+        cs = jnp.cumsum(sv)
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        nxt_g = jnp.roll(sg, -1)
+        is_end = jnp.logical_or(idx == cap - 1, sg != nxt_g)
+        # exclusive cumsum at the PREVIOUS segment end
+        end_cs = jnp.where(is_end, cs, jnp.asarray(0, cs.dtype))
+        # compact the (gid, end_cs) boundary rows to the front in gid order
+        (bg, bcs), n_bounds = compact_by_mask(is_end, [sg, end_cs])
+        seg_total = bcs - jnp.concatenate(
+            [jnp.zeros(1, bcs.dtype), bcs[:-1]])
+        # bg is ascending dense gid; boundary k belongs to gid bg[k]
+        out = jnp.full(num_segments, identity, values.dtype)
+        # place via int32-safe scatter when dtype is 32-bit, else via sort
+        return _place_dense(out, bg, seg_total, num_segments,
+                            jnp.arange(cap, dtype=jnp.int32) <
+                            n_bounds)
+    # min/max: sort by (gid, value) and take segment start/end
+    from .keys import order_word
+    asc = op == "min"
+    vkey = values
+    # order word handles floats/ints; build from a transient column shim
+    class _Shim:
+        pass
+    shim = _Shim()
+    shim.values = values
+    word = order_word(shim)
+    if not asc:
+        word = ~word
+    sv, sg = sort_with_payload([g32, word], [values, g32])
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    prev_g = jnp.roll(sg, 1)
+    is_start = jnp.logical_or(idx == 0, sg != prev_g)
+    (bg, bval), n_bounds = compact_by_mask(is_start, [sg, sv])
+    out = jnp.full(num_segments, identity, values.dtype)
+    return _place_dense(out, bg, bval, num_segments,
+                        jnp.arange(cap, dtype=jnp.int32) < n_bounds)
+
+
+def _place_dense(out, gid_of_row, vals, num_segments, live):
+    """out[gid_of_row[k]] = vals[k] for live k. gid rows are unique."""
+    cap = gid_of_row.shape[0]
+    positions = jnp.where(live, gid_of_row.astype(jnp.int32),
+                          num_segments)
+    if vals.dtype.itemsize <= 4:
+        return jnp.concatenate(
+            [out, jnp.zeros(1, out.dtype)]).at[positions].set(
+                vals, mode="drop")[:num_segments]
+    # 64-bit payload: route through a sort. Build (slot, value) for live
+    # rows plus (slot, identity) for all slots, keyed so real values win.
+    slots = jnp.arange(num_segments, dtype=jnp.int32)
+    keys = jnp.concatenate([positions, slots])
+    pref = jnp.concatenate([jnp.zeros(cap, jnp.uint8),
+                            jnp.ones(num_segments, jnp.uint8)])
+    payload = jnp.concatenate([vals, out])
+    sk, sp = sort_with_payload([keys, pref], [keys, payload])
+    # after sorting by (slot, pref) the REAL value (pref=0) comes first in
+    # each slot group; slot s's first row is at the position where key
+    # changes — compact first-rows then slice
+    idx = jnp.arange(cap + num_segments, dtype=jnp.int32)
+    is_first = jnp.logical_or(idx == 0, sk != jnp.roll(sk, 1))
+    take = jnp.logical_and(is_first, sk < num_segments)
+    (vals_out,), _ = compact_by_mask(take, [sp])
+    return vals_out[:num_segments]
+
+
+def segment_count(live: jax.Array, gids: jax.Array,
+                  num_segments: int) -> jax.Array:
+    """Count live rows per segment (int32 path, always linear)."""
+    if num_segments <= _SMALL_SEGMENT_LOOP:
+        return jnp.stack(
+            [jnp.sum(jnp.logical_and(live, gids == s), dtype=jnp.int64)
+             for s in range(num_segments)])
+    positions = jnp.where(live, gids.astype(jnp.int32), num_segments)
+    counts32 = jnp.zeros(num_segments + 1, jnp.int32).at[positions].add(
+        jnp.ones_like(positions, jnp.int32), mode="drop")
+    return counts32[:num_segments].astype(jnp.int64)

@@ -66,10 +66,43 @@ def compaction_indices(keep: jax.Array):
     return positions, count
 
 
+def compact_columns(cols: Sequence[DeviceColumn], keep: jax.Array,
+                    extra_null: Optional[jax.Array] = None):
+    """Move kept rows to the front across ALL columns with ONE stable sort
+    carrying every buffer as a payload (TPU-linear for any dtype; element
+    scatters of 64-bit values lower quadratically, see compute/move.py)."""
+    from .move import compact_by_mask
+    arrays = []
+    spec = []
+    for c in cols:
+        arrays.append(c.values)
+        validity = c.validity
+        if extra_null is not None:
+            base = validity if validity is not None \
+                else jnp.ones(c.capacity, dtype=jnp.bool_)
+            validity = jnp.logical_and(base, ~extra_null)
+        has_v = validity is not None
+        if has_v:
+            arrays.append(validity)
+        spec.append(has_v)
+    outs, count = compact_by_mask(keep, arrays)
+    out_cols = []
+    i = 0
+    for c, has_v in zip(cols, spec):
+        vals = outs[i]
+        i += 1
+        validity = None
+        if has_v:
+            validity = outs[i]
+            i += 1
+        out_cols.append(DeviceColumn(vals, validity, c.type, c.dictionary))
+    return out_cols, count
+
+
 def compact_column(col: DeviceColumn, positions: jax.Array,
                    extra_null: Optional[jax.Array] = None) -> DeviceColumn:
-    """Scatter kept rows to the front. ``positions`` from
-    compaction_indices; capacity preserved."""
+    """Single-column compaction via int32 positions scatter — ONLY safe for
+    <=32-bit payloads on TPU; prefer compact_columns."""
     cap = col.capacity
     out_vals = jnp.zeros_like(col.values).at[positions].set(
         col.values, mode="drop")
@@ -90,15 +123,15 @@ def compact_column(col: DeviceColumn, positions: jax.Array,
 def _filter(ctx, values: DeviceColumn, mask: DeviceColumn,
             null_selection_behavior: str = "drop"):
     keep, emit_null = selection_mask(ctx, mask, null_selection_behavior)
-    positions, count = compaction_indices(keep)
-    return Compacted(compact_column(values, positions, emit_null), count)
+    (out,), count = compact_columns([values], keep, emit_null)
+    return Compacted(out, count)
 
 
 @register("drop_null", "vector")
 def _drop_null(ctx, values: DeviceColumn):
     keep = values.valid_mask(ctx.row_mask())
-    positions, count = compaction_indices(keep)
-    return Compacted(compact_column(values, positions), count)
+    (out,), count = compact_columns([values], keep)
+    return Compacted(out, count)
 
 
 @register("take", "vector", ctx_arg=1)
@@ -173,8 +206,7 @@ def filter_batch(batch: DeviceBatch, mask_col: DeviceColumn,
                  null_selection: str = "drop") -> DeviceBatch:
     ctx = ExecContext(batch.capacity, batch.row_count)
     keep, emit_null = selection_mask(ctx, mask_col, null_selection)
-    positions, count = compaction_indices(keep)
-    cols = [compact_column(c, positions, emit_null) for c in batch.columns]
+    cols, count = compact_columns(batch.columns, keep, emit_null)
     return DeviceBatch(batch.schema, cols, count)
 
 
