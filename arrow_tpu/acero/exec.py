@@ -27,7 +27,8 @@ from .. import types as T
 from ..array.array import Array, array as make_array
 from ..compute import hash_agg as HA
 from ..compute import join as J
-from ..compute.grouper import group_capacity_bound, group_ids
+from ..compute.grouper import (group_capacity_bound, group_ids,
+                               group_slot_bound_exact)
 from ..compute.registry import ArrowInvalid, ExecContext, get_function
 from ..compute.selection import Compacted, filter_batch, take_batch
 from ..compute.vector_sort import device_sort_indices
@@ -134,7 +135,7 @@ def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
             cap = batch.capacity
             out_cols, out_fields = [], []
             # keys first (reference output order, groupby_aggregate_node.cc)
-            rep_bound = group_capacity_bound(key_cols, cap)
+            rep_bound = group_slot_bound_exact(key_cols, cap)
             safe_rep = jnp.where(
                 jnp.arange(rep_bound, dtype=jnp.int64) < g.num_groups,
                 g.rep_indices[:rep_bound], 0)
@@ -145,7 +146,7 @@ def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
                 out_cols.append(DeviceColumn(vals, validity, kc.type,
                                              kc.dictionary))
                 out_fields.append(Field(k, kc.type))
-            bound_static = group_capacity_bound(key_cols, cap)
+            bound_static = group_slot_bound_exact(key_cols, cap)
             for target, fname, opts, out_name in aggs:
                 dev_name = fname if fname.startswith("hash_") \
                     else "hash_" + fname
@@ -166,15 +167,27 @@ def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
                 else:
                     out_cols.append(r.column)
                     out_fields.append(Field(out_name, r.column.type))
-            # shrink to the static group bound (perfect-hash keys):
-            # downstream nodes then operate on a tiny batch
+            # unify capacities: key/agg outputs are exact-bound sized;
+            # pad up to a block multiple so downstream shapes stay aligned
             bound = group_capacity_bound(key_cols, cap)
-            if bound < cap:
-                out_cols = [DeviceColumn(
-                    c.values[:bound],
-                    c.validity[:bound] if c.validity is not None else None,
-                    c.type, c.dictionary) for c in out_cols]
-            return DeviceBatch(Schema(out_fields), out_cols,
+            uniform = []
+            for c in out_cols:
+                vals, validity = c.values, c.validity
+                n_have = vals.shape[0]
+                if n_have > bound:
+                    vals = vals[:bound]
+                    validity = validity[:bound] if validity is not None \
+                        else None
+                elif n_have < bound:
+                    pad = bound - n_have
+                    vals = jnp.concatenate(
+                        [vals, jnp.zeros(pad, vals.dtype)])
+                    if validity is not None:
+                        validity = jnp.concatenate(
+                            [validity, jnp.zeros(pad, jnp.bool_)])
+                uniform.append(DeviceColumn(vals, validity, c.type,
+                                            c.dictionary))
+            return DeviceBatch(Schema(out_fields), uniform,
                                g.num_groups.astype(jnp.int32))
         return fn, None
 

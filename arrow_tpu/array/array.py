@@ -151,6 +151,10 @@ def _to_pylist(d: ArrayData) -> List[Any]:
     t = d.type
     tid = t.id
     n = d.length
+    if tid == TypeId.EXTENSION:
+        storage = d.copy()
+        storage.type = t.storage_type
+        return _to_pylist(storage)
     if tid == TypeId.NA:
         return [None] * n
     mask = d.validity_mask()

@@ -197,6 +197,20 @@ def _dictionary_encode(ctx, col):
                      ctx.row_count)
 
 
+def group_slot_bound_exact(key_cols: Sequence[DeviceColumn],
+                           cap: int) -> int:
+    """Exact perfect-hash slot count (unpadded), or cap when keys are not
+    perfect-hashable. Kernels reduce at THIS bound; batch capacities pad
+    up separately."""
+    sizes = _perfect_hash_sizes(key_cols, cap)
+    if sizes is None:
+        return cap
+    n = 1
+    for s in sizes:
+        n *= s
+    return min(n, cap)
+
+
 def group_capacity_bound(key_cols: Sequence[DeviceColumn],
                          cap: int) -> int:
     """Static upper bound on the number of groups: the perfect-hash slot

@@ -80,6 +80,11 @@ def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
     """Pre-order walk appending FieldNodes and body buffers
     (reference: RecordBatchSerializer::VisitArray, ipc/writer.cc:146)."""
     t = d.type
+    if t.id == TypeId.EXTENSION:
+        storage = d.copy()
+        storage.type = t.storage_type
+        serialize_array(storage, nodes, body)
+        return
     tid = t.id
     nodes.append((d.length, d.null_count))
 
@@ -321,6 +326,10 @@ class ArrayLoader:
 
     def load(self, t: DataType) -> ArrayData:
         tid = t.id
+        if tid == TypeId.EXTENSION:
+            out = self.load(t.storage_type)
+            out.type = t
+            return out
         length, null_count = self._next_node()
 
         if tid == TypeId.NA:

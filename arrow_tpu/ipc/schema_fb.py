@@ -113,6 +113,14 @@ def _write_type(b: flatbuffers.Builder, t: DataType) -> Tuple[int, int]:
 def write_field(b: flatbuffers.Builder, f: Field,
                 mapper: DictionaryFieldMapper) -> int:
     t = f.type
+    # extension types serialize as their storage type + metadata keys
+    # (ARROW:extension:name / :metadata), reference extension_type.h
+    if t.id == TypeId.EXTENSION:
+        md = dict(f.metadata or {})
+        md[b"ARROW:extension:name"] = t.extension_name.encode()
+        md[b"ARROW:extension:metadata"] = t.extension_metadata()
+        f = Field(f.name, t.storage_type, f.nullable, md)
+        t = f.type
     dict_off = 0
     if t.id == TypeId.DICTIONARY:
         did = mapper.next_id(t)
@@ -246,6 +254,13 @@ def read_field(r: Reader, mapper: DictionaryFieldMapper) -> Field:
         mapper.id_to_type[did] = t
         mapper.ordered_ids.append(did)
     md = read_kv(r, 6)
+    if md and b"ARROW:extension:name" in md:
+        from ..extension import reconstruct
+        ext_name = md.get(b"ARROW:extension:name", b"").decode()
+        ext_md = md.get(b"ARROW:extension:metadata", b"")
+        t = reconstruct(t, ext_name, ext_md)
+        md = {k: v for k, v in md.items()
+              if not k.startswith(b"ARROW:extension:")} or None
     return Field(name.decode() if name else "", t, nullable, md)
 
 
