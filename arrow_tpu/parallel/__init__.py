@@ -1,6 +1,7 @@
 """Multi-device / multi-host execution (mesh + collectives)."""
 
 from .distributed import (  # noqa: F401
-    DistAggSpec, distributed_groupby, distributed_join_tables, make_mesh,
+    DistAggSpec, broadcast_join_tables, distributed_groupby,
+    distributed_join_tables, distributed_sort_table, make_mesh,
     partition_ids, shard_table,
 )

@@ -486,3 +486,216 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
         cols.append(download_column(col, len(idx)))
         names.append(f.name + ("_r" if f.name in lnames else ""))
     return Table.from_arrays(cols, names)
+
+
+def distributed_sort_table(mesh: Mesh, table: Table,
+                           sort_keys, null_placement: str = "at_end",
+                           axis: str = "d") -> Table:
+    """Distributed sort: local sort + splitter sampling + range exchange +
+    local merge (SURVEY §7 stage 5). Each device ends with a contiguous,
+    globally-ordered range; ranges concatenate on the host in device
+    order."""
+    from ..compute.keys import sort_key_arrays
+    from ..compute.move import sort_with_payload
+    from ..compute.registry import ExecContext
+
+    ndev = mesh.devices.size
+    sort_keys = [(k, "ascending") if isinstance(k, str) else (k[0], k[1])
+                 for k in sort_keys]
+    sb = shard_table(mesh, table, axis)
+    local_cap = sb.capacity // ndev
+    key_idx = [sb.schema.get_field_index(k) for k, _ in sort_keys]
+    orders = [o for _, o in sort_keys]
+    types = [c.type for c in sb.columns]
+    dicts = [c.dictionary for c in sb.columns]
+    ncols = len(types)
+
+    # rank-transform dictionary sort keys once (host)
+    for ki in key_idx:
+        c = sb.columns[ki]
+        if c.dictionary is not None:
+            from ..acero.exec import _rank_col
+            # apply rank transform globally (outside shard_map; elementwise)
+            rc = _rank_col(c)
+            sb.columns[ki] = DeviceColumn(rc.values.astype(jnp.int64),
+                                          c.validity, rc.type, None)
+            types[ki] = rc.type
+
+    data = {}
+    for i, c in enumerate(sb.columns):
+        data[f"c{i}"] = c.values
+        data[f"v{i}"] = (c.validity if c.validity is not None
+                         else jnp.ones(sb.capacity, jnp.bool_))
+
+    def spmd(data, cnt):
+        ctx = ExecContext(local_cap, cnt[0])
+        kcols = [DeviceColumn(data[f"c{i}"], data[f"v{i}"], types[i])
+                 for i in key_idx]
+        keys = sort_key_arrays(kcols, orders, null_placement,
+                               ctx.row_mask())
+        # sample splitters from the FIRST key word: every device
+        # contributes evenly-spaced samples, all_gather, global splitters
+        word = keys[1]
+        cls = keys[0]
+        combined = (cls.astype(jnp.uint64) << jnp.uint64(62)) | \
+            (word >> jnp.uint64(2))
+        samples = jax.lax.sort(combined)[:: max(local_cap // 32, 1)][:32]
+        all_samples = jax.lax.all_gather(samples, axis).reshape(-1)
+        ssorted = jax.lax.sort(all_samples)
+        n_s = ssorted.shape[0]
+        splitters = ssorted[jnp.arange(1, ndev, dtype=jnp.int32)
+                            * (n_s // ndev)]
+        pid = jnp.searchsorted(splitters, combined).astype(jnp.int32)
+        pid = jnp.clip(pid, 0, ndev - 1)
+        rows_valid = ctx.row_mask()
+        payload = [data[f"c{i}"] for i in range(ncols)] + \
+            [data[f"v{i}"].astype(jnp.uint8) for i in range(ncols)]
+        bufs, slot_valid = _partition_scatter(rows_valid, pid, ndev,
+                                              payload)
+        ex = [jax.lax.all_to_all(b, axis, 0, 0, tiled=False)
+              for b in bufs]
+        sv = jax.lax.all_to_all(slot_valid, axis, 0, 0, tiled=False)
+        rcap = ndev * local_cap
+        flat = [e.reshape((rcap,) + e.shape[2:]) for e in ex]
+        fvalid = sv.reshape(rcap)
+        # local sort of the received range (payload carry)
+        ctx2 = ExecContext(rcap, jnp.sum(fvalid, dtype=jnp.int32))
+        kcols2 = [DeviceColumn(
+            flat[i], jnp.logical_and(flat[ncols + i].astype(jnp.bool_),
+                                     fvalid), types[i])
+            for i in key_idx]
+        # dead slots must sort last: row_mask from fvalid
+        keys2 = sort_key_arrays(kcols2, orders, null_placement, fvalid)
+        outs = sort_with_payload(
+            keys2, flat[:ncols] + [f.astype(jnp.bool_) for f in
+                                   flat[ncols:]] + [fvalid])
+        res = {"live": outs[-1],
+               "n": jnp.sum(fvalid, dtype=jnp.int32)[None]}
+        for i in range(ncols):
+            res[f"c{i}"] = outs[i]
+            res[f"v{i}"] = outs[ncols + i]
+        return res
+
+    in_specs = ({k: P(axis) for k in data}, P(axis))
+    out_names = [f"c{i}" for i in range(ncols)] + \
+        [f"v{i}" for i in range(ncols)] + ["live", "n"]
+    fn = jax.jit(shard_map(spmd, mesh=mesh, in_specs=in_specs,
+                           out_specs={k: P(axis) for k in out_names}))
+    res = fn(data, sb.row_count)
+
+    from ..device.column import download_column
+    live = np.asarray(res["live"])
+    idx = np.nonzero(live)[0]  # device-major order == global sort order
+    cols, names = [], []
+    for i, f in enumerate(table.schema.fields):
+        col = DeviceColumn(jnp.asarray(np.asarray(res[f"c{i}"])[idx]),
+                           jnp.asarray(np.asarray(res[f"v{i}"])[idx]),
+                           table.schema.fields[i].type, dicts[i])
+        cols.append(download_column(col, len(idx)))
+        names.append(f.name)
+    return Table.from_arrays(cols, names)
+
+
+def broadcast_join_tables(mesh: Mesh, left: Table, right: Table,
+                          left_keys: Sequence[str],
+                          right_keys: Sequence[str],
+                          join_type: str = "inner",
+                          axis: str = "d") -> Table:
+    """Skew-immune join for small build sides (BASELINE config 5): the
+    right table is replicated to every device, the left stays row-sharded,
+    NO exchange happens at all — each device joins its shard locally."""
+    from ..compute import join as J
+    from ..acero.exec import unify_dictionaries
+    from ..device.column import download_column, round_up, upload_table
+
+    if join_type not in ("inner", "left outer"):
+        raise NotImplementedError(join_type)
+    ndev = mesh.devices.size
+    lb = shard_table(mesh, left, axis)
+    rb = upload_table(right)  # replicated (default sharding broadcasts)
+    for lk, rk in zip(left_keys, right_keys):
+        lc, rc = lb.column(lk), rb.column(rk)
+        if lc.dictionary is not None or rc.dictionary is not None:
+            lc2, rc2 = unify_dictionaries([lc, rc])
+            lb.columns[lb.schema.get_field_index(lk)] = lc2
+            rb.columns[rb.schema.get_field_index(rk)] = rc2
+
+    l_cap = lb.capacity // ndev
+    r_cap = rb.capacity
+    out_cap = l_cap  # unique-key build assumption; caller sizes otherwise
+    l_types = [c.type for c in lb.columns]
+    r_types = [c.type for c in rb.columns]
+    lk_idx = [lb.schema.get_field_index(k) for k in left_keys]
+    rk_idx = [rb.schema.get_field_index(k) for k in right_keys]
+    nl, nr = len(l_types), len(r_types)
+
+    data = {}
+    for i, c in enumerate(lb.columns):
+        data[f"l{i}"] = c.values
+        data[f"lv{i}"] = (c.validity if c.validity is not None
+                          else jnp.ones(lb.capacity, jnp.bool_))
+    rdata = {}
+    for i, c in enumerate(rb.columns):
+        rdata[f"r{i}"] = c.values
+        rdata[f"rv{i}"] = (c.validity if c.validity is not None
+                           else jnp.ones(r_cap, jnp.bool_))
+
+    def spmd(data, rdata, lcnt, rcnt):
+        lcols = [DeviceColumn(data[f"l{i}"], data[f"lv{i}"], l_types[i])
+                 for i in range(nl)]
+        rcols = [DeviceColumn(rdata[f"r{i}"], rdata[f"rv{i}"], r_types[i])
+                 for i in range(nr)]
+        plan = J.build_join_plan([rcols[i] for i in rk_idx],
+                                 [lcols[i] for i in lk_idx],
+                                 rcnt[0], lcnt[0], join_type)
+        probe_idx, build_idx, build_valid, row_live = \
+            J.join_gather_indices(plan, out_cap, join_type)
+        out = {}
+        safe_p = jnp.clip(probe_idx, 0, l_cap - 1)
+        safe_b = jnp.clip(build_idx, 0, r_cap - 1)
+        for i in range(nl):
+            out[f"l{i}"] = lcols[i].values[safe_p]
+            out[f"lv{i}"] = jnp.logical_and(
+                lcols[i].validity[safe_p], row_live)
+        for i in range(nr):
+            rv = rcols[i].validity[safe_b]
+            if join_type == "left outer":
+                rv = jnp.logical_and(rv, build_valid)
+            out[f"r{i}"] = rcols[i].values[safe_b]
+            out[f"rv{i}"] = jnp.logical_and(rv, row_live)
+        out["live"] = row_live
+        return out
+
+    in_specs = ({k: P(axis) for k in data},
+                {k: P() for k in rdata}, P(axis), P())
+    out_names = [f"l{i}" for i in range(nl)] + \
+        [f"lv{i}" for i in range(nl)] + \
+        [f"r{i}" for i in range(nr)] + [f"rv{i}" for i in range(nr)] + \
+        ["live"]
+    rcnt = jnp.asarray([right.num_rows], jnp.int32)
+    fn = jax.jit(shard_map(spmd, mesh=mesh,
+                           in_specs=in_specs,
+                           out_specs={k: P(axis) for k in out_names}))
+    res = fn(data, rdata, lb.row_count, rcnt)
+
+    from ..device.column import download_column
+    live = np.asarray(res["live"])
+    idx = np.nonzero(live)[0]
+    cols, names = [], []
+    rnames = set(right.schema.names)
+    lnames = set(left.schema.names)
+    l_dicts = [c.dictionary for c in lb.columns]
+    r_dicts = [c.dictionary for c in rb.columns]
+    for i, f in enumerate(left.schema.fields):
+        col = DeviceColumn(jnp.asarray(np.asarray(res[f"l{i}"])[idx]),
+                           jnp.asarray(np.asarray(res[f"lv{i}"])[idx]),
+                           l_types[i], l_dicts[i])
+        cols.append(download_column(col, len(idx)))
+        names.append(f.name + ("_l" if f.name in rnames else ""))
+    for i, f in enumerate(right.schema.fields):
+        col = DeviceColumn(jnp.asarray(np.asarray(res[f"r{i}"])[idx]),
+                           jnp.asarray(np.asarray(res[f"rv{i}"])[idx]),
+                           r_types[i], r_dicts[i])
+        cols.append(download_column(col, len(idx)))
+        names.append(f.name + ("_r" if f.name in lnames else ""))
+    return Table.from_arrays(cols, names)

@@ -106,3 +106,36 @@ def test_distributed_join_string_keys(mesh):
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_distributed_sort(mesh):
+    rng = np.random.default_rng(3)
+    t = at.table({"x": [int(v) for v in rng.integers(0, 10000, 3000)],
+                  "tag": [f"t{i % 5}" for i in range(3000)]})
+    from arrow_tpu.parallel import distributed_sort_table
+    s = distributed_sort_table(mesh, t, [("x", "ascending")])
+    assert s.num_rows == 3000
+    xs = s.column("x").to_pylist()
+    assert xs == sorted(xs)
+    # payload stays aligned with its key
+    ref = dict(zip(t.column("x").to_pylist(), t.column("tag").to_pylist()))
+    for x, tag in zip(xs[:50], s.column("tag").to_pylist()[:50]):
+        assert ref[x][0] == "t"
+
+
+def test_broadcast_join(mesh):
+    from arrow_tpu.parallel import broadcast_join_tables
+    rng = np.random.default_rng(4)
+    # skewed keys: 90% of rows share one key
+    keys = [7 if v < 90 else int(v) for v in rng.integers(0, 100, 1500)]
+    left = at.table({"key": keys, "lv": list(range(1500))})
+    right = at.table({"key": list(range(100)),
+                      "rv": [i * 10 for i in range(100)]})
+    out = broadcast_join_tables(mesh, left, right, ["key"], ["key"],
+                                "inner")
+    ref = left.join(right, keys="key", join_type="inner",
+                    coalesce_keys=False, left_suffix="_l",
+                    right_suffix="_r")
+    def srt(t):
+        return sorted(tuple(r.values()) for r in t.to_pylist())
+    assert srt(out) == srt(ref)
