@@ -26,6 +26,8 @@ from . import strings as _strings  # noqa: F401
 from . import temporal as _temporal  # noqa: F401
 from . import vector_misc as _vector_misc  # noqa: F401
 from . import vector_sort as _vector_sort  # noqa: F401
+from .options import *  # noqa: F401,F403  (FunctionOptions classes)
+from .options import FunctionOptions  # noqa: F401
 from .registry import (ArrowInvalid, ArrowNotImplementedError, ExecContext,
                        Scalar, call_function, function_registry,
                        get_function, list_functions)
@@ -228,7 +230,10 @@ _EXPLICIT = set(__all__)
 
 def _make_wrapper(name):
     def wrapper(*args, **kwargs):
-        options = kwargs.pop("options", None) or {}
+        options = kwargs.pop("options", None)
+        if isinstance(options, FunctionOptions):
+            options = options.to_kwargs()
+        options = dict(options or {})
         options.update(kwargs)
         return call_function(name, list(args), options or None)
     wrapper.__name__ = name

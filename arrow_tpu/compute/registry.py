@@ -163,13 +163,17 @@ def _thaw(v):
     return v
 
 
-def call_function(name: str, args: Sequence, options: Optional[dict] = None,
+def call_function(name: str, args: Sequence, options=None,
                   memory_pool=None):
     """pyarrow.compute-style entry point: accepts Arrays / ChunkedArrays /
-    python scalars, runs the device kernel, returns Array or Scalar."""
+    python scalars, runs the device kernel, returns Array or Scalar.
+    `options` may be a dict or a FunctionOptions instance."""
     from ..device.column import (DeviceColumn, download_column, round_up,
                                  upload_column)
+    from .options import FunctionOptions
 
+    if isinstance(options, FunctionOptions):
+        options = options.to_kwargs()
     fn = get_function(name)
     arrays: List[Tuple[int, Array]] = []
     prepared: List = []
