@@ -140,7 +140,14 @@ def _evaluate(expr: Expression, batch: DeviceBatch, ctx: ExecContext):
                                      expr.options.get("pattern", ""))
 
     fn = get_function(expr.fn)
-    return fn.impl(ctx, *args, **expr.options)
+    out = fn.impl(ctx, *args, **expr.options)
+    from ..compute.elementwise import ErrGuard
+    if isinstance(out, ErrGuard):
+        # inside a traced plan stage there is no host sync point to raise
+        # deferred checked-arithmetic errors; plans keep the value lanes
+        # (call_function still raises for direct kernel calls)
+        out = out.result
+    return out
 
 
 def _is_string_col(c) -> bool:

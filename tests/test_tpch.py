@@ -149,3 +149,15 @@ def test_generator_shapes():
     assert t["nation"].num_rows == 25
     assert t["region"].num_rows == 5
     assert "l_shipdate" in t["lineitem"].column_names
+
+
+def test_q9_style_runs():
+    t = tpch.generate(0.002)
+    out = tpch_queries.q9_style_plan(
+        t["part"], t["supplier"], t["lineitem"], t["partsupp"],
+        t["orders"], t["nation"]).to_table()
+    assert out.num_rows > 0
+    assert out.column_names == ["nation", "o_year", "sum_profit"]
+    # nations sorted ascending
+    nations = out.column("nation").to_pylist()
+    assert nations == sorted(nations)
