@@ -66,13 +66,14 @@ def segment_reduce(values: jax.Array, gids: jax.Array, num_segments: int,
 
 
 def _segment_reduce_loop(values, gids, num_segments, op, identity):
+    # one broadcasted (rows, num_segments) masked reduce: a single fused
+    # HLO instead of num_segments unrolled reductions (compile time)
     fns = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}
     fn = fns[op]
-    parts = []
-    for s in range(num_segments):
-        parts.append(fn(jnp.where(gids == s, values,
-                                  jnp.asarray(identity, values.dtype))))
-    return jnp.stack(parts)
+    slots = jnp.arange(num_segments, dtype=gids.dtype)[None, :]
+    masked = jnp.where(gids[:, None] == slots, values[:, None],
+                       jnp.asarray(identity, values.dtype))
+    return fn(masked, axis=0)
 
 
 def _segment_reduce_sorted(values, gids, num_segments, op, identity):
@@ -154,9 +155,9 @@ def segment_count(live: jax.Array, gids: jax.Array,
                   num_segments: int) -> jax.Array:
     """Count live rows per segment (int32 path, always linear)."""
     if num_segments <= _SMALL_SEGMENT_LOOP:
-        return jnp.stack(
-            [jnp.sum(jnp.logical_and(live, gids == s), dtype=jnp.int64)
-             for s in range(num_segments)])
+        slots = jnp.arange(num_segments, dtype=gids.dtype)[None, :]
+        hit = jnp.logical_and(live[:, None], gids[:, None] == slots)
+        return jnp.sum(hit, axis=0, dtype=jnp.int64)
     positions = jnp.where(live, gids.astype(jnp.int32), num_segments)
     counts32 = jnp.zeros(num_segments + 1, jnp.int32).at[positions].add(
         jnp.ones_like(positions, jnp.int32), mode="drop")
