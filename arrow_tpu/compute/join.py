@@ -68,15 +68,19 @@ def _side_gids(build_cols: Sequence[DeviceColumn],
     cls = jnp.where(live, jnp.uint64(0), jnp.uint64(1))
     all_keys = [cls] + [jnp.where(live, k, jnp.uint64(0)) for k in keys]
 
-    perm = stable_sort_indices(all_keys, n)
-    sorted_keys = [k[perm] for k in all_keys]
+    from .move import sort_with_payload
+    iota = jnp.arange(n, dtype=jnp.int32)
+    outs = sort_with_payload(all_keys, list(all_keys) + [iota])
+    sorted_keys, perm32 = outs[:-1], outs[-1]
     idx = jnp.arange(n, dtype=jnp.int64)
     neq = jnp.zeros(n, jnp.bool_)
     for k in sorted_keys:
         neq = jnp.logical_or(neq, k != jnp.roll(k, 1))
     is_new = jnp.logical_or(idx == 0, neq)
-    gid_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
-    gids = jnp.zeros(n, jnp.int64).at[perm].set(gid_sorted)
+    gid_sorted32 = (jnp.cumsum(is_new.astype(jnp.int32)) - 1)
+    # int32 scatter (TPU-linear) then widen
+    gids = jnp.zeros(n, jnp.int32).at[perm32].set(
+        gid_sorted32).astype(jnp.int64)
     # dead keys -> per-row unique negative ids so they never equal anything
     gids = jnp.where(live, gids, -(idx + 2))
     return gids[:b_cap], gids[b_cap:]
@@ -93,17 +97,23 @@ def build_join_plan(build_cols: Sequence[DeviceColumn],
 
     gb, gp = _side_gids(build_cols, probe_cols, build_mask, probe_mask)
 
-    # sort build rows by gid (dead rows get big sentinel, sort last)
+    # sort build rows by gid, carrying gb and the row index as payloads
+    # (no post-sort gathers: element gathers are quadratic on TPU)
+    from .move import sort_with_payload
     sort_key = jnp.where(gb >= 0, gb.astype(jnp.uint64) * 2,
                          jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    order_b = stable_sort_indices([sort_key], b_cap)
-    sorted_gb = jnp.where(gb[order_b] >= 0, gb[order_b],
+    sorted_gb_raw, order_b32 = sort_with_payload(
+        [sort_key], [gb, jnp.arange(b_cap, dtype=jnp.int32)])
+    order_b = order_b32.astype(jnp.int64)
+    sorted_gb = jnp.where(sorted_gb_raw >= 0, sorted_gb_raw,
                           jnp.asarray(2 ** 62, jnp.int64))
 
     probe_valid_key = gp >= 0
     gp_search = jnp.where(probe_valid_key, gp, -1)
-    left = jnp.searchsorted(sorted_gb, gp_search, side="left")
-    right = jnp.searchsorted(sorted_gb, gp_search, side="right")
+    left = jnp.searchsorted(sorted_gb, gp_search, side="left",
+                            method="sort")
+    right = jnp.searchsorted(sorted_gb, gp_search, side="right",
+                             method="sort")
     counts = jnp.where(probe_valid_key, right - left, 0).astype(jnp.int64)
 
     if join_type in ("left outer", "full outer"):
@@ -145,18 +155,22 @@ def join_gather_indices(plan: JoinPlan, out_capacity: int,
     arrays of length out_capacity.
 
     build_valid=False rows are outer-join rows with a null build side."""
+    from .move import gather_rows
     out_i = jnp.arange(out_capacity, dtype=jnp.int64)
     row_live = out_i < plan.total
     # which probe row produced output row i: offsets are sorted
     probe_idx = jnp.searchsorted(plan.offsets + _counts_of(plan, join_type),
-                                 out_i, side="right")
+                                 out_i, side="right", method="sort")
     probe_idx = jnp.minimum(probe_idx, plan.offsets.shape[0] - 1)
-    k = out_i - plan.offsets[probe_idx]
-    has_match = plan.counts[probe_idx] > 0
-    sorted_pos = plan.left[probe_idx] + jnp.minimum(
-        k, jnp.maximum(plan.counts[probe_idx] - 1, 0))
-    build_idx = plan.order_b[jnp.minimum(sorted_pos,
-                                         plan.order_b.shape[0] - 1)]
+    # per-output-row probe state in ONE multi-payload TPU-linear gather
+    g_offsets, g_counts, g_left = gather_rows(
+        [plan.offsets, plan.counts, plan.left], probe_idx)
+    k = out_i - g_offsets
+    has_match = g_counts > 0
+    sorted_pos = g_left + jnp.minimum(k, jnp.maximum(g_counts - 1, 0))
+    (build_idx,) = gather_rows(
+        [plan.order_b],
+        jnp.minimum(sorted_pos, plan.order_b.shape[0] - 1))
     build_valid = jnp.logical_and(has_match, row_live)
     return probe_idx, build_idx, build_valid, row_live
 
@@ -172,11 +186,26 @@ def _counts_of(plan: JoinPlan, join_type: str):
 def gather_batch_columns(batch: DeviceBatch, idx: jax.Array,
                          valid: Optional[jax.Array],
                          out_capacity: int) -> List[DeviceColumn]:
-    cols = []
+    """Gather all of a batch's buffers by row index in ONE TPU-linear
+    multi-payload gather (compute/move.py)."""
+    from .move import gather_rows
     safe = jnp.clip(idx, 0, batch.capacity - 1)
+    arrays, spec = [], []
     for c in batch.columns:
-        vals = c.values[safe]
-        v = c.validity[safe] if c.validity is not None else None
+        arrays.append(c.values)
+        has_v = c.validity is not None
+        if has_v:
+            arrays.append(c.validity)
+        spec.append(has_v)
+    outs = gather_rows(arrays, safe)
+    cols, i = [], 0
+    for c, has_v in zip(batch.columns, spec):
+        vals = outs[i]
+        i += 1
+        v = None
+        if has_v:
+            v = outs[i]
+            i += 1
         if valid is not None:
             v = valid if v is None else jnp.logical_and(v, valid)
         cols.append(DeviceColumn(vals, v, c.type, c.dictionary))

@@ -24,6 +24,18 @@ import jax.numpy as jnp
 _SMALL_SEGMENT_LOOP = 64
 
 
+def use_sort_paths() -> bool:
+    """Sort-based movement is a TPU-specific workaround (element gathers /
+    64-bit scatters lower quadratically there). CPU/GPU backends keep the
+    direct lowerings. Override with ARROW_TPU_MOVEMENT=sort|direct."""
+    import os
+    force = os.environ.get("ARROW_TPU_MOVEMENT")
+    if force:
+        return force == "sort"
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def sort_with_payload(keys: Sequence[jax.Array],
                       payloads: Sequence[jax.Array]) -> List[jax.Array]:
     """Stable multi-operand sort; returns sorted payloads."""
@@ -38,9 +50,16 @@ def compact_by_mask(keep: jax.Array,
                                                           jax.Array]:
     """Move rows where keep is True to the front, preserving order.
     Returns (compacted arrays, count)."""
-    drop_key = (~keep).astype(jnp.uint8)
-    outs = sort_with_payload([drop_key], arrays)
     count = jnp.sum(keep, dtype=jnp.int32)
+    if use_sort_paths():
+        drop_key = (~keep).astype(jnp.uint8)
+        outs = sort_with_payload([drop_key], arrays)
+        return outs, count
+    cap = keep.shape[0]
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    positions = jnp.where(keep, pos, cap)
+    outs = [jnp.zeros_like(a).at[positions].set(a, mode="drop")
+            for a in arrays]
     return outs, count
 
 
@@ -59,6 +78,10 @@ def segment_reduce(values: jax.Array, gids: jax.Array, num_segments: int,
     gids must be < num_segments for live rows (dead rows already mapped to
     an in-range trash slot by callers, with `values` holding the
     identity)."""
+    if not use_sort_paths():
+        ops = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
+               "max": jax.ops.segment_max}
+        return ops[op](values, gids, num_segments=num_segments)
     if num_segments <= _SMALL_SEGMENT_LOOP:
         return _segment_reduce_loop(values, gids, num_segments, op,
                                     identity)
@@ -162,3 +185,59 @@ def segment_count(live: jax.Array, gids: jax.Array,
     counts32 = jnp.zeros(num_segments + 1, jnp.int32).at[positions].add(
         jnp.ones_like(positions, jnp.int32), mode="drop")
     return counts32[:num_segments].astype(jnp.int64)
+
+
+def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array,
+                n_src: Optional[int] = None) -> List[jax.Array]:
+    """out_k[j] = arrays_k[idx[j]] for every payload array, tolerant of
+    duplicate indices and 64-bit dtypes.
+
+    TPU-linear implementation: merge-sort sources with requests, segmented
+    forward-fill of payloads via associative scan, then restore request
+    order. Out-of-range idx produce the source row 0 values (callers mask
+    them)."""
+    n_src = arrays[0].shape[0] if n_src is None else n_src
+    n_req = idx.shape[0]
+    idx32 = jnp.clip(idx, 0, n_src - 1).astype(jnp.int32)
+    if not use_sort_paths():
+        return [a[idx32] for a in arrays]
+
+    keys = jnp.concatenate([jnp.arange(n_src, dtype=jnp.int32), idx32])
+    pref = jnp.concatenate([jnp.zeros(n_src, jnp.uint8),
+                            jnp.ones(n_req, jnp.uint8)])
+    is_src = jnp.concatenate([jnp.ones(n_src, jnp.bool_),
+                              jnp.zeros(n_req, jnp.bool_)])
+    jpos = jnp.concatenate([jnp.zeros(n_src, jnp.int32),
+                            jnp.arange(n_req, dtype=jnp.int32)])
+    payloads = []
+    for a in arrays:
+        pad = jnp.zeros((n_req,) + a.shape[1:], a.dtype)
+        payloads.append(jnp.concatenate([a, pad]))
+
+    outs = sort_with_payload([keys, pref],
+                             payloads + [is_src, jpos, pref])
+    svals = outs[:len(arrays)]
+    s_is_src = outs[len(arrays)]
+    s_jpos = outs[len(arrays) + 1]
+    s_pref = outs[len(arrays) + 2]
+
+    # segmented forward-fill: each request row takes the value of the most
+    # recent source row (each key group begins with its source)
+    def ff(vals):
+        def combine(a, b):
+            fa, va = a
+            fb, vb = b
+            return (jnp.logical_or(fa, fb),
+                    jnp.where(fb, vb, va))
+        _, filled = jax.lax.associative_scan(
+            combine, (s_is_src, vals), axis=0)
+        return filled
+
+    filled = [ff(v) for v in svals]
+    # restore request order: keep request rows, sort by original j
+    req = s_pref == 1
+    compacted, _ = compact_by_mask(req, filled + [s_jpos])
+    j_order = compacted[-1][:n_req]
+    vals_req = [c[:n_req] for c in compacted[:-1]]
+    final = sort_with_payload([j_order], vals_req)
+    return final
