@@ -45,6 +45,29 @@ from .options import (AggregateNodeOptions, FetchNodeOptions,
 _JIT_CACHE: Dict[tuple, Callable] = {}
 
 
+class PlanMetrics:
+    """Per-node observability (reference: ExecPlan::ToString + OTel spans,
+    SURVEY §5). Records dispatch wall time per node of the most recent
+    execute_declaration call; device execution is asynchronous, so node
+    times measure graph dispatch and any host sync the node performs."""
+
+    def __init__(self):
+        self.nodes: List[tuple] = []
+
+    def record(self, factory: str, seconds: float):
+        self.nodes.append((factory, seconds))
+
+    def reset(self):
+        self.nodes = []
+
+    def to_string(self) -> str:
+        return "\n".join(f"{f}: {s * 1000:.2f} ms dispatch"
+                          for f, s in self.nodes)
+
+
+last_plan_metrics = PlanMetrics()
+
+
 def _cached_jit(key: tuple, make_fn: Callable, **jit_kwargs) -> Callable:
     fn = _JIT_CACHE.get(key)
     if fn is None:
@@ -357,29 +380,41 @@ _CHAINABLE = {
 }
 
 
-def execute_declaration(decl: Declaration) -> DeviceBatch:
-    """Recursively execute; fuse single-input chains into one jitted call."""
+def execute_declaration(decl: Declaration,
+                        _root: bool = True) -> DeviceBatch:
+    """Recursively execute with per-node dispatch metrics."""
+    import time as _time
+    if _root:
+        last_plan_metrics.reset()
+    t0 = _time.perf_counter()
+    out = _execute_node(decl)
+    last_plan_metrics.record(decl.factory_name,
+                             _time.perf_counter() - t0)
+    return out
+
+
+def _execute_node(decl: Declaration) -> DeviceBatch:
     if decl.factory_name in ("table_source", "named_table"):
         return upload_table(decl.options.table)
     if decl.factory_name in ("source", "record_batch_source"):
         return upload_table(decl.options.table)
 
     if decl.factory_name == "hashjoin":
-        left = execute_declaration(decl.inputs[0])
-        right = execute_declaration(decl.inputs[1])
+        left = execute_declaration(decl.inputs[0], _root=False)
+        right = execute_declaration(decl.inputs[1], _root=False)
         return _execute_hashjoin(decl.options, left, right)
 
     if decl.factory_name == "union":
-        batches = [execute_declaration(i) for i in decl.inputs]
+        batches = [execute_declaration(i, _root=False) for i in decl.inputs]
         return _execute_union(batches)
 
     if decl.factory_name == "asofjoin":
-        left = execute_declaration(decl.inputs[0])
-        right = execute_declaration(decl.inputs[1])
+        left = execute_declaration(decl.inputs[0], _root=False)
+        right = execute_declaration(decl.inputs[1], _root=False)
         return _execute_asof_join(decl.options, left, right)
 
     if decl.factory_name == "sorted_merge":
-        batches = [execute_declaration(i) for i in decl.inputs]
+        batches = [execute_declaration(i, _root=False) for i in decl.inputs]
         return _execute_sorted_merge(decl.options, batches)
 
     if decl.factory_name in _CHAINABLE:
@@ -388,7 +423,7 @@ def execute_declaration(decl: Declaration) -> DeviceBatch:
         # (scatter/segment fusions recompute across consumers; barriers
         # do not help). Node-level executables dispatch asynchronously so
         # the pipeline still overlaps without host round-trips.
-        input_batch = execute_declaration(decl.inputs[0])
+        input_batch = execute_declaration(decl.inputs[0], _root=False)
         key = (decl.factory_name, _config_key(decl),
                _dict_ids(input_batch))
 

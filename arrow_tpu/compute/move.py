@@ -241,3 +241,39 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array,
     vals_req = [c[:n_req] for c in compacted[:-1]]
     final = sort_with_payload([j_order], vals_req)
     return final
+
+
+def spread_rows(dest: jax.Array, live: jax.Array,
+                arrays: Sequence[jax.Array],
+                dest_size: int) -> Tuple[List[jax.Array], jax.Array]:
+    """out_k[dest[i]] = arrays_k[i] for live i; untouched slots hold zeros.
+    Returns (outs, slot_live). Unique destinations assumed.
+
+    TPU path: merge rows with identity slots and sort by (slot, pref) —
+    linear for any payload dtype. CPU path: direct scatters."""
+    n = dest.shape[0]
+    dest32 = jnp.where(live, dest.astype(jnp.int32), dest_size)
+    if not use_sort_paths():
+        outs = [jnp.zeros((dest_size,) + a.shape[1:], a.dtype)
+                .at[dest32].set(a, mode="drop") for a in arrays]
+        slot_live = jnp.zeros(dest_size, jnp.bool_).at[dest32].set(
+            live, mode="drop")
+        return outs, slot_live
+    keys = jnp.concatenate([dest32,
+                            jnp.arange(dest_size, dtype=jnp.int32)])
+    pref = jnp.concatenate([jnp.zeros(n, jnp.uint8),
+                            jnp.ones(dest_size, jnp.uint8)])
+    live_all = jnp.concatenate([live, jnp.zeros(dest_size, jnp.bool_)])
+    payloads = []
+    for a in arrays:
+        ident = jnp.zeros((dest_size,) + a.shape[1:], a.dtype)
+        payloads.append(jnp.concatenate([a, ident]))
+    outs = sort_with_payload([keys, pref],
+                             payloads + [live_all, keys])
+    s_live, s_keys = outs[-2], outs[-1]
+    idx = jnp.arange(n + dest_size, dtype=jnp.int32)
+    is_first = jnp.logical_or(idx == 0, s_keys != jnp.roll(s_keys, 1))
+    take = jnp.logical_and(is_first, s_keys < dest_size)
+    compacted, _ = compact_by_mask(take, outs[:-1])
+    return ([c[:dest_size] for c in compacted[:-1]],
+            compacted[-1][:dest_size])

@@ -173,3 +173,75 @@ def _run_end_encode(ctx, col):
 def _list_value_length(ctx, col):
     raise ArrowInvalid(
         "list columns are host-side; use Array-level list accessors")
+
+
+@register("case_when", "elementwise")
+def _case_when(ctx, cond_struct, *cases):
+    """cond_struct: list/tuple of bool DeviceColumns (the reference packs
+    them in a struct; here the caller passes them positionally before the
+    value columns: case_when([c1, c2], v1, v2[, else_value])).
+
+    First true condition selects its value; none true -> else (or null)."""
+    conds = list(cond_struct) if isinstance(cond_struct, (list, tuple)) \
+        else [cond_struct]
+    n_conds = len(conds)
+    vals = list(cases)
+    has_else = len(vals) == n_conds + 1
+    cap = ctx.capacity
+    from .elementwise import _as_values
+
+    out_v, out_valid = None, None
+    taken = jnp.zeros(cap, jnp.bool_)
+    for c, v in zip(conds, vals):
+        cv, cvd = _as_values(c)
+        cv = cv.astype(jnp.bool_)
+        if cvd is not None:
+            cv = jnp.logical_and(cv, cvd)
+        fire = jnp.logical_and(cv, ~taken)
+        vv, vvd = _as_values(v)
+        if out_v is None:
+            out_v = jnp.where(fire, vv, jnp.zeros_like(vv))
+            out_valid = jnp.logical_and(
+                fire, vvd if vvd is not None else True)
+        else:
+            out_v = jnp.where(fire, vv, out_v)
+            out_valid = jnp.where(
+                fire, vvd if vvd is not None else True, out_valid)
+        taken = jnp.logical_or(taken, fire)
+    if has_else:
+        ev, evd = _as_values(vals[-1])
+        out_v = jnp.where(taken, out_v, ev)
+        out_valid = jnp.where(taken, out_valid,
+                              evd if evd is not None else True)
+    t = next((v.type for v in vals if isinstance(v, DeviceColumn)), None)
+    return DeviceColumn(out_v, out_valid,
+                        t if t is not None else T.float64())
+
+
+@register("mode", "aggregate")
+def _mode(ctx, col, n: int = 1, skip_nulls: bool = True,
+          min_count: int = 0):
+    """Most frequent value(s). Returns struct-of-arrays {mode, count}
+    (reference: kernels/aggregate_mode.cc)."""
+    from .aggregate import AggResult
+    from .grouper import group_ids
+    g = group_ids(ctx, [col])
+    cap = ctx.capacity
+    live = jnp.logical_and(col.valid_mask(ctx.row_mask()),
+                           g.group_ids < cap)
+    from .move import segment_count
+    seg = jnp.where(live, g.group_ids, 0).astype(jnp.int32)
+    counts = segment_count(live, seg, cap)
+    in_range = jnp.arange(cap, dtype=jnp.int64) < g.num_groups
+    counts = jnp.where(in_range, counts, -1)
+    best = jnp.argmax(counts)  # ties: lowest group id = first appearance
+    safe_rep = jnp.where(in_range, g.rep_indices, 0)
+    # mode value = representative row of the winning group
+    from .move import gather_rows
+    (rep_row,) = gather_rows([safe_rep], best[None].astype(jnp.int32))
+    (mode_val,) = gather_rows([col.values], rep_row.astype(jnp.int32))
+    count_val = counts[best]
+    has = jnp.sum(live, dtype=jnp.int64) > 0
+    return AggResult((mode_val[0], count_val), (has, has),
+                     T.struct([("mode", col.type), ("count", T.int64())]),
+                     fields=("mode", "count"))

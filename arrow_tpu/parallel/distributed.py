@@ -66,23 +66,20 @@ def partition_ids(key_words: Sequence[jax.Array], n_parts: int) -> jax.Array:
 def _partition_scatter(rows_valid: jax.Array, pid: jax.Array,
                        n_parts: int, arrays: Sequence[jax.Array]):
     """Scatter rows into (n_parts, cap) send buffers by partition id.
-    Returns (buffers..., slot_valid)."""
+    Returns (buffers..., slot_valid). Routed through the TPU-safe spread
+    (compute/move.py) so 64-bit payloads stay linear."""
+    from ..compute.move import spread_rows
     cap = pid.shape[0]
     pid = jnp.where(rows_valid, pid, n_parts)
     one_hot = (pid[:, None] == jnp.arange(n_parts, dtype=jnp.int32)[None, :])
     slot = jnp.cumsum(one_hot.astype(jnp.int32), axis=0) - 1
     slot_of_row = jnp.take_along_axis(
         slot, jnp.minimum(pid, n_parts - 1)[:, None], axis=1)[:, 0]
-    dest = jnp.where(rows_valid, pid * cap + slot_of_row,
-                     n_parts * cap)
-    outs = []
-    for a in arrays:
-        buf = jnp.zeros((n_parts * cap,) + a.shape[1:], a.dtype)
-        outs.append(buf.at[dest].set(a, mode="drop").reshape(
-            (n_parts, cap) + a.shape[1:]))
-    sv = jnp.zeros(n_parts * cap, jnp.bool_).at[dest].set(
-        rows_valid, mode="drop").reshape(n_parts, cap)
-    return outs, sv
+    dest = pid * cap + slot_of_row
+    outs, slot_valid = spread_rows(dest, rows_valid, arrays,
+                                   n_parts * cap)
+    outs = [o.reshape((n_parts, cap) + o.shape[1:]) for o in outs]
+    return outs, slot_valid.reshape(n_parts, cap)
 
 
 class DistAggSpec(NamedTuple):
