@@ -128,9 +128,8 @@ def _segment_reduce_sorted(values, gids, num_segments, op, identity):
     # min/max: sort by (gid, value) and take segment start/end
     from .keys import order_word
     asc = op == "min"
-    vkey = values
-    # order word handles floats/ints; build from a transient column shim
-    class _Shim:
+
+    class _Shim:  # order_word reads .values
         pass
     shim = _Shim()
     shim.values = values

@@ -89,9 +89,6 @@ def _rank(ctx, col, sort_keys="ascending", null_placement: str = "at_end",
     keys = group_key_arrays([col], ctx.row_mask())
     sorted_keys = [k[perm] for k in keys]
     idx = jnp.arange(cap, dtype=jnp.int64)
-    is_new = idx == 0
-    for k in sorted_keys:
-        pass
     neq = jnp.zeros(cap, jnp.bool_)
     for k in sorted_keys:
         neq = jnp.logical_or(neq, k != jnp.roll(k, 1))
@@ -205,6 +202,6 @@ def _pairwise_diff(ctx, col, period: int = 1):
     return DeviceColumn(out, validity, col.type)
 
 
-register_period_alias = None
 from .registry import register_alias  # noqa: E402
+
 register_alias("pairwise_diff_checked", "pairwise_diff")
