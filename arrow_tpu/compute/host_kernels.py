@@ -1,0 +1,165 @@
+"""Host-tier kernels.
+
+Functions whose outputs are variable-length or inherently host-side
+(list/struct construction, timestamp formatting/parsing, string splitting)
+run on host Arrays directly — the reference's equivalents
+(scalar_nested.cc, scalar_temporal strftime/strptime, split) are also
+memory-bound CPU loops, so nothing is lost to the device."""
+
+from __future__ import annotations
+
+import datetime
+from typing import List, Optional
+
+import numpy as np
+
+from .. import types as T
+from ..array.array import Array, array as make_array
+from ..array.data import ArrayData
+from ..buffer import Buffer
+from ..types import TypeId
+from .registry import ArrowInvalid, register_host
+
+
+@register_host("strftime")
+def _strftime(arr: Array, format: str = "%Y-%m-%dT%H:%M:%S",
+              locale: Optional[str] = None) -> Array:
+    vals = arr.to_pylist()
+    return make_array([None if v is None else v.strftime(format)
+                       for v in vals], T.string())
+
+
+@register_host("strptime")
+def _strptime(arr: Array, format: str = "%Y-%m-%dT%H:%M:%S",
+              unit: str = "us", error_is_null: bool = False) -> Array:
+    out = []
+    for v in arr.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(datetime.datetime.strptime(v, format))
+        except ValueError:
+            if error_is_null:
+                out.append(None)
+            else:
+                raise ArrowInvalid(f"cannot parse {v!r} with {format!r}")
+    return make_array(out, T.timestamp(unit))
+
+
+@register_host("split_pattern")
+def _split_pattern(arr: Array, pattern: str = " ",
+                   max_splits: Optional[int] = None,
+                   reverse: bool = False) -> Array:
+    n = -1 if max_splits is None else max_splits
+    out = []
+    for v in arr.to_pylist():
+        if v is None:
+            out.append(None)
+        elif reverse and n > 0:
+            out.append(v.rsplit(pattern, n))
+        else:
+            out.append(v.split(pattern, n))
+    return make_array(out, T.list_(T.string()))
+
+
+@register_host("utf8_split_whitespace")
+def _split_ws(arr: Array, max_splits: Optional[int] = None) -> Array:
+    n = -1 if max_splits is None else max_splits
+    return make_array([None if v is None else v.split(None, n)
+                       for v in arr.to_pylist()], T.list_(T.string()))
+
+
+@register_host("binary_join")
+def _binary_join(lists: Array, separator) -> Array:
+    sep = separator if isinstance(separator, str) else separator
+    out = []
+    for v in lists.to_pylist():
+        if v is None or any(x is None for x in v):
+            out.append(None)
+        else:
+            out.append(sep.join(v))
+    return make_array(out, T.string())
+
+
+@register_host("list_value_length")
+def _list_value_length(arr: Array) -> Array:
+    return make_array([None if v is None else len(v)
+                       for v in arr.to_pylist()], T.int32())
+
+
+@register_host("list_flatten")
+def _list_flatten(arr: Array) -> Array:
+    flat = []
+    for v in arr.to_pylist():
+        if v is not None:
+            flat.extend(v)
+    return make_array(flat, arr.type.value_type)
+
+
+@register_host("list_parent_indices")
+def _list_parent_indices(arr: Array) -> Array:
+    out = []
+    for i, v in enumerate(arr.to_pylist()):
+        if v is not None:
+            out.extend([i] * len(v))
+    return make_array(out, T.int64())
+
+
+@register_host("list_element")
+def _list_element(arr: Array, index: int = 0) -> Array:
+    out = []
+    for v in arr.to_pylist():
+        if v is None or index >= len(v):
+            out.append(None)
+        else:
+            out.append(v[index])
+    return make_array(out, arr.type.value_type)
+
+
+@register_host("make_struct")
+def _make_struct(*arrays, field_names=None) -> Array:
+    arrays = [a if isinstance(a, Array) else make_array(a)
+              for a in arrays]
+    names = list(field_names) if field_names else \
+        [str(i) for i in range(len(arrays))]
+    st = T.struct([(n, a.type) for n, a in zip(names, arrays)])
+    cols = [a.to_pylist() for a in arrays]
+    rows = [{n: c[i] for n, c in zip(names, cols)}
+            for i in range(len(arrays[0]))]
+    return make_array(rows, st)
+
+
+@register_host("struct_field")
+def _struct_field(arr: Array, indices=None, field=None) -> Array:
+    sel = field if field is not None else indices
+    if isinstance(sel, int):
+        sel = arr.type.fields[sel].name
+    ft = arr.type.field(sel).type
+    return make_array([None if v is None else v.get(sel)
+                       for v in arr.to_pylist()], ft)
+
+
+@register_host("map_lookup")
+def _map_lookup(arr: Array, query_key=None,
+                occurrence: str = "first") -> Array:
+    out = []
+    for entries in arr.to_pylist():
+        if entries is None:
+            out.append(None)
+            continue
+        hits = [v for k, v in entries if k == query_key]
+        if not hits:
+            out.append(None)
+        elif occurrence == "first":
+            out.append(hits[0])
+        elif occurrence == "last":
+            out.append(hits[-1])
+        else:
+            out.append(hits)
+    return make_array(out, arr.type.item_type)
+
+
+@register_host("run_end_decode")
+def _run_end_decode(arr: Array) -> Array:
+    return make_array(arr.to_pylist(), arr.type.value_type)

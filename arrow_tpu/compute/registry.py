@@ -106,6 +106,16 @@ def register_alias(alias: str, name: str):
     _REGISTRY[alias] = _REGISTRY[name]
 
 
+def register_host(name: str, doc: str = ""):
+    """Host-tier kernel: runs on host Arrays directly (variable-length
+    outputs, text formatting — memory-bound CPU work in the reference
+    too)."""
+    def deco(fn):
+        _REGISTRY[name] = Function(name, "host", fn, doc)
+        return fn
+    return deco
+
+
 def get_function(name: str) -> Function:
     f = _REGISTRY.get(name)
     if f is None:
@@ -175,6 +185,10 @@ def call_function(name: str, args: Sequence, options=None,
     if isinstance(options, FunctionOptions):
         options = options.to_kwargs()
     fn = get_function(name)
+    if fn.kind == "host":
+        host_args = [a.combine() if isinstance(a, ChunkedArray) else a
+                     for a in args]
+        return fn.impl(*host_args, **(options or {}))
     arrays: List[Tuple[int, Array]] = []
     prepared: List = []
     for i, a in enumerate(args):
