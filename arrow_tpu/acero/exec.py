@@ -146,13 +146,29 @@ def _node_project(options: ProjectNodeOptions, schema: Schema):
 _SCALAR_AGG_0ARY = {"count_all"}
 
 
-def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
+def _node_aggregate(options: AggregateNodeOptions, schema: Schema,
+                    pre_mask_expr=None):
+    """pre_mask_expr: a filter predicate fused INTO the aggregation
+    (planner rewrite): instead of physically compacting filtered rows, the
+    mask simply joins the aggregation's row mask — one pass, no data
+    movement."""
     aggs = options.aggregates
     keys = options.keys
 
+    def _ctx(batch):
+        ctx = ExecContext(batch.capacity, batch.row_count)
+        if pre_mask_expr is not None:
+            from ..compute.selection import selection_mask
+            mask_col = pre_mask_expr.evaluate(batch, ctx)
+            keep, _ = selection_mask(ctx, mask_col)
+            masked = ExecContext(batch.capacity, batch.row_count)
+            masked.row_mask_ = keep
+            return masked
+        return ctx
+
     if keys:
         def fn(batch: DeviceBatch) -> DeviceBatch:
-            ctx = ExecContext(batch.capacity, batch.row_count)
+            ctx = _ctx(batch)
             key_cols = [batch.column(k) for k in keys]
             g = group_ids(ctx, key_cols)
             cap = batch.capacity
@@ -215,7 +231,7 @@ def _node_aggregate(options: AggregateNodeOptions, schema: Schema):
         return fn, None
 
     def fn(batch: DeviceBatch) -> DeviceBatch:
-        ctx = ExecContext(batch.capacity, batch.row_count)
+        ctx = _ctx(batch)
         out_cols, out_fields = [], []
         for target, fname, opts, out_name in aggs:
             impl = get_function(fname).impl
@@ -418,6 +434,55 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
         return _execute_sorted_merge(decl.options, batches)
 
     if decl.factory_name in _CHAINABLE:
+        # Planner rewrite: aggregate over filter(+projects) consumes the
+        # filter MASK instead of a compacted batch — the filter's data
+        # movement disappears (projects are elementwise and mask-
+        # independent, so they commute with the rewrite).
+        if decl.factory_name == "aggregate":
+            chain = []
+            cur = decl.inputs[0]
+            while cur.factory_name == "project":
+                chain.append(cur)
+                cur = cur.inputs[0]
+            if cur.factory_name == "filter":
+                mask_expr = cur.options.filter_expression
+                input_batch = execute_declaration(cur.inputs[0],
+                                                  _root=False)
+                key = ("agg_fused", _config_key(decl),
+                       tuple(_config_key(d) for d in chain),
+                       repr(mask_expr), _dict_ids(input_batch))
+
+                def make_fused(chain=tuple(chain), mask_expr=mask_expr,
+                               options=decl.options):
+                    proj_fns = [
+                        _CHAINABLE["project"](d.options, None)[0]
+                        for d in reversed(chain)]
+                    agg_fn, _ = _node_aggregate(options, None,
+                                                pre_mask_expr=mask_expr)
+
+                    def staged(batch):
+                        # carry the ORIGINAL columns too: the mask may
+                        # reference columns the projects drop
+                        projected = batch
+                        for f in proj_fns:
+                            projected = f(projected)
+                        merged_cols = list(projected.columns)
+                        merged_fields = list(projected.schema.fields)
+                        have = set(projected.schema.names)
+                        for fld, c in zip(batch.schema.fields,
+                                          batch.columns):
+                            if fld.name not in have:
+                                merged_cols.append(c)
+                                merged_fields.append(fld)
+                        merged = DeviceBatch(Schema(merged_fields),
+                                             merged_cols,
+                                             batch.row_count)
+                        return agg_fn(merged)
+                    return staged
+
+                fn = _cached_jit(key, make_fused)
+                return fn(input_batch)
+
         # Per-node jit, NOT one fused program: measured on v5e, fusing the
         # whole chain into a single XLA computation regresses Q1 by ~60x
         # (scatter/segment fusions recompute across consumers; barriers

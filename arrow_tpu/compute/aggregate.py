@@ -177,7 +177,8 @@ def _count(ctx, a, mode: str = "only_valid"):
         n = jnp.sum(jnp.logical_and(~a.valid_mask(None), ctx.row_mask()),
                     dtype=jnp.int64)
     elif mode == "all":
-        n = ctx.row_count.astype(jnp.int64)
+        # row_mask-based so planner-fused filter masks count correctly
+        n = jnp.sum(ctx.row_mask(), dtype=jnp.int64)
     else:
         raise ArrowInvalid(f"bad count mode {mode!r}")
     return AggResult(n, jnp.asarray(True), T.int64())
@@ -185,8 +186,8 @@ def _count(ctx, a, mode: str = "only_valid"):
 
 @register("count_all", "aggregate")
 def _count_all(ctx, a):
-    return AggResult(ctx.row_count.astype(jnp.int64), jnp.asarray(True),
-                     T.int64())
+    return AggResult(jnp.sum(ctx.row_mask(), dtype=jnp.int64),
+                     jnp.asarray(True), T.int64())
 
 
 @register("any", "aggregate")
