@@ -26,6 +26,7 @@ from . import strings as _strings  # noqa: F401
 from . import temporal as _temporal  # noqa: F401
 from . import vector_misc as _vector_misc  # noqa: F401
 from . import host_kernels as _host_kernels  # noqa: F401
+from . import hashing as _hashing  # noqa: F401
 from . import vector_sort as _vector_sort  # noqa: F401
 from .options import *  # noqa: F401,F403  (FunctionOptions classes)
 from .options import FunctionOptions  # noqa: F401

@@ -1,0 +1,146 @@
+"""Vectorized 32-bit key hashing.
+
+Reference analogue: compute/key_hash_internal.h (Hashing32): xxhash32
+primes, avalanche finalizer (xorshift-multiply chain), and the multi-column
+combiner ``prev ^ (hash + 0x9e3779b9 + (prev<<6) + (prev>>2))`` (SURVEY
+A.3). Deterministic and platform-independent; used for partitioning and
+bucketing.
+
+Two implementations of the same math:
+* jnp (all backends, used on CPU and inside shard_map programs)
+* a Pallas TPU kernel (u32 VPU ops, gridded over row blocks) — the hot-op
+  form per the TPU kernel playbook.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+
+PRIME32_1 = 2654435761
+PRIME32_2 = 2246822519
+PRIME32_3 = 3266489917
+PRIME32_4 = 668265263
+PRIME32_5 = 374761393
+GOLDEN = 0x9E3779B9
+
+_BLOCK_ROWS = 8 * 1024  # (64, 128) u32 tiles per grid step
+
+
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _avalanche(h):
+    """xxhash32 finalizer (key_hash_internal.h:85-92 Avalanche)."""
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(PRIME32_2)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(PRIME32_3)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _hash_u32_word(w):
+    h = jnp.uint32(PRIME32_5) + jnp.uint32(4)
+    h = h + w * jnp.uint32(PRIME32_3)
+    h = ((h << 17) | (h >> 15)) * jnp.uint32(PRIME32_4)
+    return _avalanche(h)
+
+
+def _combine(prev, h):
+    """CombineHashesImp (key_hash_internal.h:96-100)."""
+    return prev ^ (h + jnp.uint32(GOLDEN) + (prev << 6) + (prev >> 2))
+
+
+def hash32_words(words: Sequence[jax.Array]) -> jax.Array:
+    """jnp implementation: hash of one-or-more u32 words per row."""
+    out = _hash_u32_word(_u32(words[0]))
+    for w in words[1:]:
+        out = _combine(out, _hash_u32_word(_u32(w)))
+    return out
+
+
+def column_words(values: jax.Array) -> List[jax.Array]:
+    """Split a column's values into u32 words for hashing (64-bit types
+    hash both halves; the split is arithmetic — no bitcast, which the
+    backend's x64 rewriter lacks)."""
+    dt = values.dtype
+    if dt.itemsize <= 4:
+        if jnp.issubdtype(dt, jnp.floating):
+            # quantize f32 through int32 round-trip-stable path
+            return [jax.lax.bitcast_convert_type(
+                values.astype(jnp.float32), jnp.uint32)]
+        return [values.astype(jnp.uint32)]
+    if jnp.issubdtype(dt, jnp.floating):
+        # f64: avoid bitcast (unsupported); mix mantissa/exponent parts
+        m, e = jnp.frexp(values)
+        m53 = (m * (2.0 ** 31)).astype(jnp.int64)
+        return [_u32(m53 & 0x7FFFFFFF), _u32(e.astype(jnp.int64) & 0xFFFF)]
+    v = values.astype(jnp.int64)
+    return [_u32(v & 0xFFFFFFFF), _u32((v >> 32) & 0xFFFFFFFF)]
+
+
+def _pallas_hash_kernel(n_words):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(*refs):
+        word_refs, out_ref = refs[:-1], refs[-1]
+        h = _hash_u32_word(word_refs[0][:])
+        for r in word_refs[1:]:
+            h = _combine(h, _hash_u32_word(r[:]))
+        out_ref[:] = h
+
+    return kernel
+
+
+def hash32_pallas(words: Sequence[jax.Array]) -> jax.Array:
+    """Pallas TPU kernel over (rows/BLOCK) grid, 8x128 u32 tiles."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = words[0].shape[0]
+    if n % _BLOCK_ROWS != 0:
+        return hash32_words(words)  # shapes must tile; fall back
+    rows = _BLOCK_ROWS // 128
+    shaped = [_u32(w).reshape(n // 128, 128) for w in words]
+    grid = (n // _BLOCK_ROWS,)
+    kernel = _pallas_hash_kernel(len(words))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)
+                  for _ in shaped],
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32),
+    )(*shaped)
+    return out.reshape(n)
+
+
+def hash_columns(cols, use_pallas: bool = False) -> jax.Array:
+    """Hash one-or-more DeviceColumns to u32 (null rows hash the zero
+    word; callers mask)."""
+    words: List[jax.Array] = []
+    for c in cols:
+        words.extend(column_words(c.values))
+    if use_pallas:
+        return hash32_pallas(words)
+    return hash32_words(words)
+
+
+# registered compute function (engine-visible)
+from ..device.column import DeviceColumn  # noqa: E402
+from .. import types as T  # noqa: E402
+from .registry import register  # noqa: E402
+
+
+@register("hash32", "elementwise",
+          "xxhash32-style hash of one column (SURVEY A.3 Hashing32)")
+def _hash32_fn(ctx, col, use_pallas: bool = False):
+    out = hash_columns([col], use_pallas=use_pallas)
+    return DeviceColumn(out, col.validity, T.uint32())

@@ -349,3 +349,17 @@ def test_randomized_differential():
     assert_same(pc.filter(a, m), ppc.filter(pa_a, pa_of(m)))
     assert pc.count_distinct(a).as_py() == \
         ppc.count_distinct(pa_a).as_py()
+
+
+def test_hash32():
+    a = at.array(list(range(100)) * 5)
+    h = pc.hash32(a)
+    assert h.type == at.uint32()
+    vals = h.to_pylist()
+    # deterministic, equal inputs hash equal, good spread
+    assert vals[:100] == vals[100:200]
+    assert len(set(vals[:100])) == 100
+    f = at.array([1.5, -2.25, 1.5, None])
+    hf = pc.hash32(f).to_pylist()
+    assert hf[0] == hf[2] and hf[0] != hf[1]
+    assert hf[3] is None
