@@ -148,6 +148,17 @@ _SCALAR_AGG_0ARY = {"count_all"}
 
 def _node_aggregate(options: AggregateNodeOptions, schema: Schema,
                     pre_mask_expr=None):
+    # segmented aggregation folds segment keys into grouping keys; the
+    # executor adds the segment-order sort after this node
+    if getattr(options, "segment_keys", None):
+        options = AggregateNodeOptions(
+            [(t, f, o, n) for (t, f, o, n) in options.aggregates],
+            keys=list(options.segment_keys) + list(options.keys))
+    return _node_aggregate_inner(options, schema, pre_mask_expr)
+
+
+def _node_aggregate_inner(options: AggregateNodeOptions, schema: Schema,
+                          pre_mask_expr=None):
     """pre_mask_expr: a filter predicate fused INTO the aggregation
     (planner rewrite): instead of physically compacting filtered rows, the
     mask simply joins the aggregation's row mask — one pass, no data
@@ -432,6 +443,16 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
     if decl.factory_name == "sorted_merge":
         batches = [execute_declaration(i, _root=False) for i in decl.inputs]
         return _execute_sorted_merge(decl.options, batches)
+
+    if decl.factory_name == "aggregate" and \
+            getattr(decl.options, "segment_keys", None):
+        inner = execute_declaration(decl.inputs[0], _root=False)
+        fn, _ = _node_aggregate(decl.options, None)
+        key = ("seg_agg", _config_key(decl), _dict_ids(inner))
+        out = _cached_jit(key, lambda: fn)(inner)
+        sort_fn, _ = _node_order_by(OrderByNodeOptions(
+            [(k, "ascending") for k in decl.options.segment_keys]), None)
+        return jax.jit(sort_fn)(out)
 
     if decl.factory_name in _CHAINABLE:
         # Planner rewrite: aggregate over filter(+projects) consumes the

@@ -36,7 +36,8 @@ class AggregateNodeOptions(ExecNodeOptions):
     """aggregates: list of (target, function, options, output_name);
     target is a column name (or list for 0-ary like count_all)."""
 
-    def __init__(self, aggregates: Sequence[Tuple], keys: Sequence = ()):
+    def __init__(self, aggregates: Sequence[Tuple], keys: Sequence = (),
+                 segment_keys: Sequence = ()):
         norm = []
         for agg in aggregates:
             if len(agg) == 4:
@@ -49,6 +50,12 @@ class AggregateNodeOptions(ExecNodeOptions):
             norm.append((target, fn, options or {}, out_name))
         self.aggregates = norm
         self.keys = [k if isinstance(k, str) else str(k) for k in keys]
+        # segment keys (reference: RowSegmenter, compute/row/grouper.h:80):
+        # inputs are ordered by these; outputs come back segment-ordered.
+        # With whole-batch execution they fold into the grouping keys plus
+        # an output sort.
+        self.segment_keys = [k if isinstance(k, str) else str(k)
+                             for k in segment_keys]
 
 
 class OrderByNodeOptions(ExecNodeOptions):

@@ -102,7 +102,7 @@ def bench_reference(lineitem, iters: int) -> float:
 
 def main():
     sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
-    iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "5"))
+    iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "3"))
 
     from arrow_tpu.io import tpch
     lineitem = tpch.lineitem_table(sf)

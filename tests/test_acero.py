@@ -207,3 +207,16 @@ def test_simplify_with_guarantee():
     e2 = (field("part") == "y") & (field("v") > 3)
     s2 = simplify_with_guarantee(e2, g)
     assert repr(s2) == "False"
+
+
+def test_segmented_aggregation():
+    t = at.table({"seg": [1, 1, 2, 2, 2], "k": ["a", "b", "a", "a", "b"],
+                  "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(t)),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("v", "sum", None, "s")], keys=["k"], segment_keys=["seg"])),
+    ]).to_table()
+    d = out.to_pydict()
+    assert d["seg"] == [1, 1, 2, 2]
+    assert d["s"] == [1.0, 2.0, 7.0, 5.0]
