@@ -372,6 +372,57 @@ class Table:
                 cols[name] = array(s.to_numpy())
         return cls.from_pydict(cols, schema)
 
+    def rename_columns(self, names) -> "Table":
+        if len(names) != len(self.schema):
+            raise ValueError("name count mismatch")
+        return Table(Schema([f.with_name(n) for f, n in
+                             zip(self.schema.fields, names)],
+                            self.schema.metadata), self.columns)
+
+    def add_column(self, i: int, field_, column) -> "Table":
+        if isinstance(field_, str):
+            col = column if isinstance(column, ChunkedArray) else                 ChunkedArray([column if isinstance(column, Array)
+                              else array(column)])
+            field_ = Field(field_, col.type)
+        else:
+            col = column if isinstance(column, ChunkedArray) else                 ChunkedArray([column if isinstance(column, Array)
+                              else array(column, field_.type)])
+        fields = list(self.schema.fields)
+        cols = list(self.columns)
+        fields.insert(i, field_)
+        cols.insert(i, col)
+        return Table(Schema(fields, self.schema.metadata), cols)
+
+    def append_column(self, field_, column) -> "Table":
+        return self.add_column(self.num_columns, field_, column)
+
+    def remove_column(self, i: int) -> "Table":
+        fields = list(self.schema.fields)
+        cols = list(self.columns)
+        fields.pop(i)
+        cols.pop(i)
+        return Table(Schema(fields, self.schema.metadata), cols)
+
+    def set_column(self, i: int, field_, column) -> "Table":
+        return self.remove_column(i).add_column(i, field_, column)
+
+    def drop_columns(self, names) -> "Table":
+        if isinstance(names, str):
+            names = [names]
+        keep = [n for n in self.schema.names if n not in names]
+        return self.select(keep)
+
+    def cast(self, target_schema: Schema) -> "Table":
+        from .compute import cast as _cast
+        cols = []
+        for f, c in zip(target_schema.fields, self.columns):
+            combined = c.combine()
+            if combined.type == f.type:
+                cols.append(combined)
+            else:
+                cols.append(_cast(combined, to_type=f.type))
+        return Table.from_arrays(cols, target_schema.names)
+
     def join(self, right_table: "Table", keys, right_keys=None,
              join_type: str = "left outer", left_suffix: str = "",
              right_suffix: str = "", coalesce_keys: bool = True) -> "Table":
