@@ -409,12 +409,17 @@ _CHAINABLE = {
 
 def execute_declaration(decl: Declaration,
                         _root: bool = True) -> DeviceBatch:
-    """Recursively execute with per-node dispatch metrics."""
+    """Recursively execute with per-node dispatch metrics, cooperative
+    cancellation polls, and profiler trace annotations."""
     import time as _time
+
+    from ..cancel import default_stop_token
     if _root:
         last_plan_metrics.reset()
+    default_stop_token().poll()
     t0 = _time.perf_counter()
-    out = _execute_node(decl)
+    with jax.profiler.TraceAnnotation(f"arrow_tpu::{decl.factory_name}"):
+        out = _execute_node(decl)
     last_plan_metrics.record(decl.factory_name,
                              _time.perf_counter() - t0)
     return out
