@@ -722,15 +722,51 @@ def _barrier_batch(batch: DeviceBatch) -> DeviceBatch:
 
 def compile_chain(decls: Sequence[Declaration]) -> Callable:
     """Compose a sequence of chainable node declarations (filter/project/
-    aggregate/order_by/fetch) into ONE jitted DeviceBatch -> DeviceBatch
-    function. Used by benchmarks and the multi-chip driver to time pure
+    aggregate/order_by/fetch) into jitted DeviceBatch -> DeviceBatch
+    functions. Applies the same filter-into-aggregate fusion as the plan
+    executor. Used by benchmarks and the multi-chip driver to time pure
     device execution with a pre-uploaded batch."""
+    decls = list(decls)
     node_fns = []
-    for d in decls:
+    i = 0
+    while i < len(decls):
+        d = decls[i]
         if d.factory_name not in _CHAINABLE:
             raise ArrowInvalid(f"{d.factory_name!r} is not chainable")
+        # fusion: filter [project*] aggregate
+        if d.factory_name == "filter":
+            j = i + 1
+            while j < len(decls) and decls[j].factory_name == "project":
+                j += 1
+            if j < len(decls) and decls[j].factory_name == "aggregate":
+                mask_expr = d.options.filter_expression
+                proj_fns = [_CHAINABLE["project"](p2.options, None)[0]
+                            for p2 in decls[i + 1:j]]
+                agg_fn, _ = _node_aggregate(decls[j].options, None,
+                                            pre_mask_expr=mask_expr)
+
+                def fused(batch, proj_fns=tuple(proj_fns),
+                          agg_fn=agg_fn):
+                    projected = batch
+                    for f in proj_fns:
+                        projected = f(projected)
+                    merged_cols = list(projected.columns)
+                    merged_fields = list(projected.schema.fields)
+                    have = set(projected.schema.names)
+                    for fld, c in zip(batch.schema.fields, batch.columns):
+                        if fld.name not in have:
+                            merged_cols.append(c)
+                            merged_fields.append(fld)
+                    merged = DeviceBatch(Schema(merged_fields),
+                                         merged_cols, batch.row_count)
+                    return agg_fn(merged)
+
+                node_fns.append(fused)
+                i = j + 1
+                continue
         fn, _ = _CHAINABLE[d.factory_name](d.options, None)
         node_fns.append(fn)
+        i += 1
 
     jitted = [jax.jit(f) for f in node_fns]
 
