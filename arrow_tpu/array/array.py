@@ -111,6 +111,20 @@ class Array:
         from ..c_data import array_capsules
         return array_capsules(self)
 
+    # dlpack (reference: c/dlpack.cc) — primitive arrays without nulls
+    def __dlpack__(self, stream=None):
+        return self.to_numpy(zero_copy_only=True).__dlpack__()
+
+    def __dlpack_device__(self):
+        return self.to_numpy(zero_copy_only=True).__dlpack_device__()
+
+    def buffers(self):
+        return list(self.data.buffers)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(b.size for b in self.data.buffers if b is not None)
+
     def to_pandas(self):
         import pandas as pd
         if self.type.is_numeric and self.null_count == 0:
