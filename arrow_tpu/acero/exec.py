@@ -16,31 +16,25 @@ compiler-scheduled fusion on a single chip).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import types as T
-from ..array.array import Array, array as make_array
-from ..compute import hash_agg as HA
+from ..array.array import array as make_array
 from ..compute import join as J
 from ..compute.grouper import (group_capacity_bound, group_ids,
                                group_slot_bound_exact)
 from ..compute.registry import ArrowInvalid, ExecContext, get_function
-from ..compute.selection import Compacted, filter_batch, take_batch
-from ..compute.vector_sort import device_sort_indices
+from ..compute.selection import filter_batch
 from ..device.column import (BLOCK, DeviceBatch, DeviceColumn,
                              download_table, round_up, upload_table)
 from ..table import RecordBatch, Table
-from ..types import DataType, Field, Schema, TypeId
+from ..types import Field, Schema
 from .expression import Expression
-from .options import (AggregateNodeOptions, FetchNodeOptions,
-                      FilterNodeOptions, HashJoinNodeOptions,
-                      OrderByNodeOptions, ProjectNodeOptions,
-                      TableSourceNodeOptions, UnionNodeOptions)
+from .options import AggregateNodeOptions, FetchNodeOptions, FilterNodeOptions, HashJoinNodeOptions, OrderByNodeOptions, ProjectNodeOptions
 
 _JIT_CACHE: Dict[tuple, Callable] = {}
 

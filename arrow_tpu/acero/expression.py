@@ -13,7 +13,7 @@ host-side dictionary before tracing — the jitted graph only ever sees ints.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Union
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -21,7 +21,6 @@ import numpy as np
 from .. import types as T
 from ..compute.registry import ArrowInvalid, ExecContext, get_function
 from ..device.column import DeviceBatch, DeviceColumn
-from ..types import DataType, TypeId
 
 
 class Expression:

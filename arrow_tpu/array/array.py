@@ -6,7 +6,7 @@ ingest. One class (not a hierarchy): the type id drives behavior.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional
 
 import numpy as np
 

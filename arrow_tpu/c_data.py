@@ -9,7 +9,7 @@ without copying value buffers.
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -17,7 +17,7 @@ from . import types as T
 from .array.array import Array
 from .array.data import ArrayData
 from .buffer import Buffer
-from .types import DataType, Field, Schema, TypeId
+from .types import DataType, Field, TypeId
 
 ARROW_FLAG_NULLABLE = 2
 ARROW_FLAG_DICTIONARY_ORDERED = 1

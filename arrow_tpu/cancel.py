@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import signal
 import threading
-from typing import Optional
 
 
 class CancelledError(RuntimeError):

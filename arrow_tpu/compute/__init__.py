@@ -9,14 +9,13 @@ under jit.
 from __future__ import annotations
 
 import sys
-from typing import Optional, Sequence, Union
 
 import jax.numpy as jnp
 import numpy as np
 
-from ..array.array import Array, array as make_array
+from ..array.array import array as make_array
 from ..table import ChunkedArray, RecordBatch, Table
-from ..types import DataType, TypeId
+from ..types import TypeId
 from . import aggregate as _aggregate  # noqa: F401  (registers kernels)
 from . import elementwise as _elementwise  # noqa: F401
 from . import grouper as _grouper  # noqa: F401
@@ -30,9 +29,9 @@ from . import hashing as _hashing  # noqa: F401
 from . import vector_sort as _vector_sort  # noqa: F401
 from .options import *  # noqa: F401,F403  (FunctionOptions classes)
 from .options import FunctionOptions  # noqa: F401
-from .registry import (ArrowInvalid, ArrowNotImplementedError, ExecContext,
-                       Scalar, call_function, function_registry,
-                       get_function, list_functions)
+from .registry import (ArrowInvalid, ArrowNotImplementedError,  # noqa: F401
+                       ExecContext, Scalar, call_function,
+                       function_registry, get_function, list_functions)
 
 __all__ = [
     "call_function", "list_functions", "get_function", "Scalar",
@@ -130,7 +129,6 @@ def _take_table(tbl, indices):
 
 def drop_null(values):
     if isinstance(values, (Table, RecordBatch)):
-        import functools
         mask_np = None
         cols = (values.columns if isinstance(values, RecordBatch)
                 else [c.combine() for c in values.columns])
@@ -157,7 +155,6 @@ def sort_indices(data, sort_keys=None, null_placement: str = "at_end",
     from .keys import sort_key_arrays, stable_sort_indices as _sort
     from .registry import ExecContext
     from .. import types as T
-    from ..array.array import Array as _Arr
 
     if isinstance(data, (Table, RecordBatch)):
         sort_keys = _norm_sort_keys(sort_keys or

@@ -16,7 +16,6 @@ int64/uint64, float sums and means in float64.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +24,7 @@ import numpy as np
 from .. import types as T
 from ..device.column import DeviceColumn
 from ..types import DataType, TypeId
-from .registry import ArrowInvalid, ExecContext, Scalar, register, \
-    register_alias
+from .registry import ArrowInvalid, ExecContext, Scalar, register
 
 
 @jax.tree_util.register_pytree_node_class

@@ -20,7 +20,7 @@ import numpy as np
 from .. import types as T
 from ..device.column import DeviceColumn, jnp_dtype_for
 from ..types import DataType, TypeId
-from .registry import ArrowInvalid, ExecContext, register, register_alias
+from .registry import ArrowInvalid, register, register_alias
 
 
 # --- helpers ---------------------------------------------------------------

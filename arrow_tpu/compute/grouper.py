@@ -13,7 +13,7 @@ Also powers unique / value_counts / dictionary_encode
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

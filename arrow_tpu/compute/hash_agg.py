@@ -14,16 +14,14 @@ dynamic group count.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from .. import types as T
 from ..device.column import DeviceColumn
-from ..types import DataType
 from .aggregate import _minmax_identity, _sum_dtype, _sum_type
-from .registry import ArrowInvalid, ExecContext, register
+from .registry import register
 from .selection import Compacted
 
 

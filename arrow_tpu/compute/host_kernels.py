@@ -9,15 +9,11 @@ memory-bound CPU loops, so nothing is lost to the device."""
 from __future__ import annotations
 
 import datetime
-from typing import List, Optional
+from typing import Optional
 
-import numpy as np
 
 from .. import types as T
 from ..array.array import Array, array as make_array
-from ..array.data import ArrayData
-from ..buffer import Buffer
-from ..types import TypeId
 from .registry import ArrowInvalid, register_host
 
 

@@ -20,14 +20,13 @@ never match (class sentinel per side) but still surface in outer results.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ..device.column import DeviceBatch, DeviceColumn
-from .keys import equality_word, stable_sort_indices
-from .registry import ExecContext
+from .keys import equality_word
 
 
 class JoinPlan(NamedTuple):

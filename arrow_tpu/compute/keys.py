@@ -14,13 +14,12 @@ vectorized replacement for the reference's comparator-based stable sorts.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ..device.column import DeviceColumn
-from ..types import TypeId
 
 SIGN64 = jnp.uint64(0x8000000000000000)
 

@@ -6,7 +6,7 @@ light named container that lowers to kernel kwargs."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 
 class FunctionOptions:

@@ -13,15 +13,14 @@ through a cached jitted wrapper, and downloaded.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from ..array.array import Array, array as make_array
+from ..array.array import Array
 from ..table import ChunkedArray
-from ..types import DataType, TypeId
+from ..types import DataType
 
 
 class ArrowInvalid(ValueError):

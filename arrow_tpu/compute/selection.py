@@ -9,15 +9,14 @@ byte-copy loop.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ..device.column import DeviceBatch, DeviceColumn
-from ..types import Schema
 from .elementwise import ErrGuard
-from .registry import ArrowInvalid, ExecContext, register
+from .registry import ExecContext, register
 
 
 @jax.tree_util.register_pytree_node_class

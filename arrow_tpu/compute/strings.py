@@ -16,14 +16,12 @@ from __future__ import annotations
 import re
 from typing import Callable, List, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import types as T
 from ..array.array import array as make_array
 from ..device.column import DeviceColumn
-from ..types import TypeId
 from .registry import ArrowInvalid, ArrowNotImplementedError, register
 
 

@@ -7,14 +7,12 @@ is branch-free integer math (civil-from-days), fully vectorized on the VPU.
 
 from __future__ import annotations
 
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from .. import types as T
 from ..device.column import DeviceColumn
-from ..types import DataType, TypeId
+from ..types import TypeId
 from .registry import ArrowInvalid, register
 
 _US = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}

@@ -7,7 +7,6 @@ vector_run_end_encode.cc.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -15,8 +14,7 @@ import numpy as np
 
 from .. import types as T
 from ..device.column import DeviceColumn
-from ..types import TypeId
-from .registry import ArrowInvalid, ExecContext, register
+from .registry import ArrowInvalid, register
 from .selection import Compacted
 
 

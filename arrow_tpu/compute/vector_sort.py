@@ -12,14 +12,13 @@ it at query sizes).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
 from .. import types as T
-from ..device.column import DeviceBatch, DeviceColumn
-from ..types import TypeId
+from ..device.column import DeviceColumn
 from .keys import sort_key_arrays, stable_sort_indices
 from .registry import ArrowInvalid, ExecContext, register
 from .selection import Compacted

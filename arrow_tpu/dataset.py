@@ -11,18 +11,16 @@ from __future__ import annotations
 
 import posixpath
 import re
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Union
 
-import numpy as np
 
-from . import types as T
 from .acero import (Declaration, FilterNodeOptions, TableSourceNodeOptions,
                     field)
 from .acero.expression import Expression, simplify_with_guarantee
 from .array.array import array as make_array
-from .fs import FileSelector, FileSystem, FileType, LocalFileSystem
+from .fs import FileSelector, FileSystem, LocalFileSystem
 from .table import RecordBatch, Table
-from .types import DataType, Field, Schema
+from .types import Schema
 
 
 class Partitioning:

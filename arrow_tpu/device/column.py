@@ -19,8 +19,7 @@ through ``jax.jit`` / ``shard_map``.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +29,7 @@ from .. import types as T
 from ..array.array import Array, array as make_array
 from ..array.data import ArrayData
 from ..buffer import Buffer
-from ..table import ChunkedArray, RecordBatch, Table
+from ..table import RecordBatch, Table
 from ..types import DataType, Field, Schema, TypeId
 from ..utils import bits as bitutil
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from .types import DataType, Field, TypeId
+from .types import DataType, TypeId
 
 
 class ExtensionType(DataType):

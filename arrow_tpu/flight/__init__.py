@@ -12,10 +12,8 @@ In the TPU architecture Flight is the EDGE transport for external clients
 
 from __future__ import annotations
 
-import io
 import os
 import sys
-import threading
 from concurrent import futures
 from typing import Dict, Iterator, List, Optional, Tuple
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Optional
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "proto"))
 import FlightSql_pb2 as fsql  # noqa: E402

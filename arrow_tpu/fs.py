@@ -13,7 +13,7 @@ import io
 import os
 import posixpath
 import shutil
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, List
 
 
 class FileType:

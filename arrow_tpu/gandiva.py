@@ -12,10 +12,9 @@ from __future__ import annotations
 
 from typing import List, Sequence, Tuple
 
-from .acero import (Declaration, FilterNodeOptions, ProjectNodeOptions,
-                    TableSourceNodeOptions)
+from .acero import Declaration, ProjectNodeOptions, TableSourceNodeOptions
 from .acero.expression import Expression, field, scalar
-from .table import RecordBatch, Table
+from .table import RecordBatch
 from .types import Schema
 
 
@@ -89,7 +88,6 @@ class Filter:
         """Returns the selection indices (reference: SelectionVector)."""
         import numpy as np
 
-        from .acero.exec import execute_declaration
         tbl = Declaration.from_sequence([
             Declaration("table_source", TableSourceNodeOptions(batch)),
             Declaration("project", ProjectNodeOptions(

@@ -13,14 +13,14 @@ from __future__ import annotations
 import csv as _csv
 import datetime
 import io
-from typing import BinaryIO, Dict, List, Optional, Sequence, Union
+from typing import Dict, List, Optional, Union
 
 import numpy as np
 
 from .. import types as T
 from ..array.array import Array, array as make_array
 from ..table import RecordBatch, Table
-from ..types import DataType, Schema
+from ..types import DataType
 
 DEFAULT_NULL_VALUES = ["", "#N/A", "#N/A N/A", "#NA", "-1.#IND",
                        "-1.#QNAN", "-NaN", "-nan", "1.#IND", "1.#QNAN",

@@ -7,15 +7,14 @@ unioned across records, nested objects/lists mapped to struct/list types.
 
 from __future__ import annotations
 
-import io
 import json as _json
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Optional
 
 from .. import types as T
 from ..array.array import array as make_array
 from ..array.construct import infer_type
 from ..table import Table
-from ..types import DataType, Schema
+from ..types import Schema
 
 
 class ReadOptions:

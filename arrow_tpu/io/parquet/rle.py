@@ -7,7 +7,6 @@ and RLE runs for constant stretches.
 
 from __future__ import annotations
 
-from typing import List
 
 import numpy as np
 

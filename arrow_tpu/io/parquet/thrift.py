@@ -9,7 +9,7 @@ self-describing, so the reader parses generically into
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List
 
 # compact type codes
 CT_BOOL_TRUE = 1

@@ -8,13 +8,11 @@ UNCOMPRESSED or ZSTD, one row group per call (configurable chunking).
 
 from __future__ import annotations
 
-import io
 import struct
 from typing import BinaryIO, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-from ... import types as T
 from ...array.array import Array
 from ...table import RecordBatch, Table
 from ...types import DataType, Schema, TypeId
@@ -23,7 +21,7 @@ from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
                      DOUBLE, ENC_PLAIN, ENC_RLE, ENC_RLE_DICTIONARY, FLBA,
                      FLOAT, INT32, INT64, MAGIC, PAGE_DATA, PAGE_DICT)
 from .rle import bit_width_for, encode_rle
-from .thrift import (CT_BINARY, CT_I32, CT_I64, CT_STRUCT, CompactWriter)
+from .thrift import CT_BINARY, CT_I32, CT_STRUCT, CompactWriter
 
 try:
     import zstandard as _zstd

@@ -16,8 +16,7 @@ from .. import types as T
 from ..array.array import Array
 from ..array.data import ArrayData
 from ..buffer import Buffer
-from ..table import RecordBatch, Table
-from ..types import Schema, Field
+from ..table import Table
 
 _EPOCH_1992 = 8035   # days from 1970-01-01 to 1992-01-01
 _EPOCH_1998 = 10561  # ... to 1998-12-01

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import flatbuffers
-import numpy as np
 from flatbuffers import number_types as N
 from flatbuffers.table import Table as _Tab
 

@@ -19,7 +19,7 @@ from ..buffer import Buffer
 from ..types import DataType, TypeId
 from ..utils import bits as bitutil
 from . import fb
-from .fb import Reader, _offset_vector, _table
+from .fb import Reader, _table
 
 CONTINUATION = 0xFFFFFFFF
 ALIGNMENT = 8

@@ -9,21 +9,17 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import BinaryIO, Dict, List, Optional, Sequence, Union
+from typing import BinaryIO, Dict, List, Optional, Union
 
 import flatbuffers
-import numpy as np
 
 from ..array.array import Array
 from ..array.data import ArrayData
 from ..table import RecordBatch, Table
 from ..types import Schema, TypeId
 from . import fb
-from .fb import Reader, _offset_vector, _table, read_kv
-from .message import (ALIGNMENT, CONTINUATION, EOS, ArrayLoader,
-                      RecordBatchMeta, _pad_to, encapsulate,
-                      parse_message_meta, serialize_dictionary_batch,
-                      serialize_record_batch, serialize_schema_message)
+from .fb import Reader, _table
+from .message import CONTINUATION, EOS, ArrayLoader, RecordBatchMeta, parse_message_meta, serialize_dictionary_batch, serialize_record_batch, serialize_schema_message
 from .schema_fb import DictionaryFieldMapper, read_schema, write_schema
 
 MAGIC = b"ARROW1"

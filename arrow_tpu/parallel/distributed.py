@@ -17,8 +17,7 @@ compute where profitable.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +25,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
-    from jax import shard_map as _shard_map_mod  # jax >= 0.6 style
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
@@ -37,7 +35,7 @@ from ..compute.registry import ExecContext
 from ..device.column import (DeviceBatch, DeviceColumn, round_up,
                              upload_table)
 from ..table import Table
-from ..types import Schema, Field
+from ..types import Field
 from .. import types as T
 
 
@@ -350,7 +348,6 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
     to the received probe capacity (sufficient for unique build keys)."""
     from ..compute import join as J
     from ..acero.exec import unify_dictionaries
-    from ..acero.options import HashJoinNodeOptions
     from ..device.column import download_column
 
     if join_type not in ("inner", "left outer"):

@@ -7,13 +7,12 @@ table.h:43. Host-side only; device execution operates on DeviceBatch
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence, Union
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Union
 
 import numpy as np
 
 from . import types as T
 from .array.array import Array, array
-from .array.data import ArrayData
 from .types import DataType, Field, Schema
 
 

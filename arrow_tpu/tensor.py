@@ -9,7 +9,7 @@ COO/CSR conversion from/to dense (host-side numpy).
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flatbuffers
 import numpy as np
@@ -17,7 +17,7 @@ import numpy as np
 from . import types as T
 from .ipc import fb
 from .ipc.fb import Reader, _table
-from .ipc.message import ALIGNMENT, _pad_to, encapsulate
+from .ipc.message import _pad_to, encapsulate
 from .ipc.schema_fb import _read_type, _write_type
 from .types import DataType
 

@@ -10,7 +10,7 @@ in :mod:`arrow_tpu.device`, not here.
 from __future__ import annotations
 
 import enum
-from typing import Any, Iterator, Mapping, Optional, Sequence, Union
+from typing import Iterator, Mapping, Optional, Sequence, Union
 
 import numpy as np
 
