@@ -45,3 +45,47 @@ def __getattr__(name):
 
 
 __version__ = "0.1.0"
+
+
+# --- runtime info / global options ------------------------------------------
+# Reference analogue: cpp/src/arrow/util/cpu_info.h, io/interfaces.h thread
+# pools, config.h RuntimeInfo. Thread counts here size HOST-side pools
+# (IPC/Parquet IO, dictionary encode); device compute is XLA-scheduled.
+
+_cpu_count = [None]
+_io_thread_count = [8]
+
+
+def cpu_count() -> int:
+    if _cpu_count[0] is None:
+        import os
+        _cpu_count[0] = os.cpu_count() or 1
+    return _cpu_count[0]
+
+
+def set_cpu_count(count: int):
+    if count < 1:
+        raise ValueError("cpu_count must be strictly positive")
+    _cpu_count[0] = int(count)
+
+
+def io_thread_count() -> int:
+    return _io_thread_count[0]
+
+
+def set_io_thread_count(count: int):
+    if count < 1:
+        raise ValueError("io_thread_count must be strictly positive")
+    _io_thread_count[0] = int(count)
+
+
+def runtime_info() -> dict:
+    """Build/runtime facts (reference: config.h RuntimeInfo)."""
+    import jax
+    return {
+        "version": __version__,
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "cpu_count": cpu_count(),
+        "io_thread_count": io_thread_count(),
+    }

@@ -5,6 +5,7 @@ from .expression import Expression, field, scalar  # noqa: F401
 from .options import (  # noqa: F401
     AggregateNodeOptions, AsofJoinNodeOptions, ExecNodeOptions,
     FetchNodeOptions, FilterNodeOptions, HashJoinNodeOptions,
-    OrderByNodeOptions, ProjectNodeOptions, SortedMergeNodeOptions,
+    OrderByNodeOptions, PivotLongerNodeOptions, PivotLongerRowTemplate,
+    ProjectNodeOptions, SortedMergeNodeOptions,
     TableSourceNodeOptions, UnionNodeOptions,
 )

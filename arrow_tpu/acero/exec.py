@@ -364,6 +364,11 @@ class Declaration:
         return current
 
     def to_table(self, use_threads: bool = True) -> Table:
+        from .host_agg import HOST_AGGS, maybe_host_aggregate
+        if self.factory_name == "aggregate" and any(
+                (a[1][5:] if a[1].startswith("hash_") else a[1])
+                in HOST_AGGS for a in self.options.aggregates):
+            return maybe_host_aggregate(self)
         batch = execute_declaration(self)
         return download_table(batch)
 
@@ -438,6 +443,11 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
         left = execute_declaration(decl.inputs[0], _root=False)
         right = execute_declaration(decl.inputs[1], _root=False)
         return _execute_asof_join(decl.options, left, right)
+
+    if decl.factory_name == "pivot_longer":
+        inner = execute_declaration(decl.inputs[0], _root=False)
+        return upload_table(_pivot_longer_host(decl.options,
+                                               download_table(inner)))
 
     if decl.factory_name == "sorted_merge":
         batches = [execute_declaration(i, _root=False) for i in decl.inputs]
@@ -520,6 +530,47 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
         return fn(input_batch)
 
     raise ArrowInvalid(f"unknown node factory {decl.factory_name!r}")
+
+
+def _pivot_longer_host(options, tbl: Table) -> Table:
+    """Wide -> long reshape (reference: acero/options.h:800-869,
+    pivot_longer_node.cc). Output rows = input rows x templates; columns =
+    passthrough (inputs not consumed as measurements) + feature columns
+    (literal strings per template) + measurement columns."""
+    from ..array.array import array as make_array
+    from .. import types as T
+
+    templates = options.row_templates
+    consumed = {m for t in templates for m in t.measurement_values
+                if m is not None}
+    pass_names = [n for n in tbl.column_names if n not in consumed]
+    n = tbl.num_rows
+    k = len(templates)
+
+    arrays, names = [], []
+    for name in pass_names:
+        col = tbl.column(name).combine()
+        vals = col.to_pylist()
+        arrays.append(make_array(
+            [v for v in vals for _ in range(k)], col.type))
+        names.append(name)
+    for j, fname in enumerate(options.feature_field_names):
+        per_template = [t.feature_values[j] for t in templates]
+        arrays.append(make_array(per_template * n, T.string()))
+        names.append(fname)
+    for j, mname in enumerate(options.measurement_field_names):
+        srcs = [t.measurement_values[j] for t in templates]
+        src_vals = {s: tbl.column(s).combine().to_pylist()
+                    for s in set(srcs) if s is not None}
+        mtype = next((tbl.column(s).combine().type
+                      for s in srcs if s is not None), T.null())
+        out = []
+        for r in range(n):
+            for s in srcs:
+                out.append(None if s is None else src_vals[s][r])
+        arrays.append(make_array(out, mtype))
+        names.append(mname)
+    return Table.from_arrays(arrays, names)
 
 
 def _dict_ids(batch: DeviceBatch) -> tuple:

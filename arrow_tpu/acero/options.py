@@ -58,6 +58,34 @@ class AggregateNodeOptions(ExecNodeOptions):
                              for k in segment_keys]
 
 
+class PivotLongerRowTemplate:
+    """One output row per input row (reference: acero/options.h
+    PivotLongerRowTemplate). feature_values: literal strings for the
+    feature columns; measurement_values: input column names (or None for
+    null) feeding the measurement columns."""
+
+    def __init__(self, feature_values: Sequence[str],
+                 measurement_values: Sequence[Optional[str]]):
+        self.feature_values = list(feature_values)
+        self.measurement_values = list(measurement_values)
+
+
+class PivotLongerNodeOptions(ExecNodeOptions):
+    """Wide -> long reshape (reference: acero/options.h
+    PivotLongerNodeOptions, pivot_longer_node.cc). The output carries all
+    input columns plus the feature/measurement columns; each input row
+    emits one output row per template."""
+
+    def __init__(self, row_templates: Sequence[PivotLongerRowTemplate],
+                 feature_field_names: Sequence[str],
+                 measurement_field_names: Sequence[str]):
+        self.row_templates = [
+            t if isinstance(t, PivotLongerRowTemplate)
+            else PivotLongerRowTemplate(*t) for t in row_templates]
+        self.feature_field_names = list(feature_field_names)
+        self.measurement_field_names = list(measurement_field_names)
+
+
 class OrderByNodeOptions(ExecNodeOptions):
     def __init__(self, sort_keys: Sequence[Tuple[str, str]],
                  null_placement: str = "at_end"):

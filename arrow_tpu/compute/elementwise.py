@@ -614,6 +614,11 @@ def _cast(ctx, a, to_type: DataType = None, target_type: DataType = None,
     av, avd = _as_values(a)
     src = a.type if isinstance(a, DeviceColumn) else None
 
+    if isinstance(a, DeviceColumn) and a.dictionary is not None and \
+            not (t.id in (TypeId.STRING, TypeId.LARGE_STRING,
+                          TypeId.DICTIONARY)):
+        return _cast_parse_strings(ctx, a, t, safe)
+
     if src is not None and src.is_temporal and t.is_temporal:
         out = _temporal_rescale(av, src, t)
         return _col(out, avd, t)
@@ -643,7 +648,78 @@ def _cast(ctx, a, to_type: DataType = None, target_type: DataType = None,
     return _col(out, avd, t)
 
 
+def _parse_one(v: str, t: DataType):
+    """Parse one string to the python value for target type ``t``
+    (reference: compute/kernels/scalar_cast_string.cc parse paths)."""
+    import datetime
+    s = v.strip()
+    if t.id == TypeId.BOOL:
+        lv = s.lower()
+        if lv in ("true", "1", "t", "yes"):
+            return True
+        if lv in ("false", "0", "f", "no"):
+            return False
+        raise ValueError(s)
+    if t.is_integer:
+        return int(s)
+    if t.is_floating:
+        return float(s)
+    if t.id == TypeId.DATE32:
+        return datetime.date.fromisoformat(s).toordinal() - 719163
+    if t.id == TypeId.DATE64:
+        return (datetime.date.fromisoformat(s).toordinal()
+                - 719163) * 86_400_000
+    if t.id == TypeId.TIMESTAMP:
+        dt = datetime.datetime.fromisoformat(s)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+        delta = dt - epoch
+        us = (delta.days * 86_400 + delta.seconds) * 1_000_000 \
+            + delta.microseconds
+        return us * _UNIT_US_INV.get(t.unit, 1) // _UNIT_US.get(t.unit, 1)
+    raise ValueError(f"cannot parse string as {t!r}")
+
+
+def _cast_parse_strings(ctx, a: DeviceColumn, t: DataType, safe: bool):
+    """String -> numeric/bool/temporal cast. TPU design: parse each
+    DISTINCT value once on the host at trace time (the dictionary is tiny),
+    then one gather through the int32 codes on device — the reference
+    (scalar_cast_string.cc) re-parses every row."""
+    vals = a.dictionary.to_pylist()
+    parsed, bad = [], []
+    for v in vals:
+        if v is None:
+            parsed.append(0)
+            bad.append(False)
+            continue
+        try:
+            p = _parse_one(v, t)
+            parsed.append(p)
+            bad.append(False)
+        except (ValueError, ArithmeticError):
+            parsed.append(0)
+            bad.append(True)
+    dtype = jnp_dtype_for(t)
+    table = jnp.asarray(np.asarray(parsed, dtype=dtype))
+    badt = jnp.asarray(np.asarray(bad, dtype=np.bool_))
+    codes = a.values.astype(jnp.int32)
+    out = table[codes]
+    badv = badt[codes]
+    live = ctx.row_mask()
+    if a.validity is not None:
+        live = jnp.logical_and(live, a.validity)
+    if safe:
+        return ErrGuard(_col(out, a.validity, t),
+                        jnp.any(jnp.logical_and(live, badv)),
+                        f"cast: could not parse string as {t!r}")
+    # unsafe: unparseable values become null
+    validity = jnp.logical_and(
+        a.validity if a.validity is not None
+        else jnp.ones_like(badv), ~badv)
+    return _col(out, validity, t)
+
+
 _UNIT_US = {"s": 1_000_000, "ms": 1000, "us": 1, "ns": 1}
+_UNIT_US_INV = {"s": 1, "ms": 1, "us": 1, "ns": 1000}
 
 
 def _unit_of(t: DataType) -> str:

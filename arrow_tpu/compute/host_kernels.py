@@ -159,3 +159,22 @@ def _map_lookup(arr: Array, query_key=None,
 @register_host("run_end_decode")
 def _run_end_decode(arr: Array) -> Array:
     return make_array(arr.to_pylist(), arr.type.value_type)
+
+
+@register_host("random")
+def _random(length, initializer="system") -> Array:
+    """Uniform [0,1) doubles (reference: compute/kernels/vector_random.cc).
+    TPU-native: counter-based threefry via jax.random — deterministic per
+    seed and reproducible across hosts, unlike the reference's MT19937."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    if int(length) < 0:
+        raise ArrowInvalid("random: length must be non-negative")
+    if initializer == "system":
+        seed = int(np.random.SeedSequence().generate_state(1)[0])
+    else:
+        seed = int(initializer)
+    key = jax.random.key(seed)
+    vals = jax.random.uniform(key, (int(length),), dtype=jnp.float64)
+    return make_array(np.asarray(vals, dtype=np.float64))

@@ -119,6 +119,9 @@ ModeOptions = _options(
     {"n": 1, "skip_nulls": True, "min_count": 0})
 BetweenOptions = _options("BetweenOptions", ["inclusive"],
                           {"inclusive": "both"})
+PivotWiderOptions = _options(
+    "PivotWiderOptions", ["key_names", "unexpected_key_behavior"],
+    {"key_names": (), "unexpected_key_behavior": "ignore"})
 SkewOptions = _options(
     "SkewOptions", ["skip_nulls", "biased", "min_count"],
     {"skip_nulls": True, "biased": True, "min_count": 0})

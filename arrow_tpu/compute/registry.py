@@ -132,6 +132,51 @@ def function_registry() -> Dict[str, Function]:
 
 # --- host-facing execution -------------------------------------------------
 
+def _cast_to_string_host(args, options):
+    """Value -> string casts format on the host (variable-length output;
+    reference: scalar_cast_string.cc numeric/temporal formatters). Returns
+    None when this isn't a to-string cast of a host Array."""
+    from ..types import TypeId
+    t = (options or {}).get("to_type") or (options or {}).get("target_type")
+    if t is None or t.id not in (TypeId.STRING, TypeId.LARGE_STRING):
+        return None
+    a = args[0]
+    if isinstance(a, ChunkedArray):
+        a = a.combine()
+    if not isinstance(a, Array):
+        return None
+    sid = a.type.id
+    if sid in (TypeId.STRING, TypeId.LARGE_STRING):
+        return a if a.type.id == t.id else _remake_string(a, t)
+    import numpy as np
+    from ..array.array import array as make_array
+
+    def fmt(v):
+        if v is None:
+            return None
+        if isinstance(v, bool) or sid == TypeId.BOOL:
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return np.format_float_positional(v, trim="-")
+        if hasattr(v, "isoformat"):
+            if not hasattr(v, "hour"):
+                return v.isoformat()
+            s = v.strftime("%Y-%m-%d %H:%M:%S")
+            unit = getattr(a.type, "unit", "s")
+            digits = {"s": 0, "ms": 3, "us": 6, "ns": 9}.get(unit, 0)
+            if digits:
+                s += f".{v.microsecond:06d}"[:1 + digits].ljust(
+                    digits + 1, "0")
+            return s
+        return str(v)
+
+    return make_array([fmt(v) for v in a.to_pylist()], t)
+
+
+def _remake_string(a, t):
+    from ..array.array import array as make_array
+    return make_array(a.to_pylist(), t)
+
 def _options_key(options: Optional[dict]) -> tuple:
     if not options:
         return ()
@@ -184,6 +229,10 @@ def call_function(name: str, args: Sequence, options=None,
     if isinstance(options, FunctionOptions):
         options = options.to_kwargs()
     fn = get_function(name)
+    if name == "cast":
+        hit = _cast_to_string_host(args, options)
+        if hit is not None:
+            return hit
     if fn.kind == "host":
         host_args = [a.combine() if isinstance(a, ChunkedArray) else a
                      for a in args]
