@@ -189,17 +189,64 @@ class _FlightStreamAssembler:
         raise ValueError(f"unexpected flight message type {htype}")
 
 
+# --- auth -------------------------------------------------------------------
+
+class ServerAuthHandler:
+    """Handshake-based authentication (reference: flight/server_auth.h).
+    authenticate() maps credentials to a bearer token; is_valid() checks
+    the token presented on later calls and returns the peer identity."""
+
+    def authenticate(self, payload: bytes) -> bytes:
+        raise NotImplementedError
+
+    def is_valid(self, token: bytes) -> Optional[str]:
+        raise NotImplementedError
+
+
+class BasicServerAuthHandler(ServerAuthHandler):
+    """Username/password handshake issuing opaque bearer tokens
+    (reference: flight/auth handling of BasicAuth payloads)."""
+
+    def __init__(self, credentials: Dict[str, str]):
+        self.credentials = dict(credentials)
+        self._tokens: Dict[bytes, str] = {}
+
+    def authenticate(self, payload: bytes) -> bytes:
+        import secrets
+        ba = fp.BasicAuth()
+        ba.ParseFromString(payload)
+        if self.credentials.get(ba.username) != ba.password:
+            raise PermissionError("invalid username/password")
+        token = secrets.token_urlsafe(16).encode()
+        self._tokens[token] = ba.username
+        return token
+
+    def is_valid(self, token: bytes) -> Optional[str]:
+        return self._tokens.get(token)
+
+
 # --- server ----------------------------------------------------------------
 
 class FlightServerBase:
     """Subclass and override list_flights / get_flight_info / do_get /
-    do_put / do_action / list_actions (reference: flight/server.h:248)."""
+    do_put / do_exchange / do_action / list_actions (reference:
+    flight/server.h:248)."""
 
-    def __init__(self, location: str = "grpc://0.0.0.0:0"):
+    def __init__(self, location: str = "grpc://0.0.0.0:0",
+                 auth_handler: Optional[ServerAuthHandler] = None):
         self._location = location
+        self.auth_handler = auth_handler
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=8))
         handlers = {
+            "Handshake": grpc.stream_stream_rpc_method_handler(
+                self._handshake,
+                request_deserializer=fp.HandshakeRequest.FromString,
+                response_serializer=fp.HandshakeResponse.SerializeToString),
+            "DoExchange": grpc.stream_stream_rpc_method_handler(
+                self._do_exchange,
+                request_deserializer=fp.FlightData.FromString,
+                response_serializer=fp.FlightData.SerializeToString),
             "ListFlights": grpc.unary_stream_rpc_method_handler(
                 self._list_flights,
                 request_deserializer=fp.Criteria.FromString,
@@ -248,6 +295,12 @@ class FlightServerBase:
     def do_put(self, descriptor: FlightDescriptor, table: Table):
         raise NotImplementedError
 
+    def do_exchange(self, descriptor: FlightDescriptor,
+                    table: Optional[Table]) -> Table:
+        """Bidirectional stream: receives the client's table, returns the
+        table to stream back (reference: server.h DoExchange)."""
+        raise NotImplementedError
+
     def do_action(self, action_type: str, body: bytes) -> List[bytes]:
         raise NotImplementedError(f"action {action_type!r}")
 
@@ -255,15 +308,82 @@ class FlightServerBase:
         return []
 
     # -- grpc glue --
+    def _check_auth(self, context):
+        if self.auth_handler is None:
+            return
+        token = None
+        for k, v in context.invocation_metadata():
+            if k == "authorization":
+                val = v.encode() if isinstance(v, str) else v
+                if val.startswith(b"Bearer "):
+                    token = val[7:]
+        peer = self.auth_handler.is_valid(token) \
+            if token is not None else None
+        if peer is None:
+            context.abort(grpc.StatusCode.UNAUTHENTICATED,
+                          "invalid token")
+
+    def _handshake(self, request_iterator, context):
+        # header-based flow (reference: client.h AuthenticateBasicToken):
+        # "authorization: Basic <b64>" in, "authorization: Bearer <t>" out
+        basic = None
+        for k, v in context.invocation_metadata():
+            if k == "authorization":
+                val = v if isinstance(v, str) else v.decode()
+                if val.startswith("Basic "):
+                    basic = val[6:]
+        if basic is not None and self.auth_handler is not None:
+            import base64
+            user, _, pw = base64.b64decode(basic).decode().partition(":")
+            ba = fp.BasicAuth()
+            ba.username = user
+            ba.password = pw
+            try:
+                token = self.auth_handler.authenticate(
+                    ba.SerializeToString())
+            except PermissionError as e:
+                context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
+            context.send_initial_metadata(
+                (("authorization", "Bearer " + token.decode()),))
+        got_any = False
+        for req in request_iterator:
+            got_any = True
+            resp = fp.HandshakeResponse()
+            if self.auth_handler is not None and req.payload:
+                try:
+                    resp.payload = self.auth_handler.authenticate(
+                        req.payload)
+                except PermissionError as e:
+                    context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
+            yield resp
+        if not got_any:
+            yield fp.HandshakeResponse()
+
+    def _do_exchange(self, request_iterator, context):
+        self._check_auth(context)
+        asm = _FlightStreamAssembler()
+        batches = []
+        for fd in request_iterator:
+            rb = asm.feed(fd)
+            if rb is not None:
+                batches.append(rb)
+        tbl_in = Table.from_batches(batches, asm.schema) \
+            if asm.schema is not None else None
+        out = self.do_exchange(asm.descriptor, tbl_in)
+        if out is not None:
+            yield from _table_to_flight_datas(out)
     def _list_flights(self, request, context):
+        self._check_auth(context)
         for info in self.list_flights(request.expression):
             yield info.to_pb()
 
     def _get_flight_info(self, request, context):
+        self._check_auth(context)
         return self.get_flight_info(
             FlightDescriptor.from_pb(request)).to_pb()
 
     def _get_schema(self, request, context):
+        self._check_auth(context)
         info = self.get_flight_info(FlightDescriptor.from_pb(request))
         mapper = DictionaryFieldMapper()
         out = fp.SchemaResult()
@@ -271,10 +391,12 @@ class FlightServerBase:
         return out
 
     def _do_get(self, request, context):
+        self._check_auth(context)
         tbl = self.do_get(Ticket(request.ticket))
         yield from _table_to_flight_datas(tbl)
 
     def _do_put(self, request_iterator, context):
+        self._check_auth(context)
         asm = _FlightStreamAssembler()
         batches = []
         for fd in request_iterator:
@@ -286,12 +408,14 @@ class FlightServerBase:
         yield fp.PutResult()
 
     def _do_action(self, request, context):
+        self._check_auth(context)
         for body in self.do_action(request.type, request.body):
             r = fp.Result()
             r.body = body
             yield r
 
     def _list_actions(self, request, context):
+        self._check_auth(context)
         for (t, desc) in self.list_actions():
             a = fp.ActionType()
             a.type = t
@@ -321,16 +445,68 @@ class FlightClient:
         host_port = location.replace("grpc://", "").replace(
             "grpc+tcp://", "")
         self._channel = grpc.insecure_channel(host_port)
+        self._metadata: List[Tuple[str, str]] = []
 
     def _method(self, name):
         return f"/{_SERVICE}/{name}"
+
+    def _md(self):
+        return self._metadata or None
+
+    def authenticate_basic_token(self, username: str, password: str):
+        """Handshake with BasicAuth credentials; returns the
+        ('authorization', 'Bearer <token>') pair and attaches it to all
+        later calls (reference: client.h AuthenticateBasicToken)."""
+        stub = self._channel.stream_stream(
+            self._method("Handshake"),
+            request_serializer=fp.HandshakeRequest.SerializeToString,
+            response_deserializer=fp.HandshakeResponse.FromString)
+        ba = fp.BasicAuth()
+        ba.username = username
+        ba.password = password
+        req = fp.HandshakeRequest()
+        req.payload = ba.SerializeToString()
+        resp = next(iter(stub(iter([req]))))
+        pair = ("authorization", "Bearer " + resp.payload.decode())
+        self._metadata = [pair]
+        return pair
+
+    def do_exchange(self, descriptor: FlightDescriptor,
+                    tbl: Optional[Table]) -> Table:
+        """Send a table and receive the server's response table over one
+        bidirectional stream (reference: client.h DoExchange)."""
+        stub = self._channel.stream_stream(
+            self._method("DoExchange"),
+            request_serializer=fp.FlightData.SerializeToString,
+            response_deserializer=fp.FlightData.FromString)
+
+        def gen():
+            first = True
+            if tbl is None:
+                fd = fp.FlightData()
+                fd.flight_descriptor.CopyFrom(descriptor.to_pb())
+                yield fd
+                return
+            for fd in _table_to_flight_datas(tbl):
+                if first:
+                    fd.flight_descriptor.CopyFrom(descriptor.to_pb())
+                    first = False
+                yield fd
+
+        asm = _FlightStreamAssembler()
+        batches = []
+        for fd in stub(gen(), metadata=self._md()):
+            rb = asm.feed(fd)
+            if rb is not None:
+                batches.append(rb)
+        return Table.from_batches(batches, asm.schema)
 
     def get_flight_info(self, descriptor: FlightDescriptor):
         stub = self._channel.unary_unary(
             self._method("GetFlightInfo"),
             request_serializer=fp.FlightDescriptor.SerializeToString,
             response_deserializer=fp.FlightInfo.FromString)
-        info = stub(descriptor.to_pb())
+        info = stub(descriptor.to_pb(), metadata=self._md())
         mapper = DictionaryFieldMapper()
         rdr = RecordBatchStreamReader(info.schema)
         endpoints = [FlightEndpoint(Ticket(e.ticket.ticket))
@@ -345,7 +521,7 @@ class FlightClient:
             response_deserializer=fp.FlightInfo.FromString)
         req = fp.Criteria()
         req.expression = criteria
-        for info in stub(req):
+        for info in stub(req, metadata=self._md()):
             rdr = RecordBatchStreamReader(info.schema)
             yield FlightInfo(
                 rdr.schema, FlightDescriptor.from_pb(
@@ -363,7 +539,7 @@ class FlightClient:
         req.ticket = ticket.ticket
         asm = _FlightStreamAssembler()
         batches = []
-        for fd in stub(req):
+        for fd in stub(req, metadata=self._md()):
             rb = asm.feed(fd)
             if rb is not None:
                 batches.append(rb)
@@ -382,7 +558,7 @@ class FlightClient:
                     fd.flight_descriptor.CopyFrom(descriptor.to_pb())
                     first = False
                 yield fd
-        list(stub(gen()))
+        list(stub(gen(), metadata=self._md()))
 
     def do_action(self, action_type: str, body: bytes = b""):
         stub = self._channel.unary_stream(
@@ -392,14 +568,15 @@ class FlightClient:
         a = fp.Action()
         a.type = action_type
         a.body = body
-        return [r.body for r in stub(a)]
+        return [r.body for r in stub(a, metadata=self._md())]
 
     def list_actions(self):
         stub = self._channel.unary_stream(
             self._method("ListActions"),
             request_serializer=fp.Empty.SerializeToString,
             response_deserializer=fp.ActionType.FromString)
-        return [(a.type, a.description) for a in stub(fp.Empty())]
+        return [(a.type, a.description)
+                for a in stub(fp.Empty(), metadata=self._md())]
 
     def close(self):
         self._channel.close()

@@ -100,3 +100,75 @@ def test_our_client_reads_pyarrow_server():
         t = cli.do_get(flight.Ticket(b"anything"))
         assert t.to_pydict() == {"q": [7, None, 9]}
         cli.close()
+
+
+# --- DoExchange + auth -------------------------------------------------------
+
+class _ExchangeServer(flight.FlightServerBase):
+    def do_exchange(self, descriptor, table):
+        import arrow_tpu.compute as pc
+        v = pc.multiply(table.column("v").combine(), 2)
+        return at.table({"v2": v})
+
+
+def test_do_exchange_roundtrip():
+    srv = _ExchangeServer("grpc://127.0.0.1:0")
+    srv.serve()
+    try:
+        cli = flight.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+        out = cli.do_exchange(flight.FlightDescriptor.for_command(b"x"),
+                              at.table({"v": [1, 2, 3]}))
+        assert out.column("v2").combine().to_pylist() == [2, 4, 6]
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_auth_gates_calls_and_issues_tokens():
+    import grpc
+    srv = _ExchangeServer(
+        "grpc://127.0.0.1:0",
+        auth_handler=flight.BasicServerAuthHandler({"alice": "pw"}))
+    srv.serve()
+    try:
+        cli = flight.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+        with pytest.raises(grpc.RpcError):
+            cli.do_exchange(flight.FlightDescriptor.for_command(b"x"),
+                            at.table({"v": [1]}))
+        with pytest.raises(grpc.RpcError):
+            cli.authenticate_basic_token("alice", "WRONG")
+        key, val = cli.authenticate_basic_token("alice", "pw")
+        assert key == "authorization" and val.startswith("Bearer ")
+        out = cli.do_exchange(flight.FlightDescriptor.for_command(b"x"),
+                              at.table({"v": [5]}))
+        assert out.column("v2").combine().to_pylist() == [10]
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_pyarrow_client_auth_and_exchange_interop():
+    class Echo(flight.FlightServerBase):
+        def do_exchange(self, descriptor, table):
+            return table
+
+    srv = Echo("grpc://127.0.0.1:0",
+               auth_handler=flight.BasicServerAuthHandler({"u": "p"}))
+    srv.serve()
+    try:
+        pcli = paf.connect(f"grpc://127.0.0.1:{srv.port}")
+        pair = pcli.authenticate_basic_token("u", "p")
+        opts = paf.FlightCallOptions(headers=[pair])
+        writer, reader = pcli.do_exchange(
+            paf.FlightDescriptor.for_command(b"e"), options=opts)
+        t = pa.table({"v": [1, 2], "s": ["a", "b"]})
+        writer.begin(t.schema)
+        writer.write_table(t)
+        writer.done_writing()
+        assert reader.read_all().to_pydict() == t.to_pydict()
+        writer.close()
+        with pytest.raises(paf.FlightUnauthenticatedError):
+            pcli.authenticate_basic_token("u", "nope")
+        pcli.close()
+    finally:
+        srv.shutdown()
