@@ -17,6 +17,7 @@ from .types import (  # noqa: F401
     month_interval, day_time_interval, month_day_nano_interval,
     decimal128, decimal256,
     list_, large_list, fixed_size_list, struct, map_,
+    string_view, binary_view, list_view, large_list_view,
     dictionary, sparse_union, dense_union, run_end_encoded,
     field, schema, from_numpy_dtype,
 )

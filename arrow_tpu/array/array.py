@@ -221,6 +221,39 @@ def _to_pylist(d: ArrayData) -> List[Any]:
                 out.append(b.decode() if tid in (TypeId.STRING, TypeId.LARGE_STRING) else b)
         return out
 
+    if tid in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW):
+        if n == 0 or d.buffers[1] is None:
+            return []
+        views = d.buffers[1].to_numpy().reshape(-1, 16)[d.offset:
+                                                        d.offset + n]
+        data_bufs = [b.to_numpy().tobytes() if b is not None else b""
+                     for b in d.buffers[2:]]
+        out = []
+        for i in range(n):
+            if not valid(i):
+                out.append(None)
+                continue
+            row = views[i]
+            ln = int(np.frombuffer(row[0:4].tobytes(), np.int32)[0])
+            if ln <= 12:
+                b = row[4:4 + ln].tobytes()
+            else:
+                bi = int(np.frombuffer(row[8:12].tobytes(), np.int32)[0])
+                off = int(np.frombuffer(row[12:16].tobytes(), np.int32)[0])
+                b = data_bufs[bi][off:off + ln]
+            out.append(b.decode() if tid == TypeId.STRING_VIEW else b)
+        return out
+
+    if tid in (TypeId.LIST_VIEW, TypeId.LARGE_LIST_VIEW):
+        if n == 0 or d.buffers[1] is None:
+            return []
+        off_dt = np.int64 if tid == TypeId.LARGE_LIST_VIEW else np.int32
+        offs = d.buffers[1].view(off_dt)[d.offset:d.offset + n]
+        sizes = d.buffers[2].view(off_dt)[d.offset:d.offset + n]
+        child = _to_pylist(d.children[0])
+        return [child[int(offs[i]):int(offs[i]) + int(sizes[i])]
+                if valid(i) else None for i in range(n)]
+
     if tid == TypeId.FIXED_SIZE_BINARY:
         vals = d.values()
         return [vals[i].tobytes() if valid(i) else None for i in range(n)]

@@ -155,6 +155,50 @@ def array_data_from_sequence(values: Sequence[Any],
         return ArrayData(type, n, [_make_validity(mask), Buffer(offsets),
                                    Buffer(data)])
 
+    if tid in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW):
+        # view layout (reference: format/Columnar.rst "Variable-size Binary
+        # View"): 16-byte views — length(i32) + (inline 12B | prefix 4B +
+        # buffer_index i32 + offset i32); long values land in ONE variadic
+        # data buffer here.
+        views = np.zeros((n, 16), dtype=np.uint8)
+        chunks = []
+        pos = 0
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            b = v.encode() if isinstance(v, str) else bytes(v)
+            views[i, 0:4] = np.frombuffer(
+                np.int32(len(b)).tobytes(), np.uint8)
+            if len(b) <= 12:
+                views[i, 4:4 + len(b)] = np.frombuffer(b, np.uint8)
+            else:
+                views[i, 4:8] = np.frombuffer(b[:4], np.uint8)
+                views[i, 8:12] = 0  # buffer index 0
+                views[i, 12:16] = np.frombuffer(
+                    np.int32(pos).tobytes(), np.uint8)
+                chunks.append(b)
+                pos += len(b)
+        return ArrayData(type, n, [_make_validity(mask), Buffer(views),
+                                   Buffer(b"".join(chunks))])
+
+    if tid in (TypeId.LIST_VIEW, TypeId.LARGE_LIST_VIEW):
+        off_dt = np.int64 if tid == TypeId.LARGE_LIST_VIEW else np.int32
+        offsets = np.zeros(n, dtype=off_dt)
+        sizes = np.zeros(n, dtype=off_dt)
+        flat = []
+        pos = 0
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            items = list(v)
+            offsets[i] = pos
+            sizes[i] = len(items)
+            flat.extend(items)
+            pos += len(items)
+        child = array_data_from_sequence(flat, type.value_type)
+        return ArrayData(type, n, [_make_validity(mask), Buffer(offsets),
+                                   Buffer(sizes)], [child])
+
     if tid in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128, TypeId.DECIMAL256):
         w = type.byte_width
         buf = bytearray(n * w)

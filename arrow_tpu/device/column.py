@@ -252,6 +252,14 @@ def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
     cap = capacity if capacity is not None else round_up(n)
     tid = t.id
 
+    if tid in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW):
+        # views flatten to their plain counterpart at upload: the device
+        # representation is dictionary codes either way
+        flat_t = T.string() if tid == TypeId.STRING_VIEW else T.binary()
+        arr = make_array(arr.to_pylist(), flat_t)
+        t = flat_t
+        tid = t.id
+
     if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
                TypeId.LARGE_BINARY):
         codes, mask, dict_arr = _dictionary_encode_host(arr)

@@ -37,6 +37,10 @@ TYPE_LARGEBINARY = 19
 TYPE_LARGEUTF8 = 20
 TYPE_LARGELIST = 21
 TYPE_RUNENDENCODED = 22
+TYPE_BINARYVIEW = 23
+TYPE_UTF8VIEW = 24
+TYPE_LISTVIEW = 25
+TYPE_LARGELISTVIEW = 26
 
 # MessageHeader union (format/Message.fbs)
 MSG_SCHEMA = 1

@@ -42,6 +42,7 @@ class BufferedBody:
         self.layout: List[Tuple[int, int]] = []  # (offset, length)
         self.pos = 0
         self.codec = codec
+        self.variadic_counts: List[int] = []
         if codec == "zstd" and _zstd is None:
             raise ValueError("zstandard not available")
 
@@ -128,6 +129,25 @@ def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
         body.add(d.values().tobytes())
         return
 
+    if tid in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW):
+        views = d.buffers[1].to_numpy().reshape(-1, 16)
+        body.add(views[d.offset:d.offset + d.length].tobytes())
+        data_bufs = d.buffers[2:]
+        body.variadic_counts.append(len(data_bufs))
+        for db in data_bufs:
+            body.add(db.to_numpy().tobytes() if db is not None else b"")
+        return
+
+    if tid in (TypeId.LIST_VIEW, TypeId.LARGE_LIST_VIEW):
+        w = 8 if tid == TypeId.LARGE_LIST_VIEW else 4
+        dt = np.int64 if tid == TypeId.LARGE_LIST_VIEW else np.int32
+        body.add(d.buffers[1].view(dt)[d.offset:
+                                       d.offset + d.length].tobytes())
+        body.add(d.buffers[2].view(dt)[d.offset:
+                                       d.offset + d.length].tobytes())
+        serialize_array(d.children[0], nodes, body)
+        return
+
     if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
                TypeId.LARGE_BINARY):
         offs = d.offsets()
@@ -162,7 +182,8 @@ def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
 def _write_record_batch_fb(b: flatbuffers.Builder, length: int,
                            nodes: Sequence[Tuple[int, int]],
                            layout: Sequence[Tuple[int, int]],
-                           codec: Optional[str]) -> int:
+                           codec: Optional[str],
+                           variadic_counts: Sequence[int] = ()) -> int:
     # nodes: vector of FieldNode structs (16 bytes: length i64, null_count i64)
     b.StartVector(16, len(nodes), 8)
     for ln, nc in reversed(nodes):
@@ -184,7 +205,14 @@ def _write_record_batch_fb(b: flatbuffers.Builder, length: int,
     elif codec == "lz4":
         comp_off = _table(b, 2, [(1, "i8", 0, 0),
                                  (0, "i8", fb.COMPRESSION_LZ4_FRAME, 0)])
+    var_vec = 0
+    if variadic_counts:
+        b.StartVector(8, len(variadic_counts), 8)
+        for c in reversed(variadic_counts):
+            b.PrependInt64(c)
+        var_vec = b.EndVector()
     return _table(b, 5, [
+        (4, "off", var_vec, 0),
         (3, "off", comp_off, 0),
         (2, "off", buffers_vec, 0),
         (1, "off", nodes_vec, 0),
@@ -231,7 +259,8 @@ def serialize_record_batch(columns: Sequence[ArrayData], num_rows: int,
         serialize_array(col, nodes, body)
     body_bytes = body.body()
     b = flatbuffers.Builder(1024)
-    rb_off = _write_record_batch_fb(b, num_rows, nodes, body.layout, codec)
+    rb_off = _write_record_batch_fb(b, num_rows, nodes, body.layout, codec,
+                                    body.variadic_counts)
     meta = _finish_message(b, fb.MSG_RECORD_BATCH, rb_off, len(body_bytes))
     return encapsulate(meta), body_bytes
 
@@ -245,7 +274,7 @@ def serialize_dictionary_batch(dict_id: int, dictionary: ArrayData,
     body_bytes = body.body()
     b = flatbuffers.Builder(1024)
     rb_off = _write_record_batch_fb(b, dictionary.length, nodes, body.layout,
-                                    codec)
+                                    codec, body.variadic_counts)
     db_off = _table(b, 3, [
         (2, "bool", is_delta, False),
         (1, "off", rb_off, 0),
@@ -277,7 +306,7 @@ def parse_message_meta(meta: bytes) -> Tuple[int, Reader, int]:
 
 
 class RecordBatchMeta:
-    __slots__ = ("length", "nodes", "buffers", "codec")
+    __slots__ = ("length", "nodes", "buffers", "codec", "variadic_counts")
 
     def __init__(self, r: Reader):
         from flatbuffers import number_types as _N
@@ -289,6 +318,7 @@ class RecordBatchMeta:
         self.codec = None
         if comp is not None:
             self.codec = {0: "lz4", 1: "zstd"}[comp.i8(0)]
+        self.variadic_counts = r.vector_i64(4)
 
 
 class ArrayLoader:
@@ -300,6 +330,7 @@ class ArrayLoader:
         self.body = body
         self.node_i = 0
         self.buf_i = 0
+        self.variadic_i = 0
 
     def _next_node(self) -> Tuple[int, int]:
         n = self.meta.nodes[self.node_i]
@@ -358,6 +389,23 @@ class ArrayLoader:
             data = self._next_buffer()
             return ArrayData(t, length, [validity, data],
                              null_count=null_count)
+
+        if tid in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW):
+            views = self._next_buffer()
+            nvar = self.meta.variadic_counts[self.variadic_i] \
+                if self.variadic_i < len(self.meta.variadic_counts) else 0
+            self.variadic_i += 1
+            data = [self._next_buffer() or Buffer(b"")
+                    for _ in range(nvar)]
+            return ArrayData(t, length, [validity, views] + data,
+                             null_count=null_count)
+
+        if tid in (TypeId.LIST_VIEW, TypeId.LARGE_LIST_VIEW):
+            offsets = self._next_buffer()
+            sizes = self._next_buffer()
+            child = self.load(t.value_field.type)
+            return ArrayData(t, length, [validity, offsets, sizes],
+                             [child], null_count=null_count)
 
         if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
                    TypeId.LARGE_BINARY):

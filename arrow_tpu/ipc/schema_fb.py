@@ -104,6 +104,14 @@ def _write_type(b: flatbuffers.Builder, t: DataType) -> Tuple[int, int]:
             (1, "off", codes, 0), (0, "i16", mode, 0)])
     if tid == TypeId.RUN_END_ENCODED:
         return fb.TYPE_RUNENDENCODED, _table(b, 0, [])
+    if tid == TypeId.STRING_VIEW:
+        return fb.TYPE_UTF8VIEW, _table(b, 0, [])
+    if tid == TypeId.BINARY_VIEW:
+        return fb.TYPE_BINARYVIEW, _table(b, 0, [])
+    if tid == TypeId.LIST_VIEW:
+        return fb.TYPE_LISTVIEW, _table(b, 0, [])
+    if tid == TypeId.LARGE_LIST_VIEW:
+        return fb.TYPE_LARGELISTVIEW, _table(b, 0, [])
     if tid == TypeId.DICTIONARY:
         # wire type is the VALUE type; encoding goes in Field.dictionary
         return _write_type(b, t.value_type)
@@ -230,6 +238,14 @@ def _read_type(disc: int, r: Optional[Reader],
         return T.UnionType(children, codes, mode)
     if disc == fb.TYPE_RUNENDENCODED:
         return T.RunEndEncodedType(children[0].type, children[1].type)
+    if disc == fb.TYPE_UTF8VIEW:
+        return T.string_view()
+    if disc == fb.TYPE_BINARYVIEW:
+        return T.binary_view()
+    if disc == fb.TYPE_LISTVIEW:
+        return T.ListType(children[0], TypeId.LIST_VIEW)
+    if disc == fb.TYPE_LARGELISTVIEW:
+        return T.ListType(children[0], TypeId.LARGE_LIST_VIEW)
     raise NotImplementedError(f"IPC read for type discriminant {disc}")
 
 

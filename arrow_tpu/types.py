@@ -24,6 +24,7 @@ __all__ = [
     "month_interval", "day_time_interval", "month_day_nano_interval",
     "decimal128", "decimal256",
     "list_", "large_list", "fixed_size_list", "struct", "map_",
+    "string_view", "binary_view", "list_view", "large_list_view",
     "dictionary", "sparse_union", "dense_union", "run_end_encoded",
     "field", "schema",
 ]
@@ -187,6 +188,10 @@ class DataType:
         return self.id in (TypeId.STRING, TypeId.BINARY)
 
     @property
+    def is_binary_view_like(self) -> bool:
+        return self.id in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW)
+
+    @property
     def is_large_binary_like(self) -> bool:
         return self.id in (TypeId.LARGE_STRING, TypeId.LARGE_BINARY)
 
@@ -339,7 +344,8 @@ class ListType(DataType):
 
     def __repr__(self):
         base = {TypeId.LIST: "list", TypeId.LARGE_LIST: "large_list",
-                TypeId.MAP: "map"}[self.id]
+                TypeId.MAP: "map", TypeId.LIST_VIEW: "list_view",
+                TypeId.LARGE_LIST_VIEW: "large_list_view"}[self.id]
         return f"{base}<{self.value_field.type!r}>"
 
 
@@ -516,6 +522,7 @@ _TYPE_NAMES = {
     TypeId.INTERVAL_MONTHS: "month_interval",
     TypeId.INTERVAL_DAY_TIME: "day_time_interval",
     TypeId.INTERVAL_MONTH_DAY_NANO: "month_day_nano_interval",
+    TypeId.STRING_VIEW: "string_view", TypeId.BINARY_VIEW: "binary_view",
 }
 
 
@@ -735,6 +742,22 @@ def list_(value: Union[Field, DataType]) -> ListType:
 
 def large_list(value: Union[Field, DataType]) -> ListType:
     return ListType(_as_field(value), TypeId.LARGE_LIST)
+
+
+def string_view() -> DataType:
+    return _singleton(TypeId.STRING_VIEW)
+
+
+def binary_view() -> DataType:
+    return _singleton(TypeId.BINARY_VIEW)
+
+
+def list_view(value: Union[Field, DataType]) -> ListType:
+    return ListType(_as_field(value), TypeId.LIST_VIEW)
+
+
+def large_list_view(value: Union[Field, DataType]) -> ListType:
+    return ListType(_as_field(value), TypeId.LARGE_LIST_VIEW)
 
 
 def fixed_size_list(value: Union[Field, DataType], list_size: int) -> FixedSizeListType:

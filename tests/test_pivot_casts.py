@@ -214,3 +214,62 @@ def test_runtime_info():
     assert info["version"] == at.__version__
     with pytest.raises(ValueError):
         at.set_cpu_count(0)
+
+
+# --- view types --------------------------------------------------------------
+
+def test_view_types_construct_and_decode():
+    sv = at.array(["hello", "a-very-long-string-over-12-bytes", None],
+                  at.string_view())
+    assert sv.to_pylist() == ["hello",
+                              "a-very-long-string-over-12-bytes", None]
+    bv = at.array([b"ab", b"this-is-a-long-binary-value!!"],
+                  at.binary_view())
+    assert bv.to_pylist() == [b"ab", b"this-is-a-long-binary-value!!"]
+    lv = at.array([[1, 2], [3], None], at.list_view(at.int64()))
+    assert lv.to_pylist() == [[1, 2], [3], None]
+    llv = at.array([[1.5], None], at.large_list_view(at.float64()))
+    assert llv.to_pylist() == [[1.5], None]
+
+
+def test_view_types_ipc_pyarrow_interop():
+    import io
+    from arrow_tpu import ipc
+    sv = at.array(["short", "a-very-long-string-over-12-bytes", None],
+                  at.string_view())
+    lv = at.array([[1, 2], None, [3]], at.list_view(at.int64()))
+    t = at.table({"sv": sv, "lv": lv})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    # we -> pyarrow
+    pt = pa.ipc.open_stream(buf.getvalue()).read_all()
+    pt.validate(full=True)
+    assert str(pt.schema.field("sv").type) == "string_view"
+    assert pt.to_pydict() == {
+        "sv": ["short", "a-very-long-string-over-12-bytes", None],
+        "lv": [[1, 2], None, [3]]}
+    # pyarrow -> us
+    pb = io.BytesIO()
+    src = pa.table({
+        "sv": pa.array(["x", "another-quite-long-string-here", None],
+                       pa.string_view()),
+        "llv": pa.array([[1.5], None, [2.5, 3.5]],
+                        pa.large_list_view(pa.float64()))})
+    with pa.ipc.new_stream(pb, src.schema) as w:
+        w.write_table(src)
+    t2 = ipc.open_stream(pb.getvalue()).read_all()
+    assert t2.schema.field("sv").type == at.string_view()
+    assert t2.column("sv").combine().to_pylist() == \
+        ["x", "another-quite-long-string-here", None]
+    assert t2.column("llv").combine().to_pylist() == \
+        [[1.5], None, [2.5, 3.5]]
+
+
+def test_view_strings_in_compute():
+    sv = at.array(["b", "a", "b", None], at.string_view())
+    t = at.table({"k": sv, "v": [1.0, 2.0, 3.0, 4.0]})
+    r = t.group_by("k").aggregate([("v", "sum")])
+    got = dict(zip(r.column("k").combine().to_pylist(),
+                   r.column("v_sum").combine().to_pylist()))
+    assert got == {"b": 4.0, "a": 2.0, None: 4.0}
