@@ -39,6 +39,13 @@ from .options import AggregateNodeOptions, FetchNodeOptions, FilterNodeOptions, 
 _JIT_CACHE: Dict[tuple, Callable] = {}
 
 
+def _bloom_mode() -> str:
+    """ARROW_TPU_BLOOM = auto (default: probe >= 4x build) | always |
+    never."""
+    import os
+    return os.environ.get("ARROW_TPU_BLOOM", "auto")
+
+
 class PlanMetrics:
     """Per-node observability (reference: ExecPlan::ToString + OTel spans,
     SURVEY §5). Records dispatch wall time per node of the most recent
@@ -622,6 +629,38 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
         if lk.dictionary is not None or rk.dictionary is not None:
             lk2, rk2 = unify_dictionaries([lk, rk])
             lkeys[i], rkeys[i] = lk2, rk2
+
+    # bloom pushdown: prefilter the probe (left) side by build-key
+    # membership before planning the join. Safe only for join types where
+    # an unmatched probe row contributes no output rows (bloom filters
+    # never produce false negatives, so dropped rows truly cannot match).
+    if (_bloom_mode() != "never" and not options.disable_bloom_filter
+            and jt in ("inner", "left semi", "right semi", "right outer")
+            and (_bloom_mode() == "always"
+                 or left.capacity >= 4 * right.capacity)):
+        from ..compute import bloom as B
+        lb = B.log_bits_for(right.capacity)
+        bkey = ("bloom_pushdown", lb, tuple(options.left_keys),
+                tuple(options.right_keys))
+
+        def make_bloom():
+            def fn(build_keys, probe_keys, build_rc, probe_rc):
+                b_live = jnp.arange(build_keys[0].capacity,
+                                    dtype=jnp.int32) < build_rc
+                p_live = jnp.arange(probe_keys[0].capacity,
+                                    dtype=jnp.int32) < probe_rc
+                for c in build_keys:
+                    b_live = jnp.logical_and(b_live, c.valid_mask(None))
+                for c in probe_keys:
+                    p_live = jnp.logical_and(p_live, c.valid_mask(None))
+                bf = B.build_bloom(build_keys, b_live, lb)
+                return B.bloom_query(bf, probe_keys, p_live)
+            return fn
+
+        hit = _cached_jit(bkey, make_bloom)(
+            rkeys, lkeys, right.row_count, left.row_count)
+        left = filter_batch(left, DeviceColumn(hit, None, T.bool_()))
+        lkeys = [left.column(k) for k in options.left_keys]
 
     planner_key = ("join_plan", jt, tuple(options.left_keys),
                    tuple(options.right_keys))

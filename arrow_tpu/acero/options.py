@@ -107,12 +107,18 @@ class HashJoinNodeOptions(ExecNodeOptions):
                  left_output: Optional[Sequence[str]] = None,
                  right_output: Optional[Sequence[str]] = None,
                  output_suffix_for_left: str = "",
-                 output_suffix_for_right: str = ""):
+                 output_suffix_for_right: str = "",
+                 disable_bloom_filter: bool = False):
         valid = {"inner", "left outer", "right outer", "full outer",
                  "left semi", "right semi", "left anti", "right anti"}
         if join_type not in valid:
             raise ValueError(f"bad join type {join_type!r}")
         self.join_type = join_type
+        # bloom-filter probe pushdown (reference:
+        # acero/hash_join_node.cc:505 BloomFilterPushdownContext;
+        # QueryOptions equivalent knob). Applied only for join types where
+        # unmatched probe rows produce no output.
+        self.disable_bloom_filter = disable_bloom_filter
         self.left_keys = list(left_keys)
         self.right_keys = list(right_keys)
         self.left_output = list(left_output) if left_output is not None \
