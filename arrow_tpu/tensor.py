@@ -221,3 +221,185 @@ class SparseCSRMatrix:
     @property
     def non_zero_length(self) -> int:
         return len(self.data)
+
+
+class SparseCSCMatrix(SparseCSRMatrix):
+    """CSC sparse matrix (reference: sparse_tensor.h SparseCSCIndex) —
+    CSR over the transpose, compressedAxis=Column on the wire."""
+
+    @classmethod
+    def from_dense_numpy(cls, arr: np.ndarray) -> "SparseCSCMatrix":
+        arr = np.asarray(arr)
+        assert arr.ndim == 2
+        t = SparseCSRMatrix.from_dense_numpy(arr.T)
+        out = cls(t.data, t.indptr, t.indices, arr.shape)
+        return out
+
+    def to_dense(self) -> np.ndarray:
+        t = SparseCSRMatrix(self.data, self.indptr, self.indices,
+                            (self.shape[1], self.shape[0]))
+        return t.to_dense().T
+
+
+# --- sparse tensor IPC (format/SparseTensor.fbs) ---------------------------
+# MessageHeader.SparseTensor = 5; SparseTensorIndex union:
+# COO=1, CSX=2, CSF=3.
+
+_SPARSE_COO, _SPARSE_CSX = 1, 2
+
+
+def _int64_type(b: flatbuffers.Builder) -> int:
+    """Int table {bitWidth=64, is_signed=true} for index buffers."""
+    return _table(b, 2, [(1, "bool", True, False), (0, "i32", 64, 0)])
+
+
+def _body_parts(parts):
+    """8-align each raw part; return (offsets, lengths, joined bytes)."""
+    offs, lens, chunks, pos = [], [], [], 0
+    for p in parts:
+        offs.append(pos)
+        lens.append(len(p))
+        pad = _pad_to(len(p)) - len(p)
+        chunks.append(p + b"\x00" * pad)
+        pos += len(p) + pad
+    return offs, lens, b"".join(chunks)
+
+
+def write_sparse_tensor(st, sink) -> int:
+    """Serialize a SparseCOOTensor / SparseCSRMatrix / SparseCSCMatrix as a
+    SparseTensor IPC message (format/SparseTensor.fbs; writer analogue:
+    cpp/src/arrow/ipc/writer.cc WriteSparseTensor)."""
+    b = flatbuffers.Builder(256)
+    data = np.ascontiguousarray(st.data)
+    vtype = T.from_numpy_dtype(data.dtype)
+
+    if isinstance(st, SparseCOOTensor):
+        coords = np.ascontiguousarray(st.coords.astype(np.int64))
+        offs, lens, body = _body_parts([coords.tobytes(), data.tobytes()])
+        ityp = _int64_type(b)
+        b.StartVector(8, 2, 8)
+        b.PrependInt64(8)                    # innermost stride
+        b.PrependInt64(coords.shape[1] * 8)  # row stride (row-major)
+        strides_vec = b.EndVector()
+        b.StartObject(4)
+        b.PrependBoolSlot(3, True, False)    # rows sorted = canonical
+        b.Prep(8, 16)
+        b.PrependInt64(lens[0])
+        b.PrependInt64(offs[0])
+        b.PrependStructSlot(2, b.Offset(), 0)
+        b.PrependUOffsetTRelativeSlot(1, strides_vec, 0)
+        b.PrependUOffsetTRelativeSlot(0, ityp, 0)
+        idx_off, idx_disc = b.EndObject(), _SPARSE_COO
+        data_off_pos, data_len = offs[1], lens[1]
+    else:
+        axis = 1 if isinstance(st, SparseCSCMatrix) else 0
+        indptr = np.ascontiguousarray(st.indptr.astype(np.int64))
+        indices = np.ascontiguousarray(st.indices.astype(np.int64))
+        offs, lens, body = _body_parts([indptr.tobytes(), indices.tobytes(),
+                                        data.tobytes()])
+        ityp1 = _int64_type(b)
+        ityp2 = _int64_type(b)
+        b.StartObject(5)
+        b.Prep(8, 16)
+        b.PrependInt64(lens[1])
+        b.PrependInt64(offs[1])
+        b.PrependStructSlot(4, b.Offset(), 0)
+        b.PrependUOffsetTRelativeSlot(3, ityp2, 0)
+        b.Prep(8, 16)
+        b.PrependInt64(lens[0])
+        b.PrependInt64(offs[0])
+        b.PrependStructSlot(2, b.Offset(), 0)
+        b.PrependUOffsetTRelativeSlot(1, ityp1, 0)
+        b.PrependInt16Slot(0, axis, 0)
+        idx_off, idx_disc = b.EndObject(), _SPARSE_CSX
+        data_off_pos, data_len = offs[2], lens[2]
+
+    dims = []
+    for sz in st.shape:
+        dims.append(_table(b, 2, [(0, "i64", sz, 0)]))
+    b.StartVector(4, len(dims), 4)
+    for off in reversed(dims):
+        b.PrependUOffsetTRelative(off)
+    shape_vec = b.EndVector()
+
+    disc, type_off = _write_type(b, vtype)
+    # SparseTensor: type_type(0) type(1) shape(2) non_zero_length(3)
+    # sparseIndex_type(4) sparseIndex(5) data(6)
+    b.StartObject(7)
+    b.Prep(8, 16)
+    b.PrependInt64(data_len)
+    b.PrependInt64(data_off_pos)
+    b.PrependStructSlot(6, b.Offset(), 0)
+    b.PrependUOffsetTRelativeSlot(5, idx_off, 0)
+    b.PrependUint8Slot(4, idx_disc, 0)
+    b.PrependInt64Slot(3, st.non_zero_length, 0)
+    b.PrependUOffsetTRelativeSlot(2, shape_vec, 0)
+    b.PrependUOffsetTRelativeSlot(1, type_off, 0)
+    b.PrependUint8Slot(0, disc, 0)
+    st_off = b.EndObject()
+
+    msg = _table(b, 5, [
+        (3, "i64", len(body), 0),
+        (2, "off", st_off, 0),
+        (1, "u8", 5, 0),           # MessageHeader.SparseTensor
+        (0, "i16", fb.METADATA_V5, 0),
+    ])
+    b.Finish(msg)
+    meta = encapsulate(bytes(b.Output()))
+    sink.write(meta)
+    sink.write(body)
+    return len(meta) + len(body)
+
+
+def _buffer_struct(r: Reader, slot: int):
+    from flatbuffers import number_types as N
+    o = r._off(slot)
+    off = r.t.Get(N.Int64Flags, o + r.t.Pos)
+    ln = r.t.Get(N.Int64Flags, o + r.t.Pos + 8)
+    return off, ln
+
+
+def read_sparse_tensor(source):
+    """Read a SparseTensor IPC message; returns SparseCOOTensor,
+    SparseCSRMatrix or SparseCSCMatrix."""
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        import io
+        source = io.BytesIO(source)
+    head = source.read(8)
+    (cont, meta_len) = struct.unpack("<II", head)
+    if cont != 0xFFFFFFFF:
+        meta_len = cont
+        source.seek(4)
+    meta = source.read(meta_len)
+    r = Reader.root(meta)
+    assert r.u8(1) == 5, "not a SparseTensor message"
+    body = source.read(r.i64(3))
+    tr = r.union(2)
+    dtype = _read_type(tr.u8(0), tr.table(1), []).to_numpy_dtype()
+    nd = tr.vector_len(2)
+    shape = [tr.vector_table(2, i).i64(0) for i in range(nd)]
+    nnz = tr.i64(3)
+    idx_disc = tr.u8(4)
+    ir = tr.union(5)
+    doff, dlen = _buffer_struct(tr, 6)
+    data = np.frombuffer(body[doff:doff + dlen], dtype=dtype).copy()
+
+    if idx_disc == _SPARSE_COO:
+        ioff, ilen = _buffer_struct(ir, 2)
+        coords = np.frombuffer(body[ioff:ioff + ilen],
+                               dtype=np.int64).reshape(nnz, nd)
+        strides = ir.vector_i64(1)
+        if strides and strides[0] == 8 and nd > 1:
+            # column-major coords (other writers): transpose back
+            coords = np.frombuffer(body[ioff:ioff + ilen],
+                                   dtype=np.int64).reshape(nd, nnz).T
+        return SparseCOOTensor(data, np.ascontiguousarray(coords), shape)
+    if idx_disc == _SPARSE_CSX:
+        axis = ir.i16(0)
+        poff, plen = _buffer_struct(ir, 2)
+        ioff, ilen = _buffer_struct(ir, 4)
+        indptr = np.frombuffer(body[poff:poff + plen], np.int64).copy()
+        indices = np.frombuffer(body[ioff:ioff + ilen], np.int64).copy()
+        cls = SparseCSCMatrix if axis == 1 else SparseCSRMatrix
+        return cls(data, indptr, indices, shape)
+    raise NotImplementedError(f"sparse index discriminant {idx_disc}")

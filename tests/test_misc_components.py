@@ -123,3 +123,38 @@ def test_run_end_encode():
                            [at.array([1, 1, 2, 2, 2, None, 3])])
     assert ree["run_ends"].to_pylist() == [2, 5, 6, 7]
     assert ree["values"].to_pylist() == [1, 2, None, 3]
+
+
+def test_sparse_tensor_ipc_roundtrip():
+    """SparseTensor IPC message (format/SparseTensor.fbs) for COO/CSR/CSC."""
+    import io
+    from arrow_tpu.tensor import (SparseCSCMatrix, read_sparse_tensor,
+                                  write_sparse_tensor)
+    dense = np.zeros((4, 6))
+    dense[0, 1] = 2.5
+    dense[2, 5] = -3.0
+    dense[3, 0] = 1.0
+    for cls in (SparseCOOTensor, SparseCSRMatrix, SparseCSCMatrix):
+        st = cls.from_dense_numpy(dense)
+        buf = io.BytesIO()
+        write_sparse_tensor(st, buf)
+        buf.seek(0)
+        back = read_sparse_tensor(buf)
+        assert isinstance(back, cls)
+        assert np.array_equal(back.to_dense(), dense)
+        assert back.non_zero_length == 3
+
+
+def test_sparse_tensor_ipc_3d_coo_int32():
+    import io
+    from arrow_tpu.tensor import read_sparse_tensor, write_sparse_tensor
+    d3 = np.zeros((2, 3, 4), dtype=np.int32)
+    d3[1, 2, 3] = 7
+    d3[0, 0, 0] = -2
+    st = SparseCOOTensor.from_dense_numpy(d3)
+    buf = io.BytesIO()
+    write_sparse_tensor(st, buf)
+    buf.seek(0)
+    back = read_sparse_tensor(buf)
+    assert back.data.dtype == np.int32
+    assert np.array_equal(back.to_dense(), d3)
