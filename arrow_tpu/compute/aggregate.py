@@ -49,12 +49,23 @@ class AggResult:
     def to_scalar(self):
         if self.fields is not None:
             vals = {}
-            for name, v, ok in zip(self.fields, self.value, self.valid):
-                vals[name] = _py(v) if bool(ok) else None
+            ftypes = getattr(self.type, "fields", None)
+            for i, (name, v, ok) in enumerate(zip(self.fields, self.value,
+                                                  self.valid)):
+                ft = ftypes[i].type if ftypes is not None else None
+                vals[name] = _py_typed(v, ft) if bool(ok) else None
             return Scalar(vals, self.type)
         if not bool(self.valid):
             return Scalar(None, self.type)
-        return Scalar(_py(self.value), self.type)
+        return Scalar(_py_typed(self.value, self.type), self.type)
+
+
+def _dec_factor(t: DataType):
+    """10^-scale for decimal types (None otherwise): float-domain
+    aggregates must descale the device's unscaled-int64 representation."""
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        return 10.0 ** (-t.scale)
+    return None
 
 
 def _py(v):
@@ -62,6 +73,15 @@ def _py(v):
     if x.dtype == np.bool_:
         return bool(x)
     return x.item()
+
+
+def _py_typed(v, t):
+    """_py plus decimal decode: unscaled int -> decimal.Decimal."""
+    x = _py(v)
+    if t is not None and t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        import decimal as _d
+        return _d.Decimal(int(x)).scaleb(-t.scale)
+    return x
 
 
 def _masked(ctx: ExecContext, col: DeviceColumn, identity):
@@ -80,6 +100,9 @@ def _sum_dtype(dt):
 
 
 def _sum_type(t: DataType) -> DataType:
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        # reference: sum of decimal keeps the scale, precision widens
+        return T.decimal128(18, t.scale)
     if t.id == TypeId.BOOL:
         return T.uint64()
     if t.is_unsigned_integer:
@@ -100,6 +123,9 @@ def _sum(ctx, a, skip_nulls: bool = True, min_count: int = 1):
 
 @register("product", "aggregate")
 def _product(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    if _dec_factor(a.type) is not None:
+        from .registry import ArrowInvalid
+        raise ArrowInvalid("product of decimal not supported; cast first")
     live = a.valid_mask(ctx.row_mask())
     acc = _sum_dtype(a.values.dtype)
     v = jnp.where(live, a.values.astype(acc), jnp.asarray(1, acc))
@@ -128,6 +154,9 @@ def _mean(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     v, live, n = _masked(ctx, a, 0)
     total = jnp.sum(v.astype(jnp.float64))
     mean = total / jnp.maximum(n, 1).astype(jnp.float64)
+    f = _dec_factor(a.type)
+    if f is not None:
+        mean = mean * f
     valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
     return AggResult(mean, valid, T.float64())
 
@@ -266,6 +295,9 @@ def _index(ctx, a, value=None):
 def _moments(ctx, a):
     v, live, n = _masked(ctx, a, 0)
     vf = v.astype(jnp.float64)
+    f = _dec_factor(a.type)
+    if f is not None:
+        vf = vf * f
     nf = jnp.maximum(n, 1).astype(jnp.float64)
     mean = jnp.sum(vf) / nf
     centered = jnp.where(live, vf - mean, 0.0)
@@ -325,7 +357,11 @@ def _quantile_values(ctx, a, qs, interpolation: str):
     by indexing below the live count."""
     live = a.valid_mask(ctx.row_mask())
     n = jnp.sum(live, dtype=jnp.int64)
-    v = jnp.where(live, a.values.astype(jnp.float64), jnp.inf)
+    av = a.values.astype(jnp.float64)
+    f = _dec_factor(a.type)
+    if f is not None:
+        av = av * f
+    v = jnp.where(live, av, jnp.inf)
     sv = jnp.sort(v)
     nf = jnp.maximum(n, 1)
     outs = []

@@ -97,11 +97,40 @@ def _col(values, validity, type: Optional[DataType] = None) -> DeviceColumn:
     return DeviceColumn(values, validity, type)
 
 
-def _arith_type(a, b=None) -> Optional[DataType]:
+def _arith_type(a, b=None, op: str = "add") -> Optional[DataType]:
     args = [x for x in (a, b) if x is not None]
     cols = [x for x in args if isinstance(x, DeviceColumn)]
-    if cols and all(c.type.is_temporal or c.type.id == TypeId.DECIMAL128
-                    for c in cols):
+    if not cols:
+        return None
+    dec = [c for c in cols
+           if c.type.id in (TypeId.DECIMAL128, TypeId.DECIMAL256)]
+    if dec:
+        if len(dec) != len(cols):
+            return dec[0].type  # decimal op plain-int scalar keeps scale
+        # decimal result rules (reference: compute/kernels
+        # /scalar_arithmetic.cc decimal promotion, simplified to the
+        # device's 18-digit unscaled-int64 range)
+        import arrow_tpu.types as _T
+        s = [c.type.scale for c in dec]
+        p = [c.type.precision for c in dec]
+        if op in ("add", "subtract"):
+            if len(dec) == 2 and s[0] != s[1]:
+                raise ArrowInvalid(
+                    f"decimal {op} requires equal scales, got {s}")
+            return _T.decimal128(min(max(p) + 1, 18), s[0])
+        if op == "multiply":
+            ss = sum(s) if len(dec) == 2 else s[0]
+            pp = sum(p) + 1 if len(dec) == 2 else p[0]
+            if ss > 18:
+                raise ArrowInvalid(
+                    "decimal multiply result scale exceeds device limit "
+                    "18; cast to float64 first")
+            # precision clamps to the device's unscaled-int64 range;
+            # products beyond 18 digits wrap (use _checked to detect)
+            return _T.decimal128(min(pp, 18), ss)
+        raise ArrowInvalid(
+            f"decimal {op} not supported on device; cast to float64")
+    if all(c.type.is_temporal for c in cols):
         return cols[0].type
     return None
 
@@ -116,7 +145,7 @@ def _binary_arith(name: str, op, checked_overflow=None, doc=""):
         bv, bvd = _as_values(b)
         validity = _and_validity(avd, bvd)
         out = op(av, bv)
-        return _col(out, validity, _arith_type(a, b))
+        return _col(out, validity, _arith_type(a, b, name))
 
     if checked_overflow is not None:
         @register(name + "_checked", "elementwise", doc + " (checked)")
@@ -129,7 +158,8 @@ def _binary_arith(name: str, op, checked_overflow=None, doc=""):
             live = validity if validity is not None else True
             bad = jnp.logical_and(bad, jnp.logical_and(live, ctx.row_mask()))
             flag = jnp.any(bad)
-            return ErrGuard(_col(out, validity, _arith_type(a, b)), flag,
+            return ErrGuard(_col(out, validity, _arith_type(a, b, name)),
+                            flag,
                             f"overflow / domain error in {name}_checked")
         return _fn, _fn_checked
     return _fn
@@ -166,6 +196,11 @@ _binary_arith("multiply", jnp.multiply, _mul_overflow)
 @register("divide", "elementwise", "element-wise division")
 def _divide(ctx, a, b):
     _require_numeric("divide", a, b)
+    for x in (a, b):
+        if isinstance(x, DeviceColumn) and x.type.id in (
+                TypeId.DECIMAL128, TypeId.DECIMAL256):
+            raise ArrowInvalid(
+                "decimal divide not supported on device; cast to float64")
     av, avd = _as_values(a)
     bv, bvd = _as_values(b)
     validity = _and_validity(avd, bvd)

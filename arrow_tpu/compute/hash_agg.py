@@ -99,7 +99,12 @@ def grouped_product(ctx, values, gids, num_groups, skip_nulls: bool = True,
 def grouped_mean(ctx, values, gids, num_groups, skip_nulls: bool = True,
                  min_count: int = 1, num_segments=None):
     nseg, live, seg = _prep(ctx, values, gids, num_segments)
-    sums = _segment_reduce(values.values.astype(jnp.float64), live, seg,
+    fvals = values.values.astype(jnp.float64)
+    from .aggregate import _dec_factor
+    f = _dec_factor(values.type)
+    if f is not None:
+        fvals = fvals * f
+    sums = _segment_reduce(fvals, live, seg,
                            nseg, "sum", 0.0)
     counts = _group_valid_counts(nseg, live, seg)
     means = sums / jnp.maximum(counts, 1).astype(jnp.float64)
@@ -209,7 +214,12 @@ def grouped_all(ctx, values, gids, num_groups, skip_nulls: bool = True,
 
 def _grouped_var_m2(ctx, values, gids, num_groups):
     cap, live, seg = _prep(ctx, values, gids)
-    v = jnp.where(live, values.values.astype(jnp.float64), 0.0)
+    from .aggregate import _dec_factor
+    _f = _dec_factor(values.type)
+    _fv = values.values.astype(jnp.float64)
+    if _f is not None:
+        _fv = _fv * _f
+    v = jnp.where(live, _fv, 0.0)
     counts = _group_valid_counts(cap, live, seg)
     sums = jax.ops.segment_sum(v, seg, num_segments=cap)
     means = sums / jnp.maximum(counts, 1).astype(jnp.float64)

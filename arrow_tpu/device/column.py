@@ -64,6 +64,13 @@ def jnp_dtype_for(t: DataType):
         return jnp.int32  # dictionary codes
     if t.id == TypeId.NA:
         return jnp.int8  # all-null column: dummy zeros + all-false validity
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        # device decimal = unscaled int64 (SURVEY §2.2 "decimals → int64
+        # on TPU"); precision beyond 18 digits stays host-only
+        if t.precision > 18:
+            raise NotImplementedError(
+                f"device decimal limited to precision 18, got {t!r}")
+        return jnp.int64
     if t.id in _JNP_DTYPES:
         return _JNP_DTYPES[t.id]
     raise NotImplementedError(f"no device representation for {t!r}")
@@ -283,6 +290,20 @@ def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
         validity = jnp.zeros(cap, dtype=jnp.bool_)
         return DeviceColumn(vals, validity, t)
 
+    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        dtype = jnp_dtype_for(t)  # raises for precision > 18
+        d = arr.data
+        w = t.byte_width
+        raw = d.buffers[1].to_numpy().reshape(-1, w)[d.offset:d.offset + n]
+        # two's-complement little-endian truncated to the low limb is the
+        # value itself whenever it fits in int64 (precision <= 18 does)
+        low = raw[:, :8].copy().view(np.int64).reshape(-1)
+        vals = np.zeros(cap, dtype=np.int64)
+        vals[:n] = low
+        validity = _upload_mask(arr.data.validity_mask(), n, cap,
+                                arr.null_count)
+        return DeviceColumn(jnp.asarray(vals), validity, t)
+
     dtype = jnp_dtype_for(t)
     host_vals = arr.data.values()
     vals = np.zeros(cap, dtype=np.dtype(dtype))
@@ -355,6 +376,16 @@ def download_column(col: DeviceColumn, n: int,
         return Array(ArrayData(
             t, n, [vbuf, Buffer(bitutil.pack_bits(vals.astype(np.bool_)))],
             null_count=null_count))
+
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        w = t.byte_width
+        low = vals.astype(np.int64)
+        raw = np.zeros((n, w), dtype=np.uint8)
+        raw[:, :8] = low.view(np.uint8).reshape(n, 8)
+        # sign-extend the upper limbs
+        raw[:, 8:] = np.where(low[:, None] < 0, 0xFF, 0).astype(np.uint8)
+        return Array(ArrayData(t, n, [vbuf, Buffer(raw.reshape(-1))],
+                               null_count=null_count))
 
     target = t.to_numpy_dtype()
     if vals.dtype != target:
