@@ -19,7 +19,8 @@ from ..array.array import Array, array as make_array
 from ..table import Table
 from ..types import Schema
 
-HOST_AGGS = {"list", "distinct", "pivot_wider"}
+HOST_AGGS = {"list", "distinct", "pivot_wider",
+             "hash_list", "hash_distinct", "hash_pivot_wider"}
 
 
 def _base(fn: str) -> str:

@@ -27,6 +27,7 @@ from . import vector_misc as _vector_misc  # noqa: F401
 from . import host_kernels as _host_kernels  # noqa: F401
 from . import hashing as _hashing  # noqa: F401
 from . import vector_sort as _vector_sort  # noqa: F401
+from . import extra_kernels as _extra_kernels  # noqa: F401
 from .options import *  # noqa: F401,F403  (FunctionOptions classes)
 from .options import FunctionOptions  # noqa: F401
 from .registry import (ArrowInvalid, ArrowNotImplementedError,  # noqa: F401

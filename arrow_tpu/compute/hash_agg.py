@@ -274,20 +274,20 @@ def _grouped_first_last(ctx, values, gids, num_groups, is_first, skip_nulls):
 
 @register("hash_first", "hash_aggregate")
 def grouped_first(ctx, values, gids, num_groups, skip_nulls: bool = True,
-                  min_count: int = 0):
+                  min_count: int = 0, num_segments=None):
     return _grouped_first_last(ctx, values, gids, num_groups, True,
                                skip_nulls)
 
 
 @register("hash_last", "hash_aggregate")
 def grouped_last(ctx, values, gids, num_groups, skip_nulls: bool = True,
-                 min_count: int = 0):
+                 min_count: int = 0, num_segments=None):
     return _grouped_first_last(ctx, values, gids, num_groups, False,
                                skip_nulls)
 
 
 @register("hash_one", "hash_aggregate")
-def grouped_one(ctx, values, gids, num_groups):
+def grouped_one(ctx, values, gids, num_groups, num_segments=None):
     return _grouped_first_last(ctx, values, gids, num_groups, True, True)
 
 
