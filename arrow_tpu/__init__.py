@@ -39,7 +39,7 @@ def __getattr__(name):
             "flight": ".flight", "parallel": ".parallel",
             "tensor": ".tensor", "c_data": ".c_data",
             "gandiva": ".gandiva", "device": ".device",
-            "pretty": ".pretty"}
+            "pretty": ".pretty", "substrait": ".substrait"}
     if name in lazy:
         return importlib.import_module(lazy[name], __name__)
     raise AttributeError(name)

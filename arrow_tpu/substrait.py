@@ -1,0 +1,723 @@
+"""Substrait plan interchange (L10).
+
+Reference analogue: cpp/src/arrow/engine/substrait/ (serde.h
+DeserializePlan/SerializePlan, relation_internal.cc rel -> Declaration
+mapping, extension_set.cc function registry mapping).
+
+The Substrait protobuf schemas are not vendored in this environment, so
+this module speaks the protobuf *wire format* directly with a ~100-line
+codec: messages are (field, wire-type) tagged varints / length-delimited
+blobs. Field numbers follow the public substrait spec (substrait.io,
+proto/substrait/algebra.proto + plan.proto); the producer output is
+validated against pyarrow's Substrait consumer in tests (the same
+round-trip discipline the reference applies via its own substrait tests).
+
+Supported relations: ReadRel(named_table), FilterRel, ProjectRel,
+AggregateRel, SortRel, FetchRel, JoinRel. Expressions: field selection,
+literals (bool/int/float/string), scalar function calls; measures with
+optional filter. Consumed plans execute on the arrow_tpu Acero-analogue
+engine (acero/exec.py) — the TPU path.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+from . import types as T
+from .acero import (AggregateNodeOptions, Declaration, Expression,
+                    FetchNodeOptions, FilterNodeOptions,
+                    HashJoinNodeOptions, OrderByNodeOptions,
+                    ProjectNodeOptions, TableSourceNodeOptions)
+from .compute.registry import ArrowInvalid
+from .table import Table
+
+# --- minimal protobuf wire codec -------------------------------------------
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wt: int) -> bytes:
+    return _varint(field << 3 | wt)
+
+
+def fv(field: int, v: int) -> bytes:
+    """varint field"""
+    return _tag(field, 0) + _varint(int(v))
+
+
+def fm(field: int, payload: bytes) -> bytes:
+    """length-delimited (message / string / bytes) field"""
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def fs(field: int, s: str) -> bytes:
+    return fm(field, s.encode())
+
+
+def fd(field: int, x: float) -> bytes:
+    return _tag(field, 1) + struct.pack("<d", x)
+
+
+class PB:
+    """Parsed protobuf message: field -> list of raw values."""
+
+    __slots__ = ("fields",)
+
+    def __init__(self, data: bytes):
+        self.fields: Dict[int, List] = {}
+        i, n = 0, len(data)
+        while i < n:
+            tag, i = self._rv(data, i)
+            f, wt = tag >> 3, tag & 7
+            if wt == 0:
+                v, i = self._rv(data, i)
+            elif wt == 2:
+                ln, i = self._rv(data, i)
+                v = data[i:i + ln]
+                i += ln
+            elif wt == 1:
+                v = struct.unpack("<d", data[i:i + 8])[0]
+                i += 8
+            elif wt == 5:
+                v = struct.unpack("<f", data[i:i + 4])[0]
+                i += 4
+            else:
+                raise ArrowInvalid(f"bad wire type {wt}")
+            self.fields.setdefault(f, []).append(v)
+
+    @staticmethod
+    def _rv(b: bytes, i: int) -> Tuple[int, int]:
+        v = s = 0
+        while True:
+            byte = b[i]
+            i += 1
+            v |= (byte & 0x7F) << s
+            s += 7
+            if not byte & 0x80:
+                return v, i
+
+    def msg(self, f: int) -> Optional["PB"]:
+        v = self.fields.get(f)
+        return PB(v[0]) if v else None
+
+    def msgs(self, f: int) -> List["PB"]:
+        return [PB(x) for x in self.fields.get(f, [])]
+
+    def u(self, f: int, default=0) -> int:
+        v = self.fields.get(f)
+        return v[0] if v else default
+
+    def s(self, f: int) -> Optional[str]:
+        v = self.fields.get(f)
+        return v[0].decode() if v else None
+
+    def strs(self, f: int) -> List[str]:
+        return [x.decode() for x in self.fields.get(f, [])]
+
+    def raw(self, f: int) -> Optional[bytes]:
+        v = self.fields.get(f)
+        return v[0] if v else None
+
+    def has(self, f: int) -> bool:
+        return f in self.fields
+
+
+# --- type mapping (substrait Type oneof field numbers) ---------------------
+# bool=1 i8=2 i16=3 i32=5 i64=7 fp32=10 fp64=11 string=12 binary=13
+# timestamp=14 date=16 time=17 decimal=24 (spec order, confirmed against
+# pyarrow's serialize_schema output for i64/fp64/string)
+
+_TYPE_TO_SUB = {
+    T.TypeId.BOOL: 1, T.TypeId.INT8: 2, T.TypeId.INT16: 3,
+    T.TypeId.INT32: 5, T.TypeId.INT64: 7, T.TypeId.FLOAT: 10,
+    T.TypeId.DOUBLE: 11, T.TypeId.STRING: 12, T.TypeId.BINARY: 13,
+    T.TypeId.TIMESTAMP: 14, T.TypeId.DATE32: 16,
+}
+_SUB_TO_TYPE = {
+    1: T.bool_(), 2: T.int8(), 3: T.int16(), 5: T.int32(), 7: T.int64(),
+    10: T.float32(), 11: T.float64(), 12: T.string(), 13: T.binary(),
+    14: T.timestamp("us"), 16: T.date32(),
+}
+_NULLABLE = 1
+
+
+def _enc_type(t: T.DataType) -> bytes:
+    f = _TYPE_TO_SUB.get(t.id)
+    if f is None:
+        raise ArrowInvalid(f"no substrait mapping for {t!r}")
+    return fm(f, fv(2, _NULLABLE))
+
+
+def _dec_type(p: PB) -> T.DataType:
+    for f, t in _SUB_TO_TYPE.items():
+        if p.has(f):
+            return t
+    raise ArrowInvalid(f"unknown substrait type fields {list(p.fields)}")
+
+
+def _enc_named_struct(schema: T.Schema) -> bytes:
+    names = b"".join(fs(1, f.name) for f in schema)
+    types = b"".join(fm(1, PBb := _enc_type_inner(f.type))
+                     for f in schema)
+    # Struct: {1: types, 2: type_variation_reference, 3: nullability}
+    return names + fm(2, types + fv(3, _NULLABLE))
+
+
+def _enc_type_inner(t: T.DataType) -> bytes:
+    # the payload of a Type message (for embedding into Struct.types)
+    f = _TYPE_TO_SUB.get(t.id)
+    if f is None:
+        raise ArrowInvalid(f"no substrait mapping for {t!r}")
+    return fm(f, fv(2, _NULLABLE))
+
+
+def _dec_named_struct(p: PB) -> T.Schema:
+    names = p.strs(1)
+    st = p.msg(2)
+    types = [_dec_type(tp) for tp in st.msgs(1)] if st else []
+    return T.schema([T.field(n, t) for n, t in zip(names, types)])
+
+
+# --- function name registry ------------------------------------------------
+
+_URI = "https://github.com/substrait-io/substrait/blob/main/extensions/"
+# substrait name -> engine name (scalar)
+_SUB_FN = {
+    "add": "add", "subtract": "subtract", "multiply": "multiply",
+    "divide": "divide", "modulus": "mod", "power": "power", "abs": "abs",
+    "negate": "negate", "sqrt": "sqrt", "exp": "exp", "ln": "ln",
+    "gt": "greater", "lt": "less", "gte": "greater_equal",
+    "lte": "less_equal", "equal": "equal", "not_equal": "not_equal",
+    "and": "and", "or": "or", "not": "invert", "xor": "xor",
+    "is_null": "is_null", "is_not_null": "is_valid",
+    "like": "match_like", "concat": "binary_join_element_wise",
+}
+_ENGINE_TO_SUB = {v: k for k, v in _SUB_FN.items()}
+# substrait aggregate name -> engine name
+_SUB_AGG = {
+    "sum": "sum", "min": "min", "max": "max", "avg": "mean",
+    "count": "count", "count_all": "count_all", "any_value": "first",
+    "string_agg": None, "approx_count_distinct": "count_distinct",
+    "variance": "variance", "std_dev": "stddev",
+}
+_ENGINE_TO_SUB_AGG = {v: k for k, v in _SUB_AGG.items() if v}
+
+
+_FN_YAML = {
+    "add": "functions_arithmetic.yaml",
+    "subtract": "functions_arithmetic.yaml",
+    "multiply": "functions_arithmetic.yaml",
+    "divide": "functions_arithmetic.yaml",
+    "modulus": "functions_arithmetic.yaml",
+    "power": "functions_arithmetic.yaml",
+    "abs": "functions_arithmetic.yaml",
+    "negate": "functions_arithmetic.yaml",
+    "sqrt": "functions_arithmetic.yaml",
+    "exp": "functions_arithmetic.yaml",
+    "ln": "functions_logarithmic.yaml",
+    "sum": "functions_arithmetic.yaml",
+    "min": "functions_arithmetic.yaml",
+    "max": "functions_arithmetic.yaml",
+    "avg": "functions_arithmetic.yaml",
+    "variance": "functions_arithmetic.yaml",
+    "std_dev": "functions_arithmetic.yaml",
+    "gt": "functions_comparison.yaml",
+    "lt": "functions_comparison.yaml",
+    "gte": "functions_comparison.yaml",
+    "lte": "functions_comparison.yaml",
+    "equal": "functions_comparison.yaml",
+    "not_equal": "functions_comparison.yaml",
+    "is_null": "functions_comparison.yaml",
+    "is_not_null": "functions_comparison.yaml",
+    "and": "functions_boolean.yaml",
+    "or": "functions_boolean.yaml",
+    "not": "functions_boolean.yaml",
+    "xor": "functions_boolean.yaml",
+    "like": "functions_string.yaml",
+    "concat": "functions_string.yaml",
+    "count": "functions_aggregate_generic.yaml",
+    "count_all": "functions_aggregate_generic.yaml",
+    "any_value": "functions_aggregate_generic.yaml",
+}
+
+
+class _ExtCollector:
+    """Assigns extension-URI and function anchors on the producer side."""
+
+    def __init__(self):
+        self.uris: Dict[str, int] = {}
+        self.fns: Dict[str, int] = {}
+
+    def anchor(self, sub_name: str) -> int:
+        if sub_name not in self.fns:
+            yaml = _FN_YAML.get(sub_name, "functions_arithmetic.yaml")
+            if yaml not in self.uris:
+                self.uris[yaml] = len(self.uris) + 1
+            self.fns[sub_name] = len(self.fns) + 1
+        return self.fns[sub_name]
+
+    def encode(self) -> bytes:
+        out = b""
+        for yaml, ua in self.uris.items():
+            out += fm(1, fv(1, ua) + fs(2, _URI + yaml))
+        for name, anchor in self.fns.items():
+            ua = self.uris[_FN_YAML.get(name, "functions_arithmetic.yaml")]
+            out += fm(2, fm(3, fv(1, ua) + fv(2, anchor) + fs(3, name)))
+        return out
+
+
+# --- expression encode/decode ----------------------------------------------
+
+
+def _enc_field_ref(idx: int) -> bytes:
+    # Expression.selection(2) = FieldReference{1: direct ReferenceSegment
+    # {2: struct_field{1: field}}, 4: root_reference{}}
+    seg = fm(2, fv(1, idx)) if idx else fm(2, b"")
+    return fm(2, fm(1, seg) + fm(4, b""))
+
+
+def _enc_literal(v) -> bytes:
+    # Expression.literal(1); Literal oneof mirrors Type numbering
+    if isinstance(v, bool):
+        lit = fv(1, 1 if v else 0)
+    elif isinstance(v, int):
+        lit = fv(7, v & 0xFFFFFFFFFFFFFFFF)
+    elif isinstance(v, float):
+        lit = fd(11, v)
+    elif isinstance(v, str):
+        lit = fs(12, v)
+    elif isinstance(v, bytes):
+        lit = fm(13, v)
+    else:
+        raise ArrowInvalid(f"cannot encode literal {v!r}")
+    return fm(1, lit)
+
+
+def _enc_expr(expr: Expression, schema: T.Schema,
+              ext: _ExtCollector) -> bytes:
+    if expr.kind == Expression.KIND_FIELD:
+        idx = schema.get_field_index(expr.name)
+        if idx < 0:
+            raise ArrowInvalid(f"unknown field {expr.name!r}")
+        return _enc_field_ref(idx)
+    if expr.kind == Expression.KIND_LITERAL:
+        return _enc_literal(expr.value)
+    if expr.kind == Expression.KIND_CALL:
+        sub = _ENGINE_TO_SUB.get(expr.fn)
+        if sub is None:
+            raise ArrowInvalid(
+                f"no substrait name for function {expr.fn!r}")
+        anchor = ext.anchor(sub)
+        args = b"".join(fm(4, fm(3, _enc_expr(a, schema, ext)))
+                        for a in expr.args)
+        out_t = _expr_type(expr, schema)
+        body = fv(1, anchor) + fm(3, _enc_type_inner_payload(out_t)) + args
+        return fm(3, body)
+    raise ArrowInvalid(f"cannot encode expression kind {expr.kind}")
+
+
+_BOOL_FNS = {"greater", "less", "greater_equal", "less_equal", "equal",
+             "not_equal", "and", "or", "invert", "xor", "is_null",
+             "is_valid", "match_like"}
+
+
+def _expr_type(expr: Expression, schema: T.Schema) -> T.DataType:
+    """Static result-type inference for the producer's output_type slots."""
+    if expr.kind == Expression.KIND_FIELD:
+        return schema.field(expr.name).type
+    if expr.kind == Expression.KIND_LITERAL:
+        v = expr.value
+        if isinstance(v, bool):
+            return T.bool_()
+        if isinstance(v, int):
+            return T.int64()
+        if isinstance(v, float):
+            return T.float64()
+        if isinstance(v, str):
+            return T.string()
+        return T.binary()
+    if expr.fn in _BOOL_FNS:
+        return T.bool_()
+    if expr.fn == "divide":
+        return T.float64()
+    for a in expr.args:
+        if a.kind != Expression.KIND_LITERAL:
+            return _expr_type(a, schema)
+    return _expr_type(expr.args[0], schema)
+
+
+def _enc_type_inner_payload(t: T.DataType) -> bytes:
+    f = _TYPE_TO_SUB.get(t.id)
+    if f is None:
+        raise ArrowInvalid(f"no substrait mapping for {t!r}")
+    return fm(f, fv(2, _NULLABLE))
+
+
+def _dec_expr(p: PB, schema: T.Schema, fn_names: Dict[int, str]):
+    if p.has(1):      # literal
+        lit = p.msg(1)
+        if lit.has(1):
+            return Expression.literal(bool(lit.u(1)))
+        for f in (2, 3, 5, 7):
+            if lit.has(f):
+                v = lit.u(f)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                return Expression.literal(v)
+        for f in (10, 11):
+            if lit.has(f):
+                return Expression.literal(lit.fields[f][0])
+        if lit.has(12):
+            return Expression.literal(lit.s(12))
+        if lit.has(13):
+            return Expression.literal(lit.raw(13))
+        raise ArrowInvalid(f"unsupported literal fields {list(lit.fields)}")
+    if p.has(2):      # selection
+        ref = p.msg(2)
+        seg = ref.msg(1)
+        idx = 0
+        if seg is not None and seg.has(2):
+            idx = seg.msg(2).u(1)
+        return Expression.field(schema[idx].name)
+    if p.has(3):      # scalar function
+        sf = p.msg(3)
+        anchor = sf.u(1)
+        sub_name = fn_names.get(anchor)
+        if sub_name is None:
+            raise ArrowInvalid(f"unknown function anchor {anchor}")
+        base = sub_name.split(":")[0]
+        eng = _SUB_FN.get(base)
+        if eng is None:
+            raise ArrowInvalid(f"unmapped substrait function {base!r}")
+        args = []
+        for fa in sf.msgs(4):
+            v = fa.msg(3)
+            if v is None:
+                raise ArrowInvalid("non-value function argument")
+            args.append(_dec_expr(v, schema, fn_names))
+        return Expression.call(eng, *args)
+    if p.has(11):     # cast {1: type, 2: input}
+        c = p.msg(11)
+        inner = _dec_expr(c.msg(2), schema, fn_names)
+        to = _dec_type(c.msg(1))
+        return Expression.call("cast", inner,
+                               target_type=to)
+    raise ArrowInvalid(f"unsupported expression fields {list(p.fields)}")
+
+
+# --- producer: Declaration -> plan bytes -----------------------------------
+
+
+def _schema_of(decl: Declaration) -> T.Schema:
+    """Static output schema tracking for the supported producer subset."""
+    n = decl.factory_name
+    if n == "table_source":
+        return decl.options.table.schema
+    if n in ("filter", "fetch", "order_by"):
+        return _schema_of(decl.inputs[0])
+    if n == "project":
+        raise ArrowInvalid("project schema tracking handled inline")
+    raise ArrowInvalid(f"substrait producer: unsupported node {n}")
+
+
+def _enc_rel(decl: Declaration, ext: _ExtCollector) -> Tuple[bytes, T.Schema]:
+    n = decl.factory_name
+    if n == "table_source":
+        tbl = decl.options.table
+        ns = _enc_named_struct(tbl.schema)
+        name = getattr(decl.options, "substrait_name", None) or "main"
+        read = fm(2, ns) + fm(7, fs(1, name))
+        return fm(1, read), tbl.schema
+    if n == "filter":
+        inner, schema = _enc_rel(decl.inputs[0], ext)
+        cond = _enc_expr(decl.options.filter_expression, schema, ext)
+        return fm(2, fm(2, inner) + fm(3, cond)), schema
+    if n == "project":
+        inner, schema = _enc_rel(decl.inputs[0], ext)
+        exprs = b"".join(fm(3, _enc_expr(e, schema, ext))
+                         for e in decl.options.expressions)
+        names = decl.options.names or [
+            f"col{i}" for i in range(len(decl.options.expressions))]
+        out_schema = T.schema(
+            [T.field(nm, T.float64()) for nm in names])  # names only
+        # ProjectRel output = input columns THEN expressions; emit an
+        # output_mapping (RelCommon.emit) selecting only the expressions
+        n_in = len(schema.names)
+        mapping = b"".join(fv(1, n_in + i)
+                           for i in range(len(decl.options.expressions)))
+        common = fm(1, fm(2, mapping))
+        return fm(7, common + fm(2, inner) + exprs), out_schema
+    if n == "fetch":
+        inner, schema = _enc_rel(decl.inputs[0], ext)
+        o = decl.options.offset or 0
+        c = decl.options.count
+        body = fm(2, inner) + fv(3, o)
+        if c is not None and c >= 0:
+            body += fv(4, c)
+        return fm(3, body), schema
+    if n == "order_by":
+        inner, schema = _enc_rel(decl.inputs[0], ext)
+        sorts = b""
+        for key, order in decl.options.sort_keys:
+            idx = schema.get_field_index(key)
+            direction = 2 if order == "ascending" else 4
+            sorts += fm(3, fm(1, _enc_field_ref(idx)) + fv(2, direction))
+        return fm(5, fm(2, inner) + sorts), schema
+    if n == "aggregate":
+        inner, schema = _enc_rel(decl.inputs[0], ext)
+        keys = list(decl.options.keys)
+        groupings = b""
+        if keys:
+            g = b"".join(fm(1, _enc_field_ref(schema.get_field_index(k)))
+                         for k in keys)
+            groupings = fm(3, g)
+        measures = b""
+        out_fields = [T.field(k, schema.field(k).type) for k in keys]
+        for agg in decl.options.aggregates:
+            target, fname, _opts, out_name = agg
+            sub_name = _ENGINE_TO_SUB_AGG.get(fname)
+            if sub_name is None:
+                raise ArrowInvalid(f"no substrait aggregate for {fname!r}")
+            anchor = ext.anchor(sub_name)
+            body = fv(1, anchor)
+            tgt = target if isinstance(target, str) else                 (target[0] if target else None)
+            if fname == "count_all":
+                out_t = T.int64()
+            else:
+                ft = schema.field(tgt).type
+                out_t = T.float64() if fname in ("mean", "variance",
+                                                 "stddev") else (
+                    T.int64() if fname in ("count", "count_distinct")
+                    else ft)
+                body += fm(7, fm(3, _enc_field_ref(
+                    schema.get_field_index(tgt))))
+            body += fm(5, _enc_type_inner_payload(out_t))
+            body += fv(4, 3)  # phase AGGREGATION_PHASE_INITIAL_TO_RESULT
+            measures += fm(4, fm(1, body))
+            out_fields.append(T.field(out_name, out_t))
+        out_schema = T.schema(out_fields)
+        return fm(4, fm(2, inner) + groupings + measures), out_schema
+    if n == "hashjoin":
+        o = decl.options
+        left, ls = _enc_rel(decl.inputs[0], ext)
+        right, rs = _enc_rel(decl.inputs[1], ext)
+        jt = {"inner": 1, "full outer": 2, "left outer": 3,
+              "right outer": 4, "left semi": 5, "left anti": 6}.get(
+                  o.join_type)
+        if jt is None:
+            raise ArrowInvalid(
+                f"substrait join type for {o.join_type!r} unsupported")
+        nl = len(ls.names)
+        conds = []
+        eq_anchor = ext.anchor("equal")
+        for lk, rk in zip(o.left_keys, o.right_keys):
+            li = ls.get_field_index(lk)
+            ri = rs.get_field_index(rk) + nl
+            call = fv(1, eq_anchor) +                 fm(3, _enc_type_inner_payload(T.bool_())) +                 fm(4, fm(3, _enc_field_ref(li))) +                 fm(4, fm(3, _enc_field_ref(ri)))
+            conds.append(fm(3, call))
+        cond = conds[0]
+        and_anchor = None
+        for extra in conds[1:]:
+            if and_anchor is None:
+                and_anchor = ext.anchor("and")
+            call = fv(1, and_anchor) +                 fm(3, _enc_type_inner_payload(T.bool_())) +                 fm(4, fm(3, cond)) + fm(4, fm(3, extra))
+            cond = fm(3, call)
+        out_schema = T.schema(list(ls) + list(rs))
+        body = fm(2, left) + fm(3, right) + fm(4, cond) + fv(6, jt)
+        return fm(6, body), out_schema
+    raise ArrowInvalid(f"substrait producer: unsupported node {n!r}")
+
+
+def serialize_plan(decl: Declaration,
+                   output_names: Optional[Sequence[str]] = None) -> bytes:
+    """Declaration tree -> Substrait Plan bytes."""
+    ext = _ExtCollector()
+    rel, schema = _enc_rel(decl, ext)
+    names = list(output_names) if output_names is not None else \
+        list(schema.names)
+    root = fm(1, rel) + b"".join(fs(2, nm) for nm in names)
+    plan_rel = fm(2, root)
+    version = fm(6, fv(2, 44) + fs(5, "arrow_tpu"))
+    return ext.encode() + fm(3, plan_rel) + version
+
+
+# --- consumer: plan bytes -> Declaration -> Table --------------------------
+
+
+def _collect_fn_names(plan: PB) -> Dict[int, str]:
+    out: Dict[int, str] = {}
+    for decl in plan.msgs(2):
+        f = decl.msg(3)
+        if f is not None:
+            out[f.u(2)] = f.s(3) or ""
+    return out
+
+
+def _dec_rel(p: PB, fn_names, table_provider) -> Tuple[Declaration, T.Schema]:
+    if p.has(1):      # ReadRel
+        r = p.msg(1)
+        schema = _dec_named_struct(r.msg(2)) if r.msg(2) else T.schema([])
+        nt = r.msg(7)
+        if nt is None:
+            raise ArrowInvalid("only named_table reads are supported")
+        names = nt.strs(1)
+        tbl = table_provider(names, schema)
+        if not isinstance(tbl, Table):
+            raise ArrowInvalid("table_provider must return arrow_tpu Table")
+        d = Declaration("table_source", TableSourceNodeOptions(tbl))
+        out_schema = tbl.schema
+        if r.msg(3) is not None:   # pushed filter
+            cond = _dec_expr(r.msg(3), out_schema, fn_names)
+            d = Declaration("filter", FilterNodeOptions(cond), inputs=[d])
+        return d, out_schema
+    if p.has(2):      # FilterRel
+        f = p.msg(2)
+        child, schema = _dec_rel(f.msg(2), fn_names, table_provider)
+        cond = _dec_expr(f.msg(3), schema, fn_names)
+        return Declaration("filter", FilterNodeOptions(cond),
+                           inputs=[child]), schema
+    if p.has(3):      # FetchRel
+        f = p.msg(3)
+        child, schema = _dec_rel(f.msg(2), fn_names, table_provider)
+        return Declaration("fetch",
+                           FetchNodeOptions(f.u(3), f.u(4, -1)),
+                           inputs=[child]), schema
+    if p.has(7):      # ProjectRel
+        f = p.msg(7)
+        child, schema = _dec_rel(f.msg(2), fn_names, table_provider)
+        exprs = [Expression.field(nm) for nm in schema.names]
+        names = list(schema.names)
+        for i, ep in enumerate(f.msgs(3)):
+            exprs.append(_dec_expr(ep, schema, fn_names))
+            names.append(f"expr{i}")
+        emit = None
+        common = f.msg(1)
+        if common is not None and common.msg(2) is not None:
+            emit = common.msg(2).fields.get(1, [])
+        if emit:
+            exprs = [exprs[i] for i in emit]
+            names = [names[i] for i in emit]
+        out_schema = T.schema(
+            [schema.field(nm) if nm in schema.names else
+             T.field(nm, T.float64()) for nm in names])
+        return Declaration("project", ProjectNodeOptions(exprs, names),
+                           inputs=[child]), out_schema
+    if p.has(5):      # SortRel
+        f = p.msg(5)
+        child, schema = _dec_rel(f.msg(2), fn_names, table_provider)
+        keys = []
+        for sf in f.msgs(3):
+            e = _dec_expr(sf.msg(1), schema, fn_names)
+            direction = sf.u(2, 2)
+            keys.append((e.name, "ascending" if direction in (1, 2)
+                         else "descending"))
+        return Declaration("order_by", OrderByNodeOptions(keys),
+                           inputs=[child]), schema
+    if p.has(4):      # AggregateRel
+        f = p.msg(4)
+        child, schema = _dec_rel(f.msg(2), fn_names, table_provider)
+        keys = []
+        for g in f.msgs(3):
+            for ge in g.msgs(1):
+                keys.append(_dec_expr(ge, schema, fn_names).name)
+        aggs = []
+        for i, m in enumerate(f.msgs(4)):
+            mf = m.msg(1)
+            if mf is None:
+                continue
+            sub = fn_names.get(mf.u(1), "").split(":")[0]
+            eng = _SUB_AGG.get(sub)
+            if eng is None:
+                raise ArrowInvalid(f"unmapped aggregate {sub!r}")
+            targets = [_dec_expr(fa.msg(3), schema, fn_names).name
+                       for fa in (mf.msgs(7) + mf.msgs(8))
+                       if fa.msg(3) is not None]
+            target = targets[0] if targets else schema.names[0]
+            aggs.append((target, eng, None, f"{eng}_{i}"))
+        agg_fields = [T.field(k, schema.field(k).type) for k in keys]
+        out_schema = T.schema(agg_fields)  # agg output types resolved later
+        return Declaration(
+            "aggregate", AggregateNodeOptions(aggs, keys=keys),
+            inputs=[child]), out_schema
+    if p.has(6):      # JoinRel
+        f = p.msg(6)
+        left, ls = _dec_rel(f.msg(2), fn_names, table_provider)
+        right, rs = _dec_rel(f.msg(3), fn_names, table_provider)
+        jt = {1: "inner", 2: "full outer", 3: "left outer",
+              4: "right outer", 5: "left semi", 6: "left anti"}.get(
+                  f.u(6), "inner")
+        # expression must be equi-join: equal(field(l), field(r)) or ANDs
+        lkeys, rkeys = [], []
+
+        def walk(e: PB):
+            sf = e.msg(3)
+            if sf is None:
+                raise ArrowInvalid("join expression must be equalities")
+            name = fn_names.get(sf.u(1), "").split(":")[0]
+            args = [fa.msg(3) for fa in sf.msgs(4)]
+            if name == "and":
+                for a in args:
+                    walk(a)
+                return
+            if name != "equal":
+                raise ArrowInvalid("only equi-joins supported")
+            refs = []
+            for a in args:
+                ref = a.msg(2)
+                seg = ref.msg(1)
+                refs.append(seg.msg(2).u(1) if seg and seg.has(2) else 0)
+            li, ri = refs
+            nl = len(ls.names)
+            if li < nl <= ri:
+                lkeys.append(ls.names[li])
+                rkeys.append(rs.names[ri - nl])
+            elif ri < nl <= li:
+                lkeys.append(ls.names[ri])
+                rkeys.append(rs.names[li - nl])
+            else:
+                raise ArrowInvalid("join keys must reference both sides")
+        walk(f.msg(4))
+        out_schema = T.schema(list(ls) + list(rs))
+        return Declaration("hashjoin", HashJoinNodeOptions(
+            join_type=jt, left_keys=lkeys, right_keys=rkeys),
+            inputs=[left, right]), out_schema
+    raise ArrowInvalid(f"unsupported rel fields {list(p.fields)}")
+
+
+def run_query(plan_bytes, table_provider: Callable) -> Table:
+    """Execute a serialized Substrait plan (pyarrow.substrait.run_query
+    analogue; reference entry: engine/substrait/serde.h DeserializePlans).
+
+    table_provider(names: list[str], schema: Schema) -> arrow_tpu Table.
+    """
+    plan = PB(bytes(plan_bytes))
+    fn_names = _collect_fn_names(plan)
+    rels = plan.msgs(3)
+    if not rels:
+        raise ArrowInvalid("plan has no relations")
+    pr = rels[-1]
+    names: List[str] = []
+    if pr.has(2):
+        root = pr.msg(2)
+        rel = root.msg(1)
+        names = root.strs(2)
+    else:
+        rel = pr.msg(1)
+    if rel is None:
+        raise ArrowInvalid("plan relation has no rel payload")
+    decl, schema = _dec_rel(rel, fn_names, table_provider)
+    tbl = decl.to_table()
+    if names and len(names) == len(tbl.schema.names):
+        tbl = tbl.rename_columns(names)
+    return tbl

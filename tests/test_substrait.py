@@ -1,0 +1,114 @@
+"""Substrait producer/consumer (arrow_tpu/substrait.py vs
+engine/substrait/serde.h). The oracle is pyarrow's own Substrait
+consumer executing OUR plan bytes — wire-format compatibility is the
+whole point of the component."""
+import pyarrow as pa
+import pyarrow.substrait as ps
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import acero
+import arrow_tpu.substrait as sub
+
+
+def _tables():
+    data = {"a": [1, 2, 3, 4, 5], "b": [1.5, 2.5, 3.5, 4.5, 5.5],
+            "s": ["x", "y", "x", "z", "y"]}
+    return at.table(data), pa.table(data)
+
+
+def _run_both(decl, t, pt, output_names=None):
+    blob = sub.serialize_plan(decl, output_names=output_names)
+    ours = sub.run_query(blob, lambda n, s: t).to_pydict()
+    theirs = ps.run_query(
+        pa.py_buffer(blob),
+        table_provider=lambda n, s=None: pt).read_all().to_pydict()
+    return ours, theirs
+
+
+def _src(t):
+    return acero.Declaration("table_source",
+                             acero.TableSourceNodeOptions(t))
+
+
+def test_read_roundtrip():
+    t, pt = _tables()
+    ours, theirs = _run_both(_src(t), t, pt)
+    assert ours == theirs
+
+
+def test_filter():
+    t, pt = _tables()
+    d = acero.Declaration(
+        "filter", acero.FilterNodeOptions(acero.field("a") > 2),
+        inputs=[_src(t)])
+    ours, theirs = _run_both(d, t, pt)
+    assert ours == theirs
+    assert ours["a"] == [3, 4, 5]
+
+
+def test_project_expressions():
+    t, pt = _tables()
+    d = acero.Declaration("project", acero.ProjectNodeOptions(
+        [acero.field("a") + acero.field("a"),
+         acero.field("b") * acero.Expression.literal(2.0)],
+        names=["a2", "b2"]), inputs=[_src(t)])
+    ours, theirs = _run_both(d, t, pt)
+    assert ours == theirs
+    assert ours["a2"] == [2, 4, 6, 8, 10]
+
+
+def test_sort_fetch():
+    t, pt = _tables()
+    d = acero.Declaration("fetch", acero.FetchNodeOptions(1, 3), inputs=[
+        acero.Declaration("order_by",
+                          acero.OrderByNodeOptions([("a", "descending")]),
+                          inputs=[_src(t)])])
+    ours, theirs = _run_both(d, t, pt)
+    assert ours == theirs
+    assert ours["a"] == [4, 3, 2]
+
+
+def test_aggregate():
+    t, pt = _tables()
+    d = acero.Declaration("aggregate", acero.AggregateNodeOptions(
+        [("a", "sum", None, "a_sum"), ("b", "mean", None, "b_mean"),
+         ("a", "max", None, "a_max")], keys=["s"]), inputs=[_src(t)])
+    ours, theirs = _run_both(d, t, pt)
+    okeys = sorted(zip(ours["s"], ours["a_sum"], ours["b_mean"],
+                       ours["a_max"]))
+    tkeys = sorted(zip(theirs["s"], theirs["a_sum"], theirs["b_mean"],
+                       theirs["a_max"]))
+    assert okeys == tkeys
+
+
+def test_join():
+    lt = at.table({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    rt = at.table({"k": [2, 3], "rv": [200, 300]})
+    plt = pa.table({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    prt = pa.table({"k": [2, 3], "rv": [200, 300]})
+    ls, rs = _src(lt), _src(rt)
+    ls.options.substrait_name = "left"
+    rs.options.substrait_name = "right"
+    d = acero.Declaration("hashjoin", acero.HashJoinNodeOptions(
+        join_type="inner", left_keys=["k"], right_keys=["k"]),
+        inputs=[ls, rs])
+    blob = sub.serialize_plan(d, output_names=["k", "lv", "k2", "rv"])
+    ours = sub.run_query(
+        blob, lambda n, s: lt if n == ["left"] else rt).to_pydict()
+    theirs = ps.run_query(
+        pa.py_buffer(blob),
+        table_provider=lambda n, s=None: plt if list(n) == ["left"]
+        else prt).read_all().to_pydict()
+    assert ours == theirs
+
+
+def test_unsupported_rel_raises():
+    from arrow_tpu.compute.registry import ArrowInvalid
+    with pytest.raises(ArrowInvalid):
+        sub.run_query(b"\x1a\x04\x12\x02\x4a\x00", lambda n, s: None)
+
+
+def test_garbage_bytes_raise():
+    with pytest.raises(Exception):
+        sub.run_query(b"\xff\xff\xff\xff\x01", lambda n, s: None)
