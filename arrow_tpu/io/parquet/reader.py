@@ -69,14 +69,34 @@ def _decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
 
 class ColumnSchema:
     __slots__ = ("name", "physical", "type_length", "arrow_type",
-                 "nullable")
+                 "nullable", "max_def", "max_rep", "nodes")
 
-    def __init__(self, name, physical, type_length, arrow_type, nullable):
+    def __init__(self, name, physical, type_length, arrow_type, nullable,
+                 max_def=None, max_rep=0, nodes=None):
         self.name = name
         self.physical = physical
         self.type_length = type_length
         self.arrow_type = arrow_type
         self.nullable = nullable
+        # nested-leaf level structure (nested.py conventions); flat
+        # columns get max_def 1/0 by nullability
+        self.max_def = max_def if max_def is not None else \
+            (1 if nullable else 0)
+        self.max_rep = max_rep
+        self.nodes = nodes
+
+
+class FieldDesc:
+    """Top-level field: arrow type + its leaf column chunks in order."""
+
+    __slots__ = ("name", "arrow_type", "nullable", "leaves")
+
+    def __init__(self, name, arrow_type, nullable, leaves):
+        self.name = name
+        self.arrow_type = arrow_type
+        self.nullable = nullable
+        self.leaves = leaves  # list[ColumnSchema]; len>1 or nested type
+                              # => assembled via nested.py
 
 
 def _logical_to_arrow(elem: Dict, physical: int,
@@ -171,21 +191,61 @@ class ParquetFile:
         schema_elems = md.get(2, [])
         root = schema_elems[0]
         n_children = root.get(5, 0)
-        self.columns: List[ColumnSchema] = []
-        idx = 1
-        for _ in range(n_children):
-            elem = schema_elems[idx]
-            idx += 1
-            if elem.get(5):  # nested group
-                raise NotImplementedError(
-                    "nested parquet schemas not supported yet")
-            name = elem.get(4, b"").decode()
-            physical = elem.get(1)
-            type_length = elem.get(2, 0)
+        self.fields: List[FieldDesc] = []
+        self._idx = 1
+
+        def parse_node(d, r, nodes):
+            """Returns (name, arrow_type, leaves) for the element at
+            self._idx (consumes its whole subtree)."""
+            elem = schema_elems[self._idx]
+            self._idx += 1
             repetition = elem.get(3, 0)
-            at = _logical_to_arrow(elem, physical, type_length)
-            self.columns.append(ColumnSchema(
-                name, physical, type_length, at, repetition == 1))
+            name = elem.get(4, b"").decode()
+            nch = elem.get(5, 0)
+            conv = elem.get(6)
+            if repetition == 1:
+                d += 1
+            elif repetition == 2:
+                d += 1
+                r += 1
+            if nch:
+                mid = schema_elems[self._idx]
+                is_list = conv == 3 and nch == 1 and mid.get(3) == 2
+                if is_list:
+                    # 3-level LIST: consume the repeated "list" group
+                    self._idx += 1
+                    d += 1
+                    r += 1
+                    if mid.get(5, 0) != 1:
+                        raise NotImplementedError(
+                            "legacy 2-level parquet lists")
+                    _, et, leaves = parse_node(
+                        d, r, nodes + [("list", d - 1, r)])
+                    return name, T.list_(et), leaves
+                # struct group
+                children = []
+                leaves = []
+                child_nodes = nodes + ([("opt", d)] if repetition == 1
+                                       else nodes[len(nodes):])
+                for _ in range(nch):
+                    cn, ct, cl = parse_node(d, r, child_nodes)
+                    children.append((cn, ct))
+                    leaves.extend(cl)
+                return name, T.struct(children), leaves
+            at = _logical_to_arrow(elem, elem.get(1), elem.get(2, 0))
+            cs = ColumnSchema(name, elem.get(1), elem.get(2, 0), at,
+                              repetition != 0, d, r,
+                              nodes + [("opt", d)])
+            return name, at, [cs]
+
+        for _ in range(n_children):
+            fi = self._idx
+            frep = schema_elems[fi].get(3, 0)
+            fname, at, leaves = parse_node(0, 0, [])
+            self.fields.append(FieldDesc(fname, at, frep == 1, leaves))
+
+        # flat alias kept for the existing flat-column paths
+        self.columns = [fd.leaves[0] for fd in self.fields]
 
         self.row_groups = md.get(4, [])
 
@@ -221,16 +281,41 @@ class ParquetFile:
         chunks = rg.get(1, [])
         num_rows = rg.get(3, 0)
         arrays, fields = [], []
-        for col_schema, chunk in zip(self.columns, chunks):
-            if columns is not None and col_schema.name not in columns:
+        ci = 0
+        from ...array.array import array as make_array
+        from .nested import LeafSpec, assemble, is_nested
+        for fd in self.fields:
+            fchunks = chunks[ci:ci + len(fd.leaves)]
+            ci += len(fd.leaves)
+            if columns is not None and fd.name not in columns:
                 continue
-            arrays.append(self._read_chunk(col_schema, chunk, num_rows))
-            fields.append(Field(col_schema.name, col_schema.arrow_type,
-                                col_schema.nullable))
+            if not is_nested(fd.arrow_type) and len(fd.leaves) == 1:
+                cs = fd.leaves[0]
+                arrays.append(self._read_chunk(cs, fchunks[0], num_rows))
+                fields.append(Field(fd.name, cs.arrow_type, fd.nullable))
+                continue
+            leaf_results = []
+            for cs, chunk in zip(fd.leaves, fchunks):
+                defs, reps, values_parts, bin_parts, dictionary = \
+                    self._read_chunk_raw(cs, chunk)
+                n_present = int((defs == cs.max_def).sum())
+                flat = _assemble(cs, np.ones(n_present, dtype=np.int64),
+                                 values_parts, bin_parts, dictionary)
+                spec = LeafSpec([], cs.arrow_type, cs.max_def, cs.max_rep,
+                                cs.nodes)
+                leaf_results.append((spec, defs, reps, flat.to_pylist()))
+            rows = assemble(fd.arrow_type, leaf_results)
+            arrays.append(make_array(rows, fd.arrow_type))
+            fields.append(Field(fd.name, fd.arrow_type, fd.nullable))
         return RecordBatch(Schema(fields), arrays)
 
     def _read_chunk(self, cs: ColumnSchema, chunk: Dict,
                     num_rows: int) -> Array:
+        defs, reps, values_parts, bin_parts, dictionary = \
+            self._read_chunk_raw(cs, chunk)
+        return _assemble(cs, defs, values_parts, bin_parts, dictionary)
+
+    def _read_chunk_raw(self, cs: ColumnSchema, chunk: Dict):
         meta = chunk.get(3)
         codec = meta.get(4, 0)
         num_values = meta.get(5, 0)
@@ -247,6 +332,10 @@ class ParquetFile:
         values_parts: List[np.ndarray] = []
         bin_parts: List[Tuple] = []
         def_parts: List[np.ndarray] = []
+        rep_parts: List[np.ndarray] = []
+        from .rle import bit_width_for
+        def_bw = bit_width_for(max(cs.max_def, 1))
+        rep_bw = bit_width_for(max(cs.max_rep, 1))
         consumed = 0
         while consumed < num_values:
             header = CompactReader(blob, pos)
@@ -267,14 +356,19 @@ class ParquetFile:
                 enc = dph.get(2, 0)
                 payload = _decompress(codec, payload, uncomp)
                 p = 0
-                if cs.nullable:
-                    (lvl_len,) = struct.unpack_from("<i", payload, 0)
-                    p = 4 + lvl_len
-                    defs = decode_rle(payload, 4, nvals, 1)
+                if cs.max_rep > 0:
+                    (rl_len,) = struct.unpack_from("<i", payload, p)
+                    reps = decode_rle(payload, p + 4, nvals, rep_bw)
+                    p += 4 + rl_len
+                    rep_parts.append(reps)
+                if cs.max_def > 0:
+                    (lvl_len,) = struct.unpack_from("<i", payload, p)
+                    defs = decode_rle(payload, p + 4, nvals, def_bw)
+                    p += 4 + lvl_len
                 else:
-                    defs = np.ones(nvals, dtype=np.int64)
+                    defs = np.full(nvals, cs.max_def, dtype=np.int64)
                 def_parts.append(defs)
-                n_present = int(defs.sum())
+                n_present = int((defs == cs.max_def).sum())
                 _decode_values(cs, enc, payload, p, n_present, dictionary,
                                values_parts, bin_parts)
                 consumed += nvals
@@ -290,12 +384,14 @@ class ParquetFile:
                 if d2.get(7, True):
                     body = _decompress(codec, body,
                                        uncomp - dl_len - rl_len)
-                if cs.nullable and dl_len:
-                    defs = decode_rle(lvl, rl_len, nvals, 1)
+                if cs.max_rep > 0 and rl_len:
+                    rep_parts.append(decode_rle(lvl, 0, nvals, rep_bw))
+                if cs.max_def > 0 and dl_len:
+                    defs = decode_rle(lvl, rl_len, nvals, def_bw)
                 else:
-                    defs = np.ones(nvals, dtype=np.int64)
+                    defs = np.full(nvals, cs.max_def, dtype=np.int64)
                 def_parts.append(defs)
-                n_present = nvals - nnulls
+                n_present = int((defs == cs.max_def).sum())
                 _decode_values(cs, enc, body, 0, n_present, dictionary,
                                values_parts, bin_parts)
                 consumed += nvals
@@ -304,7 +400,9 @@ class ParquetFile:
 
         defs = np.concatenate(def_parts) if def_parts else \
             np.ones(0, dtype=np.int64)
-        return _assemble(cs, defs, values_parts, bin_parts, dictionary)
+        reps = np.concatenate(rep_parts) if rep_parts else \
+            np.zeros(len(defs), dtype=np.int64)
+        return defs, reps, values_parts, bin_parts, dictionary
 
 
 def _decode_values(cs, enc, payload, p, n_present, dictionary,

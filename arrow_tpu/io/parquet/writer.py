@@ -206,9 +206,18 @@ class ParquetWriter:
             self.write_batch(rb)
 
     def write_batch(self, rb: RecordBatch):
+        from .nested import is_nested, shred
         chunks = []
         for f, col in zip(self.schema.fields, rb.columns):
-            chunks.append(self._write_column(f.type, col))
+            if is_nested(f.type):
+                rows = col.to_pylist()
+                for spec, defs, reps, vals in shred(f.name, f.type, rows):
+                    chunks.append(self._write_leaf_chunk(
+                        spec, defs, reps, vals))
+            else:
+                c = self._write_column(f.type, col)
+                c["path"] = [f.name]
+                chunks.append(c)
         self.row_groups.append({
             "columns": chunks, "num_rows": rb.num_rows,
             "total_byte_size": sum(c["total_uncompressed_size"]
@@ -279,6 +288,39 @@ class ParquetWriter:
             "dictionary_page_offset": dict_page_offset,
         }
 
+    def _write_leaf_chunk(self, spec, defs, reps, vals) -> Dict:
+        """One Parquet leaf under a nested field: rep + def RLE blocks,
+        PLAIN-encoded present values (parquet/arrow/path_internal.cc
+        analogue)."""
+        from ...array.array import array as make_array
+        n = len(defs)
+        physical, type_length = _physical_for(spec.type)
+        blocks = b""
+        if spec.max_rep > 0:
+            rb = encode_rle(reps.astype(np.int64),
+                            bit_width_for(spec.max_rep))
+            blocks += struct.pack("<i", len(rb)) + rb
+        db = encode_rle(defs.astype(np.int64), bit_width_for(spec.max_def))
+        blocks += struct.pack("<i", len(db)) + db
+        leaf_arr = make_array(vals, spec.type)
+        body = _plain_encode(spec.type, leaf_arr,
+                             np.ones(len(vals), dtype=bool))
+        payload = blocks + body
+        comp_payload = _compress(self.codec, payload)
+        hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                           data_hdr={"num_values": n, "encoding": ENC_PLAIN})
+        data_page_offset = self._w(hdr + comp_payload)
+        return {
+            "physical": physical, "type_length": type_length,
+            "encodings": [ENC_RLE, ENC_PLAIN], "codec": self.codec,
+            "num_values": n,
+            "total_uncompressed_size": len(hdr) + len(payload),
+            "total_compressed_size": len(hdr) + len(comp_payload),
+            "data_page_offset": data_page_offset,
+            "dictionary_page_offset": None,
+            "path": list(spec.path),
+        }
+
     def close(self):
         footer = self._footer()
         self._w(footer)
@@ -296,21 +338,49 @@ class ParquetWriter:
     def _footer(self) -> bytes:
         w = CompactWriter()
         w.field_i32(1, 2)  # version
-        # schema elements
-        w.field_list_begin(2, CT_STRUCT, len(self.schema) + 1)
+        # schema elements (depth-first tree; lists in 3-level form)
+        elems = []
+        from ...types import TypeId as _Tid
+
+        def emit_elem(name, t, repetition, num_children=None,
+                      converted=None):
+            elems.append((name, t, repetition, num_children, converted))
+
+        def walk(name, t, repetition=1):
+            if t.id in (_Tid.LIST, _Tid.LARGE_LIST):
+                emit_elem(name, None, repetition, 1, 3)  # LIST
+                emit_elem("list", None, 2, 1, None)      # repeated group
+                walk("element", t.value_type)
+            elif t.id == _Tid.STRUCT:
+                emit_elem(name, None, repetition, len(t.fields), None)
+                for f2 in t.fields:
+                    walk(f2.name, f2.type)
+            else:
+                emit_elem(name, t, repetition, None, None)
+
+        for f in self.schema.fields:
+            walk(f.name, f.type, 1 if f.nullable else 0)
+
+        w.field_list_begin(2, CT_STRUCT, len(elems) + 1)
         w.elem_struct_begin()
         w.field_binary(4, b"schema")
         w.field_i32(5, len(self.schema))
         w.struct_end()
-        for f in self.schema.fields:
-            physical, type_length = _physical_for(f.type)
+        for name, t, repetition, num_children, converted in elems:
             w.elem_struct_begin()
-            w.field_i32(1, physical)
-            if type_length:
-                w.field_i32(2, type_length)
-            w.field_i32(3, 1 if f.nullable else 0)
-            w.field_binary(4, f.name.encode())
-            _write_logical(w, f.type)
+            if t is not None:
+                physical, type_length = _physical_for(t)
+                w.field_i32(1, physical)
+                if type_length:
+                    w.field_i32(2, type_length)
+            w.field_i32(3, repetition)
+            w.field_binary(4, name.encode())
+            if num_children:
+                w.field_i32(5, num_children)
+            if converted is not None:
+                w.field_i32(6, converted)
+            if t is not None:
+                _write_logical(w, t)
             w.struct_end()
         w.field_i64(3, self.num_rows)
         # row groups
@@ -318,7 +388,8 @@ class ParquetWriter:
         for rg in self.row_groups:
             w.elem_struct_begin()
             w.field_list_begin(1, CT_STRUCT, len(rg["columns"]))
-            for f, c in zip(self.schema.fields, rg["columns"]):
+            for c in rg["columns"]:
+                path = c.get("path", ["?"])
                 w.elem_struct_begin()  # ColumnChunk
                 w.field_i64(2, c["data_page_offset"])
                 w.field_struct_begin(3)  # ColumnMetaData
@@ -326,8 +397,9 @@ class ParquetWriter:
                 w.field_list_begin(2, CT_I32, len(c["encodings"]))
                 for e in c["encodings"]:
                     w.elem_i32(e)
-                w.field_list_begin(3, CT_BINARY, 1)
-                w.elem_binary(f.name.encode())
+                w.field_list_begin(3, CT_BINARY, len(path))
+                for pc in path:
+                    w.elem_binary(pc.encode())
                 w.field_i32(4, c["codec"])
                 w.field_i64(5, c["num_values"])
                 w.field_i64(6, c["total_uncompressed_size"])

@@ -161,3 +161,48 @@ def test_pyarrow_default_snappy_guarded():
     data = pa_to_bytes(pa.table({"x": [1]}))
     with pytest.raises(NotImplementedError):
         pq.read_table(data)
+
+
+def test_nested_parquet_roundtrip_both_directions():
+    """Nested columns (Dremel def/rep levels): our writer <-> pyarrow
+    (reference: parquet/arrow/path_internal.cc)."""
+    import io
+    data = {"l": [[1, 2], None, [], [3, None]],
+            "s": [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"},
+                  {"a": 4, "b": "z"}],
+            "ls": [[{"u": 1.5}], None, [], [{"u": None}, {"u": 2.5}]],
+            "ll": [[[1], []], None, [None, [2, 3]], []],
+            "flat": [10, 20, 30, 40]}
+    schema = at.schema([
+        at.field("l", at.list_(at.int64())),
+        at.field("s", at.struct([("a", at.int64()), ("b", at.string())])),
+        at.field("ls", at.list_(at.struct([("u", at.float64())]))),
+        at.field("ll", at.list_(at.list_(at.int64()))),
+        at.field("flat", at.int64())])
+    t = at.table(data, schema=schema)
+
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    assert pq.read_table(io.BytesIO(raw)).to_pydict() == data
+    import pyarrow.parquet as ppq
+    assert ppq.read_table(io.BytesIO(raw)).to_pydict() == data
+
+    pab = io.BytesIO()
+    ppq.write_table(pa.table(data), pab, compression="none")
+    assert pq.read_table(io.BytesIO(pab.getvalue())).to_pydict() == data
+
+
+def test_nested_parquet_string_lists_zstd():
+    import io
+    data = {"tags": [["red", "blue"], [], None, ["x" * 40]],
+            "n": [1, 2, 3, 4]}
+    t = at.table(data, schema=at.schema([
+        at.field("tags", at.list_(at.string())),
+        at.field("n", at.int64())]))
+    buf = io.BytesIO()
+    pq.write_table(t, buf, compression="zstd")
+    back = pq.read_table(io.BytesIO(buf.getvalue()))
+    assert back.to_pydict() == data
+    import pyarrow.parquet as ppq
+    assert ppq.read_table(io.BytesIO(buf.getvalue())).to_pydict() == data
