@@ -24,6 +24,12 @@ from .types import (  # noqa: F401
 from .buffer import Buffer, allocate_buffer, as_buffer  # noqa: F401
 from .array.data import ArrayData  # noqa: F401
 from .array.array import Array, array  # noqa: F401
+from .array.builder import (  # noqa: F401
+    AdaptiveIntBuilder, ArrayBuilder, BinaryBuilder, BooleanBuilder,
+    DictionaryBuilder, DoubleBuilder, FloatBuilder, Int8Builder,
+    Int16Builder, Int32Builder, Int64Builder, ListBuilder, StringBuilder,
+    StructBuilder, UInt8Builder, UInt16Builder, UInt32Builder,
+    UInt64Builder, builder_for)
 from .table import (  # noqa: F401
     ChunkedArray, RecordBatch, Table, chunked_array, record_batch, table,
 )

@@ -129,3 +129,41 @@ def test_concat_sliced_chunks():
     b = at.array([9, None]).slice(1)
     ca = at.ChunkedArray([a, b])
     assert ca.combine().to_pylist() == [2, 3, None]
+
+
+def test_builders():
+    """Incremental builders (reference: array/builder_base.h:97 ff)."""
+    b = at.Int64Builder()
+    b.append(1).append_null().extend([3, None, 5])
+    arr = b.finish()
+    assert arr.to_pylist() == [1, None, 3, None, 5]
+    assert arr.type == at.int64()
+    assert len(b) == 0  # reset after finish
+
+    sb = at.StringBuilder()
+    sb.extend(["x", None, "y"])
+    assert sb.finish().to_pylist() == ["x", None, "y"]
+
+    ab = at.AdaptiveIntBuilder()
+    ab.extend([1, 2, 3])
+    assert ab.finish().type == at.int8()
+    ab.extend([1, 1 << 40])
+    assert ab.finish().type == at.int64()
+
+    lb = at.ListBuilder(at.int64())
+    lb.append([1, 2]).append_null().append([])
+    assert lb.finish().to_pylist() == [[1, 2], None, []]
+
+    stb = at.StructBuilder([("a", at.int64()), ("b", at.string())])
+    stb.append({"a": 1, "b": "q"}).append_null()
+    assert stb.finish().to_pylist() == [{"a": 1, "b": "q"}, None]
+
+    db = at.DictionaryBuilder(at.string())
+    db.extend(["u", "v", "u", None])
+    d = db.finish()
+    assert d.to_pylist() == ["u", "v", "u", None]
+    assert d.type.id == at.TypeId.DICTIONARY
+
+    fb = at.builder_for(at.float64())
+    fb.extend([1.5, None])
+    assert fb.finish().to_pylist() == [1.5, None]
