@@ -227,10 +227,20 @@ class Dataset:
             yield frag
 
     def to_table(self, columns: Optional[List[str]] = None,
-                 filter: Optional[Expression] = None) -> Table:
-        batches: List[RecordBatch] = []
-        schema = None
-        for frag in self.get_fragments(filter):
+                 filter: Optional[Expression] = None,
+                 fragment_readahead: Optional[int] = None,
+                 use_threads: bool = True) -> Table:
+        """Scan all fragments. Fragment IO runs on a thread pool with
+        bounded readahead (reference: dataset/scanner.h:90
+        fragment_readahead + the IO-executor readahead generators in
+        util/async_generator.h; pool size via ARROW_IO_THREADS)."""
+        import os as _os
+        frags = list(self.get_fragments(filter))
+        if fragment_readahead is None:
+            fragment_readahead = int(_os.environ.get(
+                "ARROW_TPU_FRAGMENT_READAHEAD", "4"))
+
+        def load(frag):
             tbl = frag.to_table(columns)
             if filter is not None:
                 residual = filter if frag.partition_expression is None \
@@ -244,6 +254,23 @@ class Dataset:
                         Declaration("filter",
                                     FilterNodeOptions(residual)),
                     ]).to_table()
+            return tbl
+
+        tables: List[Table] = []
+        if use_threads and fragment_readahead > 1 and len(frags) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            workers = min(fragment_readahead,
+                          int(_os.environ.get("ARROW_IO_THREADS", "8")),
+                          len(frags))
+            # map() preserves fragment order while reading ahead
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                tables = list(pool.map(load, frags))
+        else:
+            tables = [load(f) for f in frags]
+
+        batches: List[RecordBatch] = []
+        schema = None
+        for tbl in tables:
             schema = tbl.schema
             batches.extend(tbl.to_batches())
         if schema is None:

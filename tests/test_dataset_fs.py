@@ -127,3 +127,16 @@ def test_mock_fs_dataset(sample_table):
     ds.write_dataset(sample_table, "root", format="ipc", filesystem=fs)
     data = ds.dataset("root", format="ipc", filesystem=fs)
     assert data.to_table().num_rows == 5
+
+
+def test_fragment_readahead_threaded(tmp_path, sample_table):
+    """Threaded fragment readahead (dataset/scanner.h fragment_readahead
+    analogue): same rows, same order as serial scan."""
+    d = str(tmp_path / "ra")
+    ds.write_dataset(sample_table, d, partitioning=["year"])
+    data = ds.dataset(d, partitioning=ds.partitioning(flavor="hive"))
+    serial = data.to_table(use_threads=False)
+    threaded = data.to_table(fragment_readahead=4)
+    assert threaded.to_pydict() == serial.to_pydict()
+    one = data.to_table(fragment_readahead=1)
+    assert one.to_pydict() == serial.to_pydict()
