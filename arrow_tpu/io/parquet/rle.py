@@ -30,6 +30,11 @@ def bit_width_for(max_value: int) -> int:
 def decode_rle(data: bytes, pos: int, num_values: int,
                bit_width: int) -> np.ndarray:
     """Decode `num_values` values from the hybrid stream starting at pos."""
+    if num_values >= 512:
+        from ...native import rle_decode_native
+        native = rle_decode_native(bytes(data), pos, num_values, bit_width)
+        if native is not None:
+            return native
     out = np.empty(num_values, dtype=np.int64)
     filled = 0
     byte_width = (bit_width + 7) // 8
@@ -73,6 +78,11 @@ def encode_rle(values: np.ndarray, bit_width: int) -> bytes:
     """Encode with a simple strategy: long constant runs as RLE, the rest
     as bit-packed groups of 8."""
     values = np.asarray(values, dtype=np.int64)
+    if len(values) >= 512:
+        from ...native import rle_encode_native
+        native = rle_encode_native(values, bit_width)
+        if native is not None:
+            return native
     n = len(values)
     out = bytearray()
     byte_width = (bit_width + 7) // 8

@@ -71,6 +71,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.count_set_bits.restype = ctypes.c_int64
         lib.count_set_bits.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int64]
+        lib.rle_decode.restype = ctypes.c_int64
+        lib.rle_decode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int32, ctypes.c_void_p]
+        lib.rle_encode.restype = ctypes.c_int64
+        lib.rle_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                   ctypes.c_int32, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -118,3 +125,35 @@ def count_set_bits(bitmap: np.ndarray, n: int, offset: int = 0
     bitmap = np.ascontiguousarray(bitmap, dtype=np.uint8)
     return int(lib.count_set_bits(
         bitmap.ctypes.data_as(ctypes.c_void_p), n, offset))
+
+
+def rle_decode_native(data: bytes, pos: int, num_values: int,
+                      bit_width: int) -> Optional[np.ndarray]:
+    """Hybrid RLE/bit-packed decode (util/rle_encoding_internal.h
+    analogue); None if the native library is unavailable or the stream
+    overruns."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(num_values, dtype=np.int64)
+    consumed = lib.rle_decode(
+        buf.ctypes.data_as(ctypes.c_void_p), len(buf), pos, num_values,
+        bit_width, out.ctypes.data_as(ctypes.c_void_p))
+    if consumed < 0:
+        raise ValueError("RLE stream truncated")
+    return out
+
+
+def rle_encode_native(values: np.ndarray,
+                      bit_width: int) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    cap = len(values) * 8 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.rle_encode(values.ctypes.data_as(ctypes.c_void_p),
+                       len(values), bit_width,
+                       out.ctypes.data_as(ctypes.c_void_p))
+    return out[:n].tobytes()

@@ -129,4 +129,130 @@ int64_t count_set_bits(const uint8_t* bitmap, int64_t n, int64_t offset) {
   return count;
 }
 
+
+// --- Parquet hybrid RLE / bit-packed codec (reference:
+// cpp/src/arrow/util/rle_encoding_internal.h) ---------------------------
+
+static inline int64_t rle_read_varint(const uint8_t* d, int64_t& pos) {
+  int64_t v = 0;
+  int shift = 0;
+  while (true) {
+    uint8_t b = d[pos++];
+    v |= (int64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) return v;
+    shift += 7;
+  }
+}
+
+static inline void rle_write_varint(uint8_t* d, int64_t& pos, uint64_t v) {
+  while (true) {
+    uint8_t b = v & 0x7F;
+    v >>= 7;
+    if (v) d[pos++] = b | 0x80; else { d[pos++] = b; return; }
+  }
+}
+
+// decode num_values from the stream at data+pos; returns bytes consumed
+// past pos, or -1 on overrun.
+int64_t rle_decode(const uint8_t* data, int64_t len, int64_t pos,
+                   int64_t num_values, int32_t bit_width, int64_t* out) {
+  const int64_t start = pos;
+  int64_t filled = 0;
+  const int byte_width = (bit_width + 7) / 8;
+  while (filled < num_values) {
+    if (pos >= len) return -1;
+    int64_t header = rle_read_varint(data, pos);
+    if (header & 1) {                     // bit-packed groups of 8
+      int64_t groups = header >> 1;
+      int64_t n = groups * 8;
+      int64_t nbytes = groups * bit_width;
+      if (pos + nbytes > len) return -1;
+      int64_t take = n < (num_values - filled) ? n : (num_values - filled);
+      const uint8_t* src = data + pos;
+      int64_t bit = 0;
+      for (int64_t i = 0; i < take; i++) {
+        uint64_t v = 0;
+        for (int b = 0; b < bit_width; b++) {
+          int64_t idx = bit + b;
+          v |= (uint64_t)((src[idx >> 3] >> (idx & 7)) & 1) << b;
+        }
+        out[filled + i] = (int64_t)v;
+        bit += bit_width;
+      }
+      pos += nbytes;
+      filled += take;
+    } else {                              // rle run
+      int64_t count = header >> 1;
+      if (pos + byte_width > len) return -1;
+      uint64_t v = 0;
+      for (int b = 0; b < byte_width; b++)
+        v |= (uint64_t)data[pos + b] << (8 * b);
+      pos += byte_width;
+      int64_t take = count < (num_values - filled) ? count
+                                                   : (num_values - filled);
+      for (int64_t i = 0; i < take; i++) out[filled + i] = (int64_t)v;
+      filled += take;
+    }
+  }
+  return pos - start;
+}
+
+// encode n values; out must hold >= n*8 + 16 bytes. Returns bytes written.
+int64_t rle_encode(const int64_t* values, int64_t n, int32_t bit_width,
+                   uint8_t* out) {
+  int64_t pos = 0;
+  const int byte_width = (bit_width + 7) / 8;
+  int64_t i = 0;
+  while (i < n) {
+    int64_t v = values[i];
+    int64_t j = i + 1;
+    while (j < n && values[j] == v) j++;
+    int64_t run = j - i;
+    if (run >= 8) {
+      rle_write_varint(out, pos, (uint64_t)run << 1);
+      for (int b = 0; b < byte_width; b++)
+        out[pos++] = (uint8_t)((uint64_t)v >> (8 * b));
+      i = j;
+    } else {
+      // bit-pack until the next >=16 constant run (or end)
+      int64_t k = i;
+      while (k < n) {
+        int64_t v2 = values[k];
+        int64_t m = k + 1;
+        while (m < n && values[m] == v2) m++;
+        if (m - k >= 16) break;
+        k = m;
+      }
+      int64_t count = k - i;
+      if (k < n) {
+        int64_t pad = (8 - (count % 8)) % 8;
+        k += pad;
+        count += pad;
+      }
+      int64_t groups = (count + 7) / 8;
+      rle_write_varint(out, pos, ((uint64_t)groups << 1) | 1);
+      int64_t total = groups * 8;
+      int64_t bit = 0;
+      uint8_t* dst = out + pos;
+      int64_t nbytes = groups * bit_width;
+      for (int64_t b = 0; b < nbytes; b++) dst[b] = 0;
+      for (int64_t t = 0; t < total; t++) {
+        uint64_t val = t < count ? (uint64_t)values[i + t] : 0;
+        // values beyond k (pad) belong to the following run
+        if (t < count && i + t >= n) val = 0;
+        for (int b = 0; b < bit_width; b++) {
+          if ((val >> b) & 1) {
+            int64_t idx = bit + b;
+            dst[idx >> 3] |= (uint8_t)(1 << (idx & 7));
+          }
+        }
+        bit += bit_width;
+      }
+      pos += nbytes;
+      i = k;
+    }
+  }
+  return pos;
+}
+
 }  // extern "C"
