@@ -12,7 +12,10 @@ jax.config.update("jax_enable_x64", True)
 # execute-bound. Opt out with ARROW_TPU_COMPILE_CACHE=off.
 import os as _os  # noqa: E402
 
-if _os.environ.get("ARROW_TPU_COMPILE_CACHE", "on") != "off":
+if _os.environ.get("ARROW_TPU_COMPILE_CACHE", "on") != "off" and \
+        _os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    # (cpu runs skip the cache: XLA:CPU AOT entries are machine-feature
+    # specific and a shared cache dir can trip SIGILL across hosts)
     _cache_dir = _os.environ.get(
         "ARROW_TPU_COMPILE_CACHE_DIR",
         _os.path.join(_os.path.dirname(_os.path.dirname(
