@@ -45,7 +45,8 @@ def __getattr__(name):
             "flight": ".flight", "parallel": ".parallel",
             "tensor": ".tensor", "c_data": ".c_data",
             "gandiva": ".gandiva", "device": ".device",
-            "pretty": ".pretty", "substrait": ".substrait"}
+            "pretty": ".pretty", "substrait": ".substrait",
+            "config": ".config"}
     if name in lazy:
         return importlib.import_module(lazy[name], __name__)
     raise AttributeError(name)

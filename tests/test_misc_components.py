@@ -158,3 +158,22 @@ def test_sparse_tensor_ipc_3d_coo_int32():
     back = read_sparse_tensor(buf)
     assert back.data.dtype == np.int32
     assert np.array_equal(back.to_dense(), d3)
+
+
+def test_config_system():
+    """GlobalOptions / BuildInfo / RuntimeInfo (reference: config.h)."""
+    import os
+    from arrow_tpu import config as cfg
+    bi = cfg.build_info()
+    assert bi.compute_functions > 300
+    assert bi.with_zstd and bi.with_native
+    ri = cfg.runtime_info()
+    assert ri.backend == "cpu" and ri.num_devices == 8
+    assert ri.x64_enabled
+    cfg.initialize(cfg.GlobalOptions(io_threads=4, bloom_mode="never"))
+    assert os.environ["ARROW_IO_THREADS"] == "4"
+    assert os.environ["ARROW_TPU_BLOOM"] == "never"
+    assert cfg.global_options().io_threads == 4
+    knobs = cfg.env_options()
+    assert "ARROW_TPU_MOVEMENT" in knobs
+    os.environ.pop("ARROW_TPU_BLOOM", None)
