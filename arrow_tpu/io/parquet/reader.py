@@ -262,12 +262,74 @@ class ParquetFile:
     def metadata(self):
         return self
 
-    def read(self, columns: Optional[List[str]] = None) -> Table:
-        batches = [self.read_row_group(i, columns)
-                   for i in range(self.num_row_groups)]
+    def read(self, columns: Optional[List[str]] = None,
+             filters=None) -> Table:
+        """filters: pyarrow-style list of (col, op, value) tuples (AND)
+        or list-of-lists (OR of ANDs). Row groups whose column
+        statistics (ColumnMetaData.statistics, parquet/metadata.h) prove
+        the filter false are skipped; the filter is then applied exactly
+        to the surviving rows."""
+        keep = [i for i in range(self.num_row_groups)
+                if filters is None or
+                self._row_group_may_match(i, filters)]
+        batches = [self.read_row_group(i, columns) for i in keep]
         schema = (batches[0].schema if batches else
                   self._selected_schema(columns))
-        return Table.from_batches(batches, schema)
+        tbl = Table.from_batches(batches, schema)
+        if filters is not None and tbl.num_rows:
+            tbl = _apply_filters(tbl, filters)
+        return tbl
+
+    def statistics(self, rg: int) -> dict:
+        """{column name: (min, max, null_count)} for row group rg."""
+        out = {}
+        chunks = self.row_groups[rg].get(1, [])
+        ci = 0
+        for fd in self.fields:
+            if len(fd.leaves) == 1:
+                cs = fd.leaves[0]
+                st = chunks[ci].get(3, {}).get(12)
+                if st is not None:
+                    out[fd.name] = _decode_stats(cs, st)
+            ci += len(fd.leaves)
+        return out
+
+    def _row_group_may_match(self, rg: int, filters) -> bool:
+        dnf = filters if filters and isinstance(filters[0], list) \
+            else [filters]
+        stats = self.statistics(rg)
+        for group in dnf:           # OR of AND-groups
+            ok = True
+            for col, op, val in group:
+                st = stats.get(col)
+                if st is None:
+                    continue        # no stats -> cannot prune
+                mn, mx, _ = st
+                if mn is None or mx is None:
+                    continue
+                if op in ("=", "=="):
+                    if val < mn or val > mx:
+                        ok = False
+                elif op == "<":
+                    if mn >= val:
+                        ok = False
+                elif op == "<=":
+                    if mn > val:
+                        ok = False
+                elif op == ">":
+                    if mx <= val:
+                        ok = False
+                elif op == ">=":
+                    if mx < val:
+                        ok = False
+                elif op == "in":
+                    if all(v < mn or v > mx for v in val):
+                        ok = False
+                if not ok:
+                    break
+            if ok:
+                return True
+        return False
 
     def _selected_schema(self, columns):
         cols = self.columns if columns is None else \
@@ -534,5 +596,71 @@ def _assemble(cs: ColumnSchema, defs: np.ndarray, values_parts,
                            null_count=null_count))
 
 
-def read_table(source, columns: Optional[List[str]] = None) -> Table:
-    return ParquetFile(source).read(columns)
+def read_table(source, columns: Optional[List[str]] = None,
+               filters=None) -> Table:
+    return ParquetFile(source).read(columns, filters=filters)
+
+
+def _decode_stats(cs: ColumnSchema, st: Dict):
+    """Statistics struct -> (min, max, null_count) python values."""
+    nulls = st.get(3)
+    mn_raw = st.get(6, st.get(2))
+    mx_raw = st.get(5, st.get(1))
+
+    def dec(raw):
+        if raw is None:
+            return None
+        ph = cs.physical
+        if ph == BOOLEAN:
+            return bool(raw[0])
+        if ph == INT32:
+            return int(np.frombuffer(raw, np.int32)[0])
+        if ph == INT64:
+            return int(np.frombuffer(raw, np.int64)[0])
+        if ph == FLOAT:
+            return float(np.frombuffer(raw, np.float32)[0])
+        if ph == DOUBLE:
+            return float(np.frombuffer(raw, np.float64)[0])
+        if cs.arrow_type.id in (T.TypeId.STRING, T.TypeId.LARGE_STRING):
+            return raw.decode("utf8", "replace")
+        return bytes(raw)
+    return dec(mn_raw), dec(mx_raw), nulls
+
+
+def _apply_filters(tbl: Table, filters) -> Table:
+    """Exact residual filtering with the engine's own compute."""
+    from ...acero import (Declaration, FilterNodeOptions,
+                           TableSourceNodeOptions)
+    from ...acero.expression import Expression, field as _field
+
+    def pred(col, op, val):
+        f = _field(col)
+        if op in ("=", "=="):
+            return f == val
+        if op == "!=":
+            return f != val
+        if op == "<":
+            return f < val
+        if op == "<=":
+            return f <= val
+        if op == ">":
+            return f > val
+        if op == ">=":
+            return f >= val
+        if op == "in":
+            return Expression.call("is_in", f, value_set=list(val))
+        raise ValueError(f"unsupported filter op {op!r}")
+
+    dnf = filters if filters and isinstance(filters[0], list) \
+        else [filters]
+    or_expr = None
+    for group in dnf:
+        g = None
+        for col, op, val in group:
+            p = pred(col, op, val)
+            g = p if g is None else Expression.call("and_kleene", g, p)
+        or_expr = g if or_expr is None else \
+            Expression.call("or_kleene", or_expr, g)
+    d = Declaration("filter", FilterNodeOptions(or_expr), inputs=[
+        Declaration("table_source", TableSourceNodeOptions(tbl))])
+    return d.to_table()

@@ -144,6 +144,48 @@ def _plain_encode(t: DataType, arr: Array, present: np.ndarray) -> bytes:
     return vals.astype(np_dt).tobytes()
 
 
+def _stat_bytes(t: DataType, v) -> bytes:
+    """Encode one min/max value as Parquet plain statistics bytes."""
+    tid = t.id
+    if tid == TypeId.BOOL:
+        return b"\x01" if v else b"\x00"
+    if tid in (TypeId.STRING, TypeId.LARGE_STRING):
+        return v.encode() if isinstance(v, str) else bytes(v)
+    if tid in (TypeId.BINARY, TypeId.LARGE_BINARY):
+        return bytes(v)
+    physical, _ = _physical_for(t)
+    np_dt = {INT32: "<i4", INT64: "<i8", FLOAT: "<f4",
+             DOUBLE: "<f8"}.get(physical)
+    if np_dt is None:
+        return b""
+    return np.asarray(v).astype(np.dtype(np_dt)).tobytes()
+
+
+def _column_stats(t: DataType, col: Array):
+    """(min, max, null_count) for flat columns; Nones when stats do not
+    apply (reference: parquet/statistics.h typed statistics)."""
+    try:
+        present = col.is_valid_mask()
+        nulls = int(len(col) - present.sum())
+        if t.id in (TypeId.BOOL, TypeId.STRING, TypeId.LARGE_STRING,
+                    TypeId.BINARY, TypeId.LARGE_BINARY):
+            vals = [v for v in col.to_pylist() if v is not None]
+            if not vals:
+                return None, None, nulls
+            return min(vals), max(vals), nulls
+        vals = col.data.values()[present]
+        if len(vals) == 0 or not np.issubdtype(vals.dtype, np.number):
+            return None, None, nulls
+        if np.issubdtype(vals.dtype, np.floating):
+            finite = vals[np.isfinite(vals)]
+            if len(finite) == 0:
+                return None, None, nulls
+            return finite.min(), finite.max(), nulls
+        return vals.min(), vals.max(), nulls
+    except Exception:
+        return None, None, None
+
+
 def _compress(codec: int, data: bytes) -> bytes:
     if codec == CODEC_UNCOMPRESSED:
         return data
@@ -278,6 +320,7 @@ class ParquetWriter:
         total_comp += len(hdr) + len(comp_payload)
         total_uncomp += len(hdr) + len(payload)
 
+        mn, mx, nulls = _column_stats(t, col)
         return {
             "physical": physical, "type_length": type_length,
             "encodings": encodings, "codec": self.codec,
@@ -286,6 +329,10 @@ class ParquetWriter:
             "total_compressed_size": total_comp,
             "data_page_offset": data_page_offset,
             "dictionary_page_offset": dict_page_offset,
+            "stats": (None if mn is None else _stat_bytes(t, mn),
+                      None if mx is None else _stat_bytes(t, mx),
+                      nulls),
+            "page_size": len(hdr) + len(comp_payload),
         }
 
     def _write_leaf_chunk(self, spec, defs, reps, vals) -> Dict:
@@ -407,12 +454,35 @@ class ParquetWriter:
                 w.field_i64(9, c["data_page_offset"])
                 if c["dictionary_page_offset"] is not None:
                     w.field_i64(11, c["dictionary_page_offset"])
+                st = c.get("stats")
+                if st is not None and (st[0] is not None or
+                                       st[2] is not None):
+                    mn, mx, nulls = st
+                    w.field_struct_begin(12)  # Statistics
+                    if nulls is not None:
+                        w.field_i64(3, nulls)
+                    if mx is not None:
+                        w.field_binary(5, mx)   # max_value
+                    if mn is not None:
+                        w.field_binary(6, mn)   # min_value
+                    w.struct_end()
                 w.struct_end()
                 w.struct_end()
             w.field_i64(2, rg["total_byte_size"])
             w.field_i64(3, rg["num_rows"])
             w.struct_end()
         w.field_binary(6, b"arrow_tpu parquet writer")
+        # column_orders: readers only trust min_value/max_value when the
+        # order is declared (ColumnOrder.TYPE_ORDER per leaf)
+        n_leaves = len(self.row_groups[0]["columns"]) \
+            if self.row_groups else 0
+        if n_leaves:
+            w.field_list_begin(7, CT_STRUCT, n_leaves)
+            for _ in range(n_leaves):
+                w.elem_struct_begin()
+                w.field_struct_begin(1)   # TYPE_ORDER
+                w.struct_end()
+                w.struct_end()
         w.struct_end()
         return w.bytes()
 

@@ -206,3 +206,44 @@ def test_nested_parquet_string_lists_zstd():
     assert back.to_pydict() == data
     import pyarrow.parquet as ppq
     assert ppq.read_table(io.BytesIO(buf.getvalue())).to_pydict() == data
+
+
+def test_statistics_and_filters():
+    """Row-group statistics + predicate pushdown (reference:
+    parquet/metadata.h Statistics, arrow's read filters)."""
+    import io
+    t1 = at.table({"a": [1, 2, 3, 4], "s": ["w", "x", "y", "z"]})
+    t2 = at.table({"a": [100, 200, 300, 400], "s": ["p", "q", "r", "s"]})
+    buf = io.BytesIO()
+    w = pq.ParquetWriter(buf, t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    raw = buf.getvalue()
+
+    pf = pq.ParquetFile(io.BytesIO(raw))
+    assert pf.statistics(0)["a"] == (1, 4, 0)
+    assert pf.statistics(1)["s"] == ("p", "s", 0)
+
+    # pruning: only rg1 may match a>150
+    assert pf._row_group_may_match(0, [("a", ">", 150)]) is False
+    assert pf._row_group_may_match(1, [("a", ">", 150)]) is True
+
+    out = pq.read_table(io.BytesIO(raw), filters=[("a", ">", 150)])
+    assert out.to_pydict() == {"a": [200, 300, 400], "s": ["q", "r", "s"]}
+    dnf = pq.read_table(io.BytesIO(raw),
+                        filters=[[("a", "<", 3)], [("s", "=", "r")]])
+    assert dnf.to_pydict() == {"a": [1, 2, 300], "s": ["w", "x", "r"]}
+
+
+def test_statistics_pyarrow_trusts_min_max():
+    import io
+    t = at.table({"a": [3, None, 7], "s": ["m", "a", None]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    import pyarrow.parquet as ppq
+    md = ppq.ParquetFile(io.BytesIO(buf.getvalue())).metadata
+    st_a = md.row_group(0).column(0).statistics
+    assert (st_a.min, st_a.max, st_a.null_count) == (3, 7, 1)
+    st_s = md.row_group(0).column(1).statistics
+    assert (st_s.min, st_s.max, st_s.null_count) == ("a", "m", 1)
