@@ -34,25 +34,30 @@ def _u32(x):
 
 
 def _avalanche(h):
-    """xxhash32 finalizer (key_hash_internal.h:85-92 Avalanche)."""
-    h = h ^ (h >> 15)
+    """xxhash32 finalizer (key_hash_internal.h:85-92 Avalanche). Shift
+    counts are explicit uint32: under jax_enable_x64 weak-typed python
+    ints otherwise promote intermediates to 64-bit, which Mosaic (32-bit
+    only on v5e) cannot lower."""
+    h = h ^ (h >> jnp.uint32(15))
     h = h * jnp.uint32(PRIME32_2)
-    h = h ^ (h >> 13)
+    h = h ^ (h >> jnp.uint32(13))
     h = h * jnp.uint32(PRIME32_3)
-    h = h ^ (h >> 16)
+    h = h ^ (h >> jnp.uint32(16))
     return h
 
 
 def _hash_u32_word(w):
     h = jnp.uint32(PRIME32_5) + jnp.uint32(4)
     h = h + w * jnp.uint32(PRIME32_3)
-    h = ((h << 17) | (h >> 15)) * jnp.uint32(PRIME32_4)
+    h = ((h << jnp.uint32(17)) | (h >> jnp.uint32(15))) * \
+        jnp.uint32(PRIME32_4)
     return _avalanche(h)
 
 
 def _combine(prev, h):
     """CombineHashesImp (key_hash_internal.h:96-100)."""
-    return prev ^ (h + jnp.uint32(GOLDEN) + (prev << 6) + (prev >> 2))
+    return prev ^ (h + jnp.uint32(GOLDEN) + (prev << jnp.uint32(6)) +
+                   (prev >> jnp.uint32(2)))
 
 
 def hash32_words(words: Sequence[jax.Array]) -> jax.Array:

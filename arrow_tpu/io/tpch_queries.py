@@ -138,3 +138,100 @@ def q9_style_plan(part: Table, supplier: Table, lineitem: Table,
 def Expression_match(f, pattern):
     from ..acero.expression import Expression
     return Expression.call("match_substring", f, pattern=pattern)
+
+
+DATE_1994_01_01 = (datetime.date(1994, 1, 1)
+                   - datetime.date(1970, 1, 1)).days
+DATE_1995_01_01 = (datetime.date(1995, 1, 1)
+                   - datetime.date(1970, 1, 1)).days
+
+
+def q6_plan(lineitem: Table) -> Declaration:
+    """Q6 forecasting-revenue-change: pure filter + scalar aggregate
+    (tpch_benchmark.cc suite)."""
+    cond = ((field("l_shipdate") >= DATE_1994_01_01)
+            & (field("l_shipdate") < DATE_1995_01_01)
+            & (field("l_discount") >= 0.05)
+            & (field("l_discount") <= 0.07)
+            & (field("l_quantity") < 24.0))
+    return Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(lineitem)),
+        Declaration("filter", acero.FilterNodeOptions(cond)),
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("l_extendedprice") * field("l_discount")],
+            ["revenue"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("revenue", "sum", None, "revenue")], keys=[])),
+    ])
+
+
+def q10_style_plan(customer: Table, orders: Table, lineitem: Table,
+                   limit: int = 20) -> Declaration:
+    """Q10 returned-item reporting: 2 joins + grouped revenue + top-k."""
+    ords = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(orders)),
+        Declaration("filter", acero.FilterNodeOptions(
+            (field("o_orderdate") >= DATE_1994_01_01)
+            & (field("o_orderdate") < DATE_1994_01_01 + 92))),
+    ])
+    li = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(lineitem)),
+        Declaration("filter", acero.FilterNodeOptions(
+            field("l_returnflag") == "R")),
+    ])
+    lo = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+        right_output=["o_custkey"]), inputs=[li, ords])
+    loc = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["o_custkey"], right_keys=["c_custkey"],
+        right_output=["c_custkey", "c_mktsegment"]), inputs=[lo, Declaration(
+            "table_source", acero.TableSourceNodeOptions(customer))])
+    return Declaration.from_sequence([
+        loc,
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("c_custkey"), field("c_mktsegment"),
+             field("l_extendedprice") * (1.0 - field("l_discount"))],
+            ["c_custkey", "c_mktsegment", "volume"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("volume", "sum", None, "revenue")],
+            keys=["c_custkey", "c_mktsegment"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("revenue", "descending"), ("c_custkey", "ascending")])),
+        Declaration("fetch", acero.FetchNodeOptions(0, limit)),
+    ])
+
+
+def q12_style_plan(orders: Table, lineitem: Table) -> Declaration:
+    """Q12 shipping-modes: join + boolean-bucketed counts per shipmode."""
+    li = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(lineitem)),
+        Declaration("filter", acero.FilterNodeOptions(
+            (field("l_receiptdate") >= DATE_1994_01_01)
+            & (field("l_receiptdate") < DATE_1995_01_01)
+            & ((field("l_shipmode") == "MAIL")
+               | (field("l_shipmode") == "SHIP")))),
+    ])
+    lo = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+        right_output=["o_orderpriority"]), inputs=[li, Declaration(
+            "table_source", acero.TableSourceNodeOptions(orders))])
+    is_urgent = ((field("o_orderpriority") == "1-URGENT")
+                 | (field("o_orderpriority") == "2-HIGH"))
+    return Declaration.from_sequence([
+        lo,
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("l_shipmode"),
+             acero.Expression.call("if_else", is_urgent,
+                                   acero.Expression.literal(1),
+                                   acero.Expression.literal(0)),
+             acero.Expression.call("if_else", is_urgent,
+                                   acero.Expression.literal(0),
+                                   acero.Expression.literal(1))],
+            ["l_shipmode", "high_line", "low_line"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("high_line", "sum", None, "high_line_count"),
+             ("low_line", "sum", None, "low_line_count")],
+            keys=["l_shipmode"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("l_shipmode", "ascending")])),
+    ])

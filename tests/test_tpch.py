@@ -161,3 +161,77 @@ def test_q9_style_runs():
     # nations sorted ascending
     nations = out.column("nation").to_pylist()
     assert nations == sorted(nations)
+
+
+def test_q6_matches_python_oracle(tables):
+    li = tables["lineitem"]
+    out = tpch_queries.q6_plan(li).to_table()
+    d = li.to_pydict()
+    lo = (datetime.date(1994, 1, 1) - datetime.date(1970, 1, 1)).days
+    hi = (datetime.date(1995, 1, 1) - datetime.date(1970, 1, 1)).days
+    exp = sum(p * disc for sd, disc, q, p in zip(
+        d["l_shipdate"], d["l_discount"], d["l_quantity"],
+        d["l_extendedprice"])
+        if lo <= (sd - datetime.date(1970, 1, 1)).days < hi
+        and 0.05 <= disc <= 0.07 and q < 24.0)
+    got = out.column("revenue").to_pylist()[0]
+    np.testing.assert_allclose([got], [exp], rtol=1e-12)
+
+
+def test_q10_style_matches_python_oracle(tables):
+    cust, orders, li = (tables["customer"], tables["orders"],
+                        tables["lineitem"])
+    out = tpch_queries.q10_style_plan(cust, orders, li, limit=20).to_table()
+
+    od = orders.to_pydict()
+    lo = (datetime.date(1994, 1, 1) - datetime.date(1970, 1, 1)).days
+    ok_orders = {k: c for k, c, dte in zip(
+        od["o_orderkey"], od["o_custkey"], od["o_orderdate"])
+        if lo <= (dte - datetime.date(1970, 1, 1)).days < lo + 92}
+    cd = cust.to_pydict()
+    seg = dict(zip(cd["c_custkey"], cd["c_mktsegment"]))
+    ld = li.to_pydict()
+    rev = {}
+    for okey, rf, p, disc in zip(ld["l_orderkey"], ld["l_returnflag"],
+                                 ld["l_extendedprice"], ld["l_discount"]):
+        if rf == "R" and okey in ok_orders:
+            ck = ok_orders[okey]
+            rev[ck] = rev.get(ck, 0.0) + p * (1.0 - disc)
+    exp = sorted(((v, -k) for k, v in rev.items()), reverse=True)[:20]
+    exp = [(-k, v) for v, k in exp]
+
+    got = list(zip(out.column("c_custkey").to_pylist(),
+                   out.column("revenue").to_pylist()))
+    assert [k for k, _ in got] == [k for k, _ in exp]
+    np.testing.assert_allclose([v for _, v in got],
+                               [v for _, v in exp], rtol=1e-9)
+    # mktsegment joined through correctly
+    assert out.column("c_mktsegment").to_pylist() == \
+        [seg[k] for k, _ in got]
+
+
+def test_q12_style_matches_python_oracle(tables):
+    orders, li = tables["orders"], tables["lineitem"]
+    out = tpch_queries.q12_style_plan(orders, li).to_table()
+    od = orders.to_pydict()
+    prio = dict(zip(od["o_orderkey"], od["o_orderpriority"]))
+    ld = li.to_pydict()
+    lo = (datetime.date(1994, 1, 1) - datetime.date(1970, 1, 1)).days
+    hi = (datetime.date(1995, 1, 1) - datetime.date(1970, 1, 1)).days
+    counts = {}
+    for okey, rd, sm in zip(ld["l_orderkey"], ld["l_receiptdate"],
+                            ld["l_shipmode"]):
+        days = (rd - datetime.date(1970, 1, 1)).days
+        if sm in ("MAIL", "SHIP") and lo <= days < hi and okey in prio:
+            h, l = counts.get(sm, (0, 0))
+            if prio[okey] in ("1-URGENT", "2-HIGH"):
+                h += 1
+            else:
+                l += 1
+            counts[sm] = (h, l)
+    got = {m: (h, l) for m, h, l in zip(
+        out.column("l_shipmode").to_pylist(),
+        out.column("high_line_count").to_pylist(),
+        out.column("low_line_count").to_pylist())}
+    assert got == counts
+    assert out.column("l_shipmode").to_pylist() == sorted(counts)
