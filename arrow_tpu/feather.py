@@ -1,7 +1,8 @@
-"""Feather V2 format (= Arrow IPC file; reference: ipc/feather.h).
+"""Feather formats (reference: ipc/feather.h).
 
-V1 (the pre-IPC legacy format) is not produced by modern writers and is
-not supported."""
+V2 = the Arrow IPC file format; V1 = the legacy pre-IPC layout
+(io/feather_v1.py), auto-detected on read and writable with
+``version=1``."""
 
 from __future__ import annotations
 
@@ -11,7 +12,14 @@ from . import ipc
 from .table import Table
 
 
-def write_feather(table: Table, dest, compression: Optional[str] = None):
+def write_feather(table: Table, dest, compression: Optional[str] = None,
+                  version: int = 2):
+    if version == 1:
+        from .io.feather_v1 import write_feather_v1
+        if compression is not None:
+            raise ValueError("feather v1 does not support compression")
+        write_feather_v1(table, dest)
+        return
     close = False
     if isinstance(dest, str):
         dest = open(dest, "wb")
@@ -25,8 +33,15 @@ def write_feather(table: Table, dest, compression: Optional[str] = None):
 def read_feather(source) -> Table:
     if isinstance(source, str):
         with open(source, "rb") as f:
-            return ipc.open_file(f.read()).read_all()
-    return ipc.open_file(source).read_all()
+            raw = f.read()
+    elif isinstance(source, (bytes, bytearray)):
+        raw = bytes(source)
+    else:
+        raw = source.read()
+    from .io.feather_v1 import is_feather_v1, read_feather_v1
+    if is_feather_v1(raw):
+        return read_feather_v1(raw)
+    return ipc.open_file(raw).read_all()
 
 
 def read_table(source) -> Table:

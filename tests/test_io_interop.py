@@ -117,3 +117,29 @@ def test_c_data_sliced_array():
     ours = c_data.import_array(ctypes.addressof(arr),
                                ctypes.addressof(sch))
     assert ours.to_pylist() == [2, None, 4]
+
+
+def test_feather_v1_both_directions():
+    """Legacy Feather V1 (reference: ipc/feather.cc V1 paths)."""
+    import tempfile, os, warnings
+    import pyarrow.feather as pf
+    from arrow_tpu import feather
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    data = {"a": [1, 2, None], "s": ["x", None, "zz"],
+            "f": [1.5, 2.5, 3.5], "b": [True, False, None]}
+    schema = at.schema([at.field("a", at.int64()),
+                        at.field("s", at.string()),
+                        at.field("f", at.float64()),
+                        at.field("b", at.bool_())])
+    t = at.table(data, schema=schema)
+    p = tempfile.mktemp()
+    try:
+        feather.write_feather(t, p, version=1)
+        assert pf.read_table(p).to_pydict() == data
+        assert feather.read_feather(p).to_pydict() == data
+        pf.write_feather(pa.table(data, schema=pa.schema(
+            [("a", pa.int64()), ("s", pa.string()),
+             ("f", pa.float64()), ("b", pa.bool_())])), p, version=1)
+        assert feather.read_feather(p).to_pydict() == data
+    finally:
+        os.unlink(p)
