@@ -46,7 +46,7 @@ def __getattr__(name):
             "tensor": ".tensor", "c_data": ".c_data",
             "gandiva": ".gandiva", "device": ".device",
             "pretty": ".pretty", "substrait": ".substrait",
-            "config": ".config"}
+            "config": ".config", "orc": ".io.orc"}
     if name in lazy:
         return importlib.import_module(lazy[name], __name__)
     raise AttributeError(name)
