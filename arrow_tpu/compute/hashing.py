@@ -114,13 +114,16 @@ def hash32_pallas(words: Sequence[jax.Array]) -> jax.Array:
     shaped = [_u32(w).reshape(n // 128, 128) for w in words]
     grid = (n // _BLOCK_ROWS,)
     kernel = _pallas_hash_kernel(len(words))
+    # index maps return (i, i*0) not (i, 0): under jax_enable_x64 a
+    # literal 0 turns the map's return into mixed (i32, i64), which
+    # Mosaic cannot legalize
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec((rows, 128), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((rows, 128), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM)
                   for _ in shaped],
-        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32),
     )(*shaped)

@@ -280,6 +280,43 @@ class ParquetFile:
             tbl = _apply_filters(tbl, filters)
         return tbl
 
+    def column_index(self, rg: int, col: int):
+        """Decoded ColumnIndex (page_index.h): (null_pages, mins, maxs,
+        null_counts) or None."""
+        chunk = self.row_groups[rg].get(1, [])[col]
+        off = chunk.get(6)
+        ln = chunk.get(7)
+        if off is None:
+            return None
+        self.src.seek(off)
+        ci = CompactReader(self.src.read(ln)).read_struct()
+        cs = None
+        k = 0
+        for fd in self.fields:
+            for leaf in fd.leaves:
+                if k == col:
+                    cs = leaf
+                k += 1
+        mins = [None if np_ else _decode_stats(
+            cs, {6: raw})[0] for np_, raw in zip(ci.get(1, []),
+                                                 ci.get(2, []))]
+        maxs = [None if np_ else _decode_stats(
+            cs, {5: raw})[1] for np_, raw in zip(ci.get(1, []),
+                                                 ci.get(3, []))]
+        return (ci.get(1, []), mins, maxs, ci.get(5))
+
+    def offset_index(self, rg: int, col: int):
+        """[(offset, compressed_size, first_row_index)] or None."""
+        chunk = self.row_groups[rg].get(1, [])[col]
+        off = chunk.get(4)
+        ln = chunk.get(5)
+        if off is None:
+            return None
+        self.src.seek(off)
+        oi = CompactReader(self.src.read(ln)).read_struct()
+        return [(p.get(1), p.get(2), p.get(3, 0))
+                for p in oi.get(1, [])]
+
     def statistics(self, rg: int) -> dict:
         """{column name: (min, max, null_count)} for row group rg."""
         out = {}

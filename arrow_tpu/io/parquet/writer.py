@@ -21,7 +21,8 @@ from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
                      DOUBLE, ENC_PLAIN, ENC_RLE, ENC_RLE_DICTIONARY, FLBA,
                      FLOAT, INT32, INT64, MAGIC, PAGE_DATA, PAGE_DICT)
 from .rle import bit_width_for, encode_rle
-from .thrift import CT_BINARY, CT_I32, CT_STRUCT, CompactWriter
+from .thrift import (CT_BINARY, CT_BOOL_TRUE, CT_I32, CT_I64,
+                     CT_STRUCT, CompactWriter)
 
 try:
     import zstandard as _zstd
@@ -368,7 +369,45 @@ class ParquetWriter:
             "path": list(spec.path),
         }
 
+    def _write_page_indexes(self):
+        """ColumnIndex/OffsetIndex (parquet page_index.h). Our chunks are
+        single-page, so each index has one entry."""
+        for rg in self.row_groups:
+            for c in rg["columns"]:
+                st = c.get("stats") or (None, None, None)
+                mn, mx, nulls = st
+                w = CompactWriter()
+                w.field_list_begin(1, CT_BOOL_TRUE, 1)
+                w.buf.append(1 if (mn is None and mx is None)
+                             else 2)   # null_pages[0]
+                w.field_list_begin(2, CT_BINARY, 1)
+                w.elem_binary(mn if mn is not None else b"")
+                w.field_list_begin(3, CT_BINARY, 1)
+                w.elem_binary(mx if mx is not None else b"")
+                w.field_i32(4, 0)      # boundary_order UNORDERED
+                if nulls is not None:
+                    w.field_list_begin(5, CT_I64, 1)
+                    w.elem_i64(nulls)
+                w.struct_end()
+                blob = w.bytes()
+                c["column_index_offset"] = self._w(blob)
+                c["column_index_length"] = len(blob)
+            for c in rg["columns"]:
+                w = CompactWriter()
+                w.field_list_begin(1, CT_STRUCT, 1)
+                w.elem_struct_begin()
+                w.field_i64(1, c["data_page_offset"])
+                w.field_i32(2, c.get("page_size",
+                                     c["total_compressed_size"]))
+                w.field_i64(3, 0)      # first_row_index
+                w.struct_end()
+                w.struct_end()
+                blob = w.bytes()
+                c["offset_index_offset"] = self._w(blob)
+                c["offset_index_length"] = len(blob)
+
     def close(self):
+        self._write_page_indexes()
         footer = self._footer()
         self._w(footer)
         self.sink.write(struct.pack("<i", len(footer)))
@@ -439,6 +478,11 @@ class ParquetWriter:
                 path = c.get("path", ["?"])
                 w.elem_struct_begin()  # ColumnChunk
                 w.field_i64(2, c["data_page_offset"])
+                if "offset_index_offset" in c:
+                    w.field_i64(4, c["offset_index_offset"])
+                    w.field_i32(5, c["offset_index_length"])
+                    w.field_i64(6, c["column_index_offset"])
+                    w.field_i32(7, c["column_index_length"])
                 w.field_struct_begin(3)  # ColumnMetaData
                 w.field_i32(1, c["physical"])
                 w.field_list_begin(2, CT_I32, len(c["encodings"]))

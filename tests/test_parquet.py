@@ -247,3 +247,28 @@ def test_statistics_pyarrow_trusts_min_max():
     assert (st_a.min, st_a.max, st_a.null_count) == (3, 7, 1)
     st_s = md.row_group(0).column(1).statistics
     assert (st_s.min, st_s.max, st_s.null_count) == ("a", "m", 1)
+
+
+def test_page_index_both_directions():
+    """ColumnIndex/OffsetIndex (parquet page_index.h)."""
+    import io
+    t = at.table({"a": [1, 5, None], "s": ["m", "a", "z"]})
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    raw = buf.getvalue()
+    import pyarrow.parquet as ppq
+    c0 = ppq.ParquetFile(io.BytesIO(raw)).metadata.row_group(0).column(0)
+    assert c0.has_column_index and c0.has_offset_index
+    assert ppq.read_table(io.BytesIO(raw)).to_pydict() == t.to_pydict()
+    # our reader decodes our own indexes
+    pf = pq.ParquetFile(io.BytesIO(raw))
+    nulls, mins, maxs, ncounts = pf.column_index(0, 0)
+    assert (nulls, mins, maxs, ncounts) == ([False], [1], [5], [1])
+    assert pf.offset_index(0, 0)[0][2] == 0
+    # and pyarrow's
+    pbuf = io.BytesIO()
+    ppq.write_table(pa.table(t.to_pydict()), pbuf, write_page_index=True,
+                    compression="none")
+    pf2 = pq.ParquetFile(io.BytesIO(pbuf.getvalue()))
+    assert pf2.column_index(0, 0) == ([False], [1], [5], [1])
+    assert len(pf2.offset_index(0, 0)) == 1
