@@ -69,6 +69,12 @@ def _decompress_blocks(block: bytes, kind: int) -> bytes:
             out += chunk
         elif kind == 1:        # ZLIB (raw deflate)
             out += zlib.decompress(chunk, -15)
+        elif kind == 2:        # SNAPPY
+            from ..native import snappy_decompress
+            dec = snappy_decompress(chunk, 1 << 24)
+            if dec is None:
+                raise NotImplementedError("native snappy unavailable")
+            out += dec
         elif kind == 5:        # ZSTD
             import zstandard
             out += zstandard.ZstdDecompressor().decompress(

@@ -63,8 +63,15 @@ def _decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
     if codec == CODEC_GZIP:
         import zlib
         return zlib.decompress(data, wbits=31)
+    if codec == CODEC_SNAPPY:
+        from ...native import snappy_decompress
+        out = snappy_decompress(data, uncompressed_size)
+        if out is None:
+            raise NotImplementedError(
+                "snappy needs the native library (build failed)")
+        return out
     raise NotImplementedError(f"parquet codec {codec} not supported "
-                              "(snappy/brotli unavailable)")
+                              "(brotli unavailable)")
 
 
 class ColumnSchema:

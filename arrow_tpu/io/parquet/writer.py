@@ -17,7 +17,7 @@ from ...array.array import Array
 from ...table import RecordBatch, Table
 from ...types import DataType, Schema, TypeId
 from ...utils import bits as bitutil
-from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
+from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_SNAPPY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
                      DOUBLE, ENC_PLAIN, ENC_RLE, ENC_RLE_DICTIONARY, FLBA,
                      FLOAT, INT32, INT64, MAGIC, PAGE_DATA, PAGE_DICT)
 from .rle import bit_width_for, encode_rle
@@ -192,6 +192,12 @@ def _compress(codec: int, data: bytes) -> bytes:
         return data
     if codec == CODEC_ZSTD:
         return _zstd.ZstdCompressor().compress(data)
+    if codec == CODEC_SNAPPY:
+        from ...native import snappy_compress
+        out = snappy_compress(data)
+        if out is None:
+            raise NotImplementedError("native snappy unavailable")
+        return out
     raise NotImplementedError(f"codec {codec}")
 
 
@@ -229,7 +235,7 @@ class ParquetWriter:
         self.sink = sink
         self.schema = schema
         self.codec = {None: CODEC_UNCOMPRESSED, "none": CODEC_UNCOMPRESSED,
-                      "zstd": CODEC_ZSTD}[
+                      "zstd": CODEC_ZSTD, "snappy": CODEC_SNAPPY}[
             compression.lower() if isinstance(compression, str)
             else compression]
         self.use_dictionary = use_dictionary

@@ -78,6 +78,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.rle_encode.restype = ctypes.c_int64
         lib.rle_encode.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                    ctypes.c_int32, ctypes.c_void_p]
+        lib.snappy_decompress.restype = ctypes.c_int64
+        lib.snappy_decompress.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_void_p, ctypes.c_int64]
+        lib.snappy_compress.restype = ctypes.c_int64
+        lib.snappy_compress.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -156,4 +162,33 @@ def rle_encode_native(values: np.ndarray,
     n = lib.rle_encode(values.ctypes.data_as(ctypes.c_void_p),
                        len(values), bit_width,
                        out.ctypes.data_as(ctypes.c_void_p))
+    return out[:n].tobytes()
+
+
+def snappy_decompress(data: bytes, out_size: int) -> Optional[bytes]:
+    """Raw-snappy decode (util/compression_snappy.cc analogue); None if
+    native lib unavailable; raises on malformed input."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    out = np.empty(max(out_size, 1), np.uint8)
+    n = lib.snappy_decompress(src.ctypes.data_as(ctypes.c_void_p),
+                              len(src),
+                              out.ctypes.data_as(ctypes.c_void_p),
+                              out_size)
+    if n < 0:
+        raise ValueError("malformed snappy data")
+    return out[:n].tobytes()
+
+
+def snappy_compress(data: bytes) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8) if data else         np.empty(0, np.uint8)
+    out = np.empty(len(data) + len(data) // 4 + 64, np.uint8)
+    n = lib.snappy_compress(
+        src.ctypes.data_as(ctypes.c_void_p) if len(src) else None,
+        len(src), out.ctypes.data_as(ctypes.c_void_p))
     return out[:n].tobytes()

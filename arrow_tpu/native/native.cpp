@@ -255,4 +255,124 @@ int64_t rle_encode(const int64_t* values, int64_t n, int32_t bit_width,
   return pos;
 }
 
+
+// --- Snappy codec (raw format; reference: util/compression_snappy.cc,
+// format per google/snappy format_description.txt) --------------------
+
+// decompress: returns output length or -1 on malformed input.
+int64_t snappy_decompress(const uint8_t* in, int64_t in_len,
+                          uint8_t* out, int64_t out_cap) {
+  int64_t ip = 0;
+  // varint: uncompressed length
+  uint64_t ulen = 0;
+  int shift = 0;
+  while (ip < in_len) {
+    uint8_t b = in[ip++];
+    ulen |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+  }
+  if ((int64_t)ulen > out_cap) return -1;
+  int64_t op = 0;
+  while (ip < in_len) {
+    uint8_t tag = in[ip++];
+    int t = tag & 3;
+    if (t == 0) {                       // literal
+      int64_t len = (tag >> 2) + 1;
+      if (len > 60) {
+        int n = (int)len - 60;
+        len = 0;
+        for (int i = 0; i < n; i++) len |= (int64_t)in[ip++] << (8 * i);
+        len += 1;
+      }
+      if (ip + len > in_len || op + len > (int64_t)ulen) return -1;
+      for (int64_t i = 0; i < len; i++) out[op + i] = in[ip + i];
+      ip += len;
+      op += len;
+    } else {
+      int64_t len, off;
+      if (t == 1) {                     // copy, 1-byte offset
+        len = ((tag >> 2) & 0x7) + 4;
+        off = ((int64_t)(tag & 0xE0) << 3) | in[ip++];
+      } else if (t == 2) {              // copy, 2-byte offset
+        len = (tag >> 2) + 1;
+        off = in[ip] | ((int64_t)in[ip + 1] << 8);
+        ip += 2;
+      } else {                          // copy, 4-byte offset
+        len = (tag >> 2) + 1;
+        off = (int64_t)in[ip] | ((int64_t)in[ip + 1] << 8) |
+              ((int64_t)in[ip + 2] << 16) | ((int64_t)in[ip + 3] << 24);
+        ip += 4;
+      }
+      if (off <= 0 || off > op || op + len > (int64_t)ulen) return -1;
+      for (int64_t i = 0; i < len; i++) out[op + i] = out[op - off + i];
+      op += len;
+    }
+  }
+  return op == (int64_t)ulen ? op : -1;
+}
+
+// compress with a small hash-match encoder; output worst case
+// <= in_len + in_len/6 + 32. Returns compressed length.
+int64_t snappy_compress(const uint8_t* in, int64_t n, uint8_t* out) {
+  int64_t op = 0;
+  // varint length
+  uint64_t v = (uint64_t)n;
+  while (true) {
+    uint8_t b = v & 0x7F;
+    v >>= 7;
+    if (v) out[op++] = b | 0x80; else { out[op++] = b; break; }
+  }
+  auto emit_literal = [&](int64_t from, int64_t len) {
+    while (len > 0) {
+      int64_t chunk = len;
+      if (chunk <= 60) {
+        out[op++] = (uint8_t)((chunk - 1) << 2);
+      } else {
+        int nb = 0;
+        int64_t l = chunk - 1;
+        uint8_t tmp[4];
+        while (l > 0 && nb < 4) { tmp[nb++] = l & 0xFF; l >>= 8; }
+        if (nb == 0) { tmp[nb++] = 0; }
+        out[op++] = (uint8_t)((59 + nb) << 2);
+        for (int i = 0; i < nb; i++) out[op++] = tmp[i];
+      }
+      for (int64_t i = 0; i < chunk; i++) out[op++] = in[from + i];
+      from += chunk;
+      len -= chunk;
+    }
+  };
+  const int HB = 14;
+  static thread_local int64_t table[1 << 14];
+  for (int i = 0; i < (1 << HB); i++) table[i] = -1;
+  int64_t lit_start = 0;
+  int64_t i = 0;
+  while (i + 4 <= n) {
+    uint32_t h = ((uint32_t)in[i] | ((uint32_t)in[i+1] << 8) |
+                  ((uint32_t)in[i+2] << 16) | ((uint32_t)in[i+3] << 24));
+    uint32_t slot = (h * 0x1e35a7bdu) >> (32 - HB);
+    int64_t cand = table[slot];
+    table[slot] = i;
+    if (cand >= 0 && i - cand < 65536 &&
+        *(const uint32_t*)(in + cand) == *(const uint32_t*)(in + i)) {
+      // extend match
+      int64_t len = 4;
+      while (i + len < n && in[cand + len] == in[i + len] && len < 64)
+        len++;
+      if (i > lit_start) emit_literal(lit_start, i - lit_start);
+      int64_t off = i - cand;
+      // emit as 2-byte-offset copies (len 1..64)
+      out[op++] = (uint8_t)(((len - 1) << 2) | 2);
+      out[op++] = (uint8_t)(off & 0xFF);
+      out[op++] = (uint8_t)(off >> 8);
+      i += len;
+      lit_start = i;
+    } else {
+      i++;
+    }
+  }
+  if (lit_start < n) emit_literal(lit_start, n - lit_start);
+  return op;
+}
+
 }  // extern "C"

@@ -76,3 +76,9 @@ def test_column_selection_and_schema():
 def test_not_orc_raises():
     with pytest.raises(ValueError):
         orc.read_table(b"PAR1not-an-orc-file")
+
+
+def test_orc_snappy():
+    t = pa.table({"a": list(range(5000)), "s": ["x" * 20] * 5000})
+    raw = _write(t, compression="snappy")
+    assert orc.read_table(raw).to_pydict() == t.to_pydict()

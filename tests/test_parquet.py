@@ -130,7 +130,7 @@ def test_metadata_surface():
 
 def test_unsupported_codec_raises():
     pa_t = pa.table({"x": [1, 2, 3]})
-    data = pa_to_bytes(pa_t, compression="snappy")
+    data = pa_to_bytes(pa_t, compression="brotli")
     with pytest.raises(NotImplementedError):
         pq.read_table(data)
 
@@ -157,10 +157,9 @@ def test_randomized_large():
 
 
 def test_pyarrow_default_snappy_guarded():
-    # pyarrow defaults to snappy; we surface a clear error
+    # pyarrow defaults to snappy; the native codec now reads it
     data = pa_to_bytes(pa.table({"x": [1]}))
-    with pytest.raises(NotImplementedError):
-        pq.read_table(data)
+    assert pq.read_table(data).to_pydict() == {"x": [1]}
 
 
 def test_nested_parquet_roundtrip_both_directions():
@@ -272,3 +271,36 @@ def test_page_index_both_directions():
     pf2 = pq.ParquetFile(io.BytesIO(pbuf.getvalue()))
     assert pf2.column_index(0, 0) == ([False], [1], [5], [1])
     assert len(pf2.offset_index(0, 0)) == 1
+
+
+def test_snappy_parquet_interop():
+    """Snappy (pyarrow's DEFAULT parquet codec) via the native C++ codec
+    (util/compression_snappy.cc analogue)."""
+    import io
+    import numpy as np
+    import pyarrow.parquet as ppq
+    rng = np.random.default_rng(5)
+    data = {"a": rng.integers(0, 1000, 5000).tolist(),
+            "s": [f"val{int(v) % 100}" for v in rng.integers(0, 10**6, 5000)]}
+    # pyarrow default (snappy) -> us
+    buf = io.BytesIO()
+    ppq.write_table(pa.table(data), buf)
+    assert ppq.ParquetFile(io.BytesIO(buf.getvalue())).metadata \
+        .row_group(0).column(0).compression == "SNAPPY"
+    assert pq.read_table(io.BytesIO(buf.getvalue())).to_pydict() == data
+    # us (snappy) -> pyarrow
+    b2 = io.BytesIO()
+    pq.write_table(at.table(data), b2, compression="snappy")
+    assert ppq.read_table(io.BytesIO(b2.getvalue())).to_pydict() == data
+
+
+def test_snappy_codec_roundtrip_native():
+    import numpy as np
+    from arrow_tpu.native import snappy_compress, snappy_decompress
+    rng = np.random.default_rng(0)
+    for c in (b"", b"x", b"ab" * 5000,
+              bytes(rng.integers(0, 256, 70000, dtype=np.uint8))):
+        assert snappy_decompress(snappy_compress(c), len(c)) == c
+    import pytest
+    with pytest.raises(ValueError):
+        snappy_decompress(b"\xff\xff\xff\xff", 100)
