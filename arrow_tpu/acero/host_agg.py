@@ -17,7 +17,6 @@ from typing import List, Optional, Tuple
 from .. import types as T
 from ..array.array import Array, array as make_array
 from ..table import Table
-from ..types import Schema
 
 HOST_AGGS = {"list", "distinct", "pivot_wider",
              "hash_list", "hash_distinct", "hash_pivot_wider"}

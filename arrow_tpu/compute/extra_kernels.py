@@ -24,7 +24,7 @@ from .. import types as T
 from ..array.array import Array, array as make_array
 from ..device.column import DeviceColumn
 from ..types import TypeId
-from .aggregate import AggResult, _agg_valid, _dec_factor, _masked
+from .aggregate import _dec_factor
 from .registry import (ArrowInvalid, register, register_alias,
                        register_host)
 from .selection import Compacted

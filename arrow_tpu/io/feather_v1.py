@@ -19,18 +19,18 @@ int32 offsets then data; BOOL = packed bits] — each section 8-aligned.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional
+from typing import List
 
 import flatbuffers
 import numpy as np
 
 from .. import types as T
-from ..array.array import Array, array as make_array
+from ..array.array import Array
 from ..buffer import Buffer
 from ..array.data import ArrayData
 from ..ipc.fb import Reader, _table
 from ..table import Table
-from ..types import DataType, Field, Schema, TypeId
+from ..types import Field, Schema, TypeId
 from ..utils import bits as bitutil
 
 MAGIC = b"FEA1"

@@ -20,7 +20,7 @@ streams; `assemble` reverses it.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import numpy as np
 
