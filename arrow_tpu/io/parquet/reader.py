@@ -287,6 +287,25 @@ class ParquetFile:
             tbl = _apply_filters(tbl, filters)
         return tbl
 
+    def bloom_filter(self, rg: int, col: int):
+        """SplitBlockBloomFilter for the chunk, or None (parquet
+        bloom_filter.h)."""
+        chunk = self.row_groups[rg].get(1, [])[col]
+        meta = chunk.get(3, {})
+        off = meta.get(14)
+        if off is None:
+            off = chunk.get(14)
+        if off is None:
+            return None
+        self.src.seek(off)
+        blob = self.src.read(meta.get(15, chunk.get(15, 1 << 20)))
+        hdr_reader = CompactReader(blob)
+        hdr = hdr_reader.read_struct()
+        nbytes = hdr.get(1, 32)
+        bitset = blob[hdr_reader.pos:hdr_reader.pos + nbytes]
+        from .bloom import SplitBlockBloomFilter
+        return SplitBlockBloomFilter(nbytes, bitset)
+
     def column_index(self, rg: int, col: int):
         """Decoded ColumnIndex (page_index.h): (null_pages, mins, maxs,
         null_counts) or None."""
@@ -338,6 +357,24 @@ class ParquetFile:
             ci += len(fd.leaves)
         return out
 
+    def _bloom_may_contain(self, rg: int, col_name: str, val) -> bool:
+        """True unless the chunk's bloom filter proves absence."""
+        k = 0
+        for fd in self.fields:
+            for leaf in fd.leaves:
+                if fd.name == col_name and len(fd.leaves) == 1:
+                    try:
+                        bf = self.bloom_filter(rg, k)
+                        if bf is None:
+                            return True
+                        from .bloom import hash_value
+                        return bf.check_hash(hash_value(
+                            val, leaf.physical))
+                    except Exception:
+                        return True
+                k += 1
+        return True
+
     def _row_group_may_match(self, rg: int, filters) -> bool:
         dnf = filters if filters and isinstance(filters[0], list) \
             else [filters]
@@ -354,6 +391,8 @@ class ParquetFile:
                 if op in ("=", "=="):
                     if val < mn or val > mx:
                         ok = False
+                    elif ok:
+                        ok = self._bloom_may_contain(rg, col, val)
                 elif op == "<":
                     if mn >= val:
                         ok = False
@@ -369,6 +408,9 @@ class ParquetFile:
                 elif op == "in":
                     if all(v < mn or v > mx for v in val):
                         ok = False
+                    elif ok:
+                        ok = any(self._bloom_may_contain(rg, col, v)
+                                 for v in val)
                 if not ok:
                     break
             if ok:

@@ -227,7 +227,8 @@ def _page_header(ptype: int, uncomp: int, comp: int,
 class ParquetWriter:
     def __init__(self, sink: Union[str, BinaryIO], schema: Schema,
                  compression: Optional[str] = None,
-                 use_dictionary: bool = True):
+                 use_dictionary: bool = True,
+                 write_bloom_filters: bool = True):
         self._close = False
         if isinstance(sink, str):
             sink = open(sink, "wb")
@@ -239,6 +240,7 @@ class ParquetWriter:
             compression.lower() if isinstance(compression, str)
             else compression]
         self.use_dictionary = use_dictionary
+        self.write_bloom_filters = write_bloom_filters
         self.row_groups: List[Dict] = []
         self.num_rows = 0
         self.sink.write(MAGIC)
@@ -328,7 +330,9 @@ class ParquetWriter:
         total_uncomp += len(hdr) + len(payload)
 
         mn, mx, nulls = _column_stats(t, col)
+        bloom = self._build_bloom(t, col, physical)
         return {
+            "bloom": bloom,
             "physical": physical, "type_length": type_length,
             "encodings": encodings, "codec": self.codec,
             "num_values": n,
@@ -341,6 +345,36 @@ class ParquetWriter:
                       nulls),
             "page_size": len(hdr) + len(comp_payload),
         }
+
+    def _build_bloom(self, t, col, physical):
+        """SBBF over the chunk's distinct values (parquet
+        bloom_filter.h BlockSplitBloomFilter)."""
+        if not self.write_bloom_filters:
+            return None
+        from .bloom import (SplitBlockBloomFilter, hash_value,
+                            xxhash64_u32, xxhash64_u64)
+        try:
+            vals = col.to_pylist()
+            distinct = {v for v in vals if v is not None}
+            if not distinct or len(distinct) > 65536:
+                return None
+            bf = SplitBlockBloomFilter.for_ndv(len(distinct))
+            if physical == INT64 and t.id not in (TypeId.DECIMAL128,):
+                arr = np.array(sorted(int(v) for v in distinct),
+                               dtype=np.int64).view(np.uint64)
+                for h in xxhash64_u64(arr):
+                    bf.insert_hash(int(h))
+            elif physical == INT32:
+                arr = np.array(sorted(int(v) for v in distinct),
+                               dtype=np.int32).view(np.uint32)
+                for h in xxhash64_u32(arr):
+                    bf.insert_hash(int(h))
+            else:
+                for v in distinct:
+                    bf.insert_hash(hash_value(v, physical))
+            return bf
+        except (NotImplementedError, TypeError):
+            return None
 
     def _write_leaf_chunk(self, spec, defs, reps, vals) -> Dict:
         """One Parquet leaf under a nested field: rep + def RLE blocks,
@@ -374,6 +408,33 @@ class ParquetWriter:
             "dictionary_page_offset": None,
             "path": list(spec.path),
         }
+
+    def _write_blooms(self):
+        """BloomFilterHeader + bitset per chunk; referenced from
+        ColumnMetaData fields 14/15."""
+        for rg in self.row_groups:
+            for c in rg["columns"]:
+                bf = c.get("bloom")
+                if bf is None:
+                    continue
+                hw = CompactWriter()
+                hw.field_i32(1, bf.num_bytes)
+                hw.field_struct_begin(2)    # algorithm = BLOCK
+                hw.field_struct_begin(1)
+                hw.struct_end()
+                hw.struct_end()
+                hw.field_struct_begin(3)    # hash = XXHASH
+                hw.field_struct_begin(1)
+                hw.struct_end()
+                hw.struct_end()
+                hw.field_struct_begin(4)    # compression = UNCOMPRESSED
+                hw.field_struct_begin(1)
+                hw.struct_end()
+                hw.struct_end()
+                hw.struct_end()
+                blob = hw.bytes() + bf.bitset()
+                c["bloom_offset"] = self._w(blob)
+                c["bloom_length"] = len(blob)
 
     def _write_page_indexes(self):
         """ColumnIndex/OffsetIndex (parquet page_index.h). Our chunks are
@@ -413,6 +474,7 @@ class ParquetWriter:
                 c["offset_index_length"] = len(blob)
 
     def close(self):
+        self._write_blooms()
         self._write_page_indexes()
         footer = self._footer()
         self._w(footer)
@@ -504,6 +566,9 @@ class ParquetWriter:
                 w.field_i64(9, c["data_page_offset"])
                 if c["dictionary_page_offset"] is not None:
                     w.field_i64(11, c["dictionary_page_offset"])
+                if "bloom_offset" in c:
+                    w.field_i64(14, c["bloom_offset"])
+                    w.field_i32(15, c["bloom_length"])
                 st = c.get("stats")
                 if st is not None and (st[0] is not None or
                                        st[2] is not None):

@@ -304,3 +304,55 @@ def test_snappy_codec_roundtrip_native():
     import pytest
     with pytest.raises(ValueError):
         snappy_decompress(b"\xff\xff\xff\xff", 100)
+
+
+def test_bloom_filter_write_read_prune():
+    """SBBF bloom filters (parquet/bloom_filter.h): xxhash64-based,
+    written per chunk, used to prune row groups for = / in filters."""
+    import io
+    t3 = at.table({"a": [1, 5, 9], "s": ["aa", "bb", "cc"]})
+    t4 = at.table({"a": [2, 6, 10], "s": ["dd", "ee", "ff"]})
+    buf = io.BytesIO()
+    w = pq.ParquetWriter(buf, t3.schema)
+    w.write_table(t3)
+    w.write_table(t4)
+    w.close()
+    raw = buf.getvalue()
+    pf = pq.ParquetFile(io.BytesIO(raw))
+    bf = pf.bloom_filter(0, 0)
+    from arrow_tpu.io.parquet.bloom import hash_value
+    from arrow_tpu.io.parquet.reader import BYTE_ARRAY, INT64
+    assert bf.check_hash(hash_value(1, INT64))
+    assert not bf.check_hash(hash_value(6, INT64))
+    sbf = pf.bloom_filter(0, 1)
+    assert sbf.check_hash(hash_value("aa", BYTE_ARRAY))
+    assert not sbf.check_hash(hash_value("zz", BYTE_ARRAY))
+    # value inside rg0's min/max but absent -> bloom prunes it
+    assert pf._row_group_may_match(0, [("a", "=", 6)]) is False
+    assert pf._row_group_may_match(1, [("a", "=", 6)]) is True
+    out = pq.read_table(io.BytesIO(raw), filters=[("a", "=", 6)])
+    assert out.to_pydict() == {"a": [6], "s": ["ee"]}
+    # pyarrow unaffected by the extra structures
+    import pyarrow.parquet as ppq
+    assert ppq.read_table(io.BytesIO(raw)).num_rows == 6
+    # opt-out
+    b2 = io.BytesIO()
+    w2 = pq.ParquetWriter(b2, t3.schema, write_bloom_filters=False)
+    w2.write_table(t3)
+    w2.close()
+    assert pq.ParquetFile(io.BytesIO(b2.getvalue())).bloom_filter(
+        0, 0) is None
+
+
+def test_bloom_fpp():
+    from arrow_tpu.io.parquet.bloom import (SplitBlockBloomFilter,
+                                            xxhash64_u64)
+    import numpy as np
+    bf = SplitBlockBloomFilter.for_ndv(1000)
+    hs = xxhash64_u64(np.arange(1000, dtype=np.uint64))
+    for h in hs:
+        bf.insert_hash(int(h))
+    assert all(bf.check_hash(int(h)) for h in hs)  # no false negatives
+    probe = xxhash64_u64(np.arange(10_000, 20_000, dtype=np.uint64))
+    fp = sum(bf.check_hash(int(h)) for h in probe)
+    assert fp < 400  # ~1-2% fpp at this sizing
