@@ -45,6 +45,8 @@ class BufferedBody:
         self.variadic_counts: List[int] = []
         if codec == "zstd" and _zstd is None:
             raise ValueError("zstandard not available")
+        if codec == "lz4":
+            from ..utils import lz4frame as _lz4check  # noqa: F401
 
     def add(self, data: Optional[bytes]):
         if data is None or len(data) == 0:
@@ -53,6 +55,13 @@ class BufferedBody:
             return
         if self.codec == "zstd":
             comp = _zstd.ZstdCompressor().compress(data)
+            if len(comp) < len(data):
+                data = struct.pack("<q", len(data)) + comp
+            else:
+                data = struct.pack("<q", -1) + data
+        elif self.codec == "lz4":
+            from ..utils.lz4frame import compress as _lz4c
+            comp = _lz4c(data)
             if len(comp) < len(data):
                 data = struct.pack("<q", len(data)) + comp
             else:
@@ -351,8 +360,12 @@ class ArrayLoader:
             elif self.meta.codec == "zstd":
                 raw = _zstd.ZstdDecompressor().decompress(
                     payload, max_output_size=uncomp_len)
+            elif self.meta.codec == "lz4":
+                from ..utils.lz4frame import decompress as _lz4d
+                raw = _lz4d(payload, uncomp_len)
             else:
-                raise NotImplementedError("lz4 codec not available")
+                raise NotImplementedError(
+                    f"codec {self.meta.codec} not available")
         return Buffer(raw)
 
     def load(self, t: DataType) -> ArrayData:

@@ -84,6 +84,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.snappy_compress.restype = ctypes.c_int64
         lib.snappy_compress.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_void_p]
+        lib.lz4_block_decompress.restype = ctypes.c_int64
+        lib.lz4_block_decompress.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_int64,
+                                             ctypes.c_void_p,
+                                             ctypes.c_int64]
+        lib.lz4_block_decompress_hist.restype = ctypes.c_int64
+        lib.lz4_block_decompress_hist.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64]
+        lib.lz4_block_compress.restype = ctypes.c_int64
+        lib.lz4_block_compress.argtypes = [ctypes.c_void_p,
+                                           ctypes.c_int64,
+                                           ctypes.c_void_p]
         _lib = lib
         return _lib
 

@@ -375,4 +375,107 @@ int64_t snappy_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   return op;
 }
 
+
+// --- LZ4 block + frame codec (reference: util/compression_lz4.cc;
+// format per lz4 Block/Frame format specs) ------------------------------
+
+// decode one LZ4 block with `hist` bytes of already-decoded history at
+// the start of `out` (block-linked frames); returns NEW bytes or -1.
+int64_t lz4_block_decompress_hist(const uint8_t* in, int64_t in_len,
+                                  uint8_t* out, int64_t out_cap,
+                                  int64_t hist) {
+  int64_t ip = 0, op = hist;
+  while (ip < in_len) {
+    uint8_t token = in[ip++];
+    int64_t lit = token >> 4;
+    if (lit == 15) {
+      uint8_t b;
+      do { if (ip >= in_len) return -1; b = in[ip++]; lit += b; }
+      while (b == 255);
+    }
+    if (ip + lit > in_len || op + lit > out_cap) return -1;
+    for (int64_t i = 0; i < lit; i++) out[op + i] = in[ip + i];
+    ip += lit;
+    op += lit;
+    if (ip >= in_len) break;             // last literals
+    if (ip + 2 > in_len) return -1;
+    int64_t off = in[ip] | ((int64_t)in[ip + 1] << 8);
+    ip += 2;
+    if (off == 0 || off > op) return -1;
+    int64_t mlen = (token & 0xF);  // off may reach into history
+    if (mlen == 15) {
+      uint8_t b;
+      do { if (ip >= in_len) return -1; b = in[ip++]; mlen += b; }
+      while (b == 255);
+    }
+    mlen += 4;
+    if (op + mlen > out_cap) return -1;
+    for (int64_t i = 0; i < mlen; i++) out[op + i] = out[op - off + i];
+    op += mlen;
+  }
+  return op - hist;
+}
+
+int64_t lz4_block_decompress(const uint8_t* in, int64_t in_len,
+                             uint8_t* out, int64_t out_cap) {
+  return lz4_block_decompress_hist(in, in_len, out, out_cap, 0);
+}
+
+// compress one LZ4 block (greedy hash matcher); returns size.
+int64_t lz4_block_compress(const uint8_t* in, int64_t n, uint8_t* out) {
+  const int HB = 14;
+  static thread_local int64_t table[1 << 14];
+  for (int i = 0; i < (1 << HB); i++) table[i] = -1;
+  int64_t op = 0, anchor = 0, i = 0;
+  auto emit_seq = [&](int64_t lit_from, int64_t lit_len, int64_t off,
+                      int64_t mlen) {
+    int64_t ml = mlen - 4;
+    uint8_t token = (uint8_t)(((lit_len < 15 ? lit_len : 15) << 4) |
+                              (ml < 15 ? ml : (int64_t)15));
+    out[op++] = token;
+    if (lit_len >= 15) {
+      int64_t rest = lit_len - 15;
+      while (rest >= 255) { out[op++] = 255; rest -= 255; }
+      out[op++] = (uint8_t)rest;
+    }
+    for (int64_t k = 0; k < lit_len; k++) out[op++] = in[lit_from + k];
+    out[op++] = (uint8_t)(off & 0xFF);
+    out[op++] = (uint8_t)(off >> 8);
+    if (ml >= 15) {
+      int64_t rest = ml - 15;
+      while (rest >= 255) { out[op++] = 255; rest -= 255; }
+      out[op++] = (uint8_t)rest;
+    }
+  };
+  // matches must end >= 12 bytes before end; last 5 bytes literals
+  while (i + 12 <= n) {
+    uint32_t h = ((uint32_t)in[i] | ((uint32_t)in[i+1] << 8) |
+                  ((uint32_t)in[i+2] << 16) | ((uint32_t)in[i+3] << 24));
+    uint32_t slot = (h * 0x9E3779B1u) >> (32 - HB);
+    int64_t cand = table[slot];
+    table[slot] = i;
+    if (cand >= 0 && i - cand < 65536 &&
+        *(const uint32_t*)(in + cand) == *(const uint32_t*)(in + i)) {
+      int64_t mlen = 4;
+      while (i + mlen < n - 5 && in[cand + mlen] == in[i + mlen]) mlen++;
+      emit_seq(anchor, i - anchor, i - cand, mlen);
+      i += mlen;
+      anchor = i;
+    } else {
+      i++;
+    }
+  }
+  // trailing literals
+  int64_t lit = n - anchor;
+  uint8_t token = (uint8_t)((lit < 15 ? lit : 15) << 4);
+  out[op++] = token;
+  if (lit >= 15) {
+    int64_t rest = lit - 15;
+    while (rest >= 255) { out[op++] = 255; rest -= 255; }
+    out[op++] = (uint8_t)rest;
+  }
+  for (int64_t k = 0; k < lit; k++) out[op++] = in[anchor + k];
+  return op;
+}
+
 }  // extern "C"

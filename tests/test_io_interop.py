@@ -143,3 +143,41 @@ def test_feather_v1_both_directions():
         assert feather.read_feather(p).to_pydict() == data
     finally:
         os.unlink(p)
+
+
+def test_lz4_ipc_interop():
+    """LZ4_FRAME IPC buffer compression via the native block codec
+    (util/compression_lz4.cc analogue)."""
+    import io
+    from arrow_tpu import ipc
+    t = at.table({"a": list(range(5000)),
+                  "s": ["val" + str(i % 50) for i in range(5000)]})
+    buf = io.BytesIO()
+    with ipc.new_file(buf, t.schema, codec="lz4") as w:
+        w.write_table(t)
+    buf.seek(0)
+    assert ipc.open_file(buf).read_all().to_pydict() == t.to_pydict()
+    buf.seek(0)
+    assert pa.ipc.open_file(buf).read_all().to_pydict() == t.to_pydict()
+    pb = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    with pa.ipc.new_file(pb, pa.schema([("a", pa.int64()),
+                                        ("s", pa.string())]),
+                         options=opts) as w:
+        w.write_table(pa.table(t.to_pydict()))
+    pb.seek(0)
+    assert ipc.open_file(pb).read_all().to_pydict() == t.to_pydict()
+
+
+def test_lz4_frame_codec_vectors():
+    import numpy as np
+    from arrow_tpu.utils.lz4frame import compress, decompress, xxhash32
+    assert xxhash32(b"") == 0x02CC5D05
+    assert xxhash32(b"abc") == 0x32D153FF
+    rng = np.random.default_rng(1)
+    for c in (b"", b"q", b"ab" * 9000,
+              bytes(rng.integers(0, 256, 70000, dtype=np.uint8))):
+        assert decompress(compress(c), len(c)) == c
+    import pytest
+    with pytest.raises(ValueError):
+        decompress(b"\x00" * 16)
