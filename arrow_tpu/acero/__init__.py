@@ -6,6 +6,6 @@ from .options import (  # noqa: F401
     AggregateNodeOptions, AsofJoinNodeOptions, ExecNodeOptions,
     FetchNodeOptions, FilterNodeOptions, HashJoinNodeOptions,
     OrderByNodeOptions, PivotLongerNodeOptions, PivotLongerRowTemplate,
-    ProjectNodeOptions, SortedMergeNodeOptions,
-    TableSourceNodeOptions, UnionNodeOptions,
+    ProjectNodeOptions, RecordBatchReaderSourceNodeOptions,
+    SortedMergeNodeOptions, TableSourceNodeOptions, UnionNodeOptions,
 )

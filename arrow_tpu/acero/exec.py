@@ -434,8 +434,17 @@ def execute_declaration(decl: Declaration,
 def _execute_node(decl: Declaration) -> DeviceBatch:
     if decl.factory_name in ("table_source", "named_table"):
         return upload_table(decl.options.table)
-    if decl.factory_name in ("source", "record_batch_source"):
+    if decl.factory_name in ("source", "record_batch_source",
+                             "exec_batch_source", "array_vector_source"):
         return upload_table(decl.options.table)
+    if decl.factory_name == "record_batch_reader_source":
+        # drain the reader into one device batch (source_node.cc:579-586
+        # registers the same family of source factories)
+        reader = decl.options.reader
+        batches = list(reader)
+        tbl = Table.from_batches(batches, batches[0].schema
+                                 if batches else decl.options.schema)
+        return upload_table(tbl)
 
     if decl.factory_name == "hashjoin":
         left = execute_declaration(decl.inputs[0], _root=False)

@@ -155,3 +155,11 @@ class SortedMergeNodeOptions(ExecNodeOptions):
         self.sort_keys = [(k, "ascending") if isinstance(k, str) else
                           (k[0], k[1]) for k in sort_keys]
         self.null_placement = null_placement
+
+
+class RecordBatchReaderSourceNodeOptions(ExecNodeOptions):
+    """Source draining a RecordBatchReader (source_node.cc:582)."""
+
+    def __init__(self, reader, schema=None):
+        self.reader = reader
+        self.schema = schema

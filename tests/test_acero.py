@@ -220,3 +220,21 @@ def test_segmented_aggregation():
     d = out.to_pydict()
     assert d["seg"] == [1, 1, 2, 2]
     assert d["s"] == [1.0, 2.0, 7.0, 5.0]
+
+
+def test_record_batch_reader_source():
+    """record_batch_reader_source factory (source_node.cc:582)."""
+    import io
+    from arrow_tpu import ipc
+    t = at.table({"x": [1, 2, 3, 4]})
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    buf.seek(0)
+    reader = ipc.open_stream(buf)
+    d = Declaration("filter",
+                    acero.FilterNodeOptions(acero.field("x") > 1),
+                    inputs=[Declaration(
+                        "record_batch_reader_source",
+                        acero.RecordBatchReaderSourceNodeOptions(reader))])
+    assert d.to_table().to_pydict() == {"x": [2, 3, 4]}
