@@ -13,7 +13,7 @@ jax.config.update("jax_enable_x64", True)
 import os as _os  # noqa: E402
 
 if _os.environ.get("ARROW_TPU_COMPILE_CACHE", "on") != "off" and \
-        _os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+        "axon" in _os.environ.get("JAX_PLATFORMS", ""):
     # (cpu runs skip the cache: XLA:CPU AOT entries are machine-feature
     # specific and a shared cache dir can trip SIGILL across hosts)
     _cache_dir = _os.environ.get(

@@ -35,6 +35,7 @@ from ..compute.registry import ExecContext
 from ..device.column import (DeviceBatch, DeviceColumn, round_up,
                              upload_table)
 from ..table import Table
+from .. import types as T
 from ..types import Field
 from .. import types as T
 
@@ -693,3 +694,56 @@ def broadcast_join_tables(mesh: Mesh, left: Table, right: Table,
         cols.append(download_column(col, len(idx)))
         names.append(f.name + ("_r" if f.name in lnames else ""))
     return Table.from_arrays(cols, names)
+
+
+def distributed_q1(mesh: Mesh, lineitem: Table,
+                   cutoff_days: int = 10471,
+                   axis: str = "d") -> Table:
+    """Distributed TPC-H Q1: the filter+project stage folds into column
+    validity (elementwise ops shard trivially along rows), then the
+    grouped aggregation runs through the partial-agg -> all_to_all ->
+    final-agg pipeline (SURVEY §2.9 P7). Bit-matches the single-chip Q1
+    plan output up to float summation order."""
+    db = shard_table(mesh, lineitem, axis)
+    price = db.column("l_extendedprice")
+    disc = db.column("l_discount")
+    tax = db.column("l_tax")
+    qty = db.column("l_quantity")
+    ship = db.column("l_shipdate")
+
+    keep = ship.values.astype(jnp.int64) <= cutoff_days
+    disc_price = price.values * (1.0 - disc.values)
+    charge = disc_price * (1.0 + tax.values)
+
+    def masked(col_vals, src):
+        validity = src.validity if src.validity is not None else \
+            jnp.ones(db.capacity, jnp.bool_)
+        return DeviceColumn(col_vals, jnp.logical_and(validity, keep),
+                            T.float64())
+
+    cols = list(db.columns)
+    schema_fields = list(db.schema)
+    from ..types import Field as _F
+    for name, vals, src in [("disc_price", disc_price, price),
+                            ("charge", charge, price),
+                            ("qty_m", qty.values, qty),
+                            ("price_m", price.values, price),
+                            ("disc_m", disc.values, disc)]:
+        cols.append(masked(vals, src))
+        schema_fields.append(_F(name, T.float64()))
+    from ..types import Schema as _S
+    db2 = DeviceBatch(_S(schema_fields), cols, db.row_count)
+
+    out = distributed_groupby(mesh, db2,
+                              ["l_returnflag", "l_linestatus"], [
+        DistAggSpec("qty_m", "sum", "sum_qty"),
+        DistAggSpec("price_m", "sum", "sum_base_price"),
+        DistAggSpec("disc_price", "sum", "sum_disc_price"),
+        DistAggSpec("charge", "sum", "sum_charge"),
+        DistAggSpec("qty_m", "mean", "avg_qty"),
+        DistAggSpec("price_m", "mean", "avg_price"),
+        DistAggSpec("disc_m", "mean", "avg_disc"),
+        DistAggSpec("qty_m", "count", "count_order"),
+    ], axis)
+    return out.sort_by([("l_returnflag", "ascending"),
+                        ("l_linestatus", "ascending")])

@@ -139,3 +139,20 @@ def test_broadcast_join(mesh):
     def srt(t):
         return sorted(tuple(r.values()) for r in t.to_pylist())
     assert srt(out) == srt(ref)
+
+
+def test_distributed_q1_matches_single_node(mesh):
+    """Full TPC-H Q1 on the mesh: elementwise filter/project shard
+    trivially; grouped aggregation goes through partial-agg ->
+    all_to_all -> final-agg (SURVEY §2.9 P7)."""
+    from arrow_tpu.io import tpch, tpch_queries
+    from arrow_tpu.parallel.distributed import distributed_q1
+    li = tpch.lineitem_table(0.002)
+    dist = distributed_q1(mesh, li)
+    single = tpch_queries.q1_plan(li).to_table()
+    o, s = dist.to_pydict(), single.to_pydict()
+    assert o["l_returnflag"] == s["l_returnflag"]
+    assert o["l_linestatus"] == s["l_linestatus"]
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+              "avg_qty", "avg_price", "avg_disc", "count_order"):
+        np.testing.assert_allclose(o[c], s[c], rtol=1e-12)
