@@ -433,7 +433,17 @@ def execute_declaration(decl: Declaration,
 
 def _execute_node(decl: Declaration) -> DeviceBatch:
     if decl.factory_name in ("table_source", "named_table"):
-        return upload_table(decl.options.table)
+        # cache the uploaded DeviceBatch on the options object: repeated
+        # plan executions then reuse identity-stable dictionaries, so the
+        # per-node jit caches stay warm. Without this every to_table()
+        # re-uploads, mints new dictionary objects, changes the cache
+        # keys, and RECOMPILES every stage — ~100 ms per stage on CPU but
+        # 60-90 s per stage through the remote TPU compiler.
+        cached = getattr(decl.options, "_device_batch", None)
+        if cached is None:
+            cached = upload_table(decl.options.table)
+            decl.options._device_batch = cached
+        return cached
     if decl.factory_name in ("source", "record_batch_source",
                              "exec_batch_source", "array_vector_source"):
         return upload_table(decl.options.table)
