@@ -31,7 +31,8 @@ from .array.builder import (  # noqa: F401
     StructBuilder, UInt8Builder, UInt16Builder, UInt32Builder,
     UInt64Builder, builder_for)
 from .table import (  # noqa: F401
-    ChunkedArray, RecordBatch, Table, chunked_array, record_batch, table,
+    ChunkedArray, ChunkResolver, Datum, RecordBatch, Table, chunked_array,
+    record_batch, table,
 )
 
 from . import compute  # noqa: F401

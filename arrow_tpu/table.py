@@ -487,3 +487,61 @@ def table(data, schema: Optional[Schema] = None, names=None) -> Table:
     if names is not None:
         return Table.from_arrays(data, names)
     raise TypeError("table needs dict, batches, or (arrays, names)")
+
+
+class ChunkResolver:
+    """Logical index -> (chunk, intra-chunk index) resolution via binary
+    search (reference: chunk_resolver.h:65, ResolveMany :172)."""
+
+    def __init__(self, chunks):
+        import numpy as _np
+        lens = [len(c) for c in chunks]
+        self.offsets = _np.concatenate([[0], _np.cumsum(lens)])
+
+    def resolve(self, index: int):
+        import numpy as _np
+        i = int(_np.searchsorted(self.offsets, index, side="right") - 1)
+        return i, int(index - self.offsets[i])
+
+    def resolve_many(self, indices):
+        import numpy as _np
+        idx = _np.asarray(indices, dtype=_np.int64)
+        chunk = _np.searchsorted(self.offsets, idx, side="right") - 1
+        return chunk, idx - self.offsets[chunk]
+
+
+class Datum:
+    """Variant over Scalar / Array / ChunkedArray / RecordBatch / Table
+    (reference: datum.h:46). The python dispatch layer passes values
+    directly; Datum exists for API parity and kind introspection."""
+
+    SCALAR, ARRAY, CHUNKED_ARRAY, RECORD_BATCH, TABLE = (
+        "scalar", "array", "chunked_array", "record_batch", "table")
+
+    def __init__(self, value):
+        from .array.array import Array as _Arr
+        from .compute.registry import Scalar as _Sc
+        if isinstance(value, _Sc):
+            self.kind = self.SCALAR
+        elif isinstance(value, _Arr):
+            self.kind = self.ARRAY
+        elif isinstance(value, ChunkedArray):
+            self.kind = self.CHUNKED_ARRAY
+        elif isinstance(value, RecordBatch):
+            self.kind = self.RECORD_BATCH
+        elif isinstance(value, Table):
+            self.kind = self.TABLE
+        else:
+            from .compute.registry import Scalar as _S2
+            value = _S2(value, None)
+            self.kind = self.SCALAR
+        self.value = value
+
+    def is_scalar(self):
+        return self.kind == self.SCALAR
+
+    def is_array(self):
+        return self.kind == self.ARRAY
+
+    def __repr__(self):
+        return f"Datum({self.kind}, {self.value!r})"

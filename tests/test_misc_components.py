@@ -177,3 +177,17 @@ def test_config_system():
     knobs = cfg.env_options()
     assert "ARROW_TPU_MOVEMENT" in knobs
     os.environ.pop("ARROW_TPU_BLOOM", None)
+
+
+def test_chunk_resolver_and_datum():
+    """ChunkResolver (chunk_resolver.h:65) + Datum variant (datum.h:46)."""
+    cr = at.ChunkResolver([at.array([1, 2, 3]), at.array([4, 5])])
+    assert cr.resolve(0) == (0, 0)
+    assert cr.resolve(3) == (1, 0)
+    assert cr.resolve(4) == (1, 1)
+    c, i = cr.resolve_many([0, 2, 3, 4])
+    assert c.tolist() == [0, 0, 1, 1]
+    assert i.tolist() == [0, 2, 0, 1]
+    assert at.Datum(at.array([1])).is_array()
+    assert at.Datum(7).is_scalar()
+    assert at.Datum(at.table({"a": [1]})).kind == at.Datum.TABLE
