@@ -174,6 +174,18 @@ def _to_pylist(d: ArrayData) -> List[Any]:
     mask = d.validity_mask()
     valid = (lambda i: True) if mask is None else (lambda i: bool(mask[i]))
 
+    if tid == TypeId.INTERVAL_DAY_TIME:
+        vals = d.buffers[1].to_numpy().view(np.int32).reshape(-1, 2)
+        vals = vals[d.offset:d.offset + n]
+        return [(int(vals[i][0]), int(vals[i][1])) if valid(i) else None
+                for i in range(n)]
+    if tid == TypeId.INTERVAL_MONTH_DAY_NANO:
+        import struct as _st
+        raw = d.buffers[1].to_numpy().reshape(-1, 16)
+        raw = raw[d.offset:d.offset + n]
+        return [tuple(_st.unpack("<iiq", raw[i].tobytes())) if valid(i)
+                else None for i in range(n)]
+
     if tid == TypeId.BOOL or t.is_numeric or tid == TypeId.INTERVAL_MONTHS:
         vals = d.values()
         return [vals[i].item() if valid(i) else None for i in range(n)]

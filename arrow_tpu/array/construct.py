@@ -133,6 +133,30 @@ def array_data_from_sequence(values: Sequence[Any],
         data = np.array([v if v is not None else 0 for v in values], dtype=dt)
         return ArrayData(type, n, [_make_validity(mask), Buffer(data)])
 
+    if tid == TypeId.INTERVAL_DAY_TIME:
+        # 8-byte (days i32, ms i32) pairs
+        data = np.zeros((n, 2), dtype=np.int32)
+        for i, v in enumerate(values):
+            if v is not None:
+                d_, ms = (v.days, v.milliseconds) if hasattr(v, "days") \
+                    else (v[0], v[1])
+                data[i] = (d_, ms)
+        return ArrayData(type, n, [_make_validity(mask),
+                                   Buffer(data.reshape(-1))])
+
+    if tid == TypeId.INTERVAL_MONTH_DAY_NANO:
+        # 16-byte (months i32, days i32, nanos i64) records
+        raw = np.zeros((n, 16), dtype=np.uint8)
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            m, d_, ns = (v.months, v.days, v.nanoseconds) \
+                if hasattr(v, "months") else (v[0], v[1], v[2])
+            import struct as _st
+            raw[i] = np.frombuffer(_st.pack("<iiq", m, d_, ns), np.uint8)
+        return ArrayData(type, n, [_make_validity(mask),
+                                   Buffer(raw.reshape(-1))])
+
     if type.is_temporal or tid == TypeId.INTERVAL_MONTHS:
         dt = type.to_numpy_dtype()
         data = np.array([_temporal_to_int(v, type) if v is not None else 0

@@ -176,3 +176,33 @@ def test_random_differential_vs_pyarrow():
     data = ipc.serialize_table(tbl)
     assert our_to_pa(data).to_pylist() == tbl.to_pylist()
     assert ipc.deserialize_table(pa_to_bytes(our_to_pa(data))).equals(tbl)
+
+
+def test_interval_day_time_and_month_day_nano():
+    """INTERVAL_DAY_TIME / INTERVAL_MONTH_DAY_NANO construction, decode,
+    and IPC (format/Schema.fbs Interval units)."""
+    import io
+    t = at.table(
+        {"mi": at.array([(1, 2, 3), None], at.month_day_nano_interval()),
+         "dt": at.array([(5, 250), None], at.day_time_interval())},
+        schema=at.schema([at.field("mi", at.month_day_nano_interval()),
+                          at.field("dt", at.day_time_interval())]))
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t.schema) as w:
+        w.write_table(t)
+    buf.seek(0)
+    assert ipc.open_stream(buf).read_all().to_pydict() == t.to_pydict()
+    buf.seek(0)
+    pt = pa.ipc.open_stream(buf).read_all()
+    # pyarrow v25 cannot to_pylist day_time intervals; check what it can
+    assert pt.column("mi").to_pylist() == [
+        pa.MonthDayNano([1, 2, 3]), None]
+    # pyarrow-written MDN stream read by us
+    src = pa.table({"mi": pa.array([(9, 8, 7)],
+                                   pa.month_day_nano_interval())})
+    b2 = io.BytesIO()
+    with pa.ipc.new_stream(b2, src.schema) as w:
+        w.write_table(src)
+    b2.seek(0)
+    assert ipc.open_stream(b2).read_all().to_pydict() == {
+        "mi": [(9, 8, 7)]}
