@@ -1,0 +1,71 @@
+"""Single-kernel microbenchmarks on the real chip (reference protocol:
+the 75 *_benchmark.cc google-benchmark binaries, SURVEY §6).
+
+Prints one JSON line per kernel: rows/s and effective HBM GB/s. Run on
+TPU (no JAX_PLATFORMS override) — each kernel is 1-2 compiles.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def bench(name, fn, args, bytes_per_row, rows, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": name, "rows_per_s": round(rows / dt, 1),
+        "ms": round(dt * 1e3, 3),
+        "hbm_gb_s": round(bytes_per_row * rows / dt / 1e9, 1)}))
+
+
+def main():
+    n = 1 << 22  # 4M rows
+    rng = np.random.default_rng(0)
+    f64 = jnp.asarray(rng.normal(size=n))
+    i64 = jnp.asarray(rng.integers(0, 1 << 40, n))
+    keys = jnp.asarray(rng.integers(0, 512, n))
+    u32a = jnp.asarray(rng.integers(0, 1 << 31, n, dtype=np.int64)
+                       .astype(np.uint32))
+    idx = jnp.asarray(rng.permutation(n).astype(np.int32))
+
+    from arrow_tpu.compute.move import (compact_by_mask, gather_rows,
+                                        segment_reduce,
+                                        sort_with_payload)
+    from arrow_tpu.compute.hashing import hash32_words, hash32_pallas
+
+    bench("filter_compact_f64",
+          jax.jit(lambda v: compact_by_mask(v > 0, [v])),
+          (f64,), 8 * 3, n)
+    bench("take_gather_f64",
+          jax.jit(lambda v, i: gather_rows([v], i)),
+          (f64, idx), 8 * 3, n)
+    bench("sort_i64_payload_f64",
+          jax.jit(lambda k, v: sort_with_payload(
+              [k.astype(jnp.uint64)], [v])),
+          (i64, f64), 16 * 2, n)
+    bench("group_sum_512",
+          jax.jit(lambda v, g: segment_reduce(
+              v, g.astype(jnp.int32), 512, "sum", 0.0)),
+          (f64, keys), 8 * 2, n)
+    bench("hash32_xla", jax.jit(lambda w: hash32_words([w])),
+          (u32a,), 4 * 2, n)
+    try:
+        bench("hash32_pallas", jax.jit(lambda w: hash32_pallas([w])),
+              (u32a,), 4 * 2, n)
+    except Exception as e:
+        print(json.dumps({"metric": "hash32_pallas",
+                          "error": str(e)[:80]}))
+
+
+if __name__ == "__main__":
+    main()
