@@ -30,6 +30,8 @@ from . import vector_sort as _vector_sort  # noqa: F401
 from . import extra_kernels as _extra_kernels  # noqa: F401
 from .options import *  # noqa: F401,F403  (FunctionOptions classes)
 from .options import FunctionOptions  # noqa: F401
+from ..acero.expression import field, scalar  # noqa: F401  (pyarrow.compute
+# exposes Expression builders from the compute namespace too)
 from .registry import (ArrowInvalid, ArrowNotImplementedError,  # noqa: F401
                        ExecContext, Scalar, call_function,
                        function_registry, get_function, list_functions)
