@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Sequence
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -426,9 +428,36 @@ def execute_declaration(decl: Declaration,
     t0 = _time.perf_counter()
     with jax.profiler.TraceAnnotation(f"arrow_tpu::{decl.factory_name}"):
         out = _execute_node(decl)
+    if _sync_nodes():
+        # On the tunneled axon TPU platform, deep queues of per-node
+        # executables can deadlock the transfer relay (observed: Q3's
+        # ~10 queued programs wedge the device while each program's cost
+        # analysis is linear and sub-millisecond). Bounding the in-flight
+        # depth to one program sidesteps it; on cpu/tpu-direct the async
+        # pipeline stays on.
+        jax.block_until_ready(jax.tree_util.tree_leaves(out))
     last_plan_metrics.record(decl.factory_name,
                              _time.perf_counter() - t0)
     return out
+
+
+_SYNC_NODES = None
+
+
+def _sync_nodes() -> bool:
+    global _SYNC_NODES
+    mode = os.environ.get("ARROW_TPU_SYNC_NODES", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    if _SYNC_NODES is None:
+        try:
+            _SYNC_NODES = jax.devices()[0].platform == "tpu" and \
+                "axon" in os.environ.get("JAX_PLATFORMS", "")
+        except Exception:
+            _SYNC_NODES = False
+    return _SYNC_NODES
 
 
 def _execute_node(decl: Declaration) -> DeviceBatch:
