@@ -47,7 +47,8 @@ def __getattr__(name):
             "tensor": ".tensor", "c_data": ".c_data",
             "gandiva": ".gandiva", "device": ".device",
             "pretty": ".pretty", "substrait": ".substrait",
-            "config": ".config", "orc": ".io.orc"}
+            "config": ".config", "orc": ".io.orc",
+            "compare": ".compare"}
     if name in lazy:
         return importlib.import_module(lazy[name], __name__)
     raise AttributeError(name)

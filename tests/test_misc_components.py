@@ -191,3 +191,21 @@ def test_chunk_resolver_and_datum():
     assert at.Datum(at.array([1])).is_array()
     assert at.Datum(7).is_scalar()
     assert at.Datum(at.table({"a": [1]})).kind == at.Datum.TABLE
+
+
+def test_equal_options_compare():
+    """EqualOptions comparison (compare.h ArrayEquals/ApproxEquals)."""
+    from arrow_tpu.compare import EqualOptions, array_equals, table_equals
+    a = at.array([1.0, float("nan"), -0.0])
+    b = at.array([1.0, float("nan"), 0.0])
+    assert not array_equals(a, b)
+    assert array_equals(a, b, EqualOptions(nans_equal=True))
+    assert not array_equals(a, b, EqualOptions(nans_equal=True,
+                                               signed_zeros_equal=False))
+    c, d = at.array([1.0, 2.0]), at.array([1.000001, 2.0])
+    assert not array_equals(c, d)
+    assert array_equals(c, d, approx=True)
+    assert array_equals(c, d, EqualOptions(atol=1e-9).with_atol(1e-3),
+                        approx=True)
+    assert table_equals(at.table({"x": [1]}), at.table({"x": [1]}))
+    assert not table_equals(at.table({"x": [1]}), at.table({"y": [1]}))
