@@ -9,8 +9,10 @@ string encodings, NONE/ZLIB/ZSTD compression framing.
 
 Supported column types: boolean, byte, short, int, long, float, double,
 string, binary, date, timestamp, decimal(<=18), struct root. Nulls via
-PRESENT streams. Writer: not provided (use Parquet/IPC/Feather for
-output; the reference's ORC adapter is read-mostly in practice too).
+PRESENT streams. The writer (``write_table``) emits DIRECT_V2 streams
+(RLEv2 DIRECT/SHORT_REPEAT integer runs, byte-RLE booleans, raw IEEE
+floats, concatenated bytes + RLEv2 lengths for strings) with NONE or
+ZLIB framing; its output is diff-tested against liborc via pyarrow.orc.
 """
 
 from __future__ import annotations
@@ -497,3 +499,320 @@ def _rlev1_decode(data: bytes, n: int, signed: bool) -> np.ndarray:
 
 def read_table(source, columns: Optional[List[str]] = None) -> Table:
     return ORCFile(source).read(columns)
+
+
+# --- file writer ------------------------------------------------------------
+# Encoders are the inverses of the decoders above; stream/encoding choices
+# mirror what modern liborc writers emit (DIRECT_V2 everywhere RLEv2
+# applies) so both liborc and this module's reader consume the output.
+
+from ..substrait import _varint as _pb_varint, fm as _fm, fs as _fs, \
+    fv as _fv, _tag as _pb_tag
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return ((v.astype(np.int64) << 1) ^ (v.astype(np.int64) >> 63)) \
+        .astype(np.uint64)
+
+
+def _closed_width(w: int) -> int:
+    for cw in _WIDTH:
+        if cw >= w:
+            return cw
+    return 64
+
+
+def _pack_bits_msb(vals: np.ndarray, width: int) -> bytes:
+    """Pack each value into `width` bits, MSB-first (RLEv2 DIRECT body)."""
+    v = vals.astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _rlev2_encode(vals: np.ndarray, signed: bool) -> bytes:
+    """RLEv2 with SHORT_REPEAT for runs and DIRECT otherwise (a correct,
+    always-decodable subset of the full encoding)."""
+    n = len(vals)
+    if signed:
+        u = _zigzag(np.asarray(vals, np.int64))
+    else:
+        u = np.asarray(vals, np.uint64)
+    out = bytearray()
+    i = 0
+    while i < n:
+        # detect a short repeat run (3..10 equal values)
+        run = 1
+        while i + run < n and run < 10 and u[i + run] == u[i]:
+            run += 1
+        if run >= 3:
+            v = int(u[i])
+            nbytes = max(1, (v.bit_length() + 7) // 8)
+            out.append(((nbytes - 1) << 3) | (run - 3))
+            out += v.to_bytes(nbytes, "big")
+            i += run
+            continue
+        # DIRECT literal chunk: scan forward up to 512 values, stopping
+        # before any >=10-value repeat run (leave it for SHORT_REPEAT)
+        j = i
+        limit = min(n, i + 512)
+        while j < limit:
+            k = j
+            while k + 1 < limit and u[k + 1] == u[j] and k - j < 9:
+                k += 1
+            if k - j >= 9 and j > i:
+                break
+            j = k + 1
+        chunk = u[i:j]
+        count = len(chunk)
+        width = max(1, int(chunk.max()).bit_length()) if count else 1
+        cw = _closed_width(width)
+        wc = _WIDTH.index(cw)
+        h = (1 << 6) | (wc << 1) | ((count - 1) >> 8)
+        out.append(h)
+        out.append((count - 1) & 0xFF)
+        out += _pack_bits_msb(chunk, cw)
+        i = j
+    return bytes(out)
+
+
+def _byte_rle_encode(data: np.ndarray) -> bytes:
+    """ORC byte-RLE: runs of 3..130 equal bytes, else literals of <=128."""
+    b = np.asarray(data, np.uint8)
+    n = len(b)
+    out = bytearray()
+    i = 0
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 130 and b[i + run] == b[i]:
+            run += 1
+        if run >= 3:
+            while lit_start < i:
+                take = min(128, i - lit_start)
+                out.append(256 - take)
+                out += b[lit_start:lit_start + take].tobytes()
+                lit_start += take
+            out.append(run - 3)
+            out.append(int(b[i]))
+            i += run
+            lit_start = i
+        else:
+            i += run
+    while lit_start < i:
+        take = min(128, i - lit_start)
+        out.append(256 - take)
+        out += b[lit_start:lit_start + take].tobytes()
+        lit_start += take
+    return bytes(out)
+
+
+def _bool_encode(mask: np.ndarray) -> bytes:
+    return _byte_rle_encode(np.packbits(np.asarray(mask, np.uint8)))
+
+
+_ARROW_TO_KIND = {
+    T.TypeId.BOOL: _K_BOOL, T.TypeId.INT8: _K_BYTE,
+    T.TypeId.INT16: _K_SHORT, T.TypeId.INT32: _K_INT,
+    T.TypeId.INT64: _K_LONG, T.TypeId.FLOAT: _K_FLOAT,
+    T.TypeId.DOUBLE: _K_DOUBLE, T.TypeId.STRING: _K_STRING,
+    T.TypeId.LARGE_STRING: _K_STRING, T.TypeId.BINARY: _K_BINARY,
+    T.TypeId.LARGE_BINARY: _K_BINARY, T.TypeId.DATE32: _K_DATE,
+    T.TypeId.TIMESTAMP: _K_TIMESTAMP, T.TypeId.DECIMAL128: _K_DECIMAL,
+}
+
+_TS_UNIT_NS = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+_ORC_EPOCH_S = 1420070400  # 2015-01-01 UTC
+
+
+def _encode_column(arr: Array, kind: int):
+    """-> (streams [(stream_kind, bytes)], encoding_kind, dict_size)."""
+    n = len(arr)
+    mask = arr.is_valid_mask()
+    has_nulls = arr.null_count > 0
+    streams = []
+    if has_nulls:
+        streams.append((_S_PRESENT, _bool_encode(mask)))
+    t = arr.type
+
+    if kind == _K_BOOL:
+        vals = arr.data.values()[mask]
+        streams.append((_S_DATA, _bool_encode(vals)))
+        return streams, 0, 0
+    if kind == _K_BYTE:
+        vals = arr.data.values()[mask].astype(np.int8).view(np.uint8)
+        streams.append((_S_DATA, _byte_rle_encode(vals)))
+        return streams, 0, 0
+    if kind in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
+        vals = arr.data.values()[mask].astype(np.int64)
+        streams.append((_S_DATA, _rlev2_encode(vals, True)))
+        return streams, 2, 0
+    if kind == _K_FLOAT:
+        vals = arr.data.values()[mask].astype("<f4")
+        streams.append((_S_DATA, vals.tobytes()))
+        return streams, 0, 0
+    if kind == _K_DOUBLE:
+        vals = arr.data.values()[mask].astype("<f8")
+        streams.append((_S_DATA, vals.tobytes()))
+        return streams, 0, 0
+    if kind in (_K_STRING, _K_BINARY):
+        vals = [v for v, ok in zip(arr.to_pylist(), mask) if ok]
+        raws = [v.encode() if isinstance(v, str) else bytes(v)
+                for v in vals]
+        lens = np.fromiter((len(r) for r in raws), np.int64,
+                           count=len(raws))
+        streams.append((_S_DATA, b"".join(raws)))
+        streams.append((_S_LENGTH, _rlev2_encode(lens, False)))
+        return streams, 2, 0
+    if kind == _K_TIMESTAMP:
+        ns_per = _TS_UNIT_NS[t.unit]
+        raw = arr.data.values()[mask].astype(np.int64) * ns_per
+        secs = raw // 10**9 - _ORC_EPOCH_S
+        nanos = (raw % 10**9).astype(np.int64)
+        enc_nanos = np.empty(len(nanos), np.int64)
+        for i, nv in enumerate(nanos):
+            nv = int(nv)
+            z = 0
+            if nv:
+                while nv % 10 == 0 and z < 8:
+                    nv //= 10
+                    z += 1
+            if z >= 2:
+                enc_nanos[i] = (nv << 3) | (z - 1)
+            else:
+                enc_nanos[i] = int(nanos[i]) << 3
+        streams.append((_S_DATA, _rlev2_encode(secs, True)))
+        streams.append((_S_SECONDARY, _rlev2_encode(enc_nanos, False)))
+        return streams, 2, 0
+    if kind == _K_DECIMAL:
+        scale = t.scale
+        body = bytearray()
+        for v, ok in zip(arr.to_pylist(), mask):
+            if not ok:
+                continue
+            unscaled = int(v.scaleb(scale).to_integral_value())
+            body += _pb_varint((unscaled << 1) ^ (unscaled >> 127))
+        scales = np.full(n - (n - int(mask.sum())), scale, np.int64)
+        streams.append((_S_DATA, bytes(body)))
+        streams.append((_S_SECONDARY, _rlev2_encode(scales, True)))
+        return streams, 2, 0
+    raise NotImplementedError(f"ORC writer: column kind {kind}")
+
+
+def _compress_stream(data: bytes, kind: int,
+                     block: int = 256 * 1024) -> bytes:
+    if kind == 0:
+        return data
+    out = bytearray()
+    for i in range(0, len(data), block) or [0]:
+        chunk = data[i:i + block]
+        if kind == 1:
+            comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate
+        else:
+            raise NotImplementedError(f"ORC writer compression {kind}")
+        if len(comp) < len(chunk):
+            out += (len(comp) << 1).to_bytes(3, "little") + comp
+        else:
+            out += ((len(chunk) << 1) | 1).to_bytes(3, "little") + chunk
+    if not data:
+        return b""
+    return bytes(out)
+
+
+def write_table(table, where, stripe_rows: int = 64 * 1024,
+                compression: str = "uncompressed") -> None:
+    """Write a Table/RecordBatch as an ORC file.
+
+    ``where`` is a path or binary file object. Flat schemas of the types
+    listed in the module docstring; ZLIB or no compression."""
+    comp_kind = {"uncompressed": 0, "zlib": 1}.get(compression)
+    if comp_kind is None:
+        raise NotImplementedError(f"ORC writer compression {compression}")
+    if isinstance(table, RecordBatch):
+        table = Table.from_batches([table], table.schema)
+    schema = table.schema
+    kinds = []
+    for f in schema:
+        k = _ARROW_TO_KIND.get(f.type.id)
+        if k is None:
+            raise NotImplementedError(
+                f"ORC writer: unsupported type {f.type!r}")
+        kinds.append(k)
+
+    ncols = len(schema)
+    out = bytearray(MAGIC)
+    stripe_infos = []
+    total_rows = table.num_rows
+    for start in range(0, max(total_rows, 1), stripe_rows):
+        nrows = min(stripe_rows, total_rows - start)
+        if total_rows == 0:
+            nrows = 0
+        stripe_offset = len(out)
+        data = bytearray()
+        stream_entries = []   # (kind, col_id, length)
+        encodings = [(0, 0)]  # root struct: DIRECT
+        for ci in range(ncols):
+            arr = table.column(ci).slice(start, nrows).combine()
+            streams, enc, dict_size = _encode_column(arr, kinds[ci])
+            for skind, payload in streams:
+                framed = _compress_stream(payload, comp_kind)
+                stream_entries.append((skind, ci + 1, len(framed)))
+                data += framed
+            encodings.append((enc, dict_size))
+        sf = bytearray()
+        for skind, cid, ln in stream_entries:
+            sf += _fm(1, _fv(1, skind) + _fv(2, cid) + _fv(3, ln))
+        for enc, dsz in encodings:
+            body = _fv(1, enc)
+            if dsz:
+                body += _fv(2, dsz)
+            sf += _fm(2, body)
+        sf += _fs(3, "GMT")  # writerTimezone
+        sf_framed = _compress_stream(bytes(sf), comp_kind)
+        out += data + sf_framed
+        stripe_infos.append((stripe_offset, 0, len(data), len(sf_framed),
+                             nrows))
+        if total_rows == 0:
+            break
+
+    content_len = len(out) - len(MAGIC)
+    # Footer
+    foot = bytearray()
+    foot += _fv(1, len(MAGIC))            # headerLength
+    foot += _fv(2, content_len)           # contentLength
+    for off, ilen, dlen, flen, nr in stripe_infos:
+        foot += _fm(3, _fv(1, off) + _fv(2, ilen) + _fv(3, dlen) +
+                    _fv(4, flen) + _fv(5, nr))
+    # types: root struct + one per column
+    root = _fv(1, _K_STRUCT)
+    root += _fm(2, b"".join(_pb_varint(i + 1) for i in range(ncols)))
+    for f in schema:
+        root += _fs(3, f.name)
+    foot += _fm(4, root)
+    for f, k in zip(schema, kinds):
+        tb = _fv(1, k)
+        if k == _K_DECIMAL:
+            tb += _fv(5, f.type.precision) + _fv(6, f.type.scale)
+        foot += _fm(4, tb)
+    foot += _fv(6, total_rows)            # numberOfRows
+    foot += _fv(8, 0)                     # rowIndexStride (no row index)
+    foot_framed = _compress_stream(bytes(foot), comp_kind)
+    out += foot_framed
+
+    # PostScript (never compressed)
+    ps = _fv(1, len(foot_framed))         # footerLength
+    ps += _fv(2, comp_kind)               # compression
+    if comp_kind:
+        ps += _fv(3, 256 * 1024)          # compressionBlockSize
+    ps += _fm(4, _pb_varint(0) + _pb_varint(12))   # version [0,12] packed
+    ps += _fv(5, 0)                       # metadataLength
+    ps += _fv(6, 1)                       # writerVersion
+    ps += _pb_tag(8000, 2) + _pb_varint(3) + MAGIC   # magic
+    out += ps
+    out.append(len(ps))
+
+    if isinstance(where, str):
+        with open(where, "wb") as fobj:
+            fobj.write(bytes(out))
+    else:
+        where.write(bytes(out))

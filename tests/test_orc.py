@@ -82,3 +82,106 @@ def test_orc_snappy():
     t = pa.table({"a": list(range(5000)), "s": ["x" * 20] * 5000})
     raw = _write(t, compression="snappy")
     assert orc.read_table(raw).to_pydict() == t.to_pydict()
+
+
+# --- writer (arrow_tpu.io.orc.write_table; oracle = liborc reader) ----------
+
+
+def _rt_types():
+    import arrow_tpu as at
+    return {
+        "i64": at.int64(), "i32": at.int32(), "i16": at.int16(),
+        "i8": at.int8(), "f32": at.float32(), "f64": at.float64(),
+        "s": at.string(), "bin": at.binary(), "b": at.bool_(),
+        "d": at.date32(), "ts": at.timestamp("us"),
+        "dec": at.decimal128(12, 2),
+    }
+
+
+def _writer_table(n=20_000, seed=7):
+    rng = np.random.default_rng(seed)
+    r = random.Random(seed)
+    cols = {
+        "i64": [int(v) if rng.random() > 0.05 else None
+                for v in rng.integers(-2**62, 2**62, n)],
+        "i32": [int(v) for v in rng.integers(-2**31, 2**31, n)],
+        "i16": [int(v) if rng.random() > 0.5 else None
+                for v in rng.integers(-2**15, 2**15, n)],
+        "i8": [int(v) for v in rng.integers(-128, 128, n)],
+        "f32": [float(np.float32(v)) if rng.random() > 0.1 else None
+                for v in rng.normal(size=n)],
+        "f64": [float(v) for v in rng.normal(size=n)],
+        "s": [r.choice(["aa", "bbbb", None, "Ω" * 3, ""])
+              for _ in range(n)],
+        "bin": [bytes([i % 256]) if i % 11 else None for i in range(n)],
+        "b": [bool(v) if rng.random() > 0.2 else None
+              for v in rng.integers(0, 2, n)],
+        "d": [dt.date(2020, 1, 1) + dt.timedelta(days=int(v))
+              if rng.random() > 0.1 else None
+              for v in rng.integers(-30000, 30000, n)],
+        "ts": [dt.datetime(2015, 1, 1) + dt.timedelta(microseconds=int(v))
+               if rng.random() > 0.1 else None
+               for v in rng.integers(-10**15, 10**15, n)],
+        "dec": [Decimal(int(v)).scaleb(-2) if rng.random() > 0.1 else None
+                for v in rng.integers(-10**10, 10**10, n)],
+    }
+    ts = _rt_types()
+    return at.table({k: at.array(v, ts[k]) for k, v in cols.items()})
+
+
+@pytest.mark.parametrize("comp", ["uncompressed", "zlib"])
+def test_writer_roundtrip_self_and_liborc(comp):
+    t = _writer_table()
+    buf = io.BytesIO()
+    orc.write_table(t, buf, stripe_rows=8192, compression=comp)
+    raw = buf.getvalue()
+    f = orc.ORCFile(raw)
+    assert len(f.stripes) > 1
+    orig = t.to_pydict()
+    assert f.read().to_pydict() == orig              # own reader
+    got = po.read_table(io.BytesIO(raw)).to_pydict()  # liborc
+    for k, want in orig.items():
+        if k == "ts":
+            got_k = [None if v is None else v.replace(tzinfo=None)
+                     for v in got[k]]
+            assert got_k == want
+        elif k == "dec":
+            assert [None if v is None else Decimal(v)
+                    for v in got[k]] == want
+        else:
+            assert got[k] == want, k
+
+
+def test_writer_empty_and_allnull():
+    t = at.table({"a": at.array([], at.int64()),
+                  "s": at.array([], at.string())})
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    raw = buf.getvalue()
+    assert orc.read_table(raw).to_pydict() == {"a": [], "s": []}
+    assert po.read_table(io.BytesIO(raw)).to_pydict() == {"a": [], "s": []}
+
+    t2 = at.table({"x": at.array([None, None, None], at.int32())})
+    buf2 = io.BytesIO()
+    orc.write_table(t2, buf2)
+    raw2 = buf2.getvalue()
+    assert orc.read_table(raw2).to_pydict() == {"x": [None] * 3}
+    assert po.read_table(io.BytesIO(raw2)).to_pydict() == {"x": [None] * 3}
+
+
+def test_writer_liborc_rewrites_our_file():
+    """Full cycle: our writer -> liborc reads -> liborc writes -> our
+    reader reads; values survive unchanged."""
+    t = _writer_table(n=2000, seed=3)
+    buf = io.BytesIO()
+    orc.write_table(t, buf)
+    pt = po.read_table(io.BytesIO(buf.getvalue()))
+    buf2 = io.BytesIO()
+    po.write_table(pt.drop_columns(["ts"]), buf2)
+    back = orc.read_table(buf2.getvalue())
+    want = t.to_pydict()
+    got = back.to_pydict()
+    for k in want:
+        if k in ("ts",):
+            continue
+        assert got[k] == want[k], k
