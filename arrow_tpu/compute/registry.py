@@ -230,6 +230,10 @@ def call_function(name: str, args: Sequence, options=None,
         options = options.to_kwargs()
     fn = get_function(name)
     if name == "cast":
+        from .cast_host import try_cast_host
+        hit = try_cast_host(args, options)
+        if hit is not None:
+            return hit
         hit = _cast_to_string_host(args, options)
         if hit is not None:
             return hit

@@ -2,6 +2,7 @@
 pivot_longer node, runtime info."""
 
 import datetime
+from decimal import Decimal
 
 import pyarrow as pa
 import pyarrow.compute as ppc
@@ -273,3 +274,90 @@ def test_view_strings_in_compute():
     got = dict(zip(r.column("k").combine().to_pylist(),
                    r.column("v_sum").combine().to_pylist()))
     assert got == {"b": 4.0, "a": 2.0, None: 4.0}
+
+
+# --- host cast matrix (cast_host.py vs scalar_cast_nested/dictionary.cc) ---
+
+
+class TestHostCastMatrix:
+    def test_list_casts(self):
+        a = at.array([[1, 2], [3], None], at.list_(at.int64()))
+        assert a.cast(at.list_(at.float64())).to_pylist() == \
+            [[1.0, 2.0], [3.0], None]
+        assert a.cast(at.large_list(at.int32())).to_pylist() == \
+            [[1, 2], [3], None]
+        fsl = at.array([[1, 2], [3, 4]], at.list_(at.int64()))
+        out = fsl.cast(at.fixed_size_list(at.int32(), 2))
+        assert out.to_pylist() == [[1, 2], [3, 4]]
+        with pytest.raises(Exception):
+            a.cast(at.fixed_size_list(at.int32(), 2))  # ragged
+
+    def test_struct_cast(self):
+        s = at.array([{"x": 1, "y": "2"}, None],
+                     at.struct([at.field("x", at.int64()),
+                                at.field("y", at.string())]))
+        out = s.cast(at.struct([at.field("x", at.float32()),
+                                at.field("y", at.int32())]))
+        assert out.to_pylist() == [{"x": 1.0, "y": 2}, None]
+
+    def test_dictionary_casts(self):
+        d = at.array(["a", "b", "a"], at.string()).cast(
+            at.dictionary(at.int8(), at.string()))
+        assert d.type.id == at.TypeId.DICTIONARY
+        assert d.cast(at.string()).to_pylist() == ["a", "b", "a"]
+        di = at.array([1, 2, 1], at.int64()).cast(
+            at.dictionary(at.int32(), at.int64()))
+        assert di.cast(at.float64()).to_pylist() == [1.0, 2.0, 1.0]
+
+    def test_binary_string_fsb(self):
+        sb = at.array(["hé", None], at.string()).cast(at.binary())
+        assert sb.to_pylist() == ["hé".encode(), None]
+        assert sb.cast(at.string()).to_pylist() == ["hé", None]
+        with pytest.raises(Exception):
+            at.array([b"\xff\xfe"], at.binary()).cast(at.string())
+        assert at.array([b"ab"], at.fixed_size_binary(2)) \
+            .cast(at.binary()).to_pylist() == [b"ab"]
+        assert at.array([b"ab"], at.binary()) \
+            .cast(at.fixed_size_binary(2)).to_pylist() == [b"ab"]
+        with pytest.raises(Exception):
+            at.array([b"abc"], at.binary()).cast(at.fixed_size_binary(2))
+
+    def test_decimal_casts(self):
+        dec = at.array([Decimal("1.25"), None], at.decimal128(10, 2))
+        assert dec.cast(at.float64()).to_pylist() == [1.25, None]
+        assert dec.cast(at.decimal128(12, 4)).to_pylist() == \
+            [Decimal("1.2500"), None]
+        with pytest.raises(Exception):
+            dec.cast(at.decimal128(10, 1))  # lossy rescale
+        assert at.array([3], at.int64()).cast(
+            at.decimal128(5, 2)).to_pylist() == [Decimal("3.00")]
+        assert at.array([Decimal("7.00")], at.decimal128(5, 2)).cast(
+            at.int64()).to_pylist() == [7]
+        with pytest.raises(Exception):
+            at.array([Decimal("7.50")], at.decimal128(5, 2)).cast(
+                at.int64())
+
+    def test_null_and_map(self):
+        assert at.array([None, None], at.null()).cast(
+            at.int64()).to_pylist() == [None, None]
+        m = at.array([[("k", 1)]], at.map_(at.string(), at.int64()))
+        assert m.cast(at.map_(at.string(), at.float64())).to_pylist() == \
+            [[("k", 1.0)]]
+
+    def test_vs_pyarrow(self):
+        import pyarrow as pa
+        import pyarrow.compute as ppc
+        ours = at.array([[1, 2], [3], None], at.list_(at.int64())).cast(
+            at.list_(at.float64())).to_pylist()
+        ref = ppc.cast(pa.array([[1, 2], [3], None], pa.list_(pa.int64())),
+                       pa.list_(pa.float64())).to_pylist()
+        assert ours == ref
+
+    def test_extension_casts(self):
+        from arrow_tpu import extension as ext
+        et = ext.ExtensionType(at.fixed_size_binary(4), "at.test_ext")
+        storage = at.array([b"abcd"], at.fixed_size_binary(4))
+        e = storage.cast(et)
+        assert e.type.extension_name_ == "at.test_ext"
+        assert e.cast(at.binary()).to_pylist() == [b"abcd"]
+        assert e.cast(at.string()).to_pylist() == ["abcd"]
