@@ -209,3 +209,61 @@ def test_equal_options_compare():
                         approx=True)
     assert table_equals(at.table({"x": [1]}), at.table({"x": [1]}))
     assert not table_equals(at.table({"x": [1]}), at.table({"y": [1]}))
+
+
+# --- t-digest sketch (utils/tdigest.py vs util/tdigest.h) -------------------
+
+
+class TestTDigest:
+    def test_accuracy_across_distributions(self):
+        import numpy as np
+        from arrow_tpu.utils.tdigest import TDigest
+        rng = np.random.default_rng(0)
+        for data in (rng.normal(100, 15, 100_000),
+                     rng.lognormal(0, 2, 100_000),
+                     np.concatenate([rng.normal(0, 1, 50_000),
+                                     rng.normal(50, 1, 50_000)])):
+            d = TDigest.from_array(data, delta=100)
+            srt = np.sort(data)
+            for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+                est = d.quantile(q)
+                rank_err = abs(np.searchsorted(srt, est) / len(data) - q)
+                assert rank_err < 0.01
+
+    def test_merge_matches_whole(self):
+        import numpy as np
+        from arrow_tpu.utils.tdigest import TDigest
+        rng = np.random.default_rng(1)
+        data = rng.normal(0, 1, 200_000)
+        parts = [TDigest.from_array(s) for s in np.array_split(data, 8)]
+        merged = parts[0].merge(parts[1:])
+        srt = np.sort(data)
+        for q in (0.05, 0.5, 0.95):
+            est = merged.quantile(q)
+            assert abs(np.searchsorted(srt, est) / len(data) - q) < 0.01
+
+    def test_edges(self):
+        import math
+        import numpy as np
+        from arrow_tpu.utils.tdigest import TDigest
+        assert math.isnan(TDigest.from_array([]).quantile(0.5))
+        assert math.isnan(TDigest.from_array([np.nan]).quantile(0.5))
+        assert TDigest.from_array([7.0]).quantile(0.5) == 7.0
+        t = TDigest.from_array([1.0, 2.0, 3.0])
+        assert list(t.quantile([0.0, 1.0])) == [1.0, 3.0]
+        assert t.median() == 2.0
+        assert abs(t.mean() - 2.0) < 1e-12
+
+    def test_vs_pyarrow_tdigest(self):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as ppc
+        from arrow_tpu.utils.tdigest import TDigest
+        rng = np.random.default_rng(2)
+        arr = rng.normal(10, 3, 50_000)
+        ref = ppc.tdigest(pa.array(arr), q=[0.1, 0.5, 0.9]).to_pylist()
+        ours = TDigest.from_array(arr).quantile([0.1, 0.5, 0.9])
+        srt = np.sort(arr)
+        for o, r, q in zip(ours, ref, (0.1, 0.5, 0.9)):
+            assert abs(np.searchsorted(srt, o) / len(arr) - q) < 0.01
+            assert abs(np.searchsorted(srt, r) / len(arr) - q) < 0.01
