@@ -35,6 +35,12 @@ from .table import (  # noqa: F401
     record_batch, table,
 )
 
+from .memory import (  # noqa: F401
+    CappedMemoryPool, LoggingMemoryPool, MemoryPool, ProxyMemoryPool,
+    default_memory_pool, device_memory_stats, log_memory_allocations,
+    supported_memory_backends, system_memory_pool, total_allocated_bytes,
+)
+
 from . import compute  # noqa: F401
 from . import ipc  # noqa: F401
 

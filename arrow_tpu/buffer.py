@@ -14,7 +14,7 @@ import numpy as np
 
 
 class Buffer:
-    __slots__ = ("_data",)
+    __slots__ = ("_data", "__weakref__")
 
     def __init__(self, data: Union[bytes, bytearray, memoryview, np.ndarray]):
         if isinstance(data, np.ndarray):
@@ -23,6 +23,17 @@ class Buffer:
             arr = np.frombuffer(bytes(data) if isinstance(data, bytearray)
                                 else data, dtype=np.uint8)
         self._data = arr
+        # Pool accounting: the OWNING root array is the pool allocation;
+        # views/slices of it, and memory borrowed from python bytes
+        # objects, are Buffer::Wrap-style borrows the reference pool
+        # doesn't count either (memory_pool.h:109). Each root is
+        # registered once and un-registered when numpy frees it.
+        root = arr
+        while isinstance(root.base, np.ndarray):
+            root = root.base
+        if root.base is None and root.flags.owndata:
+            from .memory import _register_root
+            _register_root(root)
 
     @property
     def size(self) -> int:

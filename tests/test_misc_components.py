@@ -267,3 +267,44 @@ class TestTDigest:
         for o, r, q in zip(ours, ref, (0.1, 0.5, 0.9)):
             assert abs(np.searchsorted(srt, o) / len(arr) - q) < 0.01
             assert abs(np.searchsorted(srt, r) / len(arr) - q) < 0.01
+
+
+# --- memory pools (memory.py vs memory_pool.h:109) --------------------------
+
+
+class TestMemoryPool:
+    def test_tracking_and_views(self):
+        import gc
+        base = at.total_allocated_bytes()
+        t = at.table({"a": list(range(50_000))})
+        delta = at.total_allocated_bytes() - base
+        assert delta >= 50_000 * 8
+        before = at.total_allocated_bytes()
+        sl = t.column(0).slice(10, 100)          # view: no new allocation
+        assert at.total_allocated_bytes() == before
+        del t, sl
+        gc.collect()
+        assert at.total_allocated_bytes() - base == 0
+        pool = at.default_memory_pool()
+        assert pool.max_memory() >= delta
+        assert pool.num_allocations() >= 1
+        assert pool.backend_name in at.supported_memory_backends() + \
+            ["system"]
+
+    def test_capped_and_proxy(self):
+        capped = at.CappedMemoryPool(1024)
+        held = capped.allocate(512)
+        assert held.size == 512
+        with pytest.raises(MemoryError):
+            capped.allocate(1024)
+        prox = at.ProxyMemoryPool(at.default_memory_pool())
+        buf = prox.allocate(256)
+        assert prox.bytes_allocated() == 256
+        assert buf.size == 256
+
+    def test_logging_pool(self):
+        import io as _io
+        sink = _io.StringIO()
+        lp = at.LoggingMemoryPool(sink=sink)
+        lp.allocate(64)
+        assert "Allocate: size = 64" in sink.getvalue()
