@@ -87,14 +87,24 @@ def _numeric_type_of(*args) -> DataType:
     return from_numpy_dtype(rt)
 
 
-def _col(values, validity, type: Optional[DataType] = None) -> DeviceColumn:
+def _col(values, validity, type: Optional[DataType] = None,
+         dictionary=None) -> DeviceColumn:
     if type is None:
         from ..types import from_numpy_dtype
         type = from_numpy_dtype(np.dtype(values.dtype))
     # zero out null lanes for deterministic downstream math
     if validity is not None and jnp.issubdtype(values.dtype, jnp.number):
         values = jnp.where(validity, values, jnp.zeros((), values.dtype))
-    return DeviceColumn(values, validity, type)
+    return DeviceColumn(values, validity, type, dictionary)
+
+
+def _shared_dictionary(*args):
+    """The dictionary to attach to a value-selecting kernel's output;
+    valid because dispatch.unify_device_dicts gives all dictionary-coded
+    inputs one shared dictionary before the kernel runs."""
+    return next((x.dictionary for x in args
+                 if isinstance(x, DeviceColumn)
+                 and x.dictionary is not None), None)
 
 
 def _arith_type(a, b=None, op: str = "add") -> Optional[DataType]:
@@ -449,7 +459,9 @@ def _minmax_elementwise(name, op, pickval):
                 out_v = jnp.where(op(v, out_v), v, out_v)
                 out_d = _and_validity(out_d, d)
         t = next((a.type for a in args if isinstance(a, DeviceColumn)), None)
-        return _col(out_v, out_d, t if t and t.is_temporal else None)
+        d = _shared_dictionary(*args)
+        return _col(out_v, out_d,
+                    t if t and (t.is_temporal or d is not None) else None, d)
     return _fn
 
 
@@ -594,7 +606,8 @@ def _if_else(ctx, cond, a, b):
         branch_validity = jnp.where(cv, at, bt)
     validity = _and_validity(cvd, branch_validity)
     t = next((x.type for x in (a, b) if isinstance(x, DeviceColumn)), None)
-    return _col(out, validity, t if t and not t.is_numeric else None)
+    return _col(out, validity, t if t and not t.is_numeric else None,
+                _shared_dictionary(a, b))
 
 
 @register("coalesce", "elementwise")
@@ -610,7 +623,8 @@ def _coalesce(ctx, *args):
         out_d = jnp.logical_or(out_d, jnp.logical_and(need, filled))
         # once fully valid we could stop, but tracing keeps it simple
     t = next((x.type for x in args if isinstance(x, DeviceColumn)), None)
-    return _col(out_v, out_d, t if t and not t.is_numeric else None)
+    return _col(out_v, out_d, t if t and not t.is_numeric else None,
+                _shared_dictionary(*args))
 
 
 @register("fill_null", "elementwise")

@@ -241,6 +241,9 @@ def call_function(name: str, args: Sequence, options=None,
         host_args = [a.combine() if isinstance(a, ChunkedArray) else a
                      for a in args]
         return fn.impl(*host_args, **(options or {}))
+    if fn.kind == "elementwise" and name != "cast":
+        from .dispatch import unify_inputs
+        args = unify_inputs(name, args, options)
     arrays: List[Tuple[int, Array]] = []
     prepared: List = []
     for i, a in enumerate(args):
@@ -276,6 +279,9 @@ def call_function(name: str, args: Sequence, options=None,
     else:
         n = None
 
+    if fn.kind == "elementwise" and name != "cast":
+        from .dispatch import unify_device_dicts
+        prepared = unify_device_dicts(prepared)
     cols = [p for p in prepared if isinstance(p, DeviceColumn)]
     scalars = [p for p in prepared
                if not isinstance(p, DeviceColumn)]
