@@ -233,7 +233,11 @@ class FlightServerBase:
     flight/server.h:248)."""
 
     def __init__(self, location: str = "grpc://0.0.0.0:0",
-                 auth_handler: Optional[ServerAuthHandler] = None):
+                 auth_handler: Optional[ServerAuthHandler] = None,
+                 tls_certificates=None):
+        """``tls_certificates``: list of (cert_chain_pem, private_key_pem)
+        pairs enables TLS (reference: flight/server.h FlightServerOptions
+        tls_certificates); use a grpc+tls:// location with it."""
         self._location = location
         self.auth_handler = auth_handler
         self._server = grpc.server(
@@ -279,8 +283,13 @@ class FlightServerBase:
         self._server.add_generic_rpc_handlers(
             (grpc.method_handlers_generic_handler(_SERVICE, handlers),))
         host_port = location.replace("grpc://", "").replace(
-            "grpc+tcp://", "")
-        self.port = self._server.add_insecure_port(host_port)
+            "grpc+tcp://", "").replace("grpc+tls://", "")
+        if tls_certificates:
+            creds = grpc.ssl_server_credentials(
+                [(key, cert) for cert, key in tls_certificates])
+            self.port = self._server.add_secure_port(host_port, creds)
+        else:
+            self.port = self._server.add_insecure_port(host_port)
 
     # -- overridables --
     def list_flights(self, criteria: bytes) -> Iterator[FlightInfo]:
@@ -441,10 +450,15 @@ class FlightServerBase:
 # --- client ----------------------------------------------------------------
 
 class FlightClient:
-    def __init__(self, location: str):
+    def __init__(self, location: str, tls_root_certs: bytes = None):
         host_port = location.replace("grpc://", "").replace(
-            "grpc+tcp://", "")
-        self._channel = grpc.insecure_channel(host_port)
+            "grpc+tcp://", "").replace("grpc+tls://", "")
+        if location.startswith("grpc+tls://") or tls_root_certs:
+            creds = grpc.ssl_channel_credentials(
+                root_certificates=tls_root_certs)
+            self._channel = grpc.secure_channel(host_port, creds)
+        else:
+            self._channel = grpc.insecure_channel(host_port)
         self._metadata: List[Tuple[str, str]] = []
 
     def _method(self, name):

@@ -172,3 +172,51 @@ def test_pyarrow_client_auth_and_exchange_interop():
         pcli.close()
     finally:
         srv.shutdown()
+
+
+# --- TLS (flight/server.h FlightServerOptions.tls_certificates) -------------
+
+
+def _self_signed_cert():
+    import datetime
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=1))
+            .not_valid_after(now + datetime.timedelta(days=365))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.DNSName("localhost")]), critical=False)
+            .sign(key, hashes.SHA256()))
+    return (cert.public_bytes(serialization.Encoding.PEM),
+            key.private_bytes(serialization.Encoding.PEM,
+                              serialization.PrivateFormat.TraditionalOpenSSL,
+                              serialization.NoEncryption()))
+
+
+def test_tls_do_get_and_pyarrow_client():
+    pytest.importorskip("cryptography")
+    cert_pem, key_pem = _self_signed_cert()
+
+    class Server(flight.FlightServerBase):
+        def do_get(self, ticket):
+            return at.table({"x": [1, 2, 3]})
+
+    srv = Server("grpc+tls://localhost:0",
+                 tls_certificates=[(cert_pem, key_pem)])
+    srv.serve()
+    cli = flight.FlightClient(f"grpc+tls://localhost:{srv.port}",
+                          tls_root_certs=cert_pem)
+    assert cli.do_get(flight.Ticket(b"t")).to_pydict() == {"x": [1, 2, 3]}
+    paf = pytest.importorskip("pyarrow.flight")
+    pc2 = paf.FlightClient(f"grpc+tls://localhost:{srv.port}",
+                           tls_root_certs=cert_pem)
+    assert pc2.do_get(paf.Ticket(b"t")).read_all().to_pydict() == \
+        {"x": [1, 2, 3]}
