@@ -235,3 +235,54 @@ def q12_style_plan(orders: Table, lineitem: Table) -> Declaration:
         Declaration("order_by", acero.OrderByNodeOptions(
             [("l_shipmode", "ascending")])),
     ])
+
+
+def q5_plan(customer: Table, orders: Table, lineitem: Table,
+            supplier: Table, nation: Table, region: Table,
+            region_name: str = "ASIA") -> Declaration:
+    """TPC-H Q5 (local supplier volume): customer ⋈ orders ⋈ lineitem ⋈
+    supplier (with c_nationkey = s_nationkey) ⋈ nation ⋈ region, revenue
+    per nation within one region and a one-year order window."""
+    cust = Declaration("table_source", acero.TableSourceNodeOptions(customer))
+    ords = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(orders)),
+        Declaration("filter", acero.FilterNodeOptions(
+            (field("o_orderdate") >= DATE_1994_01_01)
+            & (field("o_orderdate") < DATE_1995_01_01))),
+    ])
+    li = Declaration("table_source", acero.TableSourceNodeOptions(lineitem))
+    sup = Declaration("table_source", acero.TableSourceNodeOptions(supplier))
+    reg = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(region)),
+        Declaration("filter", acero.FilterNodeOptions(
+            field("r_name") == region_name)),
+    ])
+    nat = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["n_regionkey"], right_keys=["r_regionkey"],
+        right_output=[]), inputs=[
+            Declaration("table_source",
+                        acero.TableSourceNodeOptions(nation)), reg])
+    oc = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["o_custkey"], right_keys=["c_custkey"],
+        right_output=["c_nationkey"]), inputs=[ords, cust])
+    lo = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+        right_output=["c_nationkey"]), inputs=[li, oc])
+    ls = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_suppkey", "c_nationkey"],
+        right_keys=["s_suppkey", "s_nationkey"],
+        right_output=["s_nationkey"]), inputs=[lo, sup])
+    ln = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["s_nationkey"], right_keys=["n_nationkey"],
+        right_output=["n_name"]), inputs=[ls, nat])
+    return Declaration.from_sequence([
+        ln,
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("n_name"),
+             field("l_extendedprice") * (1.0 - field("l_discount"))],
+            ["n_name", "volume"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("volume", "sum", None, "revenue")], keys=["n_name"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("revenue", "descending")])),
+    ])

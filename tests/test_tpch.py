@@ -235,3 +235,41 @@ def test_q12_style_matches_python_oracle(tables):
         out.column("low_line_count").to_pylist())}
     assert got == counts
     assert out.column("l_shipmode").to_pylist() == sorted(counts)
+
+
+def test_q5_matches_python_oracle():
+    t = tpch.generate(0.002)
+    out = tpch_queries.q5_plan(
+        t["customer"], t["orders"], t["lineitem"], t["supplier"],
+        t["nation"], t["region"]).to_table()
+
+    cd, od = t["customer"].to_pydict(), t["orders"].to_pydict()
+    ld, sd = t["lineitem"].to_pydict(), t["supplier"].to_pydict()
+    nd, rd = t["nation"].to_pydict(), t["region"].to_pydict()
+    asia = {rk for rk, rn in zip(rd["r_regionkey"], rd["r_name"])
+            if rn == "ASIA"}
+    nat_ok = {nk: nn for nk, nn, nr in zip(
+        nd["n_nationkey"], nd["n_name"], nd["n_regionkey"]) if nr in asia}
+    cust_nat = dict(zip(cd["c_custkey"], cd["c_nationkey"]))
+    lo, hi = datetime.date(1994, 1, 1), datetime.date(1995, 1, 1)
+    ord_cust = {ok: ck for ok, ck, dte in zip(
+        od["o_orderkey"], od["o_custkey"], od["o_orderdate"])
+        if lo <= dte < hi}
+    supp_nat = dict(zip(sd["s_suppkey"], sd["s_nationkey"]))
+    rev = {}
+    for ok, sk, p, disc in zip(ld["l_orderkey"], ld["l_suppkey"],
+                               ld["l_extendedprice"], ld["l_discount"]):
+        ck = ord_cust.get(ok)
+        if ck is None:
+            continue
+        cn = cust_nat.get(ck)
+        if cn is None or cn not in nat_ok or supp_nat.get(sk) != cn:
+            continue
+        name = nat_ok[cn]
+        rev[name] = rev.get(name, 0.0) + p * (1.0 - disc)
+    exp = sorted(rev.items(), key=lambda kv: -kv[1])
+    got = list(zip(out.column("n_name").to_pylist(),
+                   out.column("revenue").to_pylist()))
+    assert [k for k, _ in got] == [k for k, _ in exp]
+    np.testing.assert_allclose([v for _, v in got],
+                               [v for _, v in exp], rtol=1e-9)
