@@ -40,6 +40,31 @@ from .memory import (  # noqa: F401
     default_memory_pool, device_memory_stats, log_memory_allocations,
     supported_memory_backends, system_memory_pool, total_allocated_bytes,
 )
+from .errors import (  # noqa: F401
+    ArrowCancelled, ArrowCapacityError, ArrowException, ArrowIOError,
+    ArrowIndexError, ArrowInvalid, ArrowKeyError, ArrowMemoryError,
+    ArrowNotImplementedError, ArrowSerializationError, ArrowTypeError,
+)
+from .api import (  # noqa: F401
+    concat_arrays, concat_batches, concat_tables, deserialize_pandas,
+    infer_type, nulls, repeat, scalar, serialize_pandas, show_info,
+    show_versions, type_for_alias, unify_schemas,
+)
+from .io_streams import (  # noqa: F401
+    BufferOutputStream, BufferReader, Codec, CompressedInputStream,
+    CompressedOutputStream, MemoryMappedFile, MockOutputStream, OSFile,
+    compress, create_memory_map, decompress, foreign_buffer, input_stream,
+    memory_map, output_stream, py_buffer,
+)
+from .extension import (  # noqa: F401
+    ExtensionType, register_extension_type, unregister_extension_type,
+)
+from .compute.registry import Scalar  # noqa: F401
+from .table import TableGroupBy  # noqa: F401
+from .types import (  # noqa: F401
+    string as utf8, large_string as large_utf8,
+)
+from .config import build_info, runtime_info  # noqa: F401
 
 from . import compute  # noqa: F401
 from . import ipc  # noqa: F401
