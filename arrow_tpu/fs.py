@@ -243,3 +243,91 @@ class SubTreeFileSystem(FileSystem):
 
     def delete_file(self, path):
         return self.base_fs.delete_file(self._full(path))
+
+
+class FsspecFileSystem(FileSystem):
+    """Adapter exposing any fsspec filesystem through this FileSystem API
+    (reference analogue: pyarrow's PyFileSystem + FSSpecHandler, which is
+    how pyarrow itself reaches S3/GCS/Azure when the native builds are
+    absent). Works with fsspec's memory/local/http/... protocols and, when
+    the corresponding drivers are installed, s3/gcs/abfs/hdfs."""
+
+    def __init__(self, fs):
+        self.fs = fs
+
+    @classmethod
+    def from_uri(cls, protocol: str, **storage_options):
+        import fsspec
+        return cls(fsspec.filesystem(protocol, **storage_options))
+
+    def _info(self, raw) -> FileInfo:
+        t = FileType.Directory if raw.get("type") == "directory" \
+            else FileType.File
+        size = raw.get("size") or -1
+        return FileInfo(raw["name"], t, size if size is not None else -1)
+
+    def get_file_info(self, path_or_selector):
+        if isinstance(path_or_selector, FileSelector):
+            sel = path_or_selector
+            try:
+                raws = self.fs.ls(sel.base_dir, detail=True)
+            except FileNotFoundError:
+                if sel.allow_not_found:
+                    return []
+                raise
+            out = [self._info(r) for r in raws]
+            if sel.recursive:
+                for r in list(raws):
+                    if r.get("type") == "directory":
+                        out.extend(self.get_file_info(
+                            FileSelector(r["name"], True, True)))
+            return out
+        path = path_or_selector
+        if not self.fs.exists(path):
+            return FileInfo(path, FileType.NotFound)
+        return self._info(self.fs.info(path))
+
+    def open_input_stream(self, path: str):
+        return self.fs.open(path, "rb")
+
+    open_input_file = open_input_stream
+
+    def open_output_stream(self, path: str):
+        return self.fs.open(path, "wb")
+
+    def create_dir(self, path: str, recursive: bool = True):
+        self.fs.makedirs(path, exist_ok=True)
+
+    def delete_dir(self, path: str):
+        self.fs.rm(path, recursive=True)
+
+    def delete_file(self, path: str):
+        self.fs.rm_file(path) if hasattr(self.fs, "rm_file") \
+            else self.fs.rm(path)
+
+    def move(self, src: str, dest: str):
+        self.fs.mv(src, dest)
+
+    def equals(self, other) -> bool:
+        return isinstance(other, FsspecFileSystem) and \
+            self.fs == other.fs
+
+
+def _fsspec_backed(protocol: str, doc_name: str):
+    class _Cloud(FsspecFileSystem):
+        __doc__ = (f"{doc_name} via fsspec (reference: "
+                   f"filesystem/{protocol}fs.h). Requires the fsspec "
+                   f"{protocol} driver package at construction time.")
+
+        def __init__(self, **storage_options):
+            import fsspec
+            super().__init__(fsspec.filesystem(protocol,
+                                               **storage_options))
+    _Cloud.__name__ = doc_name
+    return _Cloud
+
+
+S3FileSystem = _fsspec_backed("s3", "S3FileSystem")
+GcsFileSystem = _fsspec_backed("gcs", "GcsFileSystem")
+AzureFileSystem = _fsspec_backed("abfs", "AzureFileSystem")
+HadoopFileSystem = _fsspec_backed("hdfs", "HadoopFileSystem")

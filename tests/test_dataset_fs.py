@@ -2,6 +2,8 @@
 
 import os
 
+from arrow_tpu import fs
+
 import pytest
 
 import arrow_tpu as at
@@ -140,3 +142,50 @@ def test_fragment_readahead_threaded(tmp_path, sample_table):
     assert threaded.to_pydict() == serial.to_pydict()
     one = data.to_table(fragment_readahead=1)
     assert one.to_pydict() == serial.to_pydict()
+
+
+# --- fsspec adapter (fs.FsspecFileSystem vs pyarrow PyFileSystem) -----------
+
+
+class TestFsspecFileSystem:
+    def test_memory_protocol_full_surface(self):
+        pytest.importorskip("fsspec")
+        m = fs.FsspecFileSystem.from_uri("memory")
+        with m.open_output_stream("/bkt/dir/a.bin") as f:
+            f.write(b"hello")
+        info = m.get_file_info("/bkt/dir/a.bin")
+        assert info.is_file and info.size == 5
+        sel = fs.FileSelector("/bkt", recursive=True)
+        paths = [i.path for i in m.get_file_info(sel)]
+        assert "/bkt/dir/a.bin" in paths
+        with m.open_input_stream("/bkt/dir/a.bin") as f:
+            assert f.read() == b"hello"
+        m.move("/bkt/dir/a.bin", "/bkt/dir/b.bin")
+        assert m.get_file_info("/bkt/dir/a.bin").type == \
+            fs.FileType.NotFound
+        m.delete_file("/bkt/dir/b.bin")
+
+    def test_parquet_roundtrip_through_fsspec(self):
+        pytest.importorskip("fsspec")
+        import io as _io
+
+        from arrow_tpu.io.parquet import read_table, write_table
+        m = fs.FsspecFileSystem.from_uri("memory")
+        t = at.table({"a": [1, 2, 3], "s": ["x", None, "z"]})
+        buf = _io.BytesIO()
+        write_table(t, buf)
+        with m.open_output_stream("/data/p.parquet") as f:
+            f.write(buf.getvalue())
+        with m.open_input_stream("/data/p.parquet") as f:
+            assert read_table(f).to_pydict() == t.to_pydict()
+
+    def test_cloud_classes(self):
+        pytest.importorskip("fsspec")
+        # drivers absent in this env -> clean ImportError at construction
+        for cls in (fs.S3FileSystem, fs.AzureFileSystem):
+            with pytest.raises(ImportError):
+                cls()
+        # gcsfs is installed: construction works (network calls would
+        # need egress, which tests never do)
+        pytest.importorskip("gcsfs")
+        assert fs.GcsFileSystem(token="anon") is not None
