@@ -15,7 +15,7 @@ from .types import (  # noqa: F401
     string, large_string, binary, large_binary, fixed_size_binary,
     date32, date64, timestamp, time32, time64, duration,
     month_interval, day_time_interval, month_day_nano_interval,
-    decimal128, decimal256,
+    decimal32, decimal64, decimal128, decimal256,
     list_, large_list, fixed_size_list, struct, map_,
     string_view, binary_view, list_view, large_list_view,
     dictionary, sparse_union, dense_union, run_end_encoded,

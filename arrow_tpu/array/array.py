@@ -270,7 +270,7 @@ def _to_pylist(d: ArrayData) -> List[Any]:
         vals = d.values()
         return [vals[i].tobytes() if valid(i) else None for i in range(n)]
 
-    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         import decimal as _decimal
         vals = d.values()
         out = []

@@ -223,7 +223,7 @@ def array_data_from_sequence(values: Sequence[Any],
         return ArrayData(type, n, [_make_validity(mask), Buffer(offsets),
                                    Buffer(sizes)], [child])
 
-    if tid in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if tid in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         w = type.byte_width
         buf = bytearray(n * w)
         for i, v in enumerate(values):

@@ -91,7 +91,8 @@ class ArrayData:
             if t.id == TypeId.BOOL:
                 return np.zeros(self.length, dtype=np.bool_)
             if t.id in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128,
-                        TypeId.DECIMAL256):
+                        TypeId.DECIMAL256, TypeId.DECIMAL32,
+                        TypeId.DECIMAL64):
                 return np.zeros((self.length, t.byte_width), dtype=np.uint8)
             dt = (t.index_type.to_numpy_dtype() if t.id == TypeId.DICTIONARY
                   else t.to_numpy_dtype())
@@ -102,7 +103,7 @@ class ArrayData:
         if t.id == TypeId.DICTIONARY:
             dt = t.index_type.to_numpy_dtype()
             return self.buffers[1].view(dt)[self.offset:self.offset + self.length]
-        if t.id in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128, TypeId.DECIMAL256):
+        if t.id in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
             w = t.byte_width
             raw = self.buffers[1].to_numpy()
             start = self.offset * w

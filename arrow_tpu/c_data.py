@@ -95,8 +95,8 @@ def format_for_type(t: DataType) -> str:
         return f"tD{_UNIT_CODE[t.unit]}"
     if tid == TypeId.FIXED_SIZE_BINARY:
         return f"w:{t.byte_width}"
-    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256):
-        bits = "" if tid == TypeId.DECIMAL128 else ",256"
+    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
+        bits = "" if tid == TypeId.DECIMAL128 else f",{t.bit_width}"
         return f"d:{t.precision},{t.scale}{bits}"
     if tid == TypeId.FIXED_SIZE_LIST:
         return f"+w:{t.list_size}"
@@ -138,9 +138,10 @@ def type_for_format(fmt: str, children: List[Field]) -> DataType:
         return T.fixed_size_binary(int(fmt[2:]))
     if fmt.startswith("d:"):
         parts = fmt[2:].split(",")
-        if len(parts) == 3 and parts[2] == "256":
-            return T.decimal256(int(parts[0]), int(parts[1]))
-        return T.decimal128(int(parts[0]), int(parts[1]))
+        mk = T.decimal128 if len(parts) < 3 else {
+            "32": T.decimal32, "64": T.decimal64, "128": T.decimal128,
+            "256": T.decimal256}[parts[2]]
+        return mk(int(parts[0]), int(parts[1]))
     if fmt.startswith("+w:"):
         return T.FixedSizeListType(children[0], int(fmt[3:]))
     if fmt.startswith("+us:"):

@@ -63,7 +63,7 @@ class AggResult:
 def _dec_factor(t: DataType):
     """10^-scale for decimal types (None otherwise): float-domain
     aggregates must descale the device's unscaled-int64 representation."""
-    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         return 10.0 ** (-t.scale)
     return None
 
@@ -78,7 +78,7 @@ def _py(v):
 def _py_typed(v, t):
     """_py plus decimal decode: unscaled int -> decimal.Decimal."""
     x = _py(v)
-    if t is not None and t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if t is not None and t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         import decimal as _d
         return _d.Decimal(int(x)).scaleb(-t.scale)
     return x
@@ -100,7 +100,7 @@ def _sum_dtype(dt):
 
 
 def _sum_type(t: DataType) -> DataType:
-    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         # reference: sum of decimal keeps the scale, precision widens
         return T.decimal128(18, t.scale)
     if t.id == TypeId.BOOL:

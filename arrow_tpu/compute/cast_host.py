@@ -26,7 +26,7 @@ _STRINGS = (TypeId.STRING, TypeId.LARGE_STRING)
 _BINARIES = (TypeId.BINARY, TypeId.LARGE_BINARY)
 _LISTS = (TypeId.LIST, TypeId.LARGE_LIST, TypeId.FIXED_SIZE_LIST,
           TypeId.LIST_VIEW, TypeId.LARGE_LIST_VIEW)
-_DECIMALS = (TypeId.DECIMAL128, TypeId.DECIMAL256)
+_DECIMALS = (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64)
 
 _INT_RANGE = {
     TypeId.INT8: (-2**7, 2**7 - 1), TypeId.INT16: (-2**15, 2**15 - 1),

@@ -113,7 +113,7 @@ def _arith_type(a, b=None, op: str = "add") -> Optional[DataType]:
     if not cols:
         return None
     dec = [c for c in cols
-           if c.type.id in (TypeId.DECIMAL128, TypeId.DECIMAL256)]
+           if c.type.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64)]
     if dec:
         if len(dec) != len(cols):
             return dec[0].type  # decimal op plain-int scalar keeps scale
@@ -208,7 +208,7 @@ def _divide(ctx, a, b):
     _require_numeric("divide", a, b)
     for x in (a, b):
         if isinstance(x, DeviceColumn) and x.type.id in (
-                TypeId.DECIMAL128, TypeId.DECIMAL256):
+                TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
             raise ArrowInvalid(
                 "decimal divide not supported on device; cast to float64")
     av, avd = _as_values(a)

@@ -48,14 +48,14 @@ def concat_arrays(arrays: Sequence[Array], type: DataType = None) -> Array:
                                null_count=nc))
 
     if type.is_primitive and tid not in (TypeId.FIXED_SIZE_BINARY,
-                                         TypeId.DECIMAL128, TypeId.DECIMAL256):
+                                         TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         validity, nc = _concat_validity(datas)
         vals = np.concatenate([d.values() for d in datas]) if datas else \
             np.zeros(0, type.to_numpy_dtype())
         return Array(ArrayData(type, total, [validity, Buffer(vals)],
                                null_count=nc))
 
-    if tid in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if tid in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         validity, nc = _concat_validity(datas)
         vals = np.concatenate([d.values().reshape(-1) for d in datas]) \
             if datas else np.zeros(0, np.uint8)

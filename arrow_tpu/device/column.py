@@ -64,7 +64,7 @@ def jnp_dtype_for(t: DataType):
         return jnp.int32  # dictionary codes
     if t.id == TypeId.NA:
         return jnp.int8  # all-null column: dummy zeros + all-false validity
-    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         # device decimal = unscaled int64 (SURVEY §2.2 "decimals → int64
         # on TPU"); precision beyond 18 digits stays host-only
         if t.precision > 18:
@@ -290,7 +290,7 @@ def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
         validity = jnp.zeros(cap, dtype=jnp.bool_)
         return DeviceColumn(vals, validity, t)
 
-    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         dtype = jnp_dtype_for(t)  # raises for precision > 18
         d = arr.data
         w = t.byte_width
@@ -377,7 +377,7 @@ def download_column(col: DeviceColumn, n: int,
             t, n, [vbuf, Buffer(bitutil.pack_bits(vals.astype(np.bool_)))],
             null_count=null_count))
 
-    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         w = t.byte_width
         low = vals.astype(np.int64)
         raw = np.zeros((n, w), dtype=np.uint8)

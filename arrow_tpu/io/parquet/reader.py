@@ -661,7 +661,7 @@ def _assemble(cs: ColumnSchema, defs: np.ndarray, values_parts,
         w = cs.type_length
         full = np.zeros((n, w), dtype=np.uint8)
         vals = dense.reshape(-1, w)
-        if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+        if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
             vals = vals[:, ::-1]  # parquet decimals are big-endian
         full[present] = vals
         return Array(ArrayData(t, n, [validity, Buffer(full.reshape(-1))],

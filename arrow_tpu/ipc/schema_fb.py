@@ -55,7 +55,7 @@ def _write_type(b: flatbuffers.Builder, t: DataType) -> Tuple[int, int]:
         return fb.TYPE_LARGEUTF8, _table(b, 0, [])
     if tid == TypeId.LARGE_BINARY:
         return fb.TYPE_LARGEBINARY, _table(b, 0, [])
-    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256):
+    if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         return fb.TYPE_DECIMAL, _table(b, 3, [
             (2, "i32", t.bit_width, 128),
             (1, "i32", t.scale, 0),
@@ -200,7 +200,8 @@ def _read_type(disc: int, r: Optional[Reader],
         return T.large_binary()
     if disc == fb.TYPE_DECIMAL:
         bw = r.i32(2, 128)
-        mk = T.decimal128 if bw == 128 else T.decimal256
+        mk = {32: T.decimal32, 64: T.decimal64, 128: T.decimal128,
+              256: T.decimal256}[bw]
         return mk(r.i32(0), r.i32(1))
     if disc == fb.TYPE_FIXEDSIZEBINARY:
         return T.fixed_size_binary(r.i32(0))

@@ -22,7 +22,7 @@ __all__ = [
     "string", "large_string", "binary", "large_binary", "fixed_size_binary",
     "date32", "date64", "timestamp", "time32", "time64", "duration",
     "month_interval", "day_time_interval", "month_day_nano_interval",
-    "decimal128", "decimal256",
+    "decimal32", "decimal64", "decimal128", "decimal256",
     "list_", "large_list", "fixed_size_list", "struct", "map_",
     "string_view", "binary_view", "list_view", "large_list_view",
     "dictionary", "sparse_union", "dense_union", "run_end_encoded",
@@ -60,6 +60,8 @@ class TypeId(enum.IntEnum):
     INTERVAL_DAY_TIME = 22
     DECIMAL128 = 23
     DECIMAL256 = 24
+    DECIMAL32 = 43
+    DECIMAL64 = 44
     LIST = 25
     STRUCT = 26
     SPARSE_UNION = 27
@@ -120,6 +122,7 @@ _BIT_WIDTHS = {
     TypeId.DURATION: 64, TypeId.INTERVAL_MONTHS: 32,
     TypeId.INTERVAL_DAY_TIME: 64, TypeId.INTERVAL_MONTH_DAY_NANO: 128,
     TypeId.DECIMAL128: 128, TypeId.DECIMAL256: 256,
+    TypeId.DECIMAL32: 32, TypeId.DECIMAL64: 64,
 }
 
 
@@ -260,7 +263,8 @@ class DecimalType(FixedSizeBinaryType):
     __slots__ = ("precision", "scale")
 
     def __init__(self, precision: int, scale: int, type_id: TypeId):
-        width = 16 if type_id == TypeId.DECIMAL128 else 32
+        width = {TypeId.DECIMAL32: 4, TypeId.DECIMAL64: 8,
+                 TypeId.DECIMAL128: 16, TypeId.DECIMAL256: 32}[type_id]
         super().__init__(width, type_id)
         object.__setattr__(self, "precision", int(precision))
         object.__setattr__(self, "scale", int(scale))
@@ -269,7 +273,8 @@ class DecimalType(FixedSizeBinaryType):
         return (int(self.id), self.precision, self.scale)
 
     def __repr__(self):
-        n = 128 if self.id == TypeId.DECIMAL128 else 256
+        n = {TypeId.DECIMAL32: 32, TypeId.DECIMAL64: 64,
+             TypeId.DECIMAL128: 128, TypeId.DECIMAL256: 256}[self.id]
         return f"decimal{n}({self.precision}, {self.scale})"
 
 
@@ -718,6 +723,14 @@ def time64(unit: str = "us") -> TimeType:
 
 def duration(unit: str = "us") -> DurationType:
     return DurationType(unit)
+
+
+def decimal32(precision: int, scale: int = 0) -> DecimalType:
+    return DecimalType(precision, scale, TypeId.DECIMAL32)
+
+
+def decimal64(precision: int, scale: int = 0) -> DecimalType:
+    return DecimalType(precision, scale, TypeId.DECIMAL64)
 
 
 def decimal128(precision: int, scale: int = 0) -> DecimalType:

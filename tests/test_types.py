@@ -60,3 +60,31 @@ def test_map_and_union_types():
     u = at.dense_union([at.field("i", at.int8()), at.field("s", at.string())])
     assert u.mode == "dense"
     assert u.type_codes == (0, 1)
+
+
+def test_decimal32_64_types_and_ipc():
+    """DECIMAL32=43 / DECIMAL64=44 (type_fwd.h:470,473): construction,
+    IPC both directions vs pyarrow, C-data format strings."""
+    import io
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from arrow_tpu import ipc
+    for mk, pamk, bits in ((at.decimal32, pa.decimal32, 32),
+                           (at.decimal64, pa.decimal64, 64)):
+        t = mk(7, 2)
+        assert t.bit_width == bits and t.byte_width == bits // 8
+        a = at.array([Decimal("12.34"), None], t)
+        assert a.to_pylist() == [Decimal("12.34"), None]
+        out = pa.ipc.open_stream(
+            ipc.serialize_table(at.table({"d": a}))).read_all()
+        assert out.column("d").type == pamk(7, 2)
+        pt = pa.table({"d": pa.array([Decimal("9.99")], pamk(6, 2))})
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, pt.schema) as w:
+            w.write_table(pt)
+        back = ipc.open_stream(io.BytesIO(sink.getvalue())).read_all()
+        assert back.column("d").combine().to_pylist() == [Decimal("9.99")]
+        assert pa.array(at.array([Decimal("1.25")], mk(6, 2))).type == \
+            pamk(6, 2)
