@@ -356,3 +356,61 @@ def test_bloom_fpp():
     probe = xxhash64_u64(np.arange(10_000, 20_000, dtype=np.uint64))
     fp = sum(bf.check_hash(int(h)) for h in probe)
     assert fp < 400  # ~1-2% fpp at this sizing
+
+
+# --- metadata introspection (metadata.py vs parquet/metadata.h) -------------
+
+
+class TestParquetMetadata:
+    def _file(self):
+        import io
+        t = at.table({"a": [1, 2, 3, 4], "s": ["x", "y", None, "w"],
+                      "p": [1, 1, 2, 2]})
+        buf = io.BytesIO()
+        pq.write_table(t, buf)
+        return t, buf.getvalue()
+
+    def test_metadata_matches_pyarrow_view(self):
+        import io
+
+        import pyarrow.parquet as ppq
+        t, raw = self._file()
+        fm = pq.read_metadata(raw)
+        pfm = ppq.read_metadata(io.BytesIO(raw))
+        assert fm.num_rows == pfm.num_rows
+        assert fm.num_row_groups == pfm.num_row_groups
+        assert fm.num_columns == pfm.num_columns
+        rg, prg = fm.row_group(0), pfm.row_group(0)
+        assert rg.num_rows == prg.num_rows
+        for i in range(fm.num_columns):
+            cc, pcc = rg.column(i), prg.column(i)
+            assert cc.path_in_schema == pcc.path_in_schema
+            assert cc.physical_type == str(pcc.physical_type)
+            if cc.statistics and pcc.statistics:
+                assert cc.statistics.min == pcc.statistics.min
+                assert cc.statistics.max == pcc.statistics.max
+                assert cc.statistics.null_count == \
+                    pcc.statistics.null_count
+        assert fm.schema.names == ["a", "s", "p"]
+        assert pq.read_schema(raw).names == ["a", "s", "p"]
+
+    def test_write_to_dataset_and_parquet_dataset(self, tmp_path):
+        t, _ = self._file()
+        root = str(tmp_path / "ds")
+        pq.write_to_dataset(t, root, partition_cols=["p"])
+        d = pq.ParquetDataset(root)
+        out = d.read()
+        got = sorted(zip(out.column("a").to_pylist(),
+                         out.column("p").to_pylist()))
+        assert got == [(1, 1), (2, 1), (3, 2), (4, 2)]
+
+    def test_filters_to_expression(self):
+        e = pq.filters_to_expression([("a", ">", 1), ("a", "<=", 3)])
+        assert "greater" in repr(e) and "less_equal" in repr(e)
+        e2 = pq.filters_to_expression([[("a", "=", 1)], [("a", "=", 2)]])
+        assert "or" in repr(e2)
+
+    def test_read_pandas(self):
+        _, raw = self._file()
+        df = pq.read_pandas(raw)
+        assert df.shape == (4, 3)
