@@ -206,3 +206,39 @@ def test_interval_day_time_and_month_day_nano():
     b2.seek(0)
     assert ipc.open_stream(b2).read_all().to_pydict() == {
         "mi": [(9, 8, 7)]}
+
+
+# --- pyarrow.ipc compat layer (ipc/compat.py) --------------------------------
+
+
+class TestIpcCompat:
+    def test_message_reader_and_schema(self):
+        t = at.table({"a": [1, 2, None], "s": ["x", None, "z"]})
+        raw = ipc.serialize_table(t)
+        msgs = list(ipc.MessageReader(raw))
+        assert [m.header_type for m in msgs] == [1, 3]  # schema, batch
+        sch = ipc.read_schema(raw)
+        assert [f.name for f in sch] == ["a", "s"]
+        rb = ipc.read_record_batch(msgs[1], sch)
+        assert rb.to_pydict() == t.to_pydict()
+        assert ipc.read_message(raw).header_type == 1
+
+    def test_batch_size_and_options(self):
+        t = at.table({"a": list(range(100))})
+        raw = ipc.serialize_table(t)
+        sz = ipc.get_record_batch_size(t.to_batches()[0])
+        assert 0 < sz < len(raw)
+        assert ipc.IpcWriteOptions(compression="zstd").compression == \
+            "zstd"
+        assert ipc.IpcReadOptions().use_threads
+        assert ipc.MetadataVersion.V5 == 5
+
+    def test_tensor_reexport(self):
+        import io as _io
+
+        import numpy as np
+        from arrow_tpu.tensor import Tensor
+        sink = _io.BytesIO()
+        ipc.write_tensor(Tensor(np.arange(6).reshape(2, 3)), sink)
+        back = ipc.read_tensor(_io.BytesIO(sink.getvalue()))
+        assert back.to_numpy().tolist() == [[0, 1, 2], [3, 4, 5]]
