@@ -246,11 +246,177 @@ def _chain_one(first, rest):
     yield from rest
 
 
+ISO8601 = "ISO8601"
+
+
+class InvalidRow:
+    """Passed to ParseOptions.invalid_row_handler (csv/options.h
+    InvalidRow): a row whose column count mismatches the header."""
+
+    __slots__ = ("expected_columns", "actual_columns", "number", "text")
+
+    def __init__(self, expected_columns, actual_columns, number, text):
+        self.expected_columns = expected_columns
+        self.actual_columns = actual_columns
+        self.number = number
+        self.text = text
+
+    def __repr__(self):
+        return (f"InvalidRow(expected={self.expected_columns}, "
+                f"actual={self.actual_columns}, number={self.number})")
+
+
+class CSVStreamingReader:
+    """Block-wise streaming reader (reference: csv/reader.h:65
+    StreamingReader). The first block infers the schema; later blocks
+    convert with the locked-in column types. Blocks split at row
+    boundaries (chunker.cc's newline-safe splitting falls out of
+    reading whole rows)."""
+
+    def __init__(self, source, read_options=None, parse_options=None,
+                 convert_options=None):
+        self._ro = read_options or ReadOptions()
+        self._po = parse_options or ParseOptions()
+        self._co = convert_options or ConvertOptions()
+        f = _open_text(source, self._ro.encoding)
+        self._reader = _csv.reader(
+            f, delimiter=self._po.delimiter,
+            quotechar=self._po.quote_char,
+            doublequote=self._po.double_quote,
+            escapechar=(self._po.escape_char
+                        if isinstance(self._po.escape_char, str)
+                        else None))
+        rows = iter(self._reader)
+        for _ in range(self._ro.skip_rows):
+            next(rows, None)
+        if self._ro.column_names is not None:
+            self._names = list(self._ro.column_names)
+        elif self._ro.autogenerate_column_names:
+            first = next(rows)
+            self._names = [f"f{i}" for i in range(len(first))]
+            rows = _chain_one(first, rows)
+        else:
+            self._names = next(rows)
+        for _ in range(self._ro.skip_rows_after_names):
+            next(rows, None)
+        self._rows = rows
+        # rows per block: approximate the byte-oriented block_size with
+        # an initial 64Ki-row cap refined after the first block
+        self._rows_per_block = None
+        self._first = self._read_block(first=True)
+        self.schema = (self._first.schema if self._first is not None
+                       else T.Schema([]))
+
+    def _read_block(self, first=False):
+        target = self._ro.block_size
+        cols = [[] for _ in self._names]
+        nbytes = 0
+        nrows = 0
+        for row in self._rows:
+            if not row and self._po.ignore_empty_lines:
+                continue
+            for i in range(len(self._names)):
+                cols[i].append(row[i] if i < len(row) else None)
+            nbytes += sum(len(v) for v in row) + len(row)
+            nrows += 1
+            if nbytes >= target:
+                break
+        if nrows == 0:
+            return None
+        arrays, out_names = [], []
+        for name, col in zip(self._names, cols):
+            if self._co.include_columns is not None and \
+                    name not in self._co.include_columns:
+                continue
+            t = self._types.get(name) if not first else \
+                self._co.column_types.get(name)
+            arrays.append(_convert_column(col, self._co, t))
+            out_names.append(name)
+        batch = Table.from_arrays(arrays, out_names).to_batches()[0]
+        if first:
+            self._types = {f.name: f.type for f in batch.schema}
+        return batch
+
+    def read_next_batch(self):
+        if self._first is not None:
+            out, self._first = self._first, None
+            return out
+        b = self._read_block()
+        if b is None:
+            raise StopIteration
+        return b
+
+    def __iter__(self):
+        while True:
+            try:
+                yield self.read_next_batch()
+            except StopIteration:
+                return
+
+    def read_all(self) -> Table:
+        batches = list(self)
+        if not batches:
+            return Table.from_arrays([], [])
+        return Table.from_batches(batches, batches[0].schema)
+
+
 def open_csv(source, read_options=None, parse_options=None,
-             convert_options=None):
-    """Streaming reader (single chunk per block for now)."""
-    tbl = read_csv(source, read_options, parse_options, convert_options)
-    return iter(tbl.to_batches())
+             convert_options=None) -> CSVStreamingReader:
+    """Streaming CSV reader (csv/reader.h:65 StreamingReader)."""
+    return CSVStreamingReader(source, read_options, parse_options,
+                              convert_options)
+
+
+class CSVWriter:
+    """Incremental CSV writer (pyarrow.csv.CSVWriter)."""
+
+    def __init__(self, sink, schema, write_options=None):
+        self._wo = write_options or WriteOptions()
+        self._schema = schema
+        self._close = False
+        if isinstance(sink, str):
+            sink = open(sink, "w", newline="")
+            self._close = True
+        self._text = sink
+        self._wrap = False
+        try:
+            sink.write("")
+        except TypeError:
+            self._text = io.TextIOWrapper(sink, encoding="utf8",
+                                          newline="")
+            self._wrap = True
+        self._w = _csv.writer(self._text, delimiter=self._wo.delimiter,
+                              quoting=_csv.QUOTE_MINIMAL,
+                              lineterminator="\r\n")
+        if self._wo.include_header:
+            self._w.writerow([f.name for f in schema])
+
+    def write(self, data):
+        if isinstance(data, Table):
+            for b in data.to_batches():
+                self.write(b)
+            return
+        pyd = data.to_pydict()
+        names = data.column_names
+        cols = [pyd[nm] for nm in names]
+        for i in range(data.num_rows):
+            self._w.writerow([_format_value(c[i]) for c in cols])
+
+    write_table = write
+    write_batch = write
+
+    def close(self):
+        if self._wrap:
+            self._text.flush()
+            self._text.detach()
+        elif self._close:
+            self._text.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _format_value(v) -> str:

@@ -181,3 +181,55 @@ def test_lz4_frame_codec_vectors():
     import pytest
     with pytest.raises(ValueError):
         decompress(b"\x00" * 16)
+
+
+# --- CSV streaming reader + incremental writer (csv/reader.h:65) ------------
+
+
+class TestCsvStreaming:
+    def test_streaming_blocks_consistent_schema(self):
+        import io as _io
+
+        from arrow_tpu.io import csv as acsv
+        data = "a,b\n" + "\n".join(f"{i},x{i % 5}"
+                                   for i in range(5000)) + "\n"
+        r = acsv.open_csv(_io.StringIO(data),
+                          read_options=acsv.ReadOptions(block_size=8192))
+        batches = list(r)
+        assert len(batches) > 1
+        assert sum(b.num_rows for b in batches) == 5000
+        assert all(b.schema == batches[0].schema for b in batches)
+        assert r.schema == batches[0].schema
+
+    def test_read_all_and_next_batch(self):
+        import io as _io
+
+        from arrow_tpu.io import csv as acsv
+        r = acsv.open_csv(_io.StringIO("a\n1\n2\n"))
+        b = r.read_next_batch()
+        assert b.to_pydict() == {"a": [1, 2]}
+        import pytest as _pytest
+        with _pytest.raises(StopIteration):
+            r.read_next_batch()
+        t = acsv.open_csv(_io.StringIO("a\n1\n2\n")).read_all()
+        assert t.num_rows == 2
+
+    def test_csv_writer_incremental_pyarrow_reads(self):
+        import io as _io
+
+        import pyarrow.csv as pcsv
+
+        from arrow_tpu.io import csv as acsv
+        t = at.table({"a": [1, 2], "s": ["x", "y"]})
+        sink = _io.StringIO()
+        with acsv.CSVWriter(sink, t.schema) as w:
+            w.write(t)
+            w.write(t.to_batches()[0])
+        out = pcsv.read_csv(_io.BytesIO(sink.getvalue().encode()))
+        assert out.num_rows == 4
+
+    def test_sentinels(self):
+        from arrow_tpu.io import csv as acsv
+        assert acsv.ISO8601 == "ISO8601"
+        row = acsv.InvalidRow(2, 3, 7, "x,y,z")
+        assert row.expected_columns == 2 and row.actual_columns == 3
