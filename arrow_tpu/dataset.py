@@ -377,3 +377,126 @@ def write_dataset(data: Union[Table, RecordBatch], base_dir: str,
         fs.create_dir(d)
         name = basename_template.format(i=0, ext=fmt.default_extname)
         fmt.write(sub, fs, posixpath.join(d, name))
+
+
+class OrcFileFormat(FileFormat):
+    """ORC fragments (reference: dataset/file_orc.h); both directions
+    use the native arrow_tpu.orc implementation."""
+    name = "orc"
+    default_extname = "orc"
+
+    def read(self, fs, path, columns=None):
+        from .io import orc
+        with fs.open_input_stream(path) as f:
+            return orc.read_table(f.read(), columns)
+
+    def write(self, tbl, fs, path):
+        from .io import orc
+        with fs.open_output_stream(path) as f:
+            orc.write_table(tbl, f)
+
+
+class FeatherFileFormat(IpcFileFormat):
+    """Feather V2 == the IPC file format (ipc/feather.h)."""
+    name = "feather"
+    default_extname = "feather"
+
+
+class JsonFileFormat(FileFormat):
+    """Newline-delimited JSON fragments (dataset/file_json.h)."""
+    name = "json"
+    default_extname = "json"
+
+    def read(self, fs, path, columns=None):
+        from .io import json as atjson
+        with fs.open_input_stream(path) as f:
+            t = atjson.read_json(f.read())
+        return t.select(columns) if columns else t
+
+
+_FORMATS["orc"] = OrcFileFormat
+_FORMATS["json"] = JsonFileFormat
+_FORMATS["feather"] = FeatherFileFormat
+
+
+class InMemoryDataset(Dataset):
+    """Dataset over in-memory tables (dataset/dataset.h InMemoryDataset)."""
+
+    def __init__(self, source, schema: Optional[Schema] = None):
+        if isinstance(source, (Table, RecordBatch)):
+            tables = [source if isinstance(source, Table)
+                      else Table.from_batches([source])]
+        else:
+            tables = [t if isinstance(t, Table)
+                      else Table.from_batches([t]) for t in source]
+        self._tables = tables
+        frags = [_TableFragment(t) for t in tables]
+        Dataset.__init__(self, frags,
+                         schema or tables[0].schema)
+
+
+class _TableFragment:
+    """Fragment backed by a materialized table."""
+
+    def __init__(self, tbl: Table):
+        self._tbl = tbl
+        self.partition_expression = None
+        self.path = "<memory>"
+
+    def to_table(self, columns=None):
+        return self._tbl.select(columns) if columns else self._tbl
+
+
+class FileSystemDataset(Dataset):
+    """Dataset over explicit file fragments (dataset/dataset.h:361)."""
+
+    @classmethod
+    def from_paths(cls, paths, schema=None, format="parquet",
+                   filesystem=None):
+        fs = filesystem or LocalFileSystem()
+        fmt = _FORMATS[format]() if isinstance(format, str) else format
+        frags = [FileFragment(fs, p, fmt, {}, None) for p in paths]
+        return cls(frags, schema or frags[0].to_table().schema)
+
+    @property
+    def files(self):
+        return [f.path for f in self.fragments]
+
+
+class UnionDataset(Dataset):
+    """Union of child datasets (dataset/dataset.h UnionDataset)."""
+
+    def __init__(self, schema: Optional[Schema], children):
+        frags = [f for c in children for f in c.fragments]
+        Dataset.__init__(self, frags, schema or children[0].schema)
+        self.children = list(children)
+
+
+class TaggedRecordBatch:
+    """A batch tagged with its originating fragment
+    (dataset/scanner.h TaggedRecordBatch)."""
+
+    def __init__(self, record_batch, fragment):
+        self.record_batch = record_batch
+        self.fragment = fragment
+
+
+def get_partition_keys(partition_expression) -> dict:
+    """Extract key==value pairs from a partition guarantee
+    (pyarrow.dataset.get_partition_keys)."""
+    out = {}
+    if partition_expression is None:
+        return out
+
+    def walk(e):
+        if e.kind == Expression.KIND_CALL:
+            if e.fn == "equal":
+                lhs, rhs = e.args
+                if lhs.kind == Expression.KIND_FIELD and \
+                        rhs.kind == Expression.KIND_LITERAL:
+                    out[lhs.name] = rhs.value
+            elif e.fn in ("and_kleene", "and"):
+                for a in e.args:
+                    walk(a)
+    walk(partition_expression)
+    return out

@@ -189,3 +189,39 @@ class TestFsspecFileSystem:
         # need egress, which tests never do)
         pytest.importorskip("gcsfs")
         assert fs.GcsFileSystem(token="anon") is not None
+
+
+# --- dataset compat classes (dataset/dataset.h variants) --------------------
+
+
+class TestDatasetCompat:
+    def test_in_memory_and_union(self):
+        t = at.table({"a": [1, 2, 3]})
+        imd = ds.InMemoryDataset(t)
+        assert imd.to_table().num_rows == 3
+        u = ds.UnionDataset(None, [imd, ds.InMemoryDataset(t)])
+        assert u.to_table().num_rows == 6
+
+    def test_orc_and_json_formats(self, tmp_path):
+        t = at.table({"a": [1, 2, 3], "s": ["x", "y", None]})
+        root = str(tmp_path / "orc_ds")
+        ds.write_dataset(t, root, format="orc")
+        back = ds.dataset(root, format="orc").to_table()
+        assert sorted(back.column("a").to_pylist()) == [1, 2, 3]
+        jdir = tmp_path / "json_ds"
+        jdir.mkdir()
+        (jdir / "j.json").write_text('{"a": 1}\n{"a": 2}\n')
+        jt = ds.dataset(str(jdir), format="json").to_table()
+        assert sorted(jt.column("a").to_pylist()) == [1, 2]
+
+    def test_filesystem_dataset_and_partition_keys(self, tmp_path):
+        from arrow_tpu.acero import field
+        t = at.table({"a": [1, 2]})
+        root = str(tmp_path / "fsd")
+        ds.write_dataset(t, root, format="parquet")
+        files = [str(p) for p in (tmp_path / "fsd").iterdir()]
+        fsd = ds.FileSystemDataset.from_paths(files, format="parquet")
+        assert fsd.files == files
+        assert fsd.to_table().num_rows == 2
+        e = (field("p") == 1) & (field("q") == "x")
+        assert ds.get_partition_keys(e) == {"p": 1, "q": "x"}
