@@ -256,3 +256,42 @@ for _name in list_functions():
 # python keywords need trailing-underscore aliases (pyarrow convention)
 and_ = getattr(_mod, "and")
 or_ = getattr(_mod, "or")
+
+
+def __getattr__(name):
+    if name == "Expression":
+        from ..acero.expression import Expression
+        return Expression
+    raise AttributeError(name)
+
+
+def register_scalar_function(func, function_name, function_doc, in_types,
+                             out_type):
+    """Register a python UDF (pyarrow.compute.register_scalar_function).
+    ``func(ctx, *arrays) -> Array``; runs host-tier (python UDFs cannot
+    trace into XLA; the reference's UDFs are likewise interpreted)."""
+    from ..array.array import Array
+    from .registry import Function, _REGISTRY
+
+    class _UdfCtx:
+        def __init__(self):
+            from ..memory import default_memory_pool
+            self.memory_pool = default_memory_pool()
+
+    def impl(*args, **options):
+        prepared = []
+        for a in args:
+            if isinstance(a, ChunkedArray):
+                a = a.combine()
+            prepared.append(a)
+        out = func(_UdfCtx(), *prepared)
+        if not isinstance(out, (Array, ChunkedArray)) and \
+                out_type is not None and not hasattr(out, "type"):
+            out = make_array(out, out_type)
+        return out
+
+    doc = function_doc.get("summary", "") if isinstance(function_doc,
+                                                        dict) else \
+        str(function_doc)
+    _REGISTRY[function_name] = Function(function_name, "host", impl, doc)
+    setattr(_mod, function_name, _make_wrapper(function_name))

@@ -363,3 +363,25 @@ def test_hash32():
     hf = pc.hash32(f).to_pylist()
     assert hf[0] == hf[2] and hf[0] != hf[1]
     assert hf[3] is None
+
+
+def test_register_scalar_function_udf():
+    """python UDF registration (pyarrow.compute.register_scalar_function
+    analogue; the reference interprets UDFs outside the kernel JIT too)."""
+    def plus_one(ctx, x):
+        return at.array([None if v is None else v + 1
+                         for v in x.to_pylist()], x.type)
+
+    pc.register_scalar_function(plus_one, "test_plus_one",
+                                {"summary": "adds one"},
+                                {"x": at.int64()}, at.int64())
+    assert pc.call_function("test_plus_one",
+                            [at.array([1, 2, None])]).to_pylist() == \
+        [2, 3, None]
+    assert "test_plus_one" in pc.list_functions()
+
+
+def test_expression_export():
+    assert pc.Expression is not None
+    e = (pc.field("a") > 1) & (pc.field("b") == "x")
+    assert e.kind == pc.Expression.KIND_CALL
