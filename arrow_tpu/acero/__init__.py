@@ -7,5 +7,6 @@ from .options import (  # noqa: F401
     FetchNodeOptions, FilterNodeOptions, HashJoinNodeOptions,
     OrderByNodeOptions, PivotLongerNodeOptions, PivotLongerRowTemplate,
     ProjectNodeOptions, RecordBatchReaderSourceNodeOptions,
+    ScanNodeOptions,
     SortedMergeNodeOptions, TableSourceNodeOptions, UnionNodeOptions,
 )

@@ -474,7 +474,8 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
             decl.options._device_batch = cached
         return cached
     if decl.factory_name in ("source", "record_batch_source",
-                             "exec_batch_source", "array_vector_source"):
+                             "exec_batch_source", "array_vector_source",
+                             "scan"):
         return upload_table(decl.options.table)
     if decl.factory_name == "record_batch_reader_source":
         # drain the reader into one device batch (source_node.cc:579-586

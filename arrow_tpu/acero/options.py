@@ -163,3 +163,22 @@ class RecordBatchReaderSourceNodeOptions(ExecNodeOptions):
     def __init__(self, reader, schema=None):
         self.reader = reader
         self.schema = schema
+
+
+class ScanNodeOptions(ExecNodeOptions):
+    """Dataset scan as a plan source (reference: dataset/scan_node.cc:123
+    "scan"). Fragments are loaded host-side (with the dataset's
+    partition pruning when ``filter`` is set) and enter the plan as one
+    device table; pushdown beyond that is the plan's own filter node."""
+
+    def __init__(self, dataset, columns=None, filter=None,
+                 require_sequenced_output: bool = False):
+        self.dataset = dataset
+        self.columns = columns
+        self.filter = filter
+        self.require_sequenced_output = require_sequenced_output
+
+    @property
+    def table(self):
+        return self.dataset.to_table(columns=self.columns,
+                                     filter=self.filter)

@@ -598,3 +598,185 @@ class FlightClient:
 
 def connect(location: str) -> FlightClient:
     return FlightClient(location)
+
+
+# --- pyarrow.flight class-surface parity -------------------------------------
+# (reference: flight/types.h Location/Action/ActionType, flight/error
+# hierarchy in flight/client.h, middleware in flight/middleware.h)
+
+
+class FlightError(Exception):
+    def __init__(self, message="", extra_info=b""):
+        super().__init__(message)
+        self.extra_info = extra_info
+
+
+class FlightInternalError(FlightError):
+    pass
+
+
+class FlightTimedOutError(FlightError):
+    pass
+
+
+class FlightCancelledError(FlightError):
+    pass
+
+
+class FlightServerError(FlightError):
+    pass
+
+
+class FlightUnauthenticatedError(FlightError):
+    pass
+
+
+class FlightUnauthorizedError(FlightError):
+    pass
+
+
+class FlightUnavailableError(FlightError):
+    pass
+
+
+class FlightWriteSizeExceededError(FlightError):
+    pass
+
+
+class Location:
+    """flight/types.h Location."""
+
+    def __init__(self, uri: str):
+        self.uri = uri
+
+    @classmethod
+    def for_grpc_tcp(cls, host: str, port: int) -> "Location":
+        return cls(f"grpc+tcp://{host}:{port}")
+
+    @classmethod
+    def for_grpc_tls(cls, host: str, port: int) -> "Location":
+        return cls(f"grpc+tls://{host}:{port}")
+
+    @classmethod
+    def for_grpc_unix(cls, path: str) -> "Location":
+        return cls(f"grpc+unix://{path}")
+
+    def __repr__(self):
+        return f"<Location {self.uri}>"
+
+    def __eq__(self, other):
+        return isinstance(other, Location) and self.uri == other.uri
+
+
+class Action:
+    """flight/types.h Action (type + opaque body)."""
+
+    def __init__(self, action_type: str, body: bytes = b""):
+        self.type = action_type
+        self.body = bytes(body)
+
+
+class ActionType:
+    def __init__(self, type: str, description: str = ""):
+        self.type = type
+        self.description = description
+
+
+class BasicAuth:
+    def __init__(self, username: str = "", password: str = ""):
+        self.username = username
+        self.password = password
+
+
+class CertKeyPair:
+    """(cert_chain_pem, private_key_pem) pair for tls_certificates."""
+
+    def __init__(self, cert: bytes, key: bytes):
+        self.cert = cert
+        self.key = key
+
+    def __iter__(self):
+        return iter((self.cert, self.key))
+
+
+class DescriptorType:
+    UNKNOWN, PATH, CMD = 0, 1, 2
+
+
+class FlightMethod:
+    (INVALID, HANDSHAKE, LIST_FLIGHTS, GET_FLIGHT_INFO, GET_SCHEMA,
+     DO_GET, DO_PUT, DO_ACTION, LIST_ACTIONS, DO_EXCHANGE) = range(10)
+
+
+class CallInfo:
+    def __init__(self, method):
+        self.method = method
+
+
+class FlightCallOptions:
+    def __init__(self, timeout=None, write_options=None, headers=None):
+        self.timeout = timeout
+        self.write_options = write_options
+        self.headers = headers or []
+
+
+class ClientMiddlewareFactory:
+    def start_call(self, info: CallInfo):
+        return None
+
+
+class ClientMiddleware:
+    def sending_headers(self):
+        return {}
+
+    def received_headers(self, headers):
+        pass
+
+    def call_completed(self, exception):
+        pass
+
+
+class ServerMiddlewareFactory:
+    def start_call(self, info, headers):
+        return None
+
+
+class ServerMiddleware:
+    def sending_headers(self):
+        return {}
+
+    def call_completed(self, exception):
+        pass
+
+
+class FlightStreamChunk:
+    def __init__(self, data, app_metadata=None):
+        self.data = data
+        self.app_metadata = app_metadata
+
+
+class GeneratorStream:
+    """Server do_get return value built from a schema + batch iterator
+    (pyarrow.flight.GeneratorStream)."""
+
+    def __init__(self, schema, generator):
+        self.schema = schema
+        self.generator = generator
+
+    def to_table(self) -> Table:
+        batches = list(self.generator)
+        return Table.from_batches(batches, self.schema)
+
+
+class RecordBatchStream:
+    """Server do_get return value wrapping a table/reader."""
+
+    def __init__(self, data_source):
+        self.data_source = data_source
+
+    def to_table(self) -> Table:
+        src = self.data_source
+        if isinstance(src, Table):
+            return src
+        batches = list(src)
+        return Table.from_batches(batches, batches[0].schema)

@@ -220,3 +220,25 @@ def test_tls_do_get_and_pyarrow_client():
                            tls_root_certs=cert_pem)
     assert pc2.do_get(paf.Ticket(b"t")).read_all().to_pydict() == \
         {"x": [1, 2, 3]}
+
+
+def test_flight_class_surface():
+    assert flight.Location.for_grpc_tcp("h", 9).uri == "grpc+tcp://h:9"
+    assert flight.Location.for_grpc_tls("h", 9).uri == "grpc+tls://h:9"
+    a = flight.Action("refresh", b"x")
+    assert a.type == "refresh" and a.body == b"x"
+    assert flight.DescriptorType.CMD == 2
+    assert flight.FlightMethod.DO_GET == 5
+    for err in (flight.FlightError, flight.FlightInternalError,
+                flight.FlightTimedOutError, flight.FlightCancelledError,
+                flight.FlightServerError,
+                flight.FlightUnauthenticatedError,
+                flight.FlightUnauthorizedError,
+                flight.FlightUnavailableError):
+        assert issubclass(err, Exception)
+    cert, key = flight.CertKeyPair(b"c", b"k")
+    assert (cert, key) == (b"c", b"k")
+    s = flight.GeneratorStream(
+        at.table({"a": [1]}).schema,
+        iter(at.table({"a": [1, 2]}).to_batches()))
+    assert s.to_table().num_rows == 2
