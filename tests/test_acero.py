@@ -238,3 +238,21 @@ def test_record_batch_reader_source():
                         "record_batch_reader_source",
                         acero.RecordBatchReaderSourceNodeOptions(reader))])
     assert d.to_table().to_pydict() == {"x": [2, 3, 4]}
+
+
+def test_scan_node_options(tmp_path):
+    """'scan' source node (dataset/scan_node.cc:123 analogue) with
+    partition pruning through ScanNodeOptions.filter."""
+    from arrow_tpu import dataset as ds
+    t = at.table({"year": [2020, 2021, 2021], "v": [1.0, 2.0, 3.0]})
+    root = str(tmp_path / "scan_ds")
+    ds.write_dataset(t, root, partitioning=["year"],
+                     partitioning_flavor="hive")
+    data = ds.dataset(root, partitioning=ds.partitioning(flavor="hive"))
+    plan = Declaration.from_sequence([
+        Declaration("scan", acero.ScanNodeOptions(
+            data, filter=field("year") == 2021)),
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("v") * 2.0], ["v2"])),
+    ])
+    assert sorted(plan.to_table().column("v2").to_pylist()) == [4.0, 6.0]
