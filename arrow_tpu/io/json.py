@@ -83,3 +83,13 @@ def read_json(source, read_options: Optional[ReadOptions] = None,
     out_schema = schema or Schema(
         [T.field(n, cols[n].type) for n in names])
     return Table.from_pydict(cols, out_schema)
+
+
+def open_json(source, read_options=None, parse_options=None):
+    """Streaming newline-delimited JSON reader (pyarrow.json.open_json):
+    yields RecordBatches of block_size rows."""
+    tbl = read_json(source, read_options, parse_options)
+    block = getattr(read_options, "block_size", 1 << 20) if read_options \
+        else 1 << 20
+    rows_per = max(1, block // 64)  # ~64B/row working estimate
+    return iter(tbl.to_batches(max_chunksize=rows_per))
