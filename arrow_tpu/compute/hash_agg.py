@@ -249,24 +249,30 @@ def grouped_stddev(ctx, values, gids, num_groups, ddof: int = 0,
 
 
 def _grouped_first_last(ctx, values, gids, num_groups, is_first, skip_nulls):
+    # int32 position segment-reduce + sort-based row gather: both stay
+    # LINEAR on TPU (1-D element gathers and 64-bit segment ops lower
+    # quadratically in this XLA build — see compute/move.py header).
+    from .move import gather_rows, segment_reduce
     cap = ctx.capacity
     live = values.valid_mask(ctx.row_mask()) if skip_nulls else \
         ctx.row_mask()
     live = jnp.logical_and(live, gids < cap)
-    seg = jnp.where(live, gids, cap - 1)
-    idx = jnp.arange(cap, dtype=jnp.int64)
+    seg = jnp.where(live, gids, cap - 1).astype(jnp.int32)
+    idx = jnp.arange(cap, dtype=jnp.int32)
     if is_first:
-        pos = jax.ops.segment_min(jnp.where(live, idx, cap), seg,
-                                  num_segments=cap)
+        pos = segment_reduce(jnp.where(live, idx, cap).astype(jnp.int32),
+                             seg, cap, "min", cap)
     else:
-        pos = jax.ops.segment_max(jnp.where(live, idx, -1), seg,
-                                  num_segments=cap)
+        pos = segment_reduce(jnp.where(live, idx, -1).astype(jnp.int32),
+                             seg, cap, "max", -1)
     has = (pos >= 0) & (pos < cap)
-    safe = jnp.where(has, pos, 0)
-    out = values.values[safe]
-    validity = has
-    if not skip_nulls and values.validity is not None:
-        validity = jnp.logical_and(validity, values.validity[safe])
+    safe = jnp.where(has, pos, 0).astype(jnp.int32)
+    if values.validity is not None and not skip_nulls:
+        out, val = gather_rows([values.values, values.validity], safe)
+        validity = jnp.logical_and(has, val)
+    else:
+        (out,) = gather_rows([values.values], safe)
+        validity = has
     return Compacted(DeviceColumn(out, validity, values.type,
                                   values.dictionary),
                      num_groups.astype(jnp.int32))
