@@ -275,6 +275,7 @@ class TestTDigest:
 class TestMemoryPool:
     def test_tracking_and_views(self):
         import gc
+        gc.collect()  # drop other tests' pending garbage before baselining
         base = at.total_allocated_bytes()
         t = at.table({"a": list(range(50_000))})
         delta = at.total_allocated_bytes() - base
@@ -284,7 +285,9 @@ class TestMemoryPool:
         assert at.total_allocated_bytes() == before
         del t, sl
         gc.collect()
-        assert at.total_allocated_bytes() - base == 0
+        # other sessions' garbage may be released alongside ours, so the
+        # total can only have gone down to (or below) the baseline
+        assert at.total_allocated_bytes() <= base
         pool = at.default_memory_pool()
         assert pool.max_memory() >= delta
         assert pool.num_allocations() >= 1
