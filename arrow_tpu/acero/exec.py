@@ -205,7 +205,9 @@ def _node_aggregate_inner(options: AggregateNodeOptions, schema: Schema,
                     else "hash_" + fname
                 impl = get_function(dev_name).impl
                 kw = dict(opts)
-                kw["num_segments"] = bound_static
+                import inspect as _inspect
+                if "num_segments" in _inspect.signature(impl).parameters:
+                    kw["num_segments"] = bound_static
                 if fname.replace("hash_", "") == "count_all":
                     r = impl(ctx, g.group_ids, g.num_groups, **kw)
                 else:

@@ -80,10 +80,12 @@ def column_words(values: jax.Array) -> List[jax.Array]:
                 values.astype(jnp.float32), jnp.uint32)]
         return [values.astype(jnp.uint32)]
     if jnp.issubdtype(dt, jnp.floating):
-        # f64: avoid bitcast (unsupported); mix mantissa/exponent parts
-        m, e = jnp.frexp(values)
-        m53 = (m * (2.0 ** 31)).astype(jnp.int64)
-        return [_u32(m53 & 0x7FFFFFFF), _u32(e.astype(jnp.int64) & 0xFFFF)]
+        # f64: exact bit pattern via the arithmetic extraction in keys.py
+        # (frexp/64-bit bitcast don't lower through the x64 rewriter)
+        from .keys import f64_bits
+        bits = f64_bits(values)
+        return [_u32(bits & jnp.uint64(0xFFFFFFFF)),
+                _u32(bits >> jnp.uint64(32))]
     v = values.astype(jnp.int64)
     return [_u32(v & 0xFFFFFFFF), _u32((v >> 32) & 0xFFFFFFFF)]
 

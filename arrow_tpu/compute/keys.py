@@ -23,6 +23,64 @@ from ..device.column import DeviceColumn
 
 SIGN64 = jnp.uint64(0x8000000000000000)
 
+_QNAN_BITS = jnp.uint64(0x7FF8000000000000)
+
+
+def _native_bitcast64() -> bool:
+    """True where 64-bit bitcast_convert lowers (CPU). On TPU the x64
+    rewriter emulates f64 as an (hi, lo) float32 pair (~49-bit significand,
+    f32 exponent range) and cannot lower 64-bit bitcasts — nor frexp/ldexp,
+    which bitcast internally."""
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:
+        return True
+
+
+def _f64_pair_words(f: jax.Array):
+    """(hi_bits, lo_bits) uint32 pair for an f64 array via its float-float
+    decomposition — the TPU's native representation. hi = round32(f),
+    lo = round32(f - hi): canonical, so the pair is injective over
+    device-representable values, and (hi, lo) ordered lexicographically
+    as reals reproduces the value order."""
+    hi = f.astype(jnp.float32)
+    lo = (f - hi.astype(jnp.float64)).astype(jnp.float32)
+    hb = jax.lax.bitcast_convert_type(hi, jnp.uint32)
+    lb = jax.lax.bitcast_convert_type(lo, jnp.uint32)
+    return hb, lb
+
+
+def f64_bits(f: jax.Array) -> jax.Array:
+    """uint64 word that is equality-preserving for f64 values as the device
+    represents them. On CPU this is the exact IEEE-754 bit pattern; on TPU
+    it is the packed (hi, lo) float-float pair (bit-identical values map to
+    bit-identical words; -0.0 keeps a distinct word, matching the
+    reference's memcmp-able row encoding). NaNs canonicalize to one word."""
+    if _native_bitcast64():
+        word = jax.lax.bitcast_convert_type(f, jnp.uint64)
+    else:
+        hb, lb = _f64_pair_words(f)
+        word = (hb.astype(jnp.uint64) << 32) | lb.astype(jnp.uint64)
+    return jnp.where(jnp.isnan(f), _QNAN_BITS, word)
+
+
+def _order_u32(b: jax.Array) -> jax.Array:
+    """Map f32 bit patterns to unsigned-order-preserving u32."""
+    neg = (b & jnp.uint32(0x80000000)) != 0
+    return jnp.where(neg, ~b, b | jnp.uint32(0x80000000))
+
+
+def f64_order_bits(f: jax.Array) -> jax.Array:
+    """uint64 word whose unsigned order equals the f64 value order (NaNs
+    excluded — the sort-class array handles them)."""
+    if _native_bitcast64():
+        bits = jax.lax.bitcast_convert_type(f, jnp.uint64)
+        neg = (bits & SIGN64) != 0
+        return jnp.where(neg, ~bits, bits | SIGN64)
+    hb, lb = _f64_pair_words(f)
+    return ((_order_u32(hb).astype(jnp.uint64) << 32)
+            | _order_u32(lb).astype(jnp.uint64))
+
 
 def order_word(col: DeviceColumn) -> jax.Array:
     """uint64 word whose unsigned order == value order (nulls/NaN ignored
@@ -34,13 +92,11 @@ def order_word(col: DeviceColumn) -> jax.Array:
     if jnp.issubdtype(dt, jnp.unsignedinteger):
         return v.astype(jnp.uint64)
     if jnp.issubdtype(dt, jnp.integer):
-        return jax.lax.bitcast_convert_type(
-            v.astype(jnp.int64), jnp.uint64) ^ SIGN64
+        # two's-complement reinterpret (astype wraps mod 2^64: bit-identical
+        # to a bitcast, which the x64 rewriter can't lower)
+        return v.astype(jnp.int64).astype(jnp.uint64) ^ SIGN64
     if jnp.issubdtype(dt, jnp.floating):
-        f = v.astype(jnp.float64)
-        bits = jax.lax.bitcast_convert_type(f, jnp.uint64)
-        neg = (bits & SIGN64) != 0
-        return jnp.where(neg, ~bits, bits | SIGN64)
+        return f64_order_bits(v.astype(jnp.float64))
     raise TypeError(f"no order word for dtype {dt}")
 
 
@@ -54,10 +110,9 @@ def equality_word(col: DeviceColumn) -> jax.Array:
     if jnp.issubdtype(dt, jnp.unsignedinteger):
         return v.astype(jnp.uint64)
     if jnp.issubdtype(dt, jnp.integer):
-        return jax.lax.bitcast_convert_type(v.astype(jnp.int64), jnp.uint64)
+        return v.astype(jnp.int64).astype(jnp.uint64)
     if jnp.issubdtype(dt, jnp.floating):
-        return jax.lax.bitcast_convert_type(v.astype(jnp.float64),
-                                            jnp.uint64)
+        return f64_bits(v.astype(jnp.float64))
     raise TypeError(f"no equality word for dtype {dt}")
 
 

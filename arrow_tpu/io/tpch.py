@@ -44,6 +44,29 @@ NATIONS = ["ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 NATION_REGION = [0, 1, 1, 1, 4, 0, 3, 3, 2, 2, 4, 4, 2, 4, 0, 0, 0, 1, 2,
                  3, 4, 2, 3, 3, 1]
+MANUFACTURERS = [f"Manufacturer#{i}" for i in range(1, 6)]
+BRANDS = [f"Brand#{m}{n}" for m in range(1, 6) for n in range(1, 6)]
+CONTAINERS = [f"{a} {b}" for a in ["SM", "LG", "MED", "JUMBO", "WRAP"]
+              for b in ["CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN",
+                        "DRUM"]]
+# dbgen-style part-name word pool (Q20 filters p_name LIKE 'forest%')
+P_NAME_WORDS = [
+    "almond", "antique", "aquamarine", "azure", "beige", "bisque", "black",
+    "blanched", "blue", "blush", "brown", "burlywood", "burnished",
+    "chartreuse", "chiffon", "chocolate", "coral", "cornflower", "cornsilk",
+    "cream", "cyan", "dark", "deep", "dim", "dodger", "drab", "firebrick",
+    "floral", "forest", "frosted", "gainsboro", "ghost", "goldenrod",
+    "green", "grey", "honeydew", "hot", "hrose", "indian", "ivory",
+]
+# comment word salad; a fraction of orders comments embed the Q13 pattern
+# 'special ... requests' and supplier comments the Q16 'Customer ...
+# Complaints' pattern, mirroring dbgen's text grammar hooks.
+_COMMENT_WORDS = [
+    "carefully", "quickly", "furiously", "slyly", "blithely", "ironic",
+    "final", "pending", "regular", "express", "bold", "silent", "even",
+    "unusual", "packages", "deposits", "foxes", "accounts", "theodolites",
+    "instructions", "dependencies", "platelets", "requests", "asymptotes",
+]
 
 
 def _dict_col(rng, choices, n, dtype=np.int32) -> Array:
@@ -70,6 +93,43 @@ def _date(v) -> Array:
     return Array(ArrayData(T.date32(), len(v),
                            [None, Buffer(np.asarray(v, dtype=np.int32))],
                            null_count=0))
+
+
+def _str_col(values) -> Array:
+    from ..array.array import array as make_array
+    return make_array(list(values), T.string())
+
+
+def _comment_pool(rng, pool_size: int, special: str | None = None,
+                  special_frac: float = 0.05) -> list:
+    """Pool of word-salad comments; `special_frac` of them embed the
+    two-word `special` pattern with a filler word between (the shape the
+    TPC-H LIKE '%a%b%' predicates probe)."""
+    pool = []
+    for i in range(pool_size):
+        words = list(rng.choice(_COMMENT_WORDS, 6))
+        if special is not None and rng.random() < special_frac:
+            a, b = special.split()
+            words[2:4] = [a, str(rng.choice(_COMMENT_WORDS)), b]
+        pool.append(" ".join(words))
+    return pool
+
+
+def _name_col(prefix: str, keys) -> Array:
+    return _str_col(np.char.mod(prefix + "#%09d",
+                                np.asarray(keys, dtype=np.int64)))
+
+
+def _phone_col(rng, nationkeys) -> Array:
+    nk = np.asarray(nationkeys, dtype=np.int64)
+    n = len(nk)
+    parts = (np.char.mod("%d", nk + 10), np.char.mod("%03d", rng.integers(100, 1000, n)),
+             np.char.mod("%03d", rng.integers(100, 1000, n)),
+             np.char.mod("%04d", rng.integers(1000, 10_000, n)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = np.char.add(np.char.add(out, "-"), p)
+    return _str_col(out)
 
 
 def lineitem_table(scale_factor: float = 1.0, seed: int = 0) -> Table:
@@ -117,7 +177,12 @@ def orders_table(scale_factor: float = 1.0, seed: int = 1) -> Table:
         "o_orderdate": _date(_EPOCH_1992 + rng.integers(
             0, _EPOCH_1998 - _EPOCH_1992 - 151, n)),
         "o_orderpriority": _dict_col(rng, ORDERPRIORITY, n),
+        "o_clerk": _dict_col(
+            rng, list(np.char.mod("Clerk#%09d",
+                                  np.arange(1, max(int(n / 1000), 2)))), n),
         "o_shippriority": _i64(np.zeros(n, dtype=np.int64)),
+        "o_comment": _dict_col(
+            rng, _comment_pool(rng, 256, special="special requests"), n),
     }
     return Table.from_pydict(cols)
 
@@ -125,11 +190,15 @@ def orders_table(scale_factor: float = 1.0, seed: int = 1) -> Table:
 def customer_table(scale_factor: float = 1.0, seed: int = 2) -> Table:
     n = max(int(150_000 * scale_factor), 2)
     rng = np.random.default_rng(seed)
+    nationkey = rng.integers(0, 25, n)
     cols = {
         "c_custkey": _i64(np.arange(1, n + 1)),
-        "c_nationkey": _i64(rng.integers(0, 25, n)),
+        "c_name": _name_col("Customer", np.arange(1, n + 1)),
+        "c_nationkey": _i64(nationkey),
+        "c_phone": _phone_col(rng, nationkey),
         "c_mktsegment": _dict_col(rng, MKTSEGMENTS, n),
         "c_acctbal": _f64(np.round(rng.uniform(-999.99, 9999.99, n), 2)),
+        "c_comment": _dict_col(rng, _comment_pool(rng, 256), n),
     }
     return Table.from_pydict(cols)
 
@@ -137,22 +206,48 @@ def customer_table(scale_factor: float = 1.0, seed: int = 2) -> Table:
 def part_table(scale_factor: float = 1.0, seed: int = 3) -> Table:
     n = max(int(200_000 * scale_factor), 2)
     rng = np.random.default_rng(seed)
+    mfgr = rng.integers(1, 6, n)
+    brand = mfgr * 10 + rng.integers(1, 6, n)
+    w = np.asarray(P_NAME_WORDS)
+    name = w[rng.integers(0, len(w), n)]
+    for _ in range(4):
+        name = np.char.add(np.char.add(name, " "),
+                           w[rng.integers(0, len(w), n)])
     cols = {
         "p_partkey": _i64(np.arange(1, n + 1)),
+        "p_name": _str_col(name),
+        "p_mfgr": _dict_col(rng, MANUFACTURERS, n),
         "p_type": _dict_col(rng, PART_TYPES, n),
         "p_size": _i64(rng.integers(1, 51, n)),
+        "p_container": _dict_col(rng, CONTAINERS, n),
         "p_retailprice": _f64(np.round(rng.uniform(900.0, 2000.0, n), 2)),
     }
+    # keep p_brand consistent with p_mfgr's dict codes
+    mf_codes = cols["p_mfgr"].data.buffers[1].view(np.int32)[:n] + 1
+    brand = mf_codes * 10 + rng.integers(1, 6, n)
+    from ..array.array import array as make_array
+    bdict = make_array([f"Brand#{b}" for b in range(11, 56)], T.string())
+    bcodes = (brand - 11).astype(np.int32)
+    cols["p_brand"] = Array(ArrayData(
+        T.dictionary(T.int32(), T.string()), n,
+        [None, Buffer(bcodes)], null_count=0, dictionary=bdict.data))
     return Table.from_pydict(cols)
 
 
 def supplier_table(scale_factor: float = 1.0, seed: int = 4) -> Table:
     n = max(int(10_000 * scale_factor), 2)
     rng = np.random.default_rng(seed)
+    nationkey = rng.integers(0, 25, n)
     cols = {
         "s_suppkey": _i64(np.arange(1, n + 1)),
-        "s_nationkey": _i64(rng.integers(0, 25, n)),
+        "s_name": _name_col("Supplier", np.arange(1, n + 1)),
+        "s_address": _str_col(np.char.mod("addr-%x",
+                                          rng.integers(0, 1 << 40, n))),
+        "s_nationkey": _i64(nationkey),
+        "s_phone": _phone_col(rng, nationkey),
         "s_acctbal": _f64(np.round(rng.uniform(-999.99, 9999.99, n), 2)),
+        "s_comment": _dict_col(
+            rng, _comment_pool(rng, 256, special="Customer Complaints"), n),
     }
     return Table.from_pydict(cols)
 
