@@ -153,19 +153,14 @@ def _is_string_col(c) -> bool:
     return isinstance(c, DeviceColumn) and c.dictionary is not None
 
 
-def _code_of(col: DeviceColumn, literal) -> int:
-    vals = col.dictionary.to_pylist()
-    try:
-        return vals.index(literal)
-    except ValueError:
-        return -1
-
-
 def _rank_transform(col: DeviceColumn):
+    """Dense value ranks: equal dictionary values share one rank, so
+    derived dictionaries with duplicate slots (e.g. a sliced phone
+    column) compare correctly."""
     vals = col.dictionary.to_pylist()
-    order = np.argsort(np.array(vals, dtype=object), kind="stable")
-    ranks = np.empty(len(vals), dtype=np.int64)
-    ranks[order] = np.arange(len(vals))
+    uniq = sorted(set(vals))
+    rank_of = {v: i for i, v in enumerate(uniq)}
+    ranks = np.array([rank_of[v] for v in vals], dtype=np.int64)
     new_vals = jnp.asarray(ranks)[col.values.astype(jnp.int64)]
     return DeviceColumn(new_vals, col.validity, T.int64()), vals, ranks
 
@@ -183,20 +178,25 @@ def _translate_string_compare(fn, args):
     if not isinstance(lit, (str, bytes)):
         raise ArrowInvalid(f"cannot compare strings with {type(lit)}")
     if fn in ("equal", "not_equal"):
-        code = _code_of(col, lit)
-        new = (col.with_values(col.values), code)
+        # value-level equality: every dictionary slot holding the literal
+        # matches (derived dictionaries may hold duplicate values), so
+        # translate to a per-slot 0/1 table compared against 1.
+        vals = col.dictionary.to_pylist()
+        hits = np.array([v == lit for v in vals], dtype=np.int64)
+        eq = jnp.asarray(hits)[col.values.astype(jnp.int64)]
+        new = (DeviceColumn(eq, col.validity, T.int64()), 1)
     else:
         # ordering: rank-transform column, rank of literal = how many
         # dictionary values sort strictly before it
         rcol, vals, ranks = _rank_transform(col)
         import bisect
-        svals = sorted(v for v in vals)
-        lit_rank = bisect.bisect_left(svals, lit)
-        # occupy a half-step below equal values so > and >= differ
-        if lit in vals:
+        uniq = sorted(set(vals))
+        if lit in uniq:
             new = (rcol, int(ranks[vals.index(lit)]))
         else:
-            new = (rcol, lit_rank - 0.5)
+            # occupy a half-step below the insertion point so > / >= and
+            # < / <= all resolve correctly against dense ranks
+            new = (rcol, bisect.bisect_left(uniq, lit) - 0.5)
     return list(new) if col_first else list(reversed(list(new)))
 
 
@@ -204,12 +204,13 @@ def _eval_is_in(ctx, col, value_set):
     """Set membership (reference: kernels/scalar_set_lookup.cc is_in)."""
     from ..compute.elementwise import _col
     if _is_string_col(col):
-        codes = [_code_of(col, v) for v in value_set]
-        codes = [c for c in codes if c >= 0]
-        target = col.values
-        out = jnp.zeros(col.capacity, jnp.bool_)
-        for c in codes:
-            out = jnp.logical_or(out, target == c)
+        # Per-slot membership table: derived dictionaries (e.g. a sliced
+        # phone column) hold duplicate values, so every slot whose value
+        # is in the set must match — not just the first code per value.
+        vals = col.dictionary.to_pylist()
+        sset = {v for v in value_set if v is not None}
+        hits = np.array([v in sset for v in vals], dtype=np.bool_)
+        out = jnp.asarray(hits)[col.values.astype(jnp.int64)]
     else:
         out = jnp.zeros(col.capacity, jnp.bool_)
         for v in value_set:

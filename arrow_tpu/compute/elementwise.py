@@ -660,6 +660,9 @@ def _cast(ctx, a, to_type: DataType = None, target_type: DataType = None,
     t = to_type if to_type is not None else target_type
     if t is None:
         raise ArrowInvalid("cast requires to_type")
+    if isinstance(t, str):  # pyarrow accepts type aliases, e.g. "float64"
+        from ..api import type_for_alias
+        t = type_for_alias(t)
     av, avd = _as_values(a)
     src = a.type if isinstance(a, DeviceColumn) else None
 

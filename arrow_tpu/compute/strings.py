@@ -37,6 +37,23 @@ def _dict_values(col) -> List[str]:
 
 def _map_to_new_dictionary(col: DeviceColumn, vals: List[str],
                            type=None) -> DeviceColumn:
+    """Attach a transformed dictionary, canonicalizing duplicate values.
+
+    String transforms are many-to-one (slice, casefold, trim, replace):
+    two distinct input values can map to the same output. Downstream
+    group-by / join / sort / unique key on dictionary CODES, which is
+    only value-correct when each value owns exactly one slot — so dedupe
+    the values and remap the codes (one small-table gather)."""
+    first = {}
+    for v in vals:
+        if v not in first:
+            first[v] = len(first)
+    if len(first) < len(vals):
+        uniq = list(first)
+        remap = np.array([first[v] for v in vals], dtype=np.int32)
+        codes = jnp.asarray(remap)[col.values.astype(jnp.int64)]
+        new_dict = make_array(uniq, type or col.dictionary.type)
+        return DeviceColumn(codes, col.validity, col.type, new_dict)
     new_dict = make_array(vals, type or col.dictionary.type)
     return DeviceColumn(col.values, col.validity, col.type, new_dict)
 

@@ -24,16 +24,16 @@ def _value_set_lookup(ctx, col: DeviceColumn, value_set,
     (first-occurrence index, reference semantics)."""
     if col.dictionary is not None:
         dvals = col.dictionary.to_pylist()
-        code_index = np.full(len(dvals), -1, dtype=np.int64)
+        # Derived dictionaries (e.g. a slice of a phone column) may hold
+        # duplicate values: every slot whose value is in the set must
+        # match, not just the first (set-index = first occurrence in
+        # value_set, reference semantics).
+        first_idx = {}
         for i, v in enumerate(value_set):
-            if v is None:
-                continue
-            try:
-                c = dvals.index(v)
-            except ValueError:
-                continue
-            if code_index[c] < 0:
-                code_index[c] = i
+            if v is not None and v not in first_idx:
+                first_idx[v] = i
+        code_index = np.asarray(
+            [first_idx.get(v, -1) for v in dvals], dtype=np.int64)
         table = jnp.asarray(code_index)
         idx = table[col.values.astype(jnp.int64)]
         return idx >= 0, idx

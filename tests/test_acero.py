@@ -256,3 +256,83 @@ def test_scan_node_options(tmp_path):
             [field("v") * 2.0], ["v2"])),
     ])
     assert sorted(plan.to_table().column("v2").to_pylist()) == [4.0, 6.0]
+
+
+def test_derived_dictionary_duplicate_values():
+    """Kernels that derive new dictionaries (slice/case transforms) can
+    produce duplicate dictionary values; value-level comparison semantics
+    must hold for every slot (regression: is_in/==/< matched only the
+    first slot holding a value)."""
+    import arrow_tpu as at
+    from arrow_tpu import acero
+    from arrow_tpu.acero import Declaration, Expression, field
+
+    t = at.table({"phone": ["13-a", "13-b", "25-c", "31-d", "31-e",
+                            "07-f"],
+                  "v": [1, 2, 3, 4, 5, 6]})
+    pre = [
+        Declaration("table_source", acero.TableSourceNodeOptions(t)),
+        Declaration("project", acero.ProjectNodeOptions(
+            [Expression.call("utf8_slice_codeunits", field("phone"),
+                             start=0, stop=2), field("v")],
+            ["code", "v"])),
+    ]
+
+    def run(cond):
+        return Declaration.from_sequence(
+            pre + [Declaration("filter", acero.FilterNodeOptions(cond))]
+        ).to_table().column("v").to_pylist()
+
+    assert run(Expression.call("is_in", field("code"),
+                               value_set=["13", "31"])) == [1, 2, 4, 5]
+    assert run(field("code") == "31") == [4, 5]
+    assert run(field("code") != "13") == [3, 4, 5, 6]
+    assert run(field("code") < "25") == [1, 2, 6]
+    assert run(field("code") <= "25") == [1, 2, 3, 6]
+    assert run(field("code") > "13") == [3, 4, 5]
+    assert run(field("code") >= "13") == [1, 2, 3, 4, 5]
+    # literal absent from the dictionary
+    assert run(field("code") > "20") == [3, 4, 5]
+    assert run(field("code") < "99") == [1, 2, 3, 4, 5, 6]
+
+
+def test_derived_dictionary_group_join_unique():
+    """Group-by / join / unique on a derived (many-to-one transformed)
+    string column must key on VALUES, not dictionary codes (regression:
+    _map_to_new_dictionary kept duplicate slots)."""
+    import arrow_tpu as at
+    import arrow_tpu.compute as pc
+    from arrow_tpu import acero
+    from arrow_tpu.acero import Declaration, Expression, field
+
+    ot = at.table({"phone": ["13-555", "13-666", "25-1", "31-9", "31-8",
+                             "07-2"],
+                   "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    proj = [
+        Declaration("table_source", acero.TableSourceNodeOptions(ot)),
+        Declaration("project", acero.ProjectNodeOptions(
+            [Expression.call("utf8_slice_codeunits", field("phone"),
+                             start=0, stop=2), field("v")],
+            ["code", "v"])),
+    ]
+    grouped = Declaration.from_sequence(proj + [
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("v", "sum", None, "sv")], keys=["code"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("code", "ascending")])),
+    ]).to_table()
+    assert grouped.to_pydict() == {"code": ["07", "13", "25", "31"],
+                                   "sv": [6.0, 3.0, 3.0, 9.0]}
+
+    other = at.table({"k": ["13", "31"], "w": [100.0, 200.0]})
+    j = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["code"], right_keys=["k"],
+        right_output=["w"]),
+        inputs=[Declaration.from_sequence(proj),
+                Declaration("table_source",
+                            acero.TableSourceNodeOptions(other))]
+    ).to_table()
+    assert j.column("w").to_pylist() == [100.0, 100.0, 200.0, 200.0]
+
+    codes = Declaration.from_sequence(proj).to_table().column("code")
+    assert sorted(pc.unique(codes).to_pylist()) == ["07", "13", "25", "31"]
