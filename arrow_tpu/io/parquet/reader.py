@@ -38,7 +38,11 @@ BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
 ENC_PLAIN = 0
 ENC_PLAIN_DICTIONARY = 2
 ENC_RLE = 3
+ENC_DELTA_BINARY_PACKED = 5
+ENC_DELTA_LENGTH_BYTE_ARRAY = 6
+ENC_DELTA_BYTE_ARRAY = 7
 ENC_RLE_DICTIONARY = 8
+ENC_BYTE_STREAM_SPLIT = 9
 
 # codecs
 CODEC_UNCOMPRESSED = 0
@@ -562,6 +566,39 @@ def _decode_values(cs, enc, payload, p, n_present, dictionary,
     elif enc == ENC_PLAIN:
         values_parts.append(("plain",
                              _decode_plain(cs, payload[p:], n_present)))
+    elif enc == ENC_DELTA_BINARY_PACKED:
+        from .delta import decode_delta_binary_packed
+        vals, _ = decode_delta_binary_packed(payload, p)
+        vals = vals[:n_present]
+        if cs.physical == INT32:
+            vals = vals.astype(np.int32)
+        values_parts.append(("plain", vals))
+    elif enc == ENC_DELTA_LENGTH_BYTE_ARRAY:
+        from .delta import decode_delta_length_byte_array
+        offs, body, _ = decode_delta_length_byte_array(
+            payload, p, n_present)
+        values_parts.append(("plain", (offs, body)))
+    elif enc == ENC_DELTA_BYTE_ARRAY:
+        from .delta import decode_delta_byte_array
+        offs, body = decode_delta_byte_array(payload, p, n_present)
+        if cs.physical == FLBA:
+            w = cs.type_length
+            values_parts.append(("plain", np.frombuffer(
+                body, dtype=np.uint8, count=n_present * w
+            ).reshape(n_present, w)))
+        else:
+            values_parts.append(("plain", (offs, body)))
+    elif enc == ENC_BYTE_STREAM_SPLIT:
+        from .delta import decode_byte_stream_split
+        width = {FLOAT: 4, DOUBLE: 8, INT32: 4, INT64: 8}.get(
+            cs.physical, cs.type_length)
+        raw = decode_byte_stream_split(payload[p:], n_present, width)
+        if cs.physical == FLBA:
+            values_parts.append(("plain", raw))
+        else:
+            dt = {FLOAT: np.float32, DOUBLE: np.float64,
+                  INT32: np.int32, INT64: np.int64}[cs.physical]
+            values_parts.append(("plain", raw.reshape(-1).view(dt)))
     else:
         raise NotImplementedError(f"parquet encoding {enc}")
 

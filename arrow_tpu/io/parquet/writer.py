@@ -18,7 +18,8 @@ from ...table import RecordBatch, Table
 from ...types import DataType, Schema, TypeId
 from ...utils import bits as bitutil
 from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_SNAPPY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
-                     DOUBLE, ENC_PLAIN, ENC_RLE, ENC_RLE_DICTIONARY, FLBA,
+                     DOUBLE, ENC_BYTE_STREAM_SPLIT, ENC_DELTA_BINARY_PACKED,
+                     ENC_PLAIN, ENC_RLE, ENC_RLE_DICTIONARY, FLBA,
                      FLOAT, INT32, INT64, MAGIC, PAGE_DATA, PAGE_DICT)
 from .rle import bit_width_for, encode_rle
 from .thrift import (CT_BINARY, CT_BOOL_TRUE, CT_I32, CT_I64,
@@ -228,7 +229,8 @@ class ParquetWriter:
     def __init__(self, sink: Union[str, BinaryIO], schema: Schema,
                  compression: Optional[str] = None,
                  use_dictionary: bool = True,
-                 write_bloom_filters: bool = True):
+                 write_bloom_filters: bool = True,
+                 column_encoding=None):
         self._close = False
         if isinstance(sink, str):
             sink = open(sink, "wb")
@@ -241,6 +243,9 @@ class ParquetWriter:
             else compression]
         self.use_dictionary = use_dictionary
         self.write_bloom_filters = write_bloom_filters
+        # per-column encoding overrides, pyarrow-style:
+        # {"col": "BYTE_STREAM_SPLIT" | "DELTA_BINARY_PACKED"}
+        self.column_encoding = dict(column_encoding or {})
         self.row_groups: List[Dict] = []
         self.num_rows = 0
         self.sink.write(MAGIC)
@@ -266,7 +271,7 @@ class ParquetWriter:
                     chunks.append(self._write_leaf_chunk(
                         spec, defs, reps, vals))
             else:
-                c = self._write_column(f.type, col)
+                c = self._write_column(f.type, col, name=f.name)
                 c["path"] = [f.name]
                 chunks.append(c)
         self.row_groups.append({
@@ -275,13 +280,16 @@ class ParquetWriter:
                                    for c in chunks)})
         self.num_rows += rb.num_rows
 
-    def _write_column(self, t: DataType, col: Array) -> Dict:
+    def _write_column(self, t: DataType, col: Array,
+                      name: Optional[str] = None) -> Dict:
         n = len(col)
         present = col.is_valid_mask()
         nullable = True
         physical, type_length = _physical_for(t)
 
-        use_dict = (self.use_dictionary and physical == BYTE_ARRAY)
+        override = self.column_encoding.get(name)
+        use_dict = (self.use_dictionary and physical == BYTE_ARRAY
+                    and override is None)
         encodings = [ENC_RLE, ENC_PLAIN]
         dict_page_offset = None
         total_comp = 0
@@ -317,6 +325,32 @@ class ParquetWriter:
             payload = def_block + body
             enc = ENC_RLE_DICTIONARY
             encodings.append(ENC_RLE_DICTIONARY)
+        elif override == "BYTE_STREAM_SPLIT":
+            if physical not in (INT32, INT64, FLOAT, DOUBLE, FLBA):
+                raise ValueError(
+                    f"BYTE_STREAM_SPLIT unsupported for {t!r}")
+            from .delta import encode_byte_stream_split
+            vals = col.data.values()[present]
+            np_dt = {INT32: np.int32, INT64: np.int64, FLOAT: np.float32,
+                     DOUBLE: np.float64}.get(physical)
+            if np_dt is not None:
+                vals = vals.astype(np_dt)
+            body = encode_byte_stream_split(vals)
+            payload = def_block + body
+            enc = ENC_BYTE_STREAM_SPLIT
+            encodings.append(ENC_BYTE_STREAM_SPLIT)
+        elif override == "DELTA_BINARY_PACKED":
+            if physical not in (INT32, INT64):
+                raise ValueError(
+                    f"DELTA_BINARY_PACKED unsupported for {t!r}")
+            from .delta import encode_delta_binary_packed
+            vals = np.asarray(col.data.values()[present], np.int64)
+            body = encode_delta_binary_packed(vals)
+            payload = def_block + body
+            enc = ENC_DELTA_BINARY_PACKED
+            encodings.append(ENC_DELTA_BINARY_PACKED)
+        elif override is not None:
+            raise ValueError(f"unknown column_encoding {override!r}")
         else:
             body = _plain_encode(t, col, present)
             payload = def_block + body
@@ -604,7 +638,9 @@ class ParquetWriter:
 
 def write_table(tbl: Table, sink, compression: Optional[str] = None,
                 use_dictionary: bool = True,
-                row_group_size: Optional[int] = None):
+                row_group_size: Optional[int] = None,
+                column_encoding=None):
     with ParquetWriter(sink, tbl.schema, compression,
-                       use_dictionary) as w:
+                       use_dictionary,
+                       column_encoding=column_encoding) as w:
         w.write_table(tbl, row_group_size)
