@@ -1,0 +1,215 @@
+"""Random-plan differential fuzzer: generate random tables and random
+plan shapes (filter → project → aggregate / join / order_by / fetch) and
+compare results against pyarrow Acero on the same data.
+
+Reference analogue: acero/hash_join_node_test.cc and
+hash_aggregate_test.cc run randomized plans against a naive reference
+engine; here the reference engine IS pyarrow (SURVEY §4)."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.acero as pacero
+import pyarrow.compute as ppc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import acero
+from arrow_tpu.acero import Declaration, Expression, field
+
+N_CASES = 25
+
+
+def _random_table(rng, n):
+    cols = {}
+    cols["i64"] = [int(v) if rng.random() > 0.1 else None
+                   for v in rng.integers(-50, 50, n)]
+    cols["f64"] = [float(np.round(v, 3)) if rng.random() > 0.1 else None
+                   for v in rng.normal(size=n)]
+    cols["s"] = [f"cat{v}" if rng.random() > 0.1 else None
+                 for v in rng.integers(0, 8, n)]
+    cols["b"] = [bool(v) if rng.random() > 0.1 else None
+                 for v in rng.integers(0, 2, n)]
+    return cols
+
+
+def _to_at(cols):
+    return at.table({
+        "i64": at.array(cols["i64"], at.int64()),
+        "f64": at.array(cols["f64"], at.float64()),
+        "s": at.array(cols["s"], at.string()),
+        "b": at.array(cols["b"], at.bool_()),
+    })
+
+
+def _to_pa(cols):
+    return pa.table({
+        "i64": pa.array(cols["i64"], pa.int64()),
+        "f64": pa.array(cols["f64"], pa.float64()),
+        "s": pa.array(cols["s"], pa.string()),
+        "b": pa.array(cols["b"], pa.bool_()),
+    })
+
+
+def _random_predicate(rng):
+    """Returns (ours, theirs) expression pair."""
+    k = rng.integers(0, 6)
+    if k == 0:
+        c = int(rng.integers(-20, 20))
+        return field("i64") > c, ppc.greater(ppc.field("i64"), c)
+    if k == 1:
+        c = float(np.round(rng.normal(), 2))
+        return field("f64") <= c, ppc.less_equal(ppc.field("f64"), c)
+    if k == 2:
+        v = f"cat{int(rng.integers(0, 8))}"
+        return field("s") == v, ppc.equal(ppc.field("s"), v)
+    if k == 3:
+        vs = [f"cat{i}" for i in
+              rng.choice(8, size=int(rng.integers(1, 4)), replace=False)]
+        return (Expression.call("is_in", field("s"), value_set=vs),
+                ppc.is_in(ppc.field("s"), value_set=pa.array(vs)))
+    if k == 4:
+        return field("b") == True, ppc.equal(ppc.field("b"), True)  # noqa
+    v = f"cat{int(rng.integers(0, 8))}"
+    return ((field("i64") > 0) & (field("s") != v),
+            ppc.and_kleene(ppc.greater(ppc.field("i64"), 0),
+                           ppc.not_equal(ppc.field("s"), v)))
+
+
+AGGS = [("i64", "sum"), ("f64", "sum"), ("f64", "mean"), ("i64", "min"),
+        ("f64", "max"), ("i64", "count"), ("f64", "count")]
+
+
+def _sorted_rows(tbl_dict, names):
+    cols = [tbl_dict[n] for n in names]
+    rows = list(zip(*cols))
+    return sorted(rows, key=lambda r: tuple(
+        (v is None, str(type(v)), v if v is not None else 0) for v in r))
+
+
+def _compare(ours: at.Table, theirs: pa.Table, seed):
+    assert ours.num_rows == theirs.num_rows, f"seed {seed}: row count"
+    assert ours.column_names == theirs.column_names, f"seed {seed}"
+    od, td = ours.to_pydict(), theirs.to_pydict()
+    o_rows = _sorted_rows(od, ours.column_names)
+    t_rows = _sorted_rows(td, ours.column_names)
+    for orow, trow in zip(o_rows, t_rows):
+        for ov, tv in zip(orow, trow):
+            if isinstance(ov, float) and isinstance(tv, float):
+                assert ov == pytest.approx(tv, rel=1e-9), f"seed {seed}"
+            else:
+                assert ov == tv, f"seed {seed}: {orow} != {trow}"
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_random_filter_aggregate_plan(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 400))
+    cols = _random_table(rng, n)
+    ot, pt = _to_at(cols), _to_pa(cols)
+
+    opred, tpred = _random_predicate(rng)
+    n_aggs = int(rng.integers(1, 4))
+    picks = [AGGS[i] for i in rng.choice(len(AGGS), n_aggs, replace=False)]
+    keys = ["s"] if rng.random() < 0.7 else ["s", "b"]
+
+    ours = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(ot)),
+        Declaration("filter", acero.FilterNodeOptions(opred)),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [(c, f, None, f"{f}_{c}") for c, f in picks], keys=keys)),
+    ]).to_table()
+    theirs = pacero.Declaration.from_sequence([
+        pacero.Declaration("table_source",
+                           pacero.TableSourceNodeOptions(pt)),
+        pacero.Declaration("filter", pacero.FilterNodeOptions(tpred)),
+        pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+            [(c, f"hash_{f}", None, f"{f}_{c}") for c, f in picks],
+            keys=keys)),
+    ]).to_table()
+    _compare(ours, theirs, seed)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_random_join_plan(seed):
+    rng = np.random.default_rng(1000 + seed)
+    n1, n2 = int(rng.integers(5, 300)), int(rng.integers(5, 300))
+    c1, c2 = _random_table(rng, n1), _random_table(rng, n2)
+    # join keys must be non-null on at least one side sometimes; keep as-is
+    jt = ["inner", "left outer", "left semi", "left anti"][
+        int(rng.integers(0, 4))]
+    key = ["i64", "s"][int(rng.integers(0, 2))]
+
+    ot1, ot2 = _to_at(c1), _to_at(c2)
+    pt1, pt2 = _to_pa(c1), _to_pa(c2)
+    # project right side to avoid duplicate names
+    r_ours = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(ot2)),
+        Declaration("project", acero.ProjectNodeOptions(
+            [field(key), field("f64")], ["rk", "rv"])),
+    ])
+    r_theirs = pacero.Declaration.from_sequence([
+        pacero.Declaration("table_source",
+                           pacero.TableSourceNodeOptions(pt2)),
+        pacero.Declaration("project", pacero.ProjectNodeOptions(
+            [ppc.field(key), ppc.field("f64")], ["rk", "rv"])),
+    ])
+    right_out = None if jt in ("left semi", "left anti") else ["rv"]
+    ours = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        jt, left_keys=[key], right_keys=["rk"], right_output=right_out),
+        inputs=[Declaration("table_source",
+                            acero.TableSourceNodeOptions(ot1)), r_ours]
+    ).to_table()
+    kw = {}
+    if jt not in ("left semi", "left anti"):
+        kw = {"left_output": ["i64", "f64", "s", "b"],
+              "right_output": ["rv"]}
+    theirs = pacero.Declaration("hashjoin", pacero.HashJoinNodeOptions(
+        jt, left_keys=[key], right_keys=["rk"], **kw),
+        inputs=[pacero.Declaration(
+            "table_source", pacero.TableSourceNodeOptions(pt1)),
+            r_theirs]).to_table()
+    _compare(ours, theirs, seed)
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_random_sort_fetch_plan(seed):
+    rng = np.random.default_rng(2000 + seed)
+    n = int(rng.integers(5, 400))
+    cols = _random_table(rng, n)
+    ot, pt = _to_at(cols), _to_pa(cols)
+    sort_keys = [("i64", "ascending"), ("f64", "descending"),
+                 ("s", "ascending")]
+    picks = [sort_keys[i] for i in
+             rng.choice(3, int(rng.integers(1, 4)), replace=False)]
+    # make ordering total so both engines agree on ties
+    if ("i64", "ascending") not in picks:
+        picks.append(("i64", "ascending"))
+    if ("f64", "descending") not in picks:
+        picks.append(("f64", "descending"))
+    if ("s", "ascending") not in picks:
+        picks.append(("s", "ascending"))
+    picks.append(("b", "ascending"))
+    off = int(rng.integers(0, 10))
+    lim = int(rng.integers(1, 50))
+
+    ours = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(ot)),
+        Declaration("order_by", acero.OrderByNodeOptions(picks)),
+        Declaration("fetch", acero.FetchNodeOptions(off, lim)),
+    ]).to_table()
+    theirs = pacero.Declaration.from_sequence([
+        pacero.Declaration("table_source",
+                           pacero.TableSourceNodeOptions(pt)),
+        pacero.Declaration("order_by", pacero.OrderByNodeOptions(
+            picks, null_placement="at_end")),
+    ]).to_table().slice(off, lim)
+    od, td = ours.to_pydict(), theirs.to_pydict()
+    assert ours.num_rows == theirs.num_rows, f"seed {seed}"
+    for name in ours.column_names:
+        for ov, tv in zip(od[name], td[name]):
+            if isinstance(ov, float) and isinstance(tv, float):
+                assert ov == pytest.approx(tv, rel=1e-12), f"seed {seed}"
+            else:
+                assert ov == tv, f"seed {seed} col {name}"
