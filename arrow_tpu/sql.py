@@ -4,13 +4,22 @@ The reference routes SQL through Substrait (engine/substrait/serde.h) from
 external frontends; this module provides a self-contained translator for
 the analytic subset the engine executes natively:
 
-  SELECT <exprs> FROM <table> [JOIN <table> ON a = b]...
-  [WHERE <pred>] [GROUP BY <cols>] [ORDER BY <col> [ASC|DESC], ...]
-  [LIMIT n [OFFSET m]]
+  SELECT <exprs> FROM <table> [alias]
+  [[INNER|LEFT|RIGHT|FULL [OUTER]|SEMI|ANTI] JOIN <table> [alias]
+   ON a = b [AND c = d]...]...
+  [WHERE <pred>] [GROUP BY <cols>] [HAVING <pred>]
+  [ORDER BY <col> [ASC|DESC], ...] [LIMIT n [OFFSET m]]
 
-Aggregates: sum/min/max/avg/mean/count(*)/count(x)/count(distinct x).
-Expressions: arithmetic, comparison, AND/OR/NOT, IN (...), BETWEEN,
-LIKE, IS [NOT] NULL, literals (numbers, 'strings', DATE 'YYYY-MM-DD').
+Aggregates: sum/min/max/avg/mean/count(*)/count(x)/count(distinct x),
+over arbitrary expressions (pre-projected automatically); HAVING may
+reference aggregates. Expressions: arithmetic, comparison, AND/OR/NOT,
+IN (...), BETWEEN, LIKE, IS [NOT] NULL, CASE WHEN..THEN..ELSE..END,
+EXTRACT(year|month|day FROM x), substring(x FROM i FOR n), literals
+(numbers, 'strings', DATE 'YYYY-MM-DD' [± INTERVAL 'n' unit, folded at
+parse time]). Enough for the TPC-H query texts without correlated
+subqueries (those are expressed via the Declaration API,
+io/tpch_queries.py). SEMI/ANTI JOIN are dialect extensions standing in
+for EXISTS/NOT EXISTS.
 """
 
 from __future__ import annotations
@@ -31,7 +40,9 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {"select", "from", "where", "group", "by", "order", "limit",
              "offset", "as", "and", "or", "not", "in", "between", "like",
              "is", "null", "asc", "desc", "join", "inner", "left", "right",
-             "full", "outer", "on", "distinct", "having", "date"}
+             "full", "outer", "on", "distinct", "having", "date",
+             "case", "when", "then", "else", "end", "extract", "interval",
+             "for", "semi", "anti"}
 
 
 class _Tokens:
@@ -93,6 +104,9 @@ class _Parser:
     def __init__(self, sql: str):
         self.t = _Tokens(sql)
         self.aggregates: List[tuple] = []
+        # (column_name, Expression) pairs pre-projected before the
+        # aggregate node for sum(<expr>)-style arguments
+        self.agg_inputs: List[tuple] = []
 
     # --- expressions (precedence climbing) -----------------------------
     def parse_expr(self):
@@ -201,8 +215,54 @@ class _Parser:
             self.t.next()
             s = self.t.expect("str")[1]
             d = datetime.date.fromisoformat(s)
+            # fold `DATE '...' [+|-] INTERVAL 'n' unit` chains at parse
+            # time (calendar arithmetic has no device analogue)
+            while True:
+                nxt, after = self.t.peek(), self.t.peek(1)
+                if nxt[0] == "op" and nxt[1] in ("+", "-") and \
+                        after == ("kw", "interval"):
+                    self.t.next()
+                    self.t.next()
+                    n = int(self.t.expect("str")[1])
+                    unit = self.t.next()[1].lower().rstrip("s")
+                    if nxt[1] == "-":
+                        n = -n
+                    if unit == "day":
+                        d = d + datetime.timedelta(days=n)
+                    elif unit == "month":
+                        m = d.month - 1 + n
+                        d = d.replace(year=d.year + m // 12,
+                                      month=m % 12 + 1)
+                    elif unit == "year":
+                        d = d.replace(year=d.year + n)
+                    else:
+                        raise ValueError(f"unknown interval unit {unit!r}")
+                else:
+                    break
             return Expression.literal(
                 (d - datetime.date(1970, 1, 1)).days)
+        if t == ("kw", "case"):
+            self.t.next()
+            branches = []
+            while self.t.accept("kw", "when"):
+                cond = self.parse_expr()
+                self.t.expect("kw", "then")
+                branches.append((cond, self.parse_expr()))
+            if not self.t.accept("kw", "else"):
+                raise ValueError("CASE requires an ELSE branch")
+            out = self.parse_expr()
+            self.t.expect("kw", "end")
+            for cond, val in reversed(branches):
+                out = Expression.call("if_else", cond, val, out)
+            return out
+        if t == ("kw", "extract"):
+            self.t.next()
+            self.t.expect("op", "(")
+            part = self.t.next()[1].lower()
+            self.t.expect("kw", "from")
+            e = self.parse_expr()
+            self.t.expect("op", ")")
+            return Expression.call(part, e)
         if t[0] == "id":
             name = self.t.next()[1]
             if self.t.peek() == ("op", "("):  # function call
@@ -210,6 +270,21 @@ class _Parser:
                 fname = name.lower()
                 if fname in _AGG_FNS or fname == "count":
                     return self._aggregate_call(fname)
+                if fname == "substring":
+                    e = self.parse_expr()
+                    if self.t.accept("kw", "from"):
+                        start = int(self.t.expect("num")[1])
+                        self.t.expect("kw", "for")
+                        count = int(self.t.expect("num")[1])
+                    else:
+                        self.t.expect("op", ",")
+                        start = int(self.t.expect("num")[1])
+                        self.t.expect("op", ",")
+                        count = int(self.t.expect("num")[1])
+                    self.t.expect("op", ")")
+                    return Expression.call(
+                        "utf8_slice_codeunits", e,
+                        start=start - 1, stop=start - 1 + count)
                 args = []
                 if self.t.peek() != ("op", ")"):
                     args.append(self.parse_expr())
@@ -229,14 +304,19 @@ class _Parser:
             return field(tag)
         inner = self.parse_expr()
         self.t.expect("op", ")")
-        if inner.kind != Expression.KIND_FIELD:
-            raise ValueError("aggregate arguments must be plain columns "
-                             "(project first)")
         fn = _AGG_FNS[fname]
         if fname == "count" and distinct:
             fn = "count_distinct"
         tag = f"__agg{len(self.aggregates)}__"
-        self.aggregates.append((inner.name, fn, {}, tag))
+        if inner.kind == Expression.KIND_FIELD:
+            target = inner.name
+        else:
+            # sum(<expr>): pre-project the expression to a named column
+            # before the aggregate node (reference: Acero requires plain
+            # FieldRef targets too; frontends insert the projection)
+            target = f"__aggin{len(self.agg_inputs)}__"
+            self.agg_inputs.append((target, inner))
+        self.aggregates.append((target, fn, {}, tag))
         return field(tag)
 
 
@@ -264,6 +344,12 @@ def query(sql: str, tables: Dict[str, Table]) -> Table:
     base_name = p.t.expect("id")[1]
     if base_name not in tables:
         raise KeyError(f"unknown table {base_name!r}")
+    # optional table alias (qualified refs strip to the bare column name,
+    # so the alias itself only needs to be consumed)
+    if not p.t.accept("kw", "as"):
+        p.t.accept("id")
+    else:
+        p.t.expect("id")
     plan = Declaration("table_source",
                        acero.TableSourceNodeOptions(tables[base_name]))
 
@@ -288,17 +374,44 @@ def query(sql: str, tables: Dict[str, Table]) -> Table:
             p.t.accept("kw", "outer")
             p.t.expect("kw", "join")
             jt = "full outer"
+        elif p.t.peek() == ("kw", "semi"):
+            p.t.next()
+            p.t.expect("kw", "join")
+            jt = "left semi"
+        elif p.t.peek() == ("kw", "anti"):
+            p.t.next()
+            p.t.expect("kw", "join")
+            jt = "left anti"
         else:
             break
         rname = p.t.expect("id")[1]
-        p.t.expect("kw", "on")
-        lk = p.t.expect("id")[1].split(".")[-1]
-        p.t.expect("op", "=")
-        rk = p.t.expect("id")[1].split(".")[-1]
+        if not p.t.accept("kw", "as"):
+            p.t.accept("id")
+        else:
+            p.t.expect("id")
         right_tbl = tables[rname]
-        right_output = [n for n in right_tbl.schema.names if n != rk]
+        p.t.expect("kw", "on")
+        lks, rks = [], []
+        while True:
+            a = p.t.expect("id")[1].split(".")[-1]
+            p.t.expect("op", "=")
+            b = p.t.expect("id")[1].split(".")[-1]
+            # orient each equality by schema membership (the SQL text may
+            # write either side first)
+            if a in right_tbl.schema.names and \
+                    b not in right_tbl.schema.names:
+                a, b = b, a
+            lks.append(a)
+            rks.append(b)
+            if not (p.t.peek() == ("kw", "and")
+                    and p.t.peek(1)[0] == "id"
+                    and p.t.peek(2) == ("op", "=")):
+                break
+            p.t.expect("kw", "and")
+        right_output = None if jt in ("left semi", "left anti") else \
+            [n for n in right_tbl.schema.names if n not in rks]
         plan = Declaration("hashjoin", acero.HashJoinNodeOptions(
-            jt, left_keys=[lk], right_keys=[rk],
+            jt, left_keys=lks, right_keys=rks,
             right_output=right_output),
             inputs=[plan, Declaration(
                 "table_source", acero.TableSourceNodeOptions(right_tbl))])
@@ -312,6 +425,11 @@ def query(sql: str, tables: Dict[str, Table]) -> Table:
         group_cols.append(p.t.expect("id")[1].split(".")[-1])
         while p.t.accept("op", ","):
             group_cols.append(p.t.expect("id")[1].split(".")[-1])
+    having_expr = None
+    if p.t.accept("kw", "having"):
+        # parsed with the same parser: aggregate calls register extra
+        # __aggN__ tags evaluated by the aggregate node, then filtered
+        having_expr = p.parse_expr()
     order_keys = []
     if p.t.accept("kw", "order"):
         p.t.expect("kw", "by")
@@ -339,11 +457,39 @@ def query(sql: str, tables: Dict[str, Table]) -> Table:
     project_decl = None
     projected_names: List[str] = []
     if p.aggregates or group_cols:
-        # pre-project aggregate input expressions are plain columns by
-        # construction; run the aggregate then rename/project outputs
+        # GROUP BY may name a select alias bound to a computed
+        # expression (e.g. extract(year from d) as y ... group by y):
+        # those keys are materialized by the same pre-projection that
+        # feeds sum(<expr>)-style aggregate arguments
+        alias_exprs = {alias: e for alias, e in select_items
+                       if alias and e is not None
+                       and e.kind != Expression.KIND_FIELD}
+        computed_keys = [(c, alias_exprs[c]) for c in group_cols
+                         if c in alias_exprs]
+        if p.agg_inputs or computed_keys:
+            computed_names = {c for c, _ in computed_keys}
+            keep = list(dict.fromkeys(
+                [c for c in group_cols if c not in computed_names]
+                + [t for (t, _, _, _) in p.aggregates
+                   if t and not t.startswith("__aggin")]))
+            pre_exprs = [field(c) for c in keep] + \
+                [e for (_, e) in computed_keys] + \
+                [e for (_, e) in p.agg_inputs]
+            pre_names = keep + [c for (c, _) in computed_keys] + \
+                [n for (n, _) in p.agg_inputs]
+            decls.append(Declaration("project", acero.ProjectNodeOptions(
+                pre_exprs, pre_names)))
+            # the final projection must reference the materialized key,
+            # not recompute the expression over dropped inputs
+            select_items = [
+                (alias, field(alias) if alias in computed_names else e)
+                for alias, e in select_items]
         decls.append(Declaration("aggregate", acero.AggregateNodeOptions(
             [(t, f, o or None, out) for (t, f, o, out) in p.aggregates],
             keys=group_cols)))
+        if having_expr is not None:
+            decls.append(Declaration(
+                "filter", acero.FilterNodeOptions(having_expr)))
         projections, names = [], []
         for i, (alias, e) in enumerate(select_items):
             if alias == "*":

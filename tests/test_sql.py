@@ -101,3 +101,148 @@ def test_flight_sql_roundtrip(db):
         assert sorted(cli.get_tables().to_pydict()["table_name"]) == \
             ["items", "orders"]
         cli.close()
+
+
+class TestTpchSql:
+    """Real TPC-H SQL text executed by the frontend, compared against
+    the (oracle-verified) Declaration plans in io/tpch_queries.py."""
+
+    @pytest.fixture(scope="class")
+    def t(self):
+        from arrow_tpu.io import tpch
+        return tpch.generate(0.002)
+
+    def _cmp(self, got, want, float_rtol=1e-12):
+        import numpy as np
+        assert got.num_rows == want.num_rows
+        g, w = got.to_pydict(), want.to_pydict()
+        for name in want.column_names:
+            assert name in g, name
+            gv, wv = g[name], w[name]
+            if wv and isinstance(wv[0], float):
+                np.testing.assert_allclose(gv, wv, rtol=float_rtol,
+                                           err_msg=name)
+            else:
+                assert gv == wv, name
+
+    def test_q1_text(self, t):
+        from arrow_tpu import sql
+        from arrow_tpu.io import tpch_queries as q
+        got = sql.query("""
+            select l_returnflag, l_linestatus,
+                   sum(l_quantity) as sum_qty,
+                   sum(l_extendedprice) as sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount))
+                       as sum_disc_price,
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       as sum_charge,
+                   avg(l_quantity) as avg_qty,
+                   avg(l_extendedprice) as avg_price,
+                   avg(l_discount) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= date '1998-12-01' - interval '90' day
+            group by l_returnflag, l_linestatus
+            order by l_returnflag, l_linestatus
+        """, {"lineitem": t["lineitem"]})
+        want = q.q1_plan(t["lineitem"]).to_table()
+        assert got.num_rows == want.num_rows
+        g, w = got.to_pydict(), want.to_pydict()
+        assert g["l_returnflag"] == w["l_returnflag"]
+        assert g["count_order"] == w["count_order"]
+        import numpy as np
+        for c in ("sum_qty", "sum_disc_price", "sum_charge", "avg_disc"):
+            np.testing.assert_allclose(g[c], w[c], rtol=1e-12)
+
+    def test_q6_text(self, t):
+        from arrow_tpu import sql
+        from arrow_tpu.io import tpch_queries as q
+        got = sql.query("""
+            select sum(l_extendedprice * l_discount) as revenue
+            from lineitem
+            where l_shipdate >= date '1994-01-01'
+              and l_shipdate < date '1994-01-01' + interval '1' year
+              and l_discount between 0.05 and 0.07
+              and l_quantity < 24
+        """, {"lineitem": t["lineitem"]})
+        want = q.q6_plan(t["lineitem"]).to_table()
+        self._cmp(got, want)
+
+    def test_q12_text_case_when(self, t):
+        from arrow_tpu import sql
+        from arrow_tpu.io import tpch_queries as q
+        got = sql.query("""
+            select l_shipmode,
+                   sum(case when o_orderpriority = '1-URGENT'
+                             or o_orderpriority = '2-HIGH'
+                        then 1 else 0 end) as high_line_count,
+                   sum(case when o_orderpriority <> '1-URGENT'
+                            and o_orderpriority <> '2-HIGH'
+                        then 1 else 0 end) as low_line_count
+            from lineitem
+            join orders on l_orderkey = o_orderkey
+            where l_receiptdate >= date '1994-01-01'
+              and l_receiptdate < date '1995-01-01'
+              and l_shipmode in ('MAIL', 'SHIP')
+            group by l_shipmode
+            order by l_shipmode
+        """, {"lineitem": t["lineitem"], "orders": t["orders"]})
+        want = q.q12_style_plan(t["orders"], t["lineitem"]).to_table()
+        self._cmp(got, want)
+
+    def test_q14_text_agg_ratio(self, t):
+        from arrow_tpu import sql
+        from arrow_tpu.io import tpch_queries as q
+        got = sql.query("""
+            select 100.00 * sum(case when p_type like 'PROMO%'
+                    then l_extendedprice * (1 - l_discount)
+                    else 0 end)
+                / sum(l_extendedprice * (1 - l_discount))
+                as promo_revenue
+            from lineitem
+            join part on l_partkey = p_partkey
+            where l_shipdate >= date '1995-09-01'
+              and l_shipdate < date '1995-09-01' + interval '30' day
+        """, {"lineitem": t["lineitem"], "part": t["part"]})
+        want = q.q14_plan(t["lineitem"], t["part"]).to_table()
+        self._cmp(got, want, float_rtol=1e-9)
+
+    def test_q18_text_having(self, t):
+        from arrow_tpu import sql
+        got = sql.query("""
+            select l_orderkey, sum(l_quantity) as sum_qty
+            from lineitem
+            group by l_orderkey
+            having sum(l_quantity) > 150
+            order by sum_qty desc, l_orderkey
+            limit 100
+        """, {"lineitem": t["lineitem"]})
+        # oracle in plain python
+        d = t["lineitem"].to_pydict()
+        sums = {}
+        for k, v in zip(d["l_orderkey"], d["l_quantity"]):
+            sums[k] = sums.get(k, 0.0) + v
+        exp = sorted(((k, s) for k, s in sums.items() if s > 150),
+                     key=lambda kv: (-kv[1], kv[0]))[:100]
+        assert got.column("l_orderkey").to_pylist() == [k for k, _ in exp]
+        import numpy as np
+        np.testing.assert_allclose(got.column("sum_qty").to_pylist(),
+                                   [s for _, s in exp], rtol=1e-12)
+
+    def test_semi_join_extract_substring(self, t):
+        from arrow_tpu import sql
+        got = sql.query("""
+            select extract(year from o_orderdate) as y,
+                   substring(o_orderpriority from 1 for 1) as pri,
+                   count(*) as n
+            from orders
+            semi join lineitem on o_orderkey = l_orderkey
+            group by y, pri
+            order by y, pri
+            limit 5
+        """, {"orders": t["orders"], "lineitem": t["lineitem"]})
+        assert got.column_names == ["y", "pri", "n"]
+        assert got.num_rows == 5
+        ys = got.column("y").to_pylist()
+        assert all(1992 <= y <= 1998 for y in ys)
+        assert all(p in "12345" for p in got.column("pri").to_pylist())
