@@ -747,3 +747,73 @@ def distributed_q1(mesh: Mesh, lineitem: Table,
     ], axis)
     return out.sort_by([("l_returnflag", "ascending"),
                         ("l_linestatus", "ascending")])
+
+
+def salted_join_tables(mesh: Mesh, left: Table, right: Table,
+                       left_keys: Sequence[str],
+                       right_keys: Sequence[str],
+                       join_type: str = "inner",
+                       hot_threshold: Optional[int] = None,
+                       n_salts: Optional[int] = None,
+                       out_cap_per_device: Optional[int] = None,
+                       axis: str = "d") -> Table:
+    """Skew-resistant distributed join (BASELINE config 5): hot probe-side
+    keys are detected from the key histogram, then salted — hot probe rows
+    get a salt in [0, S) spreading them across S partitions, and the
+    matching build rows are replicated once per salt. The extended
+    (key..., salt) join then rides the standard partitioned exchange
+    (`distributed_join_tables`), so no single device receives a hot key's
+    full row mass (the reference has no distributed analogue; its
+    single-node parallel build partitions by hash prefix,
+    swiss_join.cc:1103).
+
+    hot_threshold defaults to 4x the expected per-device probe share;
+    n_salts defaults to the device count."""
+    import numpy as np
+
+    from ..array.array import array as make_array
+
+    ndev = mesh.devices.size
+    n_salts = int(n_salts or ndev)
+    hot_threshold = int(hot_threshold or
+                        max(4 * left.num_rows // max(ndev, 1), 64))
+
+    # host-side histogram of the probe-side key tuple
+    lcols = [left.column(k).to_pylist() for k in left_keys]
+    keys = list(zip(*lcols)) if len(lcols) > 1 else [
+        (v,) for v in lcols[0]]
+    from collections import Counter
+    counts = Counter(keys)
+    hot = {k for k, c in counts.items() if c > hot_threshold}
+
+    if not hot or n_salts <= 1:
+        return distributed_join_tables(
+            mesh, left, right, left_keys, right_keys, join_type,
+            out_cap_per_device, axis)
+
+    # probe side: hot rows take salt = i mod S, cold rows salt 0
+    lhot = np.fromiter((k in hot for k in keys), bool, len(keys))
+    lsalt = np.zeros(len(keys), np.int64)
+    lsalt[lhot] = np.arange(int(lhot.sum())) % n_salts
+    left_s = left.append_column("__salt__", make_array(lsalt))
+
+    # build side: hot-key rows replicated once per salt, others salt 0
+    rcols = [right.column(k).to_pylist() for k in right_keys]
+    rkeys = list(zip(*rcols)) if len(rcols) > 1 else [
+        (v,) for v in rcols[0]]
+    rhot = np.fromiter((k in hot for k in rkeys), bool, len(rkeys))
+    base = np.arange(len(rkeys), dtype=np.int64)
+    rep_idx = np.concatenate([base] + [base[rhot]] * (n_salts - 1))
+    rep_salt = np.concatenate(
+        [np.zeros(len(rkeys), np.int64)]
+        + [np.full(int(rhot.sum()), s, np.int64)
+           for s in range(1, n_salts)])
+    right_rep = right.take(make_array(rep_idx)).combine_chunks()
+    right_s = right_rep.append_column("__salt__", make_array(rep_salt))
+
+    out = distributed_join_tables(
+        mesh, left_s, right_s, list(left_keys) + ["__salt__"],
+        list(right_keys) + ["__salt__"], join_type,
+        out_cap_per_device, axis)
+    return out.drop_columns(["__salt__"]) if "__salt__" in \
+        out.column_names else out

@@ -156,3 +156,40 @@ def test_distributed_q1_matches_single_node(mesh):
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
               "avg_qty", "avg_price", "avg_disc", "count_order"):
         np.testing.assert_allclose(o[c], s[c], rtol=1e-12)
+
+
+def test_salted_join_matches_plain_join():
+    """Skewed-key join: one key holds ~half the probe rows; the salted
+    path must produce exactly the rows of the unsalted distributed join
+    (BASELINE config 5)."""
+    import numpy as np
+
+    import arrow_tpu as at
+    from arrow_tpu.parallel import (distributed_join_tables, make_mesh,
+                                    salted_join_tables)
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 100, n))
+    left = at.table({"k": at.array(keys.astype(np.int64)),
+                     "v": at.array(np.arange(n, dtype=np.int64))})
+    right = at.table({"k": at.array(np.arange(100, dtype=np.int64)),
+                      "w": at.array(np.arange(100, dtype=np.float64))})
+    mesh = make_mesh(8)
+    plain = distributed_join_tables(mesh, left, right, ["k"], ["k"])
+    salted = salted_join_tables(mesh, left, right, ["k"], ["k"],
+                                hot_threshold=200, n_salts=8)
+    assert salted.num_rows == plain.num_rows == n
+
+    def kcol(t):
+        name = next(c for c in t.column_names if c.startswith("k"))
+        return t.column(name).to_pylist()
+
+    ps = sorted(zip(plain.column("v").to_pylist(), kcol(plain),
+                    plain.column("w").to_pylist()))
+    ss = sorted(zip(salted.column("v").to_pylist(), kcol(salted),
+                    salted.column("w").to_pylist()))
+    assert ps == ss
+    # oracle: w == float(k)
+    for v, k, w in ss[:50]:
+        assert w == float(k)
