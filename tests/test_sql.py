@@ -246,3 +246,37 @@ class TestTpchSql:
         ys = got.column("y").to_pylist()
         assert all(1992 <= y <= 1998 for y in ys)
         assert all(p in "12345" for p in got.column("pri").to_pylist())
+
+
+def test_flight_sql_prepared_and_metadata(db):
+    """Prepared statements (create/bind-via-DoPut/execute/close) and the
+    metadata commands (reference surface: flight/sql/server.h +
+    client.h PreparedStatement)."""
+    pytest.importorskip("grpc")
+    import arrow_tpu as at
+    from arrow_tpu.flight.sql import FlightSqlClient, FlightSqlServer
+    with FlightSqlServer(tables=db) as srv:
+        cli = FlightSqlClient(f"grpc://127.0.0.1:{srv.port}")
+        stmt = cli.prepare("SELECT cust, total FROM orders "
+                           "WHERE total > ? ORDER BY total DESC")
+        stmt.set_parameters(at.table({"p0": [15.0]}))
+        out = stmt.execute()
+        assert all(v > 15.0 for v in out.column("total").to_pylist())
+        # rebind with a different parameter: same handle, new result
+        stmt.set_parameters(at.table({"p0": [0.0]}))
+        assert stmt.execute().num_rows >= out.num_rows
+        stmt.close()
+
+        assert cli.get_db_schemas().column(
+            "db_schema_name").to_pylist() == ["main"]
+        assert cli.get_table_types().column(
+            "table_type").to_pylist() == ["TABLE"]
+        assert cli.get_primary_keys().num_rows == 0
+        info = cli.get_sql_info()
+        d = info.to_pydict()
+        by_name = dict(zip(d["info_name"], d["value"]))
+        import FlightSql_pb2 as fsql
+        assert by_name[fsql.FLIGHT_SQL_SERVER_NAME] == "arrow_tpu"
+        assert by_name[fsql.FLIGHT_SQL_SERVER_READ_ONLY] is True
+        assert by_name[fsql.SQL_MAX_COLUMNS_IN_TABLE] == 10_000
+        cli.close()
