@@ -50,7 +50,10 @@ def _group_valid_counts(nseg, live, seg):
 
 
 def _grp_validity(counts, num_groups, min_count, cap):
-    ok = counts >= jnp.asarray(max(min_count, 1), jnp.int64)
+    # ScalarAggregateOptions semantics (api_aggregate.h:48-58): result is
+    # null when non-null count < min_count; min_count=0 keeps even an
+    # all-null group's identity result (e.g. sum -> 0)
+    ok = counts >= jnp.asarray(min_count, jnp.int64)
     return ok
 
 
@@ -91,6 +94,9 @@ def grouped_product(ctx, values, gids, num_groups, skip_nulls: bool = True,
     prods = jax.ops.segment_prod(v, seg, num_segments=nseg)
     counts = _group_valid_counts(nseg, live, seg)
     validity = _grp_validity(counts, num_groups, min_count, nseg)
+    if not skip_nulls:
+        validity = jnp.logical_and(validity, ~_group_has_null(
+            ctx, values, gids, nseg))
     return Compacted(DeviceColumn(prods, validity, _sum_type(values.type)),
                      num_groups.astype(jnp.int32))
 
@@ -109,6 +115,9 @@ def grouped_mean(ctx, values, gids, num_groups, skip_nulls: bool = True,
     counts = _group_valid_counts(nseg, live, seg)
     means = sums / jnp.maximum(counts, 1).astype(jnp.float64)
     validity = _grp_validity(counts, num_groups, min_count, nseg)
+    if not skip_nulls:
+        validity = jnp.logical_and(validity, ~_group_has_null(
+            ctx, values, gids, nseg))
     return Compacted(DeviceColumn(means, validity, T.float64()),
                      num_groups.astype(jnp.int32))
 
@@ -120,7 +129,12 @@ def _grouped_minmax(ctx, values, gids, num_groups, is_min, skip_nulls,
     out = _segment_reduce(values.values, live, seg, nseg,
                           "min" if is_min else "max", ident)
     counts = _group_valid_counts(nseg, live, seg)
-    validity = _grp_validity(counts, num_groups, min_count, nseg)
+    # reference (hash_aggregate.cc GroupedMinMaxImpl::Finalize): valid iff
+    # the group saw at least one value; min_count does NOT apply
+    validity = counts > 0
+    if not skip_nulls:
+        validity = jnp.logical_and(validity, ~_group_has_null(
+            ctx, values, gids, nseg))
     return Compacted(DeviceColumn(out, validity, values.type,
                                   values.dictionary),
                      num_groups.astype(jnp.int32))
@@ -235,6 +249,12 @@ def grouped_variance(ctx, values, gids, num_groups, ddof: int = 0,
     denom = counts.astype(jnp.float64) - ddof
     var = m2 / jnp.maximum(denom, 1.0)
     validity = counts > jnp.asarray(ddof, jnp.int64)
+    validity = jnp.logical_and(
+        validity, counts >= jnp.asarray(min_count, jnp.int64))
+    if not skip_nulls:
+        nseg = int(counts.shape[0])
+        validity = jnp.logical_and(validity, ~_group_has_null(
+            ctx, values, gids, nseg))
     return Compacted(DeviceColumn(var, validity, T.float64()),
                      num_groups.astype(jnp.int32))
 

@@ -213,3 +213,49 @@ def test_random_sort_fetch_plan(seed):
                 assert ov == pytest.approx(tv, rel=1e-12), f"seed {seed}"
             else:
                 assert ov == tv, f"seed {seed} col {name}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_aggregate_options_differential(seed):
+    """FunctionOptions semantics in plans (SURVEY A.6: skip_nulls,
+    min_count, CountOptions mode, VarianceOptions ddof) vs pyarrow."""
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(10, 200))
+    cols = _random_table(rng, n)
+    ot, pt = _to_at(cols), _to_pa(cols)
+
+    skip = bool(rng.integers(0, 2))
+    min_count = int(rng.integers(0, 4))
+    ddof = int(rng.integers(0, 2))
+    count_mode = ["only_valid", "only_null", "all"][int(rng.integers(0, 3))]
+
+    o_opts = {"skip_nulls": skip, "min_count": min_count}
+    ours = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(ot)),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("f64", "sum", dict(o_opts), "s"),
+             ("f64", "mean", dict(o_opts), "m"),
+             ("i64", "min", dict(o_opts), "mn"),
+             ("f64", "stddev", {"ddof": ddof, "skip_nulls": skip},
+              "sd"),
+             ("f64", "count", {"mode": count_mode}, "c")],
+            keys=["s"])),
+    ]).to_table()
+
+    p_agg = ppc.ScalarAggregateOptions(skip_nulls=skip,
+                                       min_count=min_count)
+    theirs = pacero.Declaration.from_sequence([
+        pacero.Declaration("table_source",
+                           pacero.TableSourceNodeOptions(pt)),
+        pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+            [("f64", "hash_sum", p_agg, "s"),
+             ("f64", "hash_mean", p_agg, "m"),
+             ("i64", "hash_min", p_agg, "mn"),
+             ("f64", "hash_stddev",
+              ppc.VarianceOptions(ddof=ddof, skip_nulls=skip,
+                                  min_count=0), "sd"),
+             ("f64", "hash_count", ppc.CountOptions(mode=count_mode),
+              "c")],
+            keys=["s"])),
+    ]).to_table()
+    _compare(ours, theirs, seed)
