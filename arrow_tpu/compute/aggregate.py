@@ -153,7 +153,9 @@ def _has_null(ctx, a):
 def _mean(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     v, live, n = _masked(ctx, a, 0)
     total = jnp.sum(v.astype(jnp.float64))
-    mean = total / jnp.maximum(n, 1).astype(jnp.float64)
+    # 0/0 -> NaN matches the reference: mean of zero values with
+    # min_count=0 is a VALID NaN (aggregate_basic.cc MeanImpl)
+    mean = total / n.astype(jnp.float64)
     f = _dec_factor(a.type)
     if f is not None:
         mean = mean * f
@@ -174,7 +176,9 @@ def _minmax_identity(dt, is_min: bool):
 def _min(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     v, live, n = _masked(ctx, a, _minmax_identity(a.values.dtype, True))
     out = jnp.min(v)
-    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    # min/max of zero values is null regardless of min_count
+    valid = jnp.logical_and(
+        _agg_valid(ctx, a, n, skip_nulls, min_count), n > 0)
     return AggResult(out, valid, a.type)
 
 
@@ -182,7 +186,8 @@ def _min(ctx, a, skip_nulls: bool = True, min_count: int = 1):
 def _max(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     v, live, n = _masked(ctx, a, _minmax_identity(a.values.dtype, False))
     out = jnp.max(v)
-    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    valid = jnp.logical_and(
+        _agg_valid(ctx, a, n, skip_nulls, min_count), n > 0)
     return AggResult(out, valid, a.type)
 
 

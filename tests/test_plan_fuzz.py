@@ -259,3 +259,28 @@ def test_aggregate_options_differential(seed):
             keys=["s"])),
     ]).to_table()
     _compare(ours, theirs, seed)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_scalar_aggregate_options_differential(seed):
+    """Scalar (non-grouped) aggregate options vs pyarrow.compute,
+    including the empty-input/min_count=0 edge (mean -> valid NaN,
+    min/max -> null; reference: aggregate_basic.cc)."""
+    import arrow_tpu.compute as pc
+    r = np.random.default_rng(seed)
+    n = int(r.integers(0, 60))
+    vals = [float(np.round(v, 3)) if r.random() > 0.3 else None
+            for v in r.normal(size=n)]
+    oa, pa_arr = at.array(vals, at.float64()), pa.array(vals, pa.float64())
+    skip = bool(r.integers(0, 2))
+    mc = int(r.integers(0, 4))
+    for fn in ("sum", "mean", "min", "max", "product"):
+        kw = dict(skip_nulls=skip, min_count=mc)
+        ov = getattr(pc, fn)(oa, **kw).as_py()
+        tv = getattr(ppc, fn)(pa_arr, **kw).as_py()
+        if ov is None or tv is None:
+            assert ov is tv, (fn, skip, mc, ov, tv)
+        elif isinstance(tv, float) and np.isnan(tv):
+            assert np.isnan(ov), (fn, skip, mc, ov, tv)
+        else:
+            assert ov == pytest.approx(tv, rel=1e-9), (fn, skip, mc)
