@@ -241,11 +241,81 @@ class SparseCSCMatrix(SparseCSRMatrix):
         return t.to_dense().T
 
 
+class SparseCSFTensor:
+    """Compressed-sparse-fiber N-dim tensor (reference:
+    sparse_tensor.h SparseCSFIndex; format/SparseTensor.fbs
+    SparseTensorIndexCSF). A prefix tree over the non-zero coordinates:
+    indices[k] holds node values at depth k, indptr[k] the child ranges
+    from depth k into depth k+1; the leaf level aligns with `data`."""
+
+    def __init__(self, data, indptr, indices, axis_order, shape):
+        self.data = np.asarray(data)
+        self.indptr = [np.asarray(p, dtype=np.int64) for p in indptr]
+        self.indices = [np.asarray(i, dtype=np.int64) for i in indices]
+        self.axis_order = list(axis_order)
+        self.shape = tuple(int(s) for s in shape)
+
+    @property
+    def non_zero_length(self) -> int:
+        return len(self.data)
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @classmethod
+    def from_dense_numpy(cls, arr: np.ndarray) -> "SparseCSFTensor":
+        arr = np.asarray(arr)
+        nd = arr.ndim
+        nz = np.argwhere(arr != 0)  # lexicographic in axes 0..nd-1
+        data = arr[tuple(nz.T)]
+        indices, indptr = [], []
+        prev_starts = None
+        for k in range(nd):
+            pref = nz[:, :k + 1]
+            if len(pref):
+                change = np.any(np.diff(pref, axis=0) != 0, axis=1)
+                starts = np.concatenate([[True], change])
+            else:
+                starts = np.zeros(0, dtype=bool)
+            uniq = np.nonzero(starts)[0]
+            indices.append(pref[uniq, k].astype(np.int64))
+            if k > 0:
+                # children per unique (k-1)-prefix, as an offsets array
+                parent_id = np.cumsum(prev_starts) - 1
+                counts = np.bincount(parent_id[uniq],
+                                     minlength=int(prev_starts.sum()))
+                ptr = np.zeros(len(counts) + 1, dtype=np.int64)
+                np.cumsum(counts, out=ptr[1:])
+                indptr.append(ptr)
+            prev_starts = starts
+        return cls(data, indptr, indices, list(range(nd)), arr.shape)
+
+    def to_dense(self) -> np.ndarray:
+        nd = self.ndim
+        coords = self.indices[0].reshape(-1, 1)
+        for k in range(1, nd):
+            counts = np.diff(self.indptr[k - 1])
+            coords = np.repeat(coords, counts, axis=0)
+            coords = np.concatenate(
+                [coords, self.indices[k].reshape(-1, 1)], axis=1)
+        out = np.zeros(self.shape, dtype=self.data.dtype)
+        full = np.empty_like(coords)
+        full[:, self.axis_order] = coords
+        if len(coords):
+            out[tuple(full.T)] = self.data
+        return out
+
+    def equals(self, other) -> bool:
+        return (self.shape == other.shape
+                and np.array_equal(self.to_dense(), other.to_dense()))
+
+
 # --- sparse tensor IPC (format/SparseTensor.fbs) ---------------------------
 # MessageHeader.SparseTensor = 5; SparseTensorIndex union:
 # COO=1, CSX=2, CSF=3.
 
-_SPARSE_COO, _SPARSE_CSX = 1, 2
+_SPARSE_COO, _SPARSE_CSX, _SPARSE_CSF = 1, 2, 3
 
 
 def _int64_type(b: flatbuffers.Builder) -> int:
@@ -291,6 +361,40 @@ def write_sparse_tensor(st, sink) -> int:
         b.PrependUOffsetTRelativeSlot(0, ityp, 0)
         idx_off, idx_disc = b.EndObject(), _SPARSE_COO
         data_off_pos, data_len = offs[1], lens[1]
+    elif isinstance(st, SparseCSFTensor):
+        nd = st.ndim
+        parts = [np.ascontiguousarray(p).tobytes() for p in st.indptr] + \
+            [np.ascontiguousarray(i).tobytes() for i in st.indices] + \
+            [data.tobytes()]
+        offs, lens, body = _body_parts(parts)
+        ptyp = _int64_type(b)
+        ityp = _int64_type(b)
+        b.StartVector(16, nd - 1, 8)
+        for j in reversed(range(nd - 1)):
+            b.Prep(8, 16)
+            b.PrependInt64(lens[j])
+            b.PrependInt64(offs[j])
+        indptr_vec = b.EndVector()
+        b.StartVector(16, nd, 8)
+        for j in reversed(range(nd - 1, 2 * nd - 1)):
+            b.Prep(8, 16)
+            b.PrependInt64(lens[j])
+            b.PrependInt64(offs[j])
+        indices_vec = b.EndVector()
+        b.StartVector(4, nd, 4)
+        for a in reversed(st.axis_order):
+            b.PrependInt32(a)
+        axis_vec = b.EndVector()
+        # SparseTensorIndexCSF: indptrType(0) indptrBuffers(1)
+        # indicesType(2) indicesBuffers(3) axisOrder(4)
+        b.StartObject(5)
+        b.PrependUOffsetTRelativeSlot(4, axis_vec, 0)
+        b.PrependUOffsetTRelativeSlot(3, indices_vec, 0)
+        b.PrependUOffsetTRelativeSlot(2, ityp, 0)
+        b.PrependUOffsetTRelativeSlot(1, indptr_vec, 0)
+        b.PrependUOffsetTRelativeSlot(0, ptyp, 0)
+        idx_off, idx_disc = b.EndObject(), _SPARSE_CSF
+        data_off_pos, data_len = offs[-1], lens[-1]
     else:
         axis = 1 if isinstance(st, SparseCSCMatrix) else 0
         indptr = np.ascontiguousarray(st.indptr.astype(np.int64))
@@ -402,4 +506,15 @@ def read_sparse_tensor(source):
         indices = np.frombuffer(body[ioff:ioff + ilen], np.int64).copy()
         cls = SparseCSCMatrix if axis == 1 else SparseCSRMatrix
         return cls(data, indptr, indices, shape)
+    if idx_disc == _SPARSE_CSF:
+        from flatbuffers import number_types as N
+        i64f = N.Int64Flags
+        bufs = ir.vector_structs(1, 16, [(0, i64f), (8, i64f)])
+        indptr = [np.frombuffer(body[o:o + ln], np.int64).copy()
+                  for o, ln in bufs]
+        ibufs = ir.vector_structs(3, 16, [(0, i64f), (8, i64f)])
+        indices = [np.frombuffer(body[o:o + ln], np.int64).copy()
+                   for o, ln in ibufs]
+        axis_order = ir.vector_i32(4)
+        return SparseCSFTensor(data, indptr, indices, axis_order, shape)
     raise NotImplementedError(f"sparse index discriminant {idx_disc}")

@@ -311,3 +311,50 @@ class TestMemoryPool:
         lp = at.LoggingMemoryPool(sink=sink)
         lp.allocate(64)
         assert "Allocate: size = 64" in sink.getvalue()
+
+
+def test_sparse_csf_tensor():
+    """CSF prefix-tree tensor: structure matches the format spec's worked
+    example (format/SparseTensor.fbs SparseTensorIndexCSF), dense
+    round-trip, and SparseTensor IPC message round-trip."""
+    import io
+
+    import numpy as np
+
+    from arrow_tpu.tensor import (SparseCSFTensor, read_sparse_tensor,
+                                  write_sparse_tensor)
+
+    X = np.zeros((2, 2, 2, 3), np.int64)
+    X[0, 0, 0, 1] = 1
+    X[0, 0, 0, 2] = 2
+    X[0, 1, 0, 0] = 3
+    X[0, 1, 0, 2] = 4
+    X[0, 1, 1, 0] = 5
+    X[1, 1, 1, 0] = 6
+    X[1, 1, 1, 1] = 7
+    X[1, 1, 1, 2] = 8
+    st = SparseCSFTensor.from_dense_numpy(X)
+    # the spec's worked example, verbatim
+    assert [i.tolist() for i in st.indices] == \
+        [[0, 1], [0, 1, 1], [0, 0, 1, 1], [1, 2, 0, 2, 0, 0, 1, 2]]
+    assert [p.tolist() for p in st.indptr] == \
+        [[0, 2, 3], [0, 1, 3, 4], [0, 2, 4, 5, 8]]
+    assert st.non_zero_length == 8
+    assert np.array_equal(st.to_dense(), X)
+
+    buf = io.BytesIO()
+    write_sparse_tensor(st, buf)
+    rt = read_sparse_tensor(buf.getvalue())
+    assert isinstance(rt, SparseCSFTensor)
+    assert rt.axis_order == [0, 1, 2, 3]
+    assert np.array_equal(rt.to_dense(), X)
+
+    # float + randomized shapes
+    rng = np.random.default_rng(0)
+    Y = np.where(rng.random((4, 3, 5)) < 0.2, rng.normal(size=(4, 3, 5)),
+                 0.0)
+    sy = SparseCSFTensor.from_dense_numpy(Y)
+    assert np.array_equal(sy.to_dense(), Y)
+    buf = io.BytesIO()
+    write_sparse_tensor(sy, buf)
+    assert np.array_equal(read_sparse_tensor(buf.getvalue()).to_dense(), Y)
