@@ -27,12 +27,24 @@ def bench_ours(lineitem, iters: int) -> float:
 
     batch = upload_table(lineitem)
     fn = compile_chain(_q1_chain_decls())
+
+    def checksum(out):
+        # force a device->host readback of real result values:
+        # jax.block_until_ready can return before execution completes on
+        # the tunneled axon platform (measured: 0.1 ms "sorts" of 60M
+        # rows), so every timed iteration must materialize output data.
+        # One value from the final stage's output gates that whole
+        # program (the transfer cannot complete before the producing
+        # program writes the buffer).
+        import numpy as np
+        return float(np.asarray(out.columns[-1].values[:1])[0])
+
     # warmup / compile
-    jax.block_until_ready(fn(batch))
+    checksum(fn(batch))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(batch)
-    jax.block_until_ready(out)
+        checksum(out)
     dt = (time.perf_counter() - t0) / iters
     return lineitem.num_rows / dt
 

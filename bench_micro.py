@@ -14,13 +14,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _force(out):
+    """Readback one real value per output array: block_until_ready can
+    return before execution completes on the tunneled axon platform, so
+    timing loops must gate on an actual device->host transfer."""
+    leaves = jax.tree_util.tree_leaves(out)
+    total = 0.0
+    for leaf in leaves:
+        v = leaf if getattr(leaf, "ndim", 0) == 0 else leaf[:1]
+        total += float(np.asarray(v, dtype=np.float64).sum())
+    return total
+
+
 def bench(name, fn, args, bytes_per_row, rows, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _force(out)
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": name, "rows_per_s": round(rows / dt, 1),
