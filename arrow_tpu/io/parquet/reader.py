@@ -172,12 +172,14 @@ def _time_unit(unit_union: Dict) -> str:
 
 
 class ParquetFile:
-    def __init__(self, source):
+    def __init__(self, source, decryption_properties=None):
         if isinstance(source, (bytes, bytearray, memoryview)):
             source = io.BytesIO(source)
         elif isinstance(source, str):
             source = open(source, "rb")
         self.src = source
+        self.decryption = decryption_properties
+        self._file_crypto = None  # (footer_key, file_aad, ctr_pages)
         self._parse_footer()
 
     def _parse_footer(self):
@@ -186,11 +188,14 @@ class ParquetFile:
         size = src.tell()
         src.seek(size - 8)
         tail = src.read(8)
-        if tail[4:] != MAGIC:
+        if tail[4:] == b"PARE":
+            footer = self._read_encrypted_footer(size, tail)
+        elif tail[4:] == MAGIC:
+            (flen,) = struct.unpack("<i", tail[:4])
+            src.seek(size - 8 - flen)
+            footer = src.read(flen)
+        else:
             raise ValueError("not a parquet file")
-        (flen,) = struct.unpack("<i", tail[:4])
-        src.seek(size - 8 - flen)
-        footer = src.read(flen)
         md = CompactReader(footer).read_struct()
         self.version = md.get(1, 1)
         self.num_rows = md.get(3, 0)
@@ -259,6 +264,76 @@ class ParquetFile:
         self.columns = [fd.leaves[0] for fd in self.fields]
 
         self.row_groups = md.get(4, [])
+        if self._file_crypto is not None:
+            self._attach_column_crypto()
+
+    def _read_encrypted_footer(self, size: int, tail: bytes) -> bytes:
+        """Encrypted-footer mode (magic PARE): FileCryptoMetaData (plain
+        thrift) || encrypted FileMetaData module, combined length in the
+        tail (parquet/file_reader.cc ParseMetaDataOfEncryptedFile
+        analogue)."""
+        from ...compute.registry import ArrowInvalid
+        from .encryption import (MOD_FOOTER, FileColumnCryptoState,
+                                 decrypt_module_gcm, module_aad)
+        if self.decryption is None:
+            raise ArrowInvalid(
+                "parquet file has an encrypted footer; pass "
+                "decryption_properties")
+        (flen,) = struct.unpack("<i", tail[:4])
+        self.src.seek(size - 8 - flen)
+        blob = self.src.read(flen)
+        r = CompactReader(blob)
+        fcm = r.read_struct()
+        alg = fcm.get(1, {})
+        if 1 in alg:
+            alg_struct, ctr = alg[1], False
+        elif 2 in alg:
+            alg_struct, ctr = alg[2], True
+        else:
+            raise ArrowInvalid("unknown parquet encryption algorithm")
+        aad_prefix = alg_struct.get(1, b"")
+        aad_file_unique = alg_struct.get(2, b"")
+        if alg_struct.get(3):  # supply_aad_prefix
+            aad_prefix = self.decryption.aad_prefix
+            if not aad_prefix:
+                raise ArrowInvalid(
+                    "file requires an externally-supplied AAD prefix")
+        file_aad = aad_prefix + aad_file_unique
+        footer_key = self.decryption.resolve_footer_key(fcm.get(2, b""))
+        footer, _ = decrypt_module_gcm(
+            footer_key, module_aad(file_aad, MOD_FOOTER), blob, r.pos)
+        self._file_crypto = (footer_key, file_aad, ctr)
+        return footer
+
+    def _attach_column_crypto(self):
+        """Resolve a FileColumnCryptoState per encrypted chunk; decrypt
+        column-key ColumnMetaData modules into chunk slot 3."""
+        from .encryption import MOD_COLUMN_METADATA, FileColumnCryptoState
+        footer_key, file_aad, ctr = self._file_crypto
+        for rg_idx, rg in enumerate(self.row_groups):
+            # module AADs use RowGroup.ordinal, falling back to -1
+            # (0xFFFF) when unset, mirroring metadata.cc:649
+            rg_ord = rg.get(7, -1) & 0xFFFF
+            for col_ord, chunk in enumerate(rg.get(1, [])):
+                ccm = chunk.get(8)
+                if ccm is None:
+                    continue  # plaintext chunk (no crypto_metadata)
+                if 1 in ccm:   # ENCRYPTION_WITH_FOOTER_KEY
+                    state = FileColumnCryptoState(footer_key, file_aad,
+                                                  ctr)
+                else:          # ENCRYPTION_WITH_COLUMN_KEY
+                    ck = ccm[2]
+                    path = b".".join(ck.get(1, [])).decode()
+                    key = self.decryption.resolve_column_key(
+                        path, ck.get(2, b""))
+                    state = FileColumnCryptoState(key, file_aad, ctr)
+                    enc_meta = chunk.get(9)
+                    if enc_meta is not None and chunk.get(3) is None:
+                        pt, _ = state.decrypt(MOD_COLUMN_METADATA,
+                                              enc_meta, 0, rg_ord,
+                                              col_ord)
+                        chunk[3] = CompactReader(pt).read_struct()
+                chunk["_crypto"] = (state, rg_ord, col_ord)
 
     @property
     def schema_arrow(self) -> Schema:
@@ -303,12 +378,22 @@ class ParquetFile:
             return None
         self.src.seek(off)
         blob = self.src.read(meta.get(15, chunk.get(15, 1 << 20)))
+        from .bloom import SplitBlockBloomFilter as SplitBlockBloomFilter_
+        crypto_info = chunk.get("_crypto")
+        if crypto_info is not None:
+            from .encryption import MOD_BLOOM_BITSET, MOD_BLOOM_HEADER
+            state, rg_o, col_o = crypto_info
+            hdr_pt, p = state.decrypt(MOD_BLOOM_HEADER, blob, 0,
+                                      rg_o, col_o)
+            hdr = CompactReader(hdr_pt).read_struct()
+            bitset, _ = state.decrypt(MOD_BLOOM_BITSET, blob, p,
+                                      rg_o, col_o)
+            return SplitBlockBloomFilter_(hdr.get(1, 32), bitset)
         hdr_reader = CompactReader(blob)
         hdr = hdr_reader.read_struct()
         nbytes = hdr.get(1, 32)
         bitset = blob[hdr_reader.pos:hdr_reader.pos + nbytes]
-        from .bloom import SplitBlockBloomFilter
-        return SplitBlockBloomFilter(nbytes, bitset)
+        return SplitBlockBloomFilter_(nbytes, bitset)
 
     def column_index(self, rg: int, col: int):
         """Decoded ColumnIndex (page_index.h): (null_pages, mins, maxs,
@@ -319,7 +404,14 @@ class ParquetFile:
         if off is None:
             return None
         self.src.seek(off)
-        ci = CompactReader(self.src.read(ln)).read_struct()
+        blob = self.src.read(ln)
+        crypto_info = chunk.get("_crypto")
+        if crypto_info is not None:
+            from .encryption import MOD_COLUMN_INDEX
+            state, rg_o, col_o = crypto_info
+            blob, _ = state.decrypt(MOD_COLUMN_INDEX, blob, 0,
+                                    rg_o, col_o)
+        ci = CompactReader(blob).read_struct()
         cs = None
         k = 0
         for fd in self.fields:
@@ -343,7 +435,14 @@ class ParquetFile:
         if off is None:
             return None
         self.src.seek(off)
-        oi = CompactReader(self.src.read(ln)).read_struct()
+        blob = self.src.read(ln)
+        crypto_info = chunk.get("_crypto")
+        if crypto_info is not None:
+            from .encryption import MOD_OFFSET_INDEX
+            state, rg_o, col_o = crypto_info
+            blob, _ = state.decrypt(MOD_OFFSET_INDEX, blob, 0,
+                                    rg_o, col_o)
+        oi = CompactReader(blob).read_struct()
         return [(p.get(1), p.get(2), p.get(3, 0))
                 for p in oi.get(1, [])]
 
@@ -489,15 +588,43 @@ class ParquetFile:
         def_bw = bit_width_for(max(cs.max_def, 1))
         rep_bw = bit_width_for(max(cs.max_rep, 1))
         consumed = 0
+        crypto_info = chunk.get("_crypto")
+        data_page_ord = 0
+        expect_dict = dict_off is not None
         while consumed < num_values:
-            header = CompactReader(blob, pos)
-            ph = header.read_struct()
-            pos = header.pos
-            ptype = ph.get(1)
-            uncomp = ph.get(2, 0)
-            comp = ph.get(3, 0)
-            payload = blob[pos:pos + comp]
-            pos += comp
+            if crypto_info is not None:
+                from .encryption import (MOD_DATA_PAGE,
+                                         MOD_DATA_PAGE_HEADER,
+                                         MOD_DICT_PAGE,
+                                         MOD_DICT_PAGE_HEADER)
+                state, rg_o, col_o = crypto_info
+                if expect_dict:
+                    hdr_pt, pos = state.decrypt(
+                        MOD_DICT_PAGE_HEADER, blob, pos, rg_o, col_o)
+                    ph = CompactReader(hdr_pt).read_struct()
+                    payload, pos = state.decrypt(
+                        MOD_DICT_PAGE, blob, pos, rg_o, col_o)
+                    expect_dict = False
+                else:
+                    hdr_pt, pos = state.decrypt(
+                        MOD_DATA_PAGE_HEADER, blob, pos, rg_o, col_o,
+                        data_page_ord)
+                    ph = CompactReader(hdr_pt).read_struct()
+                    payload, pos = state.decrypt(
+                        MOD_DATA_PAGE, blob, pos, rg_o, col_o,
+                        data_page_ord)
+                    data_page_ord += 1
+                ptype = ph.get(1)
+                uncomp = ph.get(2, 0)
+            else:
+                header = CompactReader(blob, pos)
+                ph = header.read_struct()
+                pos = header.pos
+                ptype = ph.get(1)
+                uncomp = ph.get(2, 0)
+                comp = ph.get(3, 0)
+                payload = blob[pos:pos + comp]
+                pos += comp
             if ptype == PAGE_DICT:
                 dph = ph.get(7, {})
                 payload = _decompress(codec, payload, uncomp)
@@ -720,8 +847,10 @@ def _assemble(cs: ColumnSchema, defs: np.ndarray, values_parts,
 
 
 def read_table(source, columns: Optional[List[str]] = None,
-               filters=None) -> Table:
-    return ParquetFile(source).read(columns, filters=filters)
+               filters=None, decryption_properties=None) -> Table:
+    return ParquetFile(
+        source, decryption_properties=decryption_properties
+    ).read(columns, filters=filters)
 
 
 def _decode_stats(cs: ColumnSchema, st: Dict):

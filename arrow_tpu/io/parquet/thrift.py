@@ -58,6 +58,10 @@ class CompactWriter:
             self._varint(_zigzag(fid) & 0xFFFF)
         self._last_fid[-1] = fid
 
+    def field_i16(self, fid: int, v: int):
+        self._field_header(fid, CT_I16)
+        self._varint(_zigzag(v) & 0xFFFFFFFFFFFFFFFF)
+
     def field_i32(self, fid: int, v: int):
         self._field_header(fid, CT_I32)
         self._varint(_zigzag(v) & 0xFFFFFFFFFFFFFFFF)

@@ -230,7 +230,8 @@ class ParquetWriter:
                  compression: Optional[str] = None,
                  use_dictionary: bool = True,
                  write_bloom_filters: bool = True,
-                 column_encoding=None):
+                 column_encoding=None,
+                 encryption_properties=None):
         self._close = False
         if isinstance(sink, str):
             sink = open(sink, "wb")
@@ -246,10 +247,32 @@ class ParquetWriter:
         # per-column encoding overrides, pyarrow-style:
         # {"col": "BYTE_STREAM_SPLIT" | "DELTA_BINARY_PACKED"}
         self.column_encoding = dict(column_encoding or {})
+        self.encryption = encryption_properties
         self.row_groups: List[Dict] = []
         self.num_rows = 0
-        self.sink.write(MAGIC)
+        if self.encryption is not None:
+            from .encryption import MAGIC_ENCRYPTED
+            self.sink.write(MAGIC_ENCRYPTED)
+        else:
+            self.sink.write(MAGIC)
         self.pos = 4
+
+    def _crypto_for(self, path_name: str):
+        """FileColumnCryptoState for the column, or None (plaintext).
+        Returns (state, is_footer_key, key_metadata)."""
+        if self.encryption is None:
+            return None, False, b""
+        from .encryption import ALG_AES_GCM_CTR_V1, FileColumnCryptoState
+        p = self.encryption
+        ctr = p.algorithm == ALG_AES_GCM_CTR_V1
+        if path_name in p.column_keys:
+            return (FileColumnCryptoState(p.column_keys[path_name],
+                                          p.file_aad, ctr), False,
+                    p.column_key_metadata.get(path_name, b""))
+        if p.uniform:
+            return (FileColumnCryptoState(p.footer_key, p.file_aad, ctr),
+                    True, b"")
+        return None, False, b""
 
     def _w(self, data: bytes) -> int:
         off = self.pos
@@ -264,14 +287,17 @@ class ParquetWriter:
     def write_batch(self, rb: RecordBatch):
         from .nested import is_nested, shred
         chunks = []
+        rg_ord = len(self.row_groups)
         for f, col in zip(self.schema.fields, rb.columns):
             if is_nested(f.type):
                 rows = col.to_pylist()
                 for spec, defs, reps, vals in shred(f.name, f.type, rows):
                     chunks.append(self._write_leaf_chunk(
-                        spec, defs, reps, vals))
+                        spec, defs, reps, vals, rg_ord, len(chunks)))
             else:
-                c = self._write_column(f.type, col, name=f.name)
+                c = self._write_column(f.type, col, name=f.name,
+                                       rg_ord=rg_ord,
+                                       col_ord=len(chunks))
                 c["path"] = [f.name]
                 chunks.append(c)
         self.row_groups.append({
@@ -281,11 +307,13 @@ class ParquetWriter:
         self.num_rows += rb.num_rows
 
     def _write_column(self, t: DataType, col: Array,
-                      name: Optional[str] = None) -> Dict:
+                      name: Optional[str] = None,
+                      rg_ord: int = 0, col_ord: int = 0) -> Dict:
         n = len(col)
         present = col.is_valid_mask()
         nullable = True
         physical, type_length = _physical_for(t)
+        crypto, uses_footer_key, key_md = self._crypto_for(name or "")
 
         override = self.column_encoding.get(name)
         use_dict = (self.use_dictionary and physical == BYTE_ARRAY
@@ -312,9 +340,20 @@ class ParquetWriter:
             dict_payload = _plain_encode(
                 dict_arr.type, dict_arr, dict_present)
             comp_dict = _compress(self.codec, dict_payload)
-            hdr = _page_header(PAGE_DICT, len(dict_payload),
-                               len(comp_dict),
-                               dict_hdr={"num_values": len(dict_arr)})
+            if crypto is not None:
+                from .encryption import (MOD_DICT_PAGE,
+                                         MOD_DICT_PAGE_HEADER)
+                comp_dict = crypto.encrypt(MOD_DICT_PAGE, comp_dict,
+                                           rg_ord, col_ord)
+                hdr = _page_header(PAGE_DICT, len(dict_payload),
+                                   len(comp_dict),
+                                   dict_hdr={"num_values": len(dict_arr)})
+                hdr = crypto.encrypt(MOD_DICT_PAGE_HEADER, hdr,
+                                     rg_ord, col_ord)
+            else:
+                hdr = _page_header(PAGE_DICT, len(dict_payload),
+                                   len(comp_dict),
+                                   dict_hdr={"num_values": len(dict_arr)})
             dict_page_offset = self._w(hdr + comp_dict)
             total_comp += len(hdr) + len(comp_dict)
             total_uncomp += len(hdr) + len(dict_payload)
@@ -357,8 +396,17 @@ class ParquetWriter:
             enc = ENC_PLAIN
 
         comp_payload = _compress(self.codec, payload)
-        hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
-                           data_hdr={"num_values": n, "encoding": enc})
+        if crypto is not None:
+            from .encryption import MOD_DATA_PAGE, MOD_DATA_PAGE_HEADER
+            comp_payload = crypto.encrypt(MOD_DATA_PAGE, comp_payload,
+                                          rg_ord, col_ord, page=0)
+            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                               data_hdr={"num_values": n, "encoding": enc})
+            hdr = crypto.encrypt(MOD_DATA_PAGE_HEADER, hdr,
+                                 rg_ord, col_ord, page=0)
+        else:
+            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                               data_hdr={"num_values": n, "encoding": enc})
         data_page_offset = self._w(hdr + comp_payload)
         total_comp += len(hdr) + len(comp_payload)
         total_uncomp += len(hdr) + len(payload)
@@ -366,6 +414,9 @@ class ParquetWriter:
         mn, mx, nulls = _column_stats(t, col)
         bloom = self._build_bloom(t, col, physical)
         return {
+            "crypto": crypto, "uses_footer_key": uses_footer_key,
+            "key_metadata": key_md,
+            "rg_ord": rg_ord, "col_ord": col_ord,
             "bloom": bloom,
             "physical": physical, "type_length": type_length,
             "encodings": encodings, "codec": self.codec,
@@ -410,13 +461,16 @@ class ParquetWriter:
         except (NotImplementedError, TypeError):
             return None
 
-    def _write_leaf_chunk(self, spec, defs, reps, vals) -> Dict:
+    def _write_leaf_chunk(self, spec, defs, reps, vals,
+                          rg_ord: int = 0, col_ord: int = 0) -> Dict:
         """One Parquet leaf under a nested field: rep + def RLE blocks,
         PLAIN-encoded present values (parquet/arrow/path_internal.cc
         analogue)."""
         from ...array.array import array as make_array
         n = len(defs)
         physical, type_length = _physical_for(spec.type)
+        crypto, uses_footer_key, key_md = self._crypto_for(
+            ".".join(spec.path))
         blocks = b""
         if spec.max_rep > 0:
             rb = encode_rle(reps.astype(np.int64),
@@ -429,10 +483,24 @@ class ParquetWriter:
                              np.ones(len(vals), dtype=bool))
         payload = blocks + body
         comp_payload = _compress(self.codec, payload)
-        hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
-                           data_hdr={"num_values": n, "encoding": ENC_PLAIN})
+        if crypto is not None:
+            from .encryption import MOD_DATA_PAGE, MOD_DATA_PAGE_HEADER
+            comp_payload = crypto.encrypt(MOD_DATA_PAGE, comp_payload,
+                                          rg_ord, col_ord, page=0)
+            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                               data_hdr={"num_values": n,
+                                         "encoding": ENC_PLAIN})
+            hdr = crypto.encrypt(MOD_DATA_PAGE_HEADER, hdr,
+                                 rg_ord, col_ord, page=0)
+        else:
+            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                               data_hdr={"num_values": n,
+                                         "encoding": ENC_PLAIN})
         data_page_offset = self._w(hdr + comp_payload)
         return {
+            "crypto": crypto, "uses_footer_key": uses_footer_key,
+            "key_metadata": key_md,
+            "rg_ord": rg_ord, "col_ord": col_ord,
             "physical": physical, "type_length": type_length,
             "encodings": [ENC_RLE, ENC_PLAIN], "codec": self.codec,
             "num_values": n,
@@ -466,7 +534,18 @@ class ParquetWriter:
                 hw.struct_end()
                 hw.struct_end()
                 hw.struct_end()
-                blob = hw.bytes() + bf.bitset()
+                hdr_blob, bitset_blob = hw.bytes(), bf.bitset()
+                crypto = c.get("crypto")
+                if crypto is not None:
+                    from .encryption import (MOD_BLOOM_BITSET,
+                                             MOD_BLOOM_HEADER)
+                    hdr_blob = crypto.encrypt(
+                        MOD_BLOOM_HEADER, hdr_blob,
+                        c["rg_ord"], c["col_ord"])
+                    bitset_blob = crypto.encrypt(
+                        MOD_BLOOM_BITSET, bitset_blob,
+                        c["rg_ord"], c["col_ord"])
+                blob = hdr_blob + bitset_blob
                 c["bloom_offset"] = self._w(blob)
                 c["bloom_length"] = len(blob)
 
@@ -491,6 +570,10 @@ class ParquetWriter:
                     w.elem_i64(nulls)
                 w.struct_end()
                 blob = w.bytes()
+                if c.get("crypto") is not None:
+                    from .encryption import MOD_COLUMN_INDEX
+                    blob = c["crypto"].encrypt(
+                        MOD_COLUMN_INDEX, blob, c["rg_ord"], c["col_ord"])
                 c["column_index_offset"] = self._w(blob)
                 c["column_index_length"] = len(blob)
             for c in rg["columns"]:
@@ -504,6 +587,10 @@ class ParquetWriter:
                 w.struct_end()
                 w.struct_end()
                 blob = w.bytes()
+                if c.get("crypto") is not None:
+                    from .encryption import MOD_OFFSET_INDEX
+                    blob = c["crypto"].encrypt(
+                        MOD_OFFSET_INDEX, blob, c["rg_ord"], c["col_ord"])
                 c["offset_index_offset"] = self._w(blob)
                 c["offset_index_length"] = len(blob)
 
@@ -511,9 +598,42 @@ class ParquetWriter:
         self._write_blooms()
         self._write_page_indexes()
         footer = self._footer()
-        self._w(footer)
-        self.sink.write(struct.pack("<i", len(footer)))
-        self.sink.write(MAGIC)
+        if self.encryption is not None:
+            # encrypted-footer layout (parquet/file_writer.cc
+            # WriteEncryptedFileMetadata): FileCryptoMetaData (plain
+            # thrift) || encrypted FileMetaData module || i32 combined
+            # length || "PARE"
+            from .encryption import (ALG_AES_GCM_CTR_V1, MAGIC_ENCRYPTED,
+                                     MOD_FOOTER, FileColumnCryptoState)
+            p = self.encryption
+            crypto = FileColumnCryptoState(p.footer_key, p.file_aad,
+                                           False)
+            enc_footer = crypto.encrypt(MOD_FOOTER, footer)
+            cw = CompactWriter()
+            alg_field = 2 if p.algorithm == ALG_AES_GCM_CTR_V1 else 1
+            cw.field_struct_begin(1)          # EncryptionAlgorithm union
+            cw.field_struct_begin(alg_field)  # AesGcm[Ctr]V1
+            if p.aad_prefix and not p.supply_aad_prefix:
+                cw.field_binary(1, p.aad_prefix)
+            cw.field_binary(2, p.aad_file_unique)
+            if p.aad_prefix:
+                if p.supply_aad_prefix:
+                    cw.field_bool(3, True)
+            cw.struct_end()
+            cw.struct_end()
+            if p.footer_key_metadata:
+                cw.field_binary(2, p.footer_key_metadata)
+            cw.buf.append(0)  # top-level struct stop
+            crypto_md = cw.bytes()
+            self._w(crypto_md)
+            self._w(enc_footer)
+            self.sink.write(struct.pack(
+                "<i", len(crypto_md) + len(enc_footer)))
+            self.sink.write(MAGIC_ENCRYPTED)
+        else:
+            self._w(footer)
+            self.sink.write(struct.pack("<i", len(footer)))
+            self.sink.write(MAGIC)
         if self._close:
             self.sink.close()
 
@@ -522,6 +642,38 @@ class ParquetWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+    def _column_meta(self, w: CompactWriter, c: Dict, path) -> None:
+        """ColumnMetaData fields (parquet.thrift struct; emitted either
+        inline as ColumnChunk field 3 or as an encrypted module)."""
+        w.field_i32(1, c["physical"])
+        w.field_list_begin(2, CT_I32, len(c["encodings"]))
+        for e in c["encodings"]:
+            w.elem_i32(e)
+        w.field_list_begin(3, CT_BINARY, len(path))
+        for pc in path:
+            w.elem_binary(pc.encode())
+        w.field_i32(4, c["codec"])
+        w.field_i64(5, c["num_values"])
+        w.field_i64(6, c["total_uncompressed_size"])
+        w.field_i64(7, c["total_compressed_size"])
+        w.field_i64(9, c["data_page_offset"])
+        if c.get("dictionary_page_offset") is not None:
+            w.field_i64(11, c["dictionary_page_offset"])
+        if "bloom_offset" in c:
+            w.field_i64(14, c["bloom_offset"])
+            w.field_i32(15, c["bloom_length"])
+        st = c.get("stats")
+        if st is not None and (st[0] is not None or st[2] is not None):
+            mn, mx, nulls = st
+            w.field_struct_begin(12)  # Statistics
+            if nulls is not None:
+                w.field_i64(3, nulls)
+            if mx is not None:
+                w.field_binary(5, mx)   # max_value
+            if mn is not None:
+                w.field_binary(6, mn)   # min_value
+            w.struct_end()
 
     def _footer(self) -> bytes:
         w = CompactWriter()
@@ -573,7 +725,7 @@ class ParquetWriter:
         w.field_i64(3, self.num_rows)
         # row groups
         w.field_list_begin(4, CT_STRUCT, len(self.row_groups))
-        for rg in self.row_groups:
+        for rg_idx, rg in enumerate(self.row_groups):
             w.elem_struct_begin()
             w.field_list_begin(1, CT_STRUCT, len(rg["columns"]))
             for c in rg["columns"]:
@@ -585,40 +737,44 @@ class ParquetWriter:
                     w.field_i32(5, c["offset_index_length"])
                     w.field_i64(6, c["column_index_offset"])
                     w.field_i32(7, c["column_index_length"])
-                w.field_struct_begin(3)  # ColumnMetaData
-                w.field_i32(1, c["physical"])
-                w.field_list_begin(2, CT_I32, len(c["encodings"]))
-                for e in c["encodings"]:
-                    w.elem_i32(e)
-                w.field_list_begin(3, CT_BINARY, len(path))
-                for pc in path:
-                    w.elem_binary(pc.encode())
-                w.field_i32(4, c["codec"])
-                w.field_i64(5, c["num_values"])
-                w.field_i64(6, c["total_uncompressed_size"])
-                w.field_i64(7, c["total_compressed_size"])
-                w.field_i64(9, c["data_page_offset"])
-                if c["dictionary_page_offset"] is not None:
-                    w.field_i64(11, c["dictionary_page_offset"])
-                if "bloom_offset" in c:
-                    w.field_i64(14, c["bloom_offset"])
-                    w.field_i32(15, c["bloom_length"])
-                st = c.get("stats")
-                if st is not None and (st[0] is not None or
-                                       st[2] is not None):
-                    mn, mx, nulls = st
-                    w.field_struct_begin(12)  # Statistics
-                    if nulls is not None:
-                        w.field_i64(3, nulls)
-                    if mx is not None:
-                        w.field_binary(5, mx)   # max_value
-                    if mn is not None:
-                        w.field_binary(6, mn)   # min_value
+                crypto = c.get("crypto")
+                if crypto is not None and not c["uses_footer_key"]:
+                    # column-key encryption: ColumnMetaData moves into
+                    # field 9 as an encrypted module; field 8 records
+                    # the key metadata (ColumnCryptoMetaData union 2)
+                    cm = CompactWriter()
+                    self._column_meta(cm, c, path)
+                    cm.buf.append(0)  # struct stop
+                    from .encryption import MOD_COLUMN_METADATA
+                    enc_meta = crypto.encrypt(
+                        MOD_COLUMN_METADATA, cm.bytes(),
+                        c["rg_ord"], c["col_ord"])
+                    w.field_struct_begin(8)
+                    w.field_struct_begin(2)  # ENCRYPTION_WITH_COLUMN_KEY
+                    w.field_list_begin(1, CT_BINARY, len(path))
+                    for pc in path:
+                        w.elem_binary(pc.encode())
+                    if c["key_metadata"]:
+                        w.field_binary(2, c["key_metadata"])
                     w.struct_end()
-                w.struct_end()
+                    w.struct_end()
+                    w.field_binary(9, enc_meta)
+                else:
+                    w.field_struct_begin(3)  # ColumnMetaData
+                    self._column_meta(w, c, path)
+                    w.struct_end()
+                    if crypto is not None:
+                        w.field_struct_begin(8)
+                        w.field_struct_begin(1)  # WITH_FOOTER_KEY
+                        w.struct_end()
+                        w.struct_end()
                 w.struct_end()
             w.field_i64(2, rg["total_byte_size"])
             w.field_i64(3, rg["num_rows"])
+            # ordinal (i16, field 7): readers of encrypted files use it
+            # as the row-group ordinal in module AADs and fall back to
+            # -1 when unset (metadata.cc:649)
+            w.field_i16(7, rg_idx)
             w.struct_end()
         w.field_binary(6, b"arrow_tpu parquet writer")
         # column_orders: readers only trust min_value/max_value when the
@@ -639,8 +795,9 @@ class ParquetWriter:
 def write_table(tbl: Table, sink, compression: Optional[str] = None,
                 use_dictionary: bool = True,
                 row_group_size: Optional[int] = None,
-                column_encoding=None):
+                column_encoding=None, encryption_properties=None):
     with ParquetWriter(sink, tbl.schema, compression,
                        use_dictionary,
-                       column_encoding=column_encoding) as w:
+                       column_encoding=column_encoding,
+                       encryption_properties=encryption_properties) as w:
         w.write_table(tbl, row_group_size)

@@ -194,16 +194,17 @@ CompressedOutputStream = output_stream
 
 class Codec:
     """Compression codec registry (util/compression.h). Backends:
-    zstd/gzip/snappy (native C++)/lz4 frame (native C++); brotli is
-    unavailable in this environment and raises."""
+    zstd/gzip/snappy (native C++)/lz4 frame (native C++)/bz2; brotli
+    is unavailable in this environment and raises."""
 
     def __init__(self, compression: str, compression_level=None):
         self.name = compression.lower()
         self.compression_level = compression_level
-        if self.name not in ("zstd", "gzip", "snappy", "lz4", "lz4_frame"):
+        if self.name not in ("zstd", "gzip", "snappy", "lz4",
+                             "lz4_frame", "bz2"):
             raise ArrowInvalid(
                 f"unsupported codec {compression!r} "
-                "(zstd/gzip/snappy/lz4 available)")
+                "(zstd/gzip/snappy/lz4/bz2 available)")
 
     @staticmethod
     def is_available(compression: str) -> bool:
@@ -229,6 +230,9 @@ class Codec:
             if out is None:
                 raise ArrowInvalid("native snappy unavailable")
             return out
+        if self.name == "bz2":
+            import bz2
+            return bz2.compress(data, self.compression_level or 9)
         from .utils import lz4frame
         return lz4frame.compress(data)
 
@@ -247,6 +251,9 @@ class Codec:
             if out is None:
                 raise ArrowInvalid("native snappy unavailable")
             return out
+        if self.name == "bz2":
+            import bz2
+            return bz2.decompress(data)
         from .utils import lz4frame
         return lz4frame.decompress(data)
 
