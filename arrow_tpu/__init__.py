@@ -57,7 +57,11 @@ from .io_streams import (  # noqa: F401
     memory_map, output_stream, py_buffer,
 )
 from .extension import (  # noqa: F401
-    ExtensionType, register_extension_type, unregister_extension_type,
+    Bool8Type, ExtensionArray, ExtensionType, FixedShapeTensorArray,
+    FixedShapeTensorType, JsonType, OpaqueType, UuidType,
+    VariableShapeTensorType, bool8, fixed_shape_tensor, json_, opaque,
+    register_extension_type, unregister_extension_type, uuid,
+    variable_shape_tensor,
 )
 from .compute.registry import Scalar  # noqa: F401
 from .table import TableGroupBy  # noqa: F401
@@ -79,7 +83,7 @@ def __getattr__(name):
             "gandiva": ".gandiva", "device": ".device",
             "pretty": ".pretty", "substrait": ".substrait",
             "config": ".config", "orc": ".io.orc",
-            "compare": ".compare"}
+            "compare": ".compare", "interchange": ".interchange"}
     if name in lazy:
         return importlib.import_module(lazy[name], __name__)
     raise AttributeError(name)

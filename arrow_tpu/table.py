@@ -173,6 +173,12 @@ class RecordBatch:
         return RecordBatch(self.schema,
                            [c.slice(offset, length) for c in self.columns])
 
+    def __dataframe__(self, nan_as_null: bool = False,
+                      allow_copy: bool = True):
+        """DataFrame interchange protocol (python/pyarrow/interchange/)."""
+        from .interchange import _ATDataFrame
+        return _ATDataFrame(self, nan_as_null, allow_copy)
+
     def select(self, names: Sequence[Union[str, int]]) -> "RecordBatch":
         idxs = [self.schema.get_field_index(n) if isinstance(n, str) else n
                 for n in names]
@@ -214,6 +220,12 @@ class Table:
     def __init__(self, schema: Schema, columns: Sequence[ChunkedArray]):
         self.schema = schema
         self.columns = list(columns)
+
+    def __dataframe__(self, nan_as_null: bool = False,
+                      allow_copy: bool = True):
+        """DataFrame interchange protocol (python/pyarrow/interchange/)."""
+        from .interchange import _ATDataFrame
+        return _ATDataFrame(self, nan_as_null, allow_copy)
 
     @classmethod
     def from_pydict(cls, data: Mapping[str, Any],
