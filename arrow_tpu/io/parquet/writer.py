@@ -231,7 +231,8 @@ class ParquetWriter:
                  use_dictionary: bool = True,
                  write_bloom_filters: bool = True,
                  column_encoding=None,
-                 encryption_properties=None):
+                 encryption_properties=None,
+                 data_page_size: Optional[int] = 1024 * 1024):
         self._close = False
         if isinstance(sink, str):
             sink = open(sink, "wb")
@@ -248,6 +249,9 @@ class ParquetWriter:
         # {"col": "BYTE_STREAM_SPLIT" | "DELTA_BINARY_PACKED"}
         self.column_encoding = dict(column_encoding or {})
         self.encryption = encryption_properties
+        # byte budget per data page (parquet/properties.h
+        # kDefaultDataPageSize = 1 MiB); None = one page per chunk
+        self.data_page_size = data_page_size
         self.row_groups: List[Dict] = []
         self.num_rows = 0
         if self.encryption is not None:
@@ -306,6 +310,48 @@ class ParquetWriter:
                                    for c in chunks)})
         self.num_rows += rb.num_rows
 
+    def _rows_per_page(self, t: DataType, col: Array, physical,
+                       type_length: int, n: int) -> int:
+        """Rows per data page targeting ``data_page_size`` bytes
+        (parquet/properties.h kDefaultDataPageSize analogue)."""
+        if self.data_page_size is None or n == 0:
+            return max(n, 1)
+        if physical == BYTE_ARRAY:
+            total = sum(len(v.encode() if isinstance(v, str) else v)
+                        for v in col.to_pylist() if v is not None)
+            bpr = total / max(n, 1) + 4
+        elif physical == FLBA:
+            bpr = max(type_length, 1)
+        elif physical in (INT32, FLOAT):
+            bpr = 4
+        elif physical == BOOLEAN:
+            bpr = 0.125
+        else:
+            bpr = 8
+        return max(1, min(n, int(self.data_page_size / max(bpr, 0.125))))
+
+    def _write_data_page(self, payload: bytes, n_vals: int, enc: int,
+                         crypto, rg_ord: int, col_ord: int,
+                         page_ord: int) -> Dict:
+        """Write one data page; returns {offset, comp, uncomp}."""
+        comp_payload = _compress(self.codec, payload)
+        if crypto is not None:
+            from .encryption import MOD_DATA_PAGE, MOD_DATA_PAGE_HEADER
+            comp_payload = crypto.encrypt(MOD_DATA_PAGE, comp_payload,
+                                          rg_ord, col_ord, page=page_ord)
+            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                               data_hdr={"num_values": n_vals,
+                                         "encoding": enc})
+            hdr = crypto.encrypt(MOD_DATA_PAGE_HEADER, hdr,
+                                 rg_ord, col_ord, page=page_ord)
+        else:
+            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
+                               data_hdr={"num_values": n_vals,
+                                         "encoding": enc})
+        off = self._w(hdr + comp_payload)
+        return {"offset": off, "comp": len(hdr) + len(comp_payload),
+                "uncomp": len(hdr) + len(payload)}
+
     def _write_column(self, t: DataType, col: Array,
                       name: Optional[str] = None,
                       rg_ord: int = 0, col_ord: int = 0) -> Dict:
@@ -323,16 +369,12 @@ class ParquetWriter:
         total_comp = 0
         total_uncomp = 0
 
-        # definition levels
-        defs = encode_rle(present.astype(np.int64), 1)
-        def_block = struct.pack("<i", len(defs)) + defs
-
+        codes = dict_arr = None
         if use_dict:
             from ...device.column import _dictionary_encode_host
             if t.id == TypeId.DICTIONARY:
-                codes_np = col.data.values().astype(np.int64)
+                codes = col.data.values().astype(np.int64)
                 dict_arr = Array(col.data.dictionary)
-                codes = codes_np
             else:
                 codes, _, dict_arr = _dictionary_encode_host(col)
                 codes = codes.astype(np.int64)
@@ -357,59 +399,70 @@ class ParquetWriter:
             dict_page_offset = self._w(hdr + comp_dict)
             total_comp += len(hdr) + len(comp_dict)
             total_uncomp += len(hdr) + len(dict_payload)
-
-            bw = bit_width_for(max(len(dict_arr) - 1, 1))
-            idx = codes[present]
-            body = bytes([bw]) + encode_rle(idx, bw)
-            payload = def_block + body
             enc = ENC_RLE_DICTIONARY
             encodings.append(ENC_RLE_DICTIONARY)
         elif override == "BYTE_STREAM_SPLIT":
             if physical not in (INT32, INT64, FLOAT, DOUBLE, FLBA):
                 raise ValueError(
                     f"BYTE_STREAM_SPLIT unsupported for {t!r}")
-            from .delta import encode_byte_stream_split
-            vals = col.data.values()[present]
-            np_dt = {INT32: np.int32, INT64: np.int64, FLOAT: np.float32,
-                     DOUBLE: np.float64}.get(physical)
-            if np_dt is not None:
-                vals = vals.astype(np_dt)
-            body = encode_byte_stream_split(vals)
-            payload = def_block + body
             enc = ENC_BYTE_STREAM_SPLIT
             encodings.append(ENC_BYTE_STREAM_SPLIT)
         elif override == "DELTA_BINARY_PACKED":
             if physical not in (INT32, INT64):
                 raise ValueError(
                     f"DELTA_BINARY_PACKED unsupported for {t!r}")
-            from .delta import encode_delta_binary_packed
-            vals = np.asarray(col.data.values()[present], np.int64)
-            body = encode_delta_binary_packed(vals)
-            payload = def_block + body
             enc = ENC_DELTA_BINARY_PACKED
             encodings.append(ENC_DELTA_BINARY_PACKED)
         elif override is not None:
             raise ValueError(f"unknown column_encoding {override!r}")
         else:
-            body = _plain_encode(t, col, present)
-            payload = def_block + body
             enc = ENC_PLAIN
 
-        comp_payload = _compress(self.codec, payload)
-        if crypto is not None:
-            from .encryption import MOD_DATA_PAGE, MOD_DATA_PAGE_HEADER
-            comp_payload = crypto.encrypt(MOD_DATA_PAGE, comp_payload,
-                                          rg_ord, col_ord, page=0)
-            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
-                               data_hdr={"num_values": n, "encoding": enc})
-            hdr = crypto.encrypt(MOD_DATA_PAGE_HEADER, hdr,
-                                 rg_ord, col_ord, page=0)
-        else:
-            hdr = _page_header(PAGE_DATA, len(payload), len(comp_payload),
-                               data_hdr={"num_values": n, "encoding": enc})
-        data_page_offset = self._w(hdr + comp_payload)
-        total_comp += len(hdr) + len(comp_payload)
-        total_uncomp += len(hdr) + len(payload)
+        def page_payload(s: int, e: int) -> bytes:
+            """def-levels + encoded body for rows [s, e)."""
+            pres = present[s:e]
+            defs = encode_rle(pres.astype(np.int64), 1)
+            def_block = struct.pack("<i", len(defs)) + defs
+            if use_dict:
+                bw = bit_width_for(max(len(dict_arr) - 1, 1))
+                idx = codes[s:e][pres]
+                body = bytes([bw]) + encode_rle(idx, bw)
+            elif enc == ENC_BYTE_STREAM_SPLIT:
+                from .delta import encode_byte_stream_split
+                vals = col.slice(s, e - s).data.values()[pres]
+                np_dt = {INT32: np.int32, INT64: np.int64,
+                         FLOAT: np.float32,
+                         DOUBLE: np.float64}.get(physical)
+                if np_dt is not None:
+                    vals = vals.astype(np_dt)
+                body = encode_byte_stream_split(vals)
+            elif enc == ENC_DELTA_BINARY_PACKED:
+                from .delta import encode_delta_binary_packed
+                vals = np.asarray(
+                    col.slice(s, e - s).data.values()[pres], np.int64)
+                body = encode_delta_binary_packed(vals)
+            else:
+                body = _plain_encode(t, col.slice(s, e - s), pres)
+            return def_block + body
+
+        rows_per_page = self._rows_per_page(t, col, physical,
+                                            type_length, n)
+        pages: List[Dict] = []
+        starts = list(range(0, n, rows_per_page)) or [0]
+        for page_ord, s in enumerate(starts):
+            e = min(s + rows_per_page, n)
+            info = self._write_data_page(
+                page_payload(s, e), e - s, enc, crypto,
+                rg_ord, col_ord, page_ord)
+            total_comp += info["comp"]
+            total_uncomp += info["uncomp"]
+            pmn, pmx, pnulls = _column_stats(t, col.slice(s, e - s)) \
+                if len(starts) > 1 else (None, None, None)
+            pages.append({"offset": info["offset"],
+                          "size": info["comp"],
+                          "first_row": s, "min": pmn, "max": pmx,
+                          "nulls": pnulls})
+        data_page_offset = pages[0]["offset"]
 
         mn, mx, nulls = _column_stats(t, col)
         bloom = self._build_bloom(t, col, physical)
@@ -428,7 +481,12 @@ class ParquetWriter:
             "stats": (None if mn is None else _stat_bytes(t, mn),
                       None if mx is None else _stat_bytes(t, mx),
                       nulls),
-            "page_size": len(hdr) + len(comp_payload),
+            "pages": [dict(
+                p, min=(None if p["min"] is None
+                        else _stat_bytes(t, p["min"])),
+                max=(None if p["max"] is None
+                     else _stat_bytes(t, p["max"]))) for p in pages],
+            "page_size": pages[0]["size"],
         }
 
     def _build_bloom(self, t, col, physical):
@@ -550,24 +608,39 @@ class ParquetWriter:
                 c["bloom_length"] = len(blob)
 
     def _write_page_indexes(self):
-        """ColumnIndex/OffsetIndex (parquet page_index.h). Our chunks are
-        single-page, so each index has one entry."""
+        """ColumnIndex/OffsetIndex (parquet page_index.h), one entry per
+        data page."""
         for rg in self.row_groups:
             for c in rg["columns"]:
+                pages = c.get("pages") or [
+                    {"offset": c["data_page_offset"],
+                     "size": c.get("page_size",
+                                   c["total_compressed_size"]),
+                     "first_row": 0, "min": None, "max": None,
+                     "nulls": None}]
                 st = c.get("stats") or (None, None, None)
-                mn, mx, nulls = st
+                if len(pages) == 1:
+                    # single page: reuse the chunk-level statistics
+                    pages = [dict(pages[0], min=st[0], max=st[1],
+                                  nulls=st[2])]
                 w = CompactWriter()
-                w.field_list_begin(1, CT_BOOL_TRUE, 1)
-                w.buf.append(1 if (mn is None and mx is None)
-                             else 2)   # null_pages[0]
-                w.field_list_begin(2, CT_BINARY, 1)
-                w.elem_binary(mn if mn is not None else b"")
-                w.field_list_begin(3, CT_BINARY, 1)
-                w.elem_binary(mx if mx is not None else b"")
+                w.field_list_begin(1, CT_BOOL_TRUE, len(pages))
+                for p in pages:
+                    w.buf.append(1 if (p["min"] is None and
+                                       p["max"] is None) else 2)
+                w.field_list_begin(2, CT_BINARY, len(pages))
+                for p in pages:
+                    w.elem_binary(p["min"] if p["min"] is not None
+                                  else b"")
+                w.field_list_begin(3, CT_BINARY, len(pages))
+                for p in pages:
+                    w.elem_binary(p["max"] if p["max"] is not None
+                                  else b"")
                 w.field_i32(4, 0)      # boundary_order UNORDERED
-                if nulls is not None:
-                    w.field_list_begin(5, CT_I64, 1)
-                    w.elem_i64(nulls)
+                if all(p["nulls"] is not None for p in pages):
+                    w.field_list_begin(5, CT_I64, len(pages))
+                    for p in pages:
+                        w.elem_i64(p["nulls"])
                 w.struct_end()
                 blob = w.bytes()
                 if c.get("crypto") is not None:
@@ -576,15 +649,17 @@ class ParquetWriter:
                         MOD_COLUMN_INDEX, blob, c["rg_ord"], c["col_ord"])
                 c["column_index_offset"] = self._w(blob)
                 c["column_index_length"] = len(blob)
+                c["_pages_for_offset_index"] = pages
             for c in rg["columns"]:
+                pages = c["_pages_for_offset_index"]
                 w = CompactWriter()
-                w.field_list_begin(1, CT_STRUCT, 1)
-                w.elem_struct_begin()
-                w.field_i64(1, c["data_page_offset"])
-                w.field_i32(2, c.get("page_size",
-                                     c["total_compressed_size"]))
-                w.field_i64(3, 0)      # first_row_index
-                w.struct_end()
+                w.field_list_begin(1, CT_STRUCT, len(pages))
+                for p in pages:
+                    w.elem_struct_begin()
+                    w.field_i64(1, p["offset"])
+                    w.field_i32(2, p["size"])
+                    w.field_i64(3, p["first_row"])
+                    w.struct_end()
                 w.struct_end()
                 blob = w.bytes()
                 if c.get("crypto") is not None:

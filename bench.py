@@ -8,7 +8,7 @@ Prints ONE JSON line:
 vs_baseline = our rows/s divided by the reference engine's (pyarrow Acero,
 all CPU threads) rows/s on the SAME generated data on this host.
 
-Env knobs: ARROW_TPU_BENCH_SF (default 1.0), ARROW_TPU_BENCH_ITERS (5).
+Env knobs: ARROW_TPU_BENCH_SF (default 1.0), ARROW_TPU_BENCH_ITERS (20).
 """
 
 import json
@@ -41,10 +41,19 @@ def bench_ours(lineitem, iters: int) -> float:
 
     # warmup / compile
     checksum(fn(batch))
+    # Throughput protocol: enqueue `iters` full plan executions
+    # back-to-back, then read back a value from the LAST iteration's
+    # output. The TPU executes dispatched programs in order, so that
+    # readback can only complete after every iteration ran; dividing by
+    # `iters` amortizes the tunneled host<->device readback RTT (~27 ms
+    # on axon) that would otherwise dominate a per-iteration sync.
+    # (jax.block_until_ready alone is NOT a barrier on this platform —
+    # only a data readback is; see docs/BENCHMARKS.md.)
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(batch)
-        checksum(out)
+    checksum(out)
     dt = (time.perf_counter() - t0) / iters
     return lineitem.num_rows / dt
 
@@ -133,7 +142,7 @@ def bench_q3(sf: float, iters: int):
 
 def main():
     sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
-    iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "20"))
     query = os.environ.get("ARROW_TPU_BENCH_QUERY", "q1")
 
     if query == "q3":

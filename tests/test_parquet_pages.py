@@ -1,0 +1,86 @@
+"""Multi-page Parquet column chunks (data_page_size) + per-page index.
+
+Reference: parquet/properties.h kDefaultDataPageSize (1 MiB),
+parquet/page_index.h ColumnIndex/OffsetIndex one entry per data page.
+"""
+
+import io
+
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.io.parquet import ParquetFile, read_table, write_table
+
+N = 300_000
+
+
+def _table():
+    return at.table({
+        "a": at.array(list(range(N)), at.int64()),
+        "s": at.array([f"val{i % 50}" for i in range(N)], at.string()),
+    })
+
+
+def test_multiple_pages_written():
+    buf = io.BytesIO()
+    write_table(_table(), buf)  # default 1 MiB page budget
+    pf = ParquetFile(buf.getvalue())
+    oi = pf.offset_index(0, 0)
+    assert len(oi) >= 2            # int64 column split into pages
+    # offsets ascending, first_row_index ascending from 0
+    assert oi[0][2] == 0
+    assert all(oi[i][0] < oi[i + 1][0] for i in range(len(oi) - 1))
+    assert all(oi[i][2] < oi[i + 1][2] for i in range(len(oi) - 1))
+    # per-page column index stats are disjoint ascending ranges
+    null_pages, mins, maxs, nulls = pf.column_index(0, 0)
+    assert len(mins) == len(oi)
+    assert mins[0] == 0 and maxs[-1] == N - 1
+    assert all(mins[i + 1] == maxs[i] + 1 for i in range(len(mins) - 1))
+
+
+def test_multipage_roundtrip_and_pyarrow():
+    t = _table()
+    buf = io.BytesIO()
+    write_table(t, buf)
+    got = read_table(buf.getvalue())
+    assert got.column("a").to_pylist() == list(range(N))
+    assert got.column("s").to_pylist()[:3] == ["val0", "val1", "val2"]
+    papq = pytest.importorskip("pyarrow.parquet")
+    pt = papq.read_table(io.BytesIO(buf.getvalue()))
+    assert pt.column("a").to_pylist() == list(range(N))
+    assert pt.column("s").to_pylist()[-1] == f"val{(N - 1) % 50}"
+
+
+def test_single_page_opt_out():
+    buf = io.BytesIO()
+    from arrow_tpu.io.parquet import ParquetWriter
+    t = _table()
+    with ParquetWriter(buf, t.schema, data_page_size=None) as w:
+        w.write_table(t)
+    pf = ParquetFile(buf.getvalue())
+    assert len(pf.offset_index(0, 0)) == 1
+    assert pf.read().column("a").to_pylist()[:3] == [0, 1, 2]
+
+
+def test_encrypted_multipage():
+    from arrow_tpu.io.parquet.encryption import (FileDecryptionProperties,
+                                                 FileEncryptionProperties)
+    key = b"0123456789112345"
+    buf = io.BytesIO()
+    write_table(_table(), buf,
+                encryption_properties=FileEncryptionProperties(key))
+    got = read_table(buf.getvalue(),
+                     decryption_properties=FileDecryptionProperties(
+                         footer_key=key))
+    assert got.column("a").to_pylist() == list(range(N))
+
+
+def test_small_page_size_many_pages():
+    t = at.table({"x": at.array(list(range(10_000)), at.int32())})
+    buf = io.BytesIO()
+    from arrow_tpu.io.parquet import ParquetWriter
+    with ParquetWriter(buf, t.schema, data_page_size=4096) as w:
+        w.write_table(t)
+    pf = ParquetFile(buf.getvalue())
+    assert len(pf.offset_index(0, 0)) == 10   # 1024 rows/page
+    assert pf.read().column("x").to_pylist() == list(range(10_000))
