@@ -847,3 +847,128 @@ def from_numpy_dtype(dtype) -> DataType:
     if dtype.kind in ("U", "S", "O"):
         return string() if dtype.kind != "S" else binary()
     raise ValueError(f"unsupported numpy dtype {dtype}")
+
+
+# ---------------------------------------------------------------------------
+# Type predicate functions (reference: python/pyarrow/types.py pa.types.is_*)
+# ---------------------------------------------------------------------------
+
+def _mk_id_pred(*ids):
+    idset = frozenset(ids)
+    def pred(t):
+        return getattr(t, "id", None) in idset
+    return pred
+
+
+is_null = _mk_id_pred(TypeId.NA)
+is_boolean = _mk_id_pred(TypeId.BOOL)
+is_int8 = _mk_id_pred(TypeId.INT8)
+is_int16 = _mk_id_pred(TypeId.INT16)
+is_int32 = _mk_id_pred(TypeId.INT32)
+is_int64 = _mk_id_pred(TypeId.INT64)
+is_uint8 = _mk_id_pred(TypeId.UINT8)
+is_uint16 = _mk_id_pred(TypeId.UINT16)
+is_uint32 = _mk_id_pred(TypeId.UINT32)
+is_uint64 = _mk_id_pred(TypeId.UINT64)
+is_float16 = _mk_id_pred(TypeId.HALF_FLOAT)
+is_float32 = _mk_id_pred(TypeId.FLOAT)
+is_float64 = _mk_id_pred(TypeId.DOUBLE)
+is_signed_integer = _mk_id_pred(TypeId.INT8, TypeId.INT16, TypeId.INT32,
+                                TypeId.INT64)
+is_unsigned_integer = _mk_id_pred(TypeId.UINT8, TypeId.UINT16,
+                                  TypeId.UINT32, TypeId.UINT64)
+
+
+def is_integer(t):
+    return is_signed_integer(t) or is_unsigned_integer(t)
+
+
+def is_floating(t):
+    return getattr(t, "id", None) in (TypeId.HALF_FLOAT, TypeId.FLOAT,
+                                      TypeId.DOUBLE)
+
+
+is_decimal32 = _mk_id_pred(TypeId.DECIMAL32)
+is_decimal64 = _mk_id_pred(TypeId.DECIMAL64)
+is_decimal128 = _mk_id_pred(TypeId.DECIMAL128)
+is_decimal256 = _mk_id_pred(TypeId.DECIMAL256)
+
+
+def is_decimal(t):
+    return (is_decimal32(t) or is_decimal64(t) or is_decimal128(t) or
+            is_decimal256(t))
+
+
+is_list = _mk_id_pred(TypeId.LIST)
+is_large_list = _mk_id_pred(TypeId.LARGE_LIST)
+is_fixed_size_list = _mk_id_pred(TypeId.FIXED_SIZE_LIST)
+is_list_view = _mk_id_pred(TypeId.LIST_VIEW)
+is_large_list_view = _mk_id_pred(TypeId.LARGE_LIST_VIEW)
+is_struct = _mk_id_pred(TypeId.STRUCT)
+is_union = _mk_id_pred(TypeId.SPARSE_UNION, TypeId.DENSE_UNION)
+is_map = _mk_id_pred(TypeId.MAP)
+
+
+def is_nested(t):
+    return (is_list(t) or is_large_list(t) or is_fixed_size_list(t) or
+            is_list_view(t) or is_large_list_view(t) or is_struct(t) or
+            is_union(t) or is_map(t))
+
+
+is_run_end_encoded = _mk_id_pred(TypeId.RUN_END_ENCODED)
+is_timestamp = _mk_id_pred(TypeId.TIMESTAMP)
+is_duration = _mk_id_pred(TypeId.DURATION)
+is_time32 = _mk_id_pred(TypeId.TIME32)
+is_time64 = _mk_id_pred(TypeId.TIME64)
+is_date32 = _mk_id_pred(TypeId.DATE32)
+is_date64 = _mk_id_pred(TypeId.DATE64)
+
+
+def is_time(t):
+    return is_time32(t) or is_time64(t)
+
+
+def is_date(t):
+    return is_date32(t) or is_date64(t)
+
+
+is_interval = _mk_id_pred(TypeId.INTERVAL_MONTHS, TypeId.INTERVAL_DAY_TIME,
+                          TypeId.INTERVAL_MONTH_DAY_NANO)
+
+
+def is_temporal(t):
+    return (is_timestamp(t) or is_duration(t) or is_time(t) or
+            is_date(t) or is_interval(t))
+
+
+is_string = _mk_id_pred(TypeId.STRING)
+is_unicode = is_string
+is_large_string = _mk_id_pred(TypeId.LARGE_STRING)
+is_large_unicode = is_large_string
+is_string_view = _mk_id_pred(TypeId.STRING_VIEW)
+is_binary = _mk_id_pred(TypeId.BINARY)
+is_large_binary = _mk_id_pred(TypeId.LARGE_BINARY)
+is_binary_view = _mk_id_pred(TypeId.BINARY_VIEW)
+is_fixed_size_binary = _mk_id_pred(TypeId.FIXED_SIZE_BINARY)
+is_dictionary = _mk_id_pred(TypeId.DICTIONARY)
+
+
+def is_primitive(t):
+    return (is_boolean(t) or is_integer(t) or is_floating(t) or
+            is_temporal(t) or
+            getattr(t, "id", None) == TypeId.FIXED_SIZE_BINARY)
+
+
+def is_boolean_value(v):
+    import numpy as _np
+    return isinstance(v, (bool, _np.bool_))
+
+
+def is_integer_value(v):
+    import numpy as _np
+    return isinstance(v, (int, _np.integer)) and not isinstance(v, bool)
+
+
+def is_float_value(v):
+    import numpy as _np
+    return isinstance(v, (float, _np.floating))

@@ -88,3 +88,38 @@ def test_decimal32_64_types_and_ipc():
         assert back.column("d").combine().to_pylist() == [Decimal("9.99")]
         assert pa.array(at.array([Decimal("1.25")], mk(6, 2))).type == \
             pamk(6, 2)
+
+
+def test_type_predicates_match_pyarrow():
+    """pa.types.is_* module-level predicates (python/pyarrow/types.py)."""
+    import pytest
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.types as pt
+    import arrow_tpu.types as att
+    import arrow_tpu as at
+    pairs = [
+        (at.int32(), pa.int32()), (at.uint8(), pa.uint8()),
+        (at.string(), pa.string()), (at.large_string(), pa.large_string()),
+        (at.binary(), pa.binary()), (at.bool_(), pa.bool_()),
+        (at.float16(), pa.float16()), (at.float64(), pa.float64()),
+        (at.list_(at.int8()), pa.list_(pa.int8())),
+        (at.fixed_size_list(at.int8(), 3), pa.list_(pa.int8(), 3)),
+        (at.struct([("a", at.int8())]), pa.struct([("a", pa.int8())])),
+        (at.map_(at.string(), at.int32()), pa.map_(pa.string(), pa.int32())),
+        (at.timestamp("us"), pa.timestamp("us")),
+        (at.duration("ms"), pa.duration("ms")),
+        (at.time32("s"), pa.time32("s")), (at.date64(), pa.date64()),
+        (at.decimal128(10, 2), pa.decimal128(10, 2)),
+        (at.decimal32(4, 1), pa.decimal32(4, 1)),
+        (at.dictionary(at.int32(), at.string()),
+         pa.dictionary(pa.int32(), pa.string())),
+        (at.null(), pa.null()),
+    ]
+    preds = [n for n in dir(pt)
+             if n.startswith("is_") and not n.endswith("_value")]
+    for ours_t, ref_t in pairs:
+        for p in preds:
+            assert getattr(att, p)(ours_t) == getattr(pt, p)(ref_t), \
+                (p, str(ref_t))
+    assert att.is_integer_value(3) and not att.is_integer_value(True)
+    assert att.is_float_value(1.5) and att.is_boolean_value(False)
