@@ -31,8 +31,8 @@ from .array.builder import (  # noqa: F401
     StructBuilder, UInt8Builder, UInt16Builder, UInt32Builder,
     UInt64Builder, builder_for)
 from .table import (  # noqa: F401
-    ChunkedArray, ChunkResolver, Datum, RecordBatch, Table, chunked_array,
-    record_batch, table,
+    ChunkedArray, ChunkResolver, Datum, RecordBatch, RecordBatchReader,
+    Table, chunked_array, record_batch, table,
 )
 
 from .memory import (  # noqa: F401
@@ -51,10 +51,12 @@ from .api import (  # noqa: F401
     show_versions, type_for_alias, unify_schemas,
 )
 from .io_streams import (  # noqa: F401
-    BufferOutputStream, BufferReader, Codec, CompressedInputStream,
-    CompressedOutputStream, MemoryMappedFile, MockOutputStream, OSFile,
-    compress, create_memory_map, decompress, foreign_buffer, input_stream,
-    memory_map, output_stream, py_buffer,
+    BufferedInputStream, BufferedOutputStream, BufferOutputStream,
+    BufferReader, Codec, CompressedInputStream, CompressedOutputStream,
+    FixedSizeBufferWriter, MemoryMappedFile, MockOutputStream, NativeFile,
+    OSFile, PythonFile, ResizableBuffer, TransformInputStream, compress,
+    create_memory_map, decompress, foreign_buffer, input_stream,
+    memory_map, output_stream, py_buffer, transcoding_input_stream,
 )
 from .extension import (  # noqa: F401
     Bool8Type, ExtensionArray, ExtensionType, FixedShapeTensorArray,
@@ -68,10 +70,86 @@ from .table import TableGroupBy  # noqa: F401
 from .types import (  # noqa: F401
     string as utf8, large_string as large_utf8,
 )
+from .types import (  # noqa: F401
+    DictionaryType, DurationType, FixedSizeBinaryType, FixedSizeListType,
+    ListType, MapType, RunEndEncodedType, StructType, TimestampType,
+    UnionType,
+)
 from .config import build_info, runtime_info  # noqa: F401
 
 from . import compute  # noqa: F401
 from . import ipc  # noqa: F401
+from .compat_names import *  # noqa: F401,F403
+from .ipc import (  # noqa: F401
+    Message, MessageReader, MetadataVersion, RecordBatchFileReader,
+    RecordBatchFileWriter, RecordBatchStreamReader,
+    RecordBatchStreamWriter,
+)
+from .tensor import (  # noqa: F401
+    SparseCOOTensor, SparseCSCMatrix, SparseCSFTensor, SparseCSRMatrix,
+    Tensor,
+)
+from .config import (  # noqa: F401
+    BuildInfo, RuntimeInfo,
+)
+from .device import (  # noqa: F401
+    Device, DeviceAllocationType, MemoryManager,
+    default_cpu_memory_manager,
+)
+
+# pyarrow lib.pyx misc aliases
+CppBuildInfo = BuildInfo
+VersionInfo = tuple
+
+
+def cpp_build_info():
+    return build_info()
+
+
+def cpp_version():
+    return build_info().version
+
+
+def cpp_version_info():
+    v = build_info().version.split(".")
+    return tuple(int(x) for x in v[:3])
+
+
+def set_memory_pool(pool) -> None:
+    from . import memory as _memory
+    _memory._default_pool = pool
+
+
+def logging_memory_pool(parent):
+    from .memory import LoggingMemoryPool
+    return LoggingMemoryPool(parent)
+
+
+def proxy_memory_pool(parent):
+    from .memory import ProxyMemoryPool
+    return ProxyMemoryPool(parent)
+
+
+def jemalloc_memory_pool():
+    raise NotImplementedError(
+        "jemalloc backend not available (memory is managed by XLA's "
+        "BFC allocator; use system_memory_pool)")
+
+
+def mimalloc_memory_pool():
+    raise NotImplementedError(
+        "mimalloc backend not available (memory is managed by XLA's "
+        "BFC allocator; use system_memory_pool)")
+
+
+# null sentinel (pyarrow.NA)
+NA = Scalar(None, null())
+NULL = NA
+
+# pyarrow.lib / pyarrow.util module aliases
+import sys as _sys
+lib = _sys.modules[__name__]
+from . import utils as util  # noqa: F401,E402
 
 
 def __getattr__(name):

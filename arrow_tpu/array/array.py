@@ -133,6 +133,145 @@ class Array:
             return pd.Series(self.to_numpy())
         return pd.Series(self.to_pylist(), dtype=object)
 
+    # -- pyarrow-parity conveniences (delegate to the compute registry) --
+    def _call(self, fname, *args, **opts):
+        from ..compute import call_function
+        return call_function(fname, [self, *args],
+                             options=opts or None)
+
+    def filter(self, mask, null_selection_behavior: str = "drop"):
+        return self._call(
+            "filter", mask,
+            null_selection_behavior=null_selection_behavior)
+
+    def take(self, indices):
+        return self._call("take", indices)
+
+    def drop_null(self):
+        return self._call("drop_null")
+
+    def sort(self, order: str = "ascending", **kwargs):
+        from ..compute import call_function
+        idx = call_function("array_sort_indices", [self],
+                            options={"order": order, **kwargs})
+        return self.take(idx)
+
+    def unique(self):
+        return self._call("unique")
+
+    def value_counts(self):
+        from ..compute import value_counts as _vc
+        return _vc(self)
+
+    def dictionary_encode(self):
+        from ..compute import dictionary_encode as _de
+        from ..types import TypeId
+        if self.type.id == TypeId.DICTIONARY:
+            return self
+        return _de(self)
+
+    def fill_null(self, fill_value):
+        from ..compute import call_function
+        return call_function("coalesce", [self, fill_value])
+
+    def is_null(self, nan_is_null: bool = False):
+        return self._call("is_null", nan_is_null=nan_is_null)
+
+    def is_valid(self):
+        return self._call("is_valid")
+
+    def is_nan(self):
+        return self._call("is_nan")
+
+    def index(self, value, start=None, end=None):
+        """First index of value in [start, end), -1 if absent
+        (compute::index)."""
+        a = self
+        base = 0
+        if start is not None or end is not None:
+            base = start or 0
+            a = a.slice(base, (end if end is not None else len(a)) - base)
+        r = a._call("index", value=value)
+        v = r.as_py() if hasattr(r, "as_py") else r
+        return v + base if v >= 0 else -1
+
+    def sum(self, **kwargs):
+        return self._call("sum", **kwargs)
+
+    def tolist(self):
+        return self.to_pylist()
+
+    def to_string(self, **kwargs) -> str:
+        return repr(self)
+
+    def view(self, target_type):
+        """Zero-copy reinterpret to a same-width type (array.h View)."""
+        from ..array.data import ArrayData
+        from ..types import DataType
+        if not isinstance(target_type, DataType):
+            raise TypeError("view() expects a DataType")
+        d = self.data
+        return Array(ArrayData(target_type, d.length, list(d.buffers),
+                               null_count=d._null_count, offset=d.offset,
+                               children=list(d.children or []),
+                               dictionary=d.dictionary))
+
+    def diff(self, other) -> str:
+        """Human-readable element diff (array/diff.h analogue)."""
+        if self.equals(other):
+            return ""
+        a, b = self.to_pylist(), other.to_pylist()
+        lines = []
+        for i in range(max(len(a), len(b))):
+            va = a[i] if i < len(a) else "<absent>"
+            vb = b[i] if i < len(b) else "<absent>"
+            if va != vb:
+                lines.append(f"@ {i}: -{va!r} +{vb!r}")
+        return "\n".join(lines)
+
+    @staticmethod
+    def from_pandas(obj, type=None):
+        from .array import array as make_array
+        import pandas as pd
+        vals = [None if v is None or (isinstance(v, float) and v != v)
+                else v for v in obj.tolist()] \
+            if isinstance(obj, pd.Series) else list(obj)
+        return make_array(vals, type)
+
+    @staticmethod
+    def from_buffers(type, length, buffers, null_count=-1, offset=0,
+                     children=None):
+        from ..array.data import ArrayData
+        from ..buffer import Buffer
+        bufs = [b if (b is None or isinstance(b, Buffer)) else Buffer(b)
+                for b in buffers]
+        return Array(ArrayData(
+            type, length, bufs, null_count=null_count, offset=offset,
+            children=[c.data for c in (children or [])]))
+
+    def get_total_buffer_size(self) -> int:
+        return self.nbytes
+
+    @property
+    def is_cpu(self) -> bool:
+        return True
+
+    @property
+    def device_type(self):
+        from ..device import DeviceAllocationType
+        return DeviceAllocationType.CPU
+
+    def copy_to(self, destination):
+        return self
+
+    def validate(self, *, full: bool = False):
+        from .validate import validate, validate_full
+        (validate_full if full else validate)(self.data)
+
+    @property
+    def statistics(self):
+        return None  # ArrayStatistics attached by IPC readers; none here
+
 
 def _raise_oob(i):
     raise IndexError(i)

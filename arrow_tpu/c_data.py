@@ -531,3 +531,44 @@ def batch_to_struct_data(rb) -> "ArrayData":
     st = T.StructType(fields)
     return ArrayData(st, rb.num_rows, [None],
                      [c.data for c in rb.columns], null_count=0)
+
+
+def import_stream_capsule(capsule):
+    """Consume an ``arrow_array_stream`` PyCapsule into a
+    RecordBatchReader (c/bridge.cc ImportRecordBatchReader analogue)."""
+    from .table import RecordBatch, RecordBatchReader
+    ptr = _PyCapsule_GetPointer(capsule, b"arrow_array_stream")
+    stream = ctypes.cast(ptr,
+                         ctypes.POINTER(ArrowArrayStreamStruct)).contents
+
+    sch = ArrowSchemaStruct()
+    rc = stream.get_schema(ctypes.pointer(stream),
+                           ctypes.pointer(sch))
+    if rc != 0:
+        raise OSError(f"ArrowArrayStream.get_schema failed: {rc}")
+    root = _import_field(sch)
+    if sch.release:
+        sch.release(ctypes.pointer(sch))
+    fields = list(root.type.fields)
+    schema = T.Schema(fields)
+    struct_t = root.type
+
+    def gen(_keep_capsule=capsule):
+        # `_keep_capsule` pins the PyCapsule (and thus the producer's
+        # ArrowArrayStream) for the generator's lifetime; the capsule's
+        # own destructor performs the release.
+        while True:
+            a = ArrowArrayStruct()
+            rc2 = stream.get_next(ctypes.pointer(stream),
+                                  ctypes.pointer(a))
+            if rc2 != 0:
+                raise OSError(
+                    f"ArrowArrayStream.get_next failed: {rc2}")
+            if not a.release:
+                break
+            data = _import_array_data(a, struct_t)
+            a.release(ctypes.pointer(a))
+            cols = [Array(ch) for ch in data.children]
+            yield RecordBatch(schema, cols)
+
+    return RecordBatchReader(schema, gen())

@@ -212,12 +212,37 @@ def _unique_strings(a):
 
 
 def value_counts(values):
+    """StructArray<values, counts> like pyarrow (vector_hash.cc)."""
     res = call_function("value_counts", [_combine(values)])
-    return res
+    from .. import types as T
+    from ..array.array import Array
+    from ..array.data import ArrayData
+    vals, counts = res["values"], res["counts"]
+    st = T.struct([("values", vals.type), ("counts", T.int64())])
+    return Array(ArrayData(st, len(vals), [None],
+                           children=[vals.data, counts.data],
+                           null_count=0))
 
 
 def dictionary_encode(values):
-    return call_function("dictionary_encode", [_combine(values)])
+    """Dictionary-coded array with first-appearance value order
+    (vector_hash.cc DictionaryEncode): dictionary = unique non-null
+    values, codes via index_in, nulls stay null in the indices."""
+    from .. import types as T
+    from ..array.array import Array
+    from ..array.data import ArrayData
+    a = _combine(values)
+    if a.type.id == T.TypeId.DICTIONARY:
+        return a
+    uniq = call_function("unique", [a])
+    if uniq.null_count:
+        uniq = call_function("drop_null", [uniq])
+    codes = call_function("index_in", [a],
+                          {"value_set": tuple(uniq.to_pylist())})
+    d = codes.data
+    return Array(ArrayData(T.dictionary(T.int32(), a.type), d.length,
+                           list(d.buffers), null_count=d._null_count,
+                           offset=d.offset, dictionary=uniq.data))
 
 
 def partition_nth_indices(values, pivot: int):
@@ -295,3 +320,161 @@ def register_scalar_function(func, function_name, function_doc, in_types,
         str(function_doc)
     _REGISTRY[function_name] = Function(function_name, "host", impl, doc)
     setattr(_mod, function_name, _make_wrapper(function_name))
+
+
+# --- remaining pyarrow.compute module-level names ---------------------------
+
+def top_k_unstable(values, k, sort_keys=None, *, memory_pool=None):
+    """Indices of the k largest elements (api_vector.h SelectKOptions)."""
+    target = _combine(values)
+    if sort_keys is None:
+        keys = [("dummy", "descending")]
+        return call_function("select_k_unstable", [target],
+                             {"k": k, "sort_keys": keys})
+    keys = [(n, "descending") for n in sort_keys]
+    return call_function("select_k_unstable", [target],
+                         {"k": k, "sort_keys": keys})
+
+
+def bottom_k_unstable(values, k, sort_keys=None, *, memory_pool=None):
+    """Indices of the k smallest elements."""
+    target = _combine(values)
+    if sort_keys is None:
+        keys = [("dummy", "ascending")]
+    else:
+        keys = [(n, "ascending") for n in sort_keys]
+    return call_function("select_k_unstable", [target],
+                         {"k": k, "sort_keys": keys})
+
+
+def utf8_zfill(strings, width=None, padding="0", *, options=None,
+               memory_pool=None):
+    """Alias of utf8_zero_fill (pyarrow.compute.utf8_zfill)."""
+    opts = {"width": width, "padding": padding} if options is None else \
+        (options.to_kwargs() if hasattr(options, "to_kwargs")
+         else dict(options))
+    return call_function("utf8_zero_fill", [_combine(strings)], opts)
+
+
+class UdfContext:
+    """Passed as first argument to python UDFs
+    (pyarrow.compute.UdfContext)."""
+
+    def __init__(self, batch_length: int = 0):
+        from ..memory import default_memory_pool
+        self.memory_pool = default_memory_pool()
+        self.batch_length = batch_length
+
+
+def register_aggregate_function(func, function_name, function_doc,
+                                in_types, out_type):
+    """Python UDAF: func(ctx, *arrays) -> scalar value
+    (pyarrow.compute.register_aggregate_function)."""
+    from .registry import Function, _REGISTRY, Scalar
+
+    def impl(*args, **options):
+        prepared = [a.combine() if isinstance(a, ChunkedArray) else a
+                    for a in args]
+        out = func(UdfContext(len(prepared[0]) if prepared else 0),
+                   *prepared)
+        if isinstance(out, Scalar):
+            return out
+        return Scalar(out, out_type)
+
+    doc = function_doc.get("summary", "") if isinstance(function_doc,
+                                                        dict) else \
+        str(function_doc)
+    _REGISTRY[function_name] = Function(function_name, "host", impl, doc)
+    setattr(_mod, function_name, _make_wrapper(function_name))
+
+
+def register_vector_function(func, function_name, function_doc, in_types,
+                             out_type):
+    """Python vector UDF (whole-array in, array out)."""
+    return register_scalar_function(func, function_name, function_doc,
+                                    in_types, out_type)
+
+
+_TABULAR_FUNCS: dict = {}
+
+
+def register_tabular_function(func, function_name, function_doc, in_types,
+                              out_type):
+    """Table-producing UDF: func(ctx) -> RecordBatchReader / Table
+    (pyarrow.compute.register_tabular_function)."""
+    _TABULAR_FUNCS[function_name] = func
+
+
+def call_tabular_function(function_name, args=None, func_registry=None):
+    from ..table import RecordBatchReader, Table
+    fn = _TABULAR_FUNCS.get(function_name)
+    if fn is None:
+        raise KeyError(f"no tabular function {function_name!r}")
+    out = fn(UdfContext(), *(args or ()))
+    if isinstance(out, Table):
+        return out.to_reader()
+    if isinstance(out, RecordBatchReader):
+        return out
+    return out
+
+
+def _expression_cls():
+    from ..acero.expression import Expression as _E
+    return _E
+
+
+from ..acero.expression import Expression  # noqa: F401,E402
+from .registry import Function  # noqa: F401,E402
+
+
+class Kernel:
+    """Opaque kernel descriptor (compute/kernel.h). Our kernels are
+    jitted callables; this class exists for API parity."""
+
+
+class ScalarKernel(Kernel):
+    pass
+
+
+class VectorKernel(Kernel):
+    pass
+
+
+class ScalarAggregateKernel(Kernel):
+    pass
+
+
+class HashAggregateKernel(Kernel):
+    pass
+
+
+class ScalarFunction(Function):
+    pass
+
+
+class VectorFunction(Function):
+    pass
+
+
+class ScalarAggregateFunction(Function):
+    pass
+
+
+class HashAggregateFunction(Function):
+    pass
+
+
+class FunctionRegistry:
+    """Name -> Function registry view (compute/registry.h:46)."""
+
+    def list_functions(self):
+        from .registry import _REGISTRY
+        return sorted(_REGISTRY)
+
+    def get_function(self, name):
+        from .registry import get_function
+        return get_function(name)
+
+
+def function_registry() -> FunctionRegistry:
+    return FunctionRegistry()

@@ -125,3 +125,84 @@ PivotWiderOptions = _options(
 SkewOptions = _options(
     "SkewOptions", ["skip_nulls", "biased", "min_count"],
     {"skip_nulls": True, "biased": True, "min_count": 0})
+
+
+# remaining pyarrow.compute FunctionOptions classes (api_scalar.h /
+# api_vector.h option structs)
+CumulativeSumOptions = _options(
+    "CumulativeSumOptions", ["start", "skip_nulls"],
+    {"start": None, "skip_nulls": False})
+ExtractRegexOptions = _options("ExtractRegexOptions", ["pattern"], {})
+ExtractRegexSpanOptions = _options(
+    "ExtractRegexSpanOptions", ["pattern"], {})
+InversePermutationOptions = _options(
+    "InversePermutationOptions", ["max_index", "output_type"],
+    {"max_index": None, "output_type": None})
+JoinOptions = _options(
+    "JoinOptions", ["null_handling", "null_replacement"],
+    {"null_handling": "emit_null", "null_replacement": ""})
+ListFlattenOptions = _options(
+    "ListFlattenOptions", ["recursive"], {"recursive": False})
+ListSliceOptions = _options(
+    "ListSliceOptions", ["start", "stop", "step",
+                         "return_fixed_size_list"],
+    {"start": 0, "stop": None, "step": 1,
+     "return_fixed_size_list": None})
+MakeStructOptions = _options(
+    "MakeStructOptions", ["field_names", "field_nullability",
+                          "field_metadata"],
+    {"field_names": (), "field_nullability": None,
+     "field_metadata": None})
+MapLookupOptions = _options(
+    "MapLookupOptions", ["query_key", "occurrence"],
+    {"query_key": None, "occurrence": "first"})
+RandomOptions = _options(
+    "RandomOptions", ["initializer"], {"initializer": "system"})
+RankQuantileOptions = _options(
+    "RankQuantileOptions", ["sort_keys", "null_placement"],
+    {"sort_keys": "ascending", "null_placement": "at_end"})
+ReplaceSliceOptions = _options(
+    "ReplaceSliceOptions", ["start", "stop", "replacement"],
+    {"start": 0, "stop": 0, "replacement": ""})
+RoundBinaryOptions = _options(
+    "RoundBinaryOptions", ["round_mode"],
+    {"round_mode": "half_to_even"})
+RoundTemporalOptions = _options(
+    "RoundTemporalOptions",
+    ["multiple", "unit", "week_starts_monday",
+     "ceil_is_strictly_greater", "calendar_based_origin"],
+    {"multiple": 1, "unit": "day", "week_starts_monday": True,
+     "ceil_is_strictly_greater": False,
+     "calendar_based_origin": False})
+RunEndEncodeOptions = _options(
+    "RunEndEncodeOptions", ["run_end_type"], {"run_end_type": None})
+ScatterOptions = _options(
+    "ScatterOptions", ["max_index"], {"max_index": None})
+SplitOptions = _options(
+    "SplitOptions", ["max_splits", "reverse"],
+    {"max_splits": None, "reverse": False})
+SplitPatternOptions = _options(
+    "SplitPatternOptions", ["pattern", "max_splits", "reverse"],
+    {"pattern": None, "max_splits": None, "reverse": False})
+StrftimeOptions = _options(
+    "StrftimeOptions", ["format", "locale"],
+    {"format": "%Y-%m-%dT%H:%M:%S", "locale": "C"})
+StrptimeOptions = _options(
+    "StrptimeOptions", ["format", "unit", "error_is_null"],
+    {"format": "%Y-%m-%dT%H:%M:%S", "unit": "us",
+     "error_is_null": False})
+StructFieldOptions = _options(
+    "StructFieldOptions", ["indices"], {"indices": ()})
+Utf8NormalizeOptions = _options(
+    "Utf8NormalizeOptions", ["form"], {"form": "NFC"})
+WeekOptions = _options(
+    "WeekOptions", ["week_starts_monday", "count_from_zero",
+                    "first_week_is_fully_in_year"],
+    {"week_starts_monday": True, "count_from_zero": False,
+     "first_week_is_fully_in_year": False})
+WinsorizeOptions = _options(
+    "WinsorizeOptions", ["lower_limit", "upper_limit"],
+    {"lower_limit": 0.0, "upper_limit": 1.0})
+ZeroFillOptions = _options(
+    "ZeroFillOptions", ["width", "padding"],
+    {"width": 0, "padding": "0"})

@@ -181,10 +181,13 @@ def _options_key(options: Optional[dict]) -> tuple:
     if not options:
         return ()
     def freeze(v):
+        # tagged so _thaw is unambiguous (a plain tuple of (str, x) pairs
+        # is NOT necessarily a dict: e.g. sort_keys=[("col","ascending")])
         if isinstance(v, dict):
-            return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+            return ("__d__", tuple(sorted((k, freeze(x))
+                                          for k, x in v.items())))
         if isinstance(v, (list, tuple)):
-            return tuple(freeze(x) for x in v)
+            return ("__s__", tuple(freeze(x) for x in v))
         return v
     return tuple(sorted((k, freeze(v)) for k, v in options.items()))
 
@@ -210,10 +213,10 @@ def _jitted(name: str, okey: tuple, sig: tuple):
 
 
 def _thaw(v):
-    if isinstance(v, tuple) and v and all(
-            isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], str)
-            for x in v):
-        return {k: _thaw(x) for k, x in v}
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "__d__":
+        return {k: _thaw(x) for k, x in v[1]}
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "__s__":
+        return tuple(_thaw(x) for x in v[1])
     return v
 
 

@@ -31,3 +31,70 @@ from .column import (  # noqa: F401,E402
     download_table, jnp_dtype_for, round_up, upload_batch, upload_column,
     upload_table,
 )
+
+
+class DeviceAllocationType:
+    """Device allocation kinds (reference: device.h DeviceAllocationType).
+    TPU buffers surface as CPU host memory at the Arrow ABI boundary;
+    device-resident data lives in DeviceBatch/DeviceColumn."""
+    CPU = 1
+    CUDA = 2
+    CUDA_HOST = 3
+    OPENCL = 4
+    VULKAN = 7
+    METAL = 8
+    VPI = 9
+    ROCM = 10
+    ROCM_HOST = 11
+    EXT_DEV = 12
+    CUDA_MANAGED = 13
+    ONEAPI = 14
+    WEBGPU = 15
+    HEXAGON = 16
+
+
+class Device:
+    """Compute device handle (reference: device.h:43). The engine's
+    devices are JAX devices; this wrapper surfaces them through the
+    pyarrow-shaped API."""
+
+    def __init__(self, jax_device=None):
+        self._d = jax_device
+
+    @property
+    def type_name(self) -> str:
+        return getattr(self._d, "platform", "cpu")
+
+    @property
+    def device_id(self) -> int:
+        return getattr(self._d, "id", 0)
+
+    @property
+    def is_cpu(self) -> bool:
+        return self.type_name == "cpu"
+
+    @property
+    def device_type(self):
+        return DeviceAllocationType.CPU if self.is_cpu else \
+            DeviceAllocationType.EXT_DEV
+
+    def __repr__(self):
+        return f"<Device {self.type_name}:{self.device_id}>"
+
+
+class MemoryManager:
+    """Memory manager bound to a device (reference: device.h:179)."""
+
+    def __init__(self, device: Device):
+        self.device = device
+
+    @property
+    def is_cpu(self) -> bool:
+        return self.device.is_cpu
+
+    def __repr__(self):
+        return f"<MemoryManager {self.device!r}>"
+
+
+def default_cpu_memory_manager() -> MemoryManager:
+    return MemoryManager(Device())

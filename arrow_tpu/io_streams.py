@@ -271,3 +271,106 @@ def decompress(buf, decompressed_size=None, codec: str = "lz4",
         buf.to_numpy().tobytes() if isinstance(buf, Buffer) else buf,
         decompressed_size)
     return out if asbytes else Buffer(out)
+
+
+class NativeFile:
+    """Base file-object marker (pyarrow.NativeFile). Our streams are
+    plain python file objects; this exists for isinstance checks."""
+
+
+class PythonFile(NativeFile):
+    """Wraps a python file object (pyarrow.PythonFile)."""
+
+    def __init__(self, handle, mode=None):
+        self._h = handle
+        self.mode = mode or getattr(handle, "mode", "rb")
+
+    def __getattr__(self, name):
+        return getattr(self._h, name)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._h.close()
+
+
+class BufferedInputStream(PythonFile):
+    """Read-buffered stream (io/buffered.h BufferedInputStream)."""
+
+    def __init__(self, stream, buffer_size: int = 65536,
+                 memory_pool=None):
+        import io as _io
+        raw = stream._h if isinstance(stream, PythonFile) else stream
+        try:
+            buffered = _io.BufferedReader(raw, buffer_size)
+        except (TypeError, AttributeError):
+            buffered = raw
+        super().__init__(buffered, "rb")
+
+
+class BufferedOutputStream(PythonFile):
+    """Write-buffered stream (io/buffered.h BufferedOutputStream)."""
+
+    def __init__(self, stream, buffer_size: int = 65536,
+                 memory_pool=None):
+        import io as _io
+        raw = stream._h if isinstance(stream, PythonFile) else stream
+        try:
+            buffered = _io.BufferedWriter(raw, buffer_size)
+        except (TypeError, AttributeError):
+            buffered = raw
+        super().__init__(buffered, "wb")
+
+
+class FixedSizeBufferWriter(PythonFile):
+    """Writes into a preallocated buffer (io/memory.h
+    FixedSizeBufferWriter)."""
+
+    def __init__(self, buffer):
+        import io as _io
+        self.buffer = buffer
+        super().__init__(_io.BytesIO(), "wb")
+        self._written = 0
+
+    def write(self, data):
+        data = bytes(data)
+        arr = self.buffer.to_numpy()
+        if self._written + len(data) > len(arr):
+            raise ArrowInvalid("write past end of fixed-size buffer")
+        arr[self._written:self._written + len(data)] = \
+            np.frombuffer(data, dtype=np.uint8)
+        self._written += len(data)
+        return len(data)
+
+
+class ResizableBuffer(Buffer):
+    """Growable buffer (buffer.h:494 ResizableBuffer)."""
+
+    def __init__(self, data=b""):
+        super().__init__(bytearray(data))
+
+    def resize(self, new_size: int, shrink_to_fit: bool = True):
+        cur = self._data
+        out = np.zeros(new_size, dtype=np.uint8)
+        out[:min(len(cur), new_size)] = cur[:new_size]
+        self._data = out
+
+
+class TransformInputStream(PythonFile):
+    """Applies a transform function to chunks read from a stream
+    (io/transform.h TransformInputStream)."""
+
+    def __init__(self, stream, transform):
+        import io as _io
+        raw = stream._h if isinstance(stream, PythonFile) else stream
+        data = raw.read()
+        super().__init__(_io.BytesIO(transform(data)), "rb")
+
+
+def transcoding_input_stream(stream, src_encoding: str,
+                             dest_encoding: str):
+    """Decode/re-encode bytes between charsets (pyarrow
+    transcoding_input_stream)."""
+    return TransformInputStream(
+        stream, lambda b: b.decode(src_encoding).encode(dest_encoding))

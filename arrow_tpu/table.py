@@ -87,6 +87,103 @@ class ChunkedArray:
     def __repr__(self):
         return f"<ChunkedArray {self.type!r} chunks={self.num_chunks} len={len(self)}>"
 
+    # -- pyarrow-parity conveniences (chunked_array.h / pyarrow) ---------
+    def combine_chunks(self) -> Array:
+        return self.combine()
+
+    def iterchunks(self):
+        return iter(self.chunks)
+
+    @property
+    def data(self) -> "ChunkedArray":
+        return self
+
+    @property
+    def nbytes(self) -> int:
+        return sum(c.nbytes for c in self.chunks)
+
+    def get_total_buffer_size(self) -> int:
+        return self.nbytes
+
+    @property
+    def is_cpu(self) -> bool:
+        return True
+
+    def _wrap(self, arr: Array) -> "ChunkedArray":
+        return ChunkedArray([arr], arr.type)
+
+    def cast(self, target) -> "ChunkedArray":
+        return self._wrap(self.combine().cast(target))
+
+    def dictionary_encode(self) -> "ChunkedArray":
+        return self._wrap(self.combine().dictionary_encode())
+
+    def filter(self, mask, null_selection_behavior: str = "drop"):
+        if isinstance(mask, ChunkedArray):
+            mask = mask.combine()
+        return self._wrap(self.combine().filter(
+            mask, null_selection_behavior))
+
+    def take(self, indices) -> "ChunkedArray":
+        if isinstance(indices, ChunkedArray):
+            indices = indices.combine()
+        return self._wrap(self.combine().take(indices))
+
+    def drop_null(self) -> "ChunkedArray":
+        return self._wrap(self.combine().drop_null())
+
+    def fill_null(self, fill_value) -> "ChunkedArray":
+        return self._wrap(self.combine().fill_null(fill_value))
+
+    def sort(self, order: str = "ascending", **kwargs) -> "ChunkedArray":
+        return self._wrap(self.combine().sort(order, **kwargs))
+
+    def unique(self) -> Array:
+        return self.combine().unique()
+
+    def value_counts(self) -> Array:
+        return self.combine().value_counts()
+
+    def is_null(self, nan_is_null: bool = False) -> "ChunkedArray":
+        return self._wrap(self.combine().is_null(
+            nan_is_null=nan_is_null))
+
+    def is_valid(self) -> "ChunkedArray":
+        return self._wrap(self.combine().is_valid())
+
+    def is_nan(self) -> "ChunkedArray":
+        return self._wrap(self.combine().is_nan())
+
+    def index(self, value, start=None, end=None):
+        return self.combine().index(value, start, end)
+
+    def flatten(self):
+        from .compute import call_function
+        return [self._wrap(call_function("list_flatten",
+                                         [self.combine()]))] \
+            if self.type.is_nested else [self]
+
+    def unify_dictionaries(self) -> "ChunkedArray":
+        from .types import TypeId
+        if self.type.id != TypeId.DICTIONARY or len(self.chunks) <= 1:
+            return self
+        return self._wrap(self.combine().dictionary_encode())
+
+    def to_numpy(self, zero_copy_only: bool = False):
+        return self.combine().to_numpy(zero_copy_only=zero_copy_only)
+
+    def to_pandas(self):
+        return self.combine().to_pandas()
+
+    def to_string(self, **kwargs) -> str:
+        return repr(self)
+
+    format = to_string
+
+    def validate(self, *, full: bool = False):
+        for c in self.chunks:
+            c.validate(full=full)
+
 
 def chunked_array(chunks, type: Optional[DataType] = None) -> ChunkedArray:
     if chunks and not isinstance(chunks[0], (Array, ChunkedArray)) and \
@@ -178,6 +275,121 @@ class RecordBatch:
         """DataFrame interchange protocol (python/pyarrow/interchange/)."""
         from .interchange import _ATDataFrame
         return _ATDataFrame(self, nan_as_null, allow_copy)
+
+    # -- pyarrow-parity conveniences (record_batch.h / pyarrow) ----------
+    def _via_table(self, op, *args, **kwargs) -> "RecordBatch":
+        t = getattr(Table.from_batches([self]), op)(*args, **kwargs)
+        return RecordBatch(t.schema, [c.combine() for c in t.columns])
+
+    def filter(self, mask, null_selection_behavior: str = "drop"):
+        return self._via_table("filter", mask, null_selection_behavior)
+
+    def take(self, indices) -> "RecordBatch":
+        return self._via_table("take", indices)
+
+    def drop_null(self) -> "RecordBatch":
+        return self._via_table("drop_null")
+
+    def sort_by(self, sorting, **kwargs) -> "RecordBatch":
+        return self._via_table("sort_by", sorting, **kwargs)
+
+    def cast(self, target_schema) -> "RecordBatch":
+        return self._via_table("cast", target_schema)
+
+    def add_column(self, i: int, field_, column) -> "RecordBatch":
+        return self._via_table("add_column", i, field_, column)
+
+    def append_column(self, field_, column) -> "RecordBatch":
+        return self._via_table("append_column", field_, column)
+
+    def set_column(self, i: int, field_, column) -> "RecordBatch":
+        return self._via_table("set_column", i, field_, column)
+
+    def remove_column(self, i: int) -> "RecordBatch":
+        return self._via_table("remove_column", i)
+
+    def drop_columns(self, columns) -> "RecordBatch":
+        return self._via_table("drop_columns", columns)
+
+    def rename_columns(self, names) -> "RecordBatch":
+        return self._via_table("rename_columns", names)
+
+    def field(self, i: Union[int, str]) -> Field:
+        return self.schema[i]
+
+    def itercolumns(self):
+        return iter(self.columns)
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.num_columns)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(c.nbytes for c in self.columns)
+
+    def get_total_buffer_size(self) -> int:
+        return self.nbytes
+
+    @property
+    def is_cpu(self) -> bool:
+        return True
+
+    @property
+    def device_type(self):
+        from .device import DeviceAllocationType
+        return DeviceAllocationType.CPU
+
+    def copy_to(self, destination) -> "RecordBatch":
+        return self
+
+    def replace_schema_metadata(self, metadata=None) -> "RecordBatch":
+        return RecordBatch(Schema(list(self.schema.fields), metadata),
+                           list(self.columns))
+
+    def serialize(self, options=None):
+        """IPC-serialize this batch (ipc/writer.h SerializeRecordBatch)."""
+        import io as _io
+        from . import ipc as _ipc
+        buf = _io.BytesIO()
+        with _ipc.new_stream(buf, self.schema) as w:
+            w.write_batch(self)
+        from .buffer import Buffer
+        return Buffer(buf.getvalue())
+
+    def to_string(self, **kwargs) -> str:
+        return repr(self)
+
+    def validate(self, *, full: bool = False):
+        for c in self.columns:
+            c.validate(full=full)
+
+    @classmethod
+    def from_pylist(cls, rows, schema: Optional[Schema] = None):
+        keys = list(schema.names) if schema is not None else \
+            list(rows[0].keys()) if rows else []
+        data = {k: [r.get(k) for r in rows] for k in keys}
+        return cls.from_pydict(data, schema)
+
+    @classmethod
+    def from_pandas(cls, df, schema: Optional[Schema] = None):
+        t = Table.from_pandas(df)
+        if schema is not None:
+            t = t.cast(schema)
+        return RecordBatch(t.schema, [c.combine() for c in t.columns])
+
+    @classmethod
+    def from_struct_array(cls, struct_array) -> "RecordBatch":
+        t = struct_array.type
+        fields = list(t.fields)
+        rows = struct_array.to_pylist()
+        cols = [array([None if r is None else r.get(f.name)
+                       for r in rows], f.type) for f in fields]
+        return cls(Schema(fields), cols)
+
+    def to_struct_array(self) -> Array:
+        st = T.struct([(f.name, f.type) for f in self.schema.fields])
+        return array(self.to_pylist(), st)
 
     def select(self, names: Sequence[Union[str, int]]) -> "RecordBatch":
         idxs = [self.schema.get_field_index(n) if isinstance(n, str) else n
@@ -459,6 +671,130 @@ class Table:
                             TableSourceNodeOptions(right_table))])
         return decl.to_table()
 
+    def join_asof(self, right_table: "Table", on: str, by, tolerance: int,
+                  right_on=None, right_by=None) -> "Table":
+        """As-of join (pyarrow Table.join_asof / asof_join_node.cc)."""
+        from .acero import AsofJoinNodeOptions, Declaration, \
+            TableSourceNodeOptions
+        if isinstance(by, str):
+            by = [by]
+        right_on = right_on or on
+        right_by = right_by if right_by is not None else list(by)
+        if isinstance(right_by, str):
+            right_by = [right_by]
+        decl = Declaration("asofjoin", AsofJoinNodeOptions(
+            left_on=on, left_by=list(by), right_on=right_on,
+            right_by=list(right_by), tolerance=tolerance), inputs=[
+                Declaration("table_source", TableSourceNodeOptions(self)),
+                Declaration("table_source",
+                            TableSourceNodeOptions(right_table))])
+        return decl.to_table()
+
+    # -- pyarrow-parity conveniences (table.h / pyarrow) -----------------
+    def drop(self, columns) -> "Table":
+        return self.drop_columns(columns)
+
+    def field(self, i: Union[int, str]) -> Field:
+        return self.schema[i]
+
+    def itercolumns(self):
+        return iter(self.columns)
+
+    @property
+    def shape(self):
+        return (self.num_rows, self.num_columns)
+
+    @property
+    def nbytes(self) -> int:
+        return sum(c.nbytes for c in self.columns)
+
+    def get_total_buffer_size(self) -> int:
+        return self.nbytes
+
+    @property
+    def is_cpu(self) -> bool:
+        return True
+
+    def flatten(self) -> "Table":
+        """Flatten struct columns into top-level columns (table.h
+        Flatten)."""
+        from .types import TypeId
+        fields, cols = [], []
+        for f, c in zip(self.schema.fields, self.columns):
+            if f.type.id == TypeId.STRUCT:
+                rows = c.to_pylist()
+                for sub in f.type.fields:
+                    fields.append(Field(f"{f.name}.{sub.name}", sub.type,
+                                        True))
+                    cols.append(ChunkedArray([array(
+                        [None if r is None else r.get(sub.name)
+                         for r in rows], sub.type)]))
+            else:
+                fields.append(f)
+                cols.append(c)
+        return Table(Schema(fields, self.schema.metadata), cols)
+
+    def replace_schema_metadata(self, metadata=None) -> "Table":
+        return Table(Schema(list(self.schema.fields), metadata),
+                     list(self.columns))
+
+    def unify_dictionaries(self) -> "Table":
+        return Table(self.schema,
+                     [c.unify_dictionaries() for c in self.columns])
+
+    def to_reader(self, max_chunksize: Optional[int] = None):
+        return RecordBatchReader.from_batches(
+            self.schema, self.to_batches(max_chunksize))
+
+    def to_string(self, **kwargs) -> str:
+        return repr(self)
+
+    def to_struct_array(self, max_chunksize: Optional[int] = None):
+        st = T.struct([(f.name, f.type) for f in self.schema.fields])
+        return ChunkedArray([array(b.to_pylist(), st)
+                             for b in self.to_batches(max_chunksize)], st)
+
+    @classmethod
+    def from_struct_array(cls, struct_array,
+                          schema: Optional[Schema] = None) -> "Table":
+        if isinstance(struct_array, ChunkedArray):
+            batches = [RecordBatch.from_struct_array(c)
+                       for c in struct_array.chunks]
+        else:
+            batches = [RecordBatch.from_struct_array(struct_array)]
+        return cls.from_batches(batches, schema)
+
+    @classmethod
+    def from_pylist(cls, rows, schema: Optional[Schema] = None) -> "Table":
+        return cls.from_batches([RecordBatch.from_pylist(rows, schema)])
+
+    def to_tensor(self, null_to_nan: bool = False,
+                  row_major: bool = True):
+        """2-D tensor from a homogeneous numeric table (pyarrow
+        Table.to_tensor)."""
+        import numpy as np
+        from .tensor import Tensor
+        cols = []
+        for c in self.columns:
+            a = c.combine()
+            if a.null_count:
+                if not null_to_nan:
+                    raise ValueError(
+                        "table has nulls; pass null_to_nan=True")
+                v = a.data.values().astype(np.float64).copy()
+                v[~a.is_valid_mask()] = np.nan
+            else:
+                v = a.data.values()
+            cols.append(np.asarray(v))
+        m = np.column_stack(cols) if cols else np.empty((0, 0))
+        if not row_major:
+            m = np.asfortranarray(m)
+        return Tensor.from_numpy(m)
+
+    def validate(self, *, full: bool = False):
+        for c in self.columns:
+            c.validate(full=full)
+
 
 class TableGroupBy:
     """pyarrow.TableGroupBy parity (python/pyarrow/table.pxi group_by)."""
@@ -557,3 +893,60 @@ class Datum:
 
     def __repr__(self):
         return f"Datum({self.kind}, {self.value!r})"
+
+
+class RecordBatchReader:
+    """Iterator of RecordBatches with a shared schema (reference:
+    record_batch.h:334 RecordBatchReader; pyarrow.RecordBatchReader)."""
+
+    def __init__(self, schema: Schema, batches_iter):
+        self.schema = schema
+        self._it = iter(batches_iter)
+
+    @classmethod
+    def from_batches(cls, schema: Schema, batches) -> "RecordBatchReader":
+        return cls(schema, batches)
+
+    @classmethod
+    def from_stream(cls, data, schema: Optional[Schema] = None):
+        """Wrap any object exporting __arrow_c_stream__."""
+        if not hasattr(data, "__arrow_c_stream__"):
+            raise TypeError("expected an object with __arrow_c_stream__")
+        from .c_data import import_stream_capsule
+        rdr = import_stream_capsule(data.__arrow_c_stream__())
+        return rdr if isinstance(rdr, cls) else cls(rdr.schema, rdr)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> RecordBatch:
+        return self.read_next_batch()
+
+    def read_next_batch(self) -> RecordBatch:
+        nxt = next(self._it, None)
+        if nxt is None:
+            raise StopIteration
+        return nxt
+
+    def read_all(self) -> Table:
+        batches = list(self._it)
+        return Table.from_batches(batches, self.schema)
+
+    def read_pandas(self):
+        return self.read_all().to_pandas()
+
+    def close(self):
+        self._it = iter(())
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __arrow_c_stream__(self, requested_schema=None):
+        from .c_data import stream_capsule, batch_to_struct_data
+        batches = list(self._it)
+        return stream_capsule(
+            [batch_to_struct_data(b) for b in batches],
+            Field("", T.struct(list(self.schema.fields))))

@@ -1,0 +1,325 @@
+"""pyarrow-parity convenience methods on Array / ChunkedArray /
+RecordBatch / Table + RecordBatchReader.
+
+Reference analogues: pyarrow table.pxi / array.pxi method surfaces over
+chunked_array.h / record_batch.h / table.h.
+"""
+
+import numpy as np
+import pytest
+
+import arrow_tpu as at
+
+
+@pytest.fixture
+def tbl():
+    return at.table({"a": at.array([3, 1, None, 3], at.int64()),
+                     "b": at.array(["x", "y", "z", None], at.string())})
+
+
+def test_array_methods_vs_pyarrow():
+    pa = pytest.importorskip("pyarrow")
+    ours = at.array([3, 1, None, 3], at.int64())
+    ref = pa.array([3, 1, None, 3], pa.int64())
+    mask_o = at.array([True, False, True, True], at.bool_())
+    mask_r = pa.array([True, False, True, True])
+    assert ours.filter(mask_o).to_pylist() == ref.filter(mask_r).to_pylist()
+    assert ours.take(at.array([0, 3], at.int64())).to_pylist() == \
+        ref.take(pa.array([0, 3])).to_pylist()
+    assert ours.drop_null().to_pylist() == ref.drop_null().to_pylist()
+    assert ours.sort().to_pylist() == ref.sort().to_pylist()
+    assert ours.unique().to_pylist() == ref.unique().to_pylist()
+    assert ours.value_counts().to_pylist() == \
+        ref.value_counts().to_pylist()
+    assert ours.fill_null(9).to_pylist() == ref.fill_null(9).to_pylist()
+    assert ours.is_null().to_pylist() == ref.is_null().to_pylist()
+    assert ours.is_valid().to_pylist() == ref.is_valid().to_pylist()
+    assert ours.index(3) == ref.index(3).as_py()
+    assert ours.index(3, 1) == ref.index(3, 1).as_py()
+    assert ours.index(99) == ref.index(99).as_py() == -1
+    assert ours.tolist() == ref.tolist()
+    assert ours.get_total_buffer_size() > 0
+    ours.validate(full=True)
+
+
+def test_array_dictionary_encode_vs_pyarrow():
+    pa = pytest.importorskip("pyarrow")
+    for vals, t, pt in [(["x", "y", None, "x"], at.string(), pa.string()),
+                        ([5, 5, None, 2], at.int64(), pa.int64())]:
+        ours = at.array(vals, t).dictionary_encode()
+        ref = pa.array(vals, pt).dictionary_encode()
+        assert ours.indices.to_pylist() == ref.indices.to_pylist()
+        assert ours.dictionary.to_pylist() == ref.dictionary.to_pylist()
+
+
+def test_array_from_buffers_and_view():
+    b = at.Array.from_buffers(
+        at.int32(), 3, [None, np.array([1, 2, 3], np.int32).tobytes()])
+    assert b.to_pylist() == [1, 2, 3]
+    v = at.array([1, 2], at.int32()).view(at.uint32())
+    assert v.type == at.uint32() and v.to_pylist() == [1, 2]
+    assert at.array([1, 2]).diff(at.array([1, 3])) != ""
+    assert at.array([1, 2]).diff(at.array([1, 2])) == ""
+
+
+def test_chunked_array_methods(tbl):
+    ca = at.chunked_array([[3, 1], [None, 3]], at.int64())
+    assert ca.combine_chunks().to_pylist() == [3, 1, None, 3]
+    assert len(list(ca.iterchunks())) == 2
+    assert ca.drop_null().to_pylist() == [3, 1, 3]
+    assert ca.sort("descending").to_pylist()[:3] == [3, 3, 1]
+    assert ca.unique().to_pylist() == [3, 1, None]
+    assert ca.fill_null(0).to_pylist() == [3, 1, 0, 3]
+    assert ca.take(at.array([1], at.int64())).to_pylist() == [1]
+    assert ca.is_valid().to_pylist() == [True, True, False, True]
+    assert ca.index(3) == 0 and ca.index(99) == -1
+    assert ca.cast(at.float64()).to_pylist() == [3.0, 1.0, None, 3.0]
+    assert ca.nbytes > 0
+    ca.validate(full=True)
+
+
+def test_record_batch_methods(tbl):
+    rb = tbl.to_batches()[0]
+    assert rb.shape == (4, 2)
+    assert rb.field("a").type == at.int64()
+    assert [c.to_pylist()[0] for c in rb.itercolumns()] == [3, "x"]
+    assert rb.take(at.array([0, 1], at.int64())).num_rows == 2
+    assert rb.drop_null().num_rows == 2
+    assert rb.sort_by([("a", "ascending")]).column(0).to_pylist()[0] == 1
+    assert rb.rename_columns(["p", "q"]).schema.names == ["p", "q"]
+    assert rb.drop_columns(["b"]).schema.names == ["a"]
+    assert rb.remove_column(0).schema.names == ["b"]
+    rb2 = rb.append_column(at.Field("c", at.int64()),
+                           at.array([1, 2, 3, 4], at.int64()))
+    assert rb2.schema.names == ["a", "b", "c"]
+    assert rb.replace_schema_metadata({b"k": b"v"}).schema.metadata == \
+        {b"k": b"v"}
+    assert rb.nbytes > 0 and rb.is_cpu
+    rb.validate(full=True)
+
+
+def test_record_batch_struct_roundtrip(tbl):
+    rb = tbl.to_batches()[0]
+    sa = rb.to_struct_array()
+    back = at.RecordBatch.from_struct_array(sa)
+    assert back.to_pylist() == rb.to_pylist()
+    assert at.RecordBatch.from_pylist(
+        [{"a": 1}, {"a": 2}]).column(0).to_pylist() == [1, 2]
+
+
+def test_record_batch_serialize_pyarrow_readable(tbl):
+    pa = pytest.importorskip("pyarrow")
+    rb = tbl.to_batches()[0]
+    buf = rb.serialize().to_pybytes()
+    got = pa.ipc.open_stream(buf).read_all()
+    assert got.column("a").to_pylist() == [3, 1, None, 3]
+
+
+def test_table_methods(tbl):
+    assert tbl.shape == (4, 2)
+    assert tbl.drop(["b"]).column_names == ["a"]
+    assert tbl.field("b").type == at.string()
+    assert len(list(tbl.itercolumns())) == 2
+    assert tbl.nbytes > 0 and tbl.is_cpu
+    assert tbl.replace_schema_metadata({b"x": b"1"}).schema.metadata == \
+        {b"x": b"1"}
+    tbl.validate(full=True)
+    t2 = at.Table.from_pylist([{"a": 1, "b": "u"}, {"a": 2, "b": None}])
+    assert t2.to_pydict() == {"a": [1, 2], "b": ["u", None]}
+    sa = t2.to_struct_array()
+    back = at.Table.from_struct_array(sa)
+    assert back.to_pydict() == t2.to_pydict()
+
+
+def test_table_flatten():
+    t = at.table({"s": at.array(
+        [{"p": 1, "q": "u"}, {"p": 2, "q": None}],
+        at.struct([("p", at.int64()), ("q", at.string())])),
+        "k": at.array([7, 8], at.int64())})
+    f = t.flatten()
+    assert f.column_names == ["s.p", "s.q", "k"]
+    assert f.column("s.p").to_pylist() == [1, 2]
+
+
+def test_table_to_tensor():
+    t = at.table({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    tn = t.to_tensor()
+    assert tn.shape == (2, 2)
+    with pytest.raises(ValueError):
+        at.table({"x": at.array([1.0, None], at.float64())}).to_tensor()
+
+
+def test_table_join_asof():
+    left = at.table({"t": at.array([1, 5, 10], at.int64()),
+                     "k": at.array(["a", "a", "a"], at.string()),
+                     "v": at.array([10, 20, 30], at.int64())})
+    right = at.table({"t": at.array([0, 4, 9], at.int64()),
+                      "k": at.array(["a", "a", "a"], at.string()),
+                      "w": at.array([100, 200, 300], at.int64())})
+    out = left.join_asof(right, on="t", by="k", tolerance=-2)
+    assert out.num_rows == 3
+
+
+def test_record_batch_reader():
+    t = at.table({"a": list(range(10))})
+    r = t.to_reader(4)
+    sizes = [b.num_rows for b in r]
+    assert sizes == [4, 4, 2]
+    r2 = t.to_reader()
+    assert r2.read_all().num_rows == 10
+    with at.Table.from_pydict({"z": [1]}).to_reader() as r3:
+        assert r3.read_next_batch().num_rows == 1
+        with pytest.raises(StopIteration):
+            r3.read_next_batch()
+
+
+def test_record_batch_reader_c_stream_interop():
+    pa = pytest.importorskip("pyarrow")
+    t = at.table({"a": [3, 1], "s": at.array(["p", None], at.string())})
+    # export: pyarrow consumes our reader
+    got = pa.RecordBatchReader.from_stream(t.to_reader())
+    assert got.read_all().to_pydict() == {"a": [3, 1], "s": ["p", None]}
+    # import: we consume a pyarrow reader
+    par = pa.RecordBatchReader.from_batches(
+        pa.schema([("k", pa.int64()), ("s", pa.string())]),
+        [pa.record_batch({"k": [1, 2], "s": ["a", None]}),
+         pa.record_batch({"k": [3], "s": ["c"]})])
+    ours = at.RecordBatchReader.from_stream(par)
+    assert ours.read_all().to_pydict() == \
+        {"k": [1, 2, 3], "s": ["a", None, "c"]}
+
+
+def test_module_level_name_parity():
+    """Every public pyarrow module-level name resolves in arrow_tpu
+    (directly or via arrow_tpu.api)."""
+    pa = pytest.importorskip("pyarrow")
+    import types
+    import arrow_tpu.api
+    # submodules appear in dir(pa) lazily depending on import order;
+    # compare non-module names only
+    ref = {n for n in dir(pa) if not n.startswith("_") and
+           not isinstance(getattr(pa, n, None), types.ModuleType)}
+    ours = {n for n in dir(at) if not n.startswith("_")}
+    missing = sorted(n for n in ref - ours
+                     if not hasattr(arrow_tpu.api, n))
+    assert missing == [], missing
+
+
+def test_typed_class_isinstance_semantics():
+    a = at.array([1, 2], at.int32())
+    assert isinstance(a, at.Int32Array)
+    assert not isinstance(a, at.Int64Array)
+    assert isinstance(a, at.IntegerArray)
+    assert isinstance(a, at.NumericArray)
+    assert not isinstance(a, at.FloatingPointArray)
+    s = at.scalar("x")
+    assert isinstance(s, at.StringScalar)
+    assert not isinstance(s, at.Int8Scalar)
+    t = at.decimal128(10, 2)
+    assert isinstance(t, at.Decimal128Type)
+    assert not isinstance(t, at.Decimal32Type)
+    d = at.array(["a", "b"], at.string()).dictionary_encode()
+    assert isinstance(d, at.DictionaryArray)
+    assert isinstance(at.array([[1]], at.list_(at.int64())),
+                      at.ListArray)
+    assert isinstance(at.array([{"x": 1}], at.struct([("x", at.int64())])),
+                      at.StructArray)
+
+
+def test_misc_compat_names():
+    import io
+    assert at.NA.value is None and at.NULL is at.NA
+    assert at.union([at.field("a", at.int32())], "sparse").mode == "sparse"
+    assert at.arange(3).to_pylist() == [0, 1, 2]
+    assert at.arange(1, 7, 2).to_pylist() == [1, 3, 5]
+    buf = at.ResizableBuffer(b"ab")
+    buf.resize(4)
+    assert buf.size == 4
+    assert at.BufferedInputStream(io.BytesIO(b"hi")).read() == b"hi"
+    ts = at.transcoding_input_stream(
+        io.BytesIO("héllo".encode("latin-1")), "latin-1", "utf-8")
+    assert ts.read().decode("utf-8") == "héllo"
+    assert at.cpp_version_info()[0] >= 0
+    assert not at.have_libhdfs()
+    md = at.KeyValueMetadata({"k": "v"})
+    assert md[b"k"] == b"v"
+    assert at.MonthDayNano((1, 2, 3)).days == 2
+    with pytest.raises(NotImplementedError):
+        at.jemalloc_memory_pool()
+    mm = at.default_cpu_memory_manager()
+    assert mm.is_cpu
+
+
+def test_compute_module_name_parity():
+    pa = pytest.importorskip("pyarrow")
+    import types
+    import pyarrow.compute as ppc
+    import arrow_tpu.compute as apc
+    ref = {n for n in dir(ppc) if not n.startswith("_") and
+           not isinstance(getattr(ppc, n), types.ModuleType)}
+    ours = {n for n in dir(apc) if not n.startswith("_")}
+    # dedent/namedtuple are accidental stdlib re-exports in pyarrow
+    missing = sorted(ref - ours - {"dedent", "namedtuple"})
+    assert missing == [], missing
+
+
+def test_top_bottom_k_vs_pyarrow():
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.compute as ppc
+    import arrow_tpu.compute as apc
+    a = at.array([5, 1, 9, 3], at.int64())
+    ra = pa.array([5, 1, 9, 3])
+    assert apc.top_k_unstable(a, 2).to_pylist() == \
+        [i.as_py() for i in ppc.top_k_unstable(ra, 2)]
+    assert apc.bottom_k_unstable(a, 2).to_pylist() == \
+        [i.as_py() for i in ppc.bottom_k_unstable(ra, 2)]
+    assert apc.utf8_zfill(at.array(["7", "-7"], at.string()),
+                          width=3).to_pylist() == \
+        [s.as_py() for s in ppc.utf8_zfill(pa.array(["7", "-7"]),
+                                           width=3)]
+
+
+def test_select_k_sort_keys_respected():
+    """Regression: list-of-tuples options (sort_keys) must survive the
+    jit-cache freeze/thaw round trip."""
+    from arrow_tpu.compute import call_function
+    a = at.array([5, 1, 9, 3], at.int64())
+    asc = call_function("select_k_unstable", [a],
+                        {"k": 2, "sort_keys": [("x", "ascending")]})
+    desc = call_function("select_k_unstable", [a],
+                         {"k": 2, "sort_keys": [("x", "descending")]})
+    assert asc.to_pylist() == [1, 3]
+    assert desc.to_pylist() == [2, 0]
+
+
+def test_udf_registrations():
+    import arrow_tpu.compute as apc
+
+    def times_two(ctx, x):
+        return at.array([v * 2 if v is not None else None
+                         for v in x.to_pylist()], x.type)
+
+    apc.register_vector_function(
+        times_two, "my_times_two_vec", {"summary": "x*2"},
+        {"x": at.int64()}, at.int64())
+    out = apc.call_function("my_times_two_vec",
+                            [at.array([1, None, 3], at.int64())])
+    assert out.to_pylist() == [2, None, 6]
+
+    def my_total(ctx, x):
+        return sum(v for v in x.to_pylist() if v is not None)
+
+    apc.register_aggregate_function(
+        my_total, "my_total_agg", {"summary": "sum"},
+        {"x": at.int64()}, at.int64())
+    s = apc.call_function("my_total_agg",
+                          [at.array([1, 2, 3], at.int64())])
+    assert s.value == 6
+
+    def make_table(ctx):
+        return at.table({"n": [1, 2]})
+
+    apc.register_tabular_function(
+        make_table, "my_table_fn", {"summary": "t"}, {}, None)
+    rdr = apc.call_tabular_function("my_table_fn")
+    assert rdr.read_all().to_pydict() == {"n": [1, 2]}

@@ -285,10 +285,7 @@ def test_unique_value_counts():
     assert_same(pc.unique(a), ppc.unique(pa_of(a)))
     ours = pc.value_counts(a)
     theirs = ppc.value_counts(pa_of(a))
-    assert ours["values"].to_pylist() == [x["values"] for x in
-                                          theirs.to_pylist()]
-    assert ours["counts"].to_pylist() == [x["counts"] for x in
-                                          theirs.to_pylist()]
+    assert ours.to_pylist() == theirs.to_pylist()
 
 
 def test_unique_strings():
