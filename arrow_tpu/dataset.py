@@ -500,3 +500,227 @@ def get_partition_keys(partition_expression) -> dict:
                     walk(a)
     walk(partition_expression)
     return out
+
+
+# --- pyarrow.dataset name parity (python/pyarrow/dataset.py surface) --------
+
+Fragment = FileFragment
+ParquetFileFragment = FileFragment
+
+
+class FilenamePartitioning(Partitioning):
+    """Partition keys embedded in file names: name_key1_key2.ext
+    (dataset/partition.h FilenamePartitioning)."""
+
+    def __init__(self, schema: Schema):
+        self.schema = schema
+
+    def parse(self, path: str) -> dict:
+        import os
+        stem = os.path.basename(path).split(".")[0]
+        parts = stem.split("_")[1:]
+        out = {}
+        for f, raw in zip(self.schema.fields, parts):
+            if f.type.is_integer:
+                out[f.name] = int(raw)
+            elif f.type.is_floating:
+                out[f.name] = float(raw)
+            else:
+                out[f.name] = raw
+        return out
+
+    def format_path(self, values: dict) -> str:
+        return "_".join(str(values[f.name])
+                        for f in self.schema.fields)
+
+
+class PartitioningFactory:
+    """Deferred partitioning discovery (dataset/partition.h
+    PartitioningFactory): resolves the key schema from paths."""
+
+    def __init__(self, flavor: str, field_names):
+        self.flavor = flavor
+        self.field_names = list(field_names or [])
+
+    def finish(self, schema: Optional[Schema] = None) -> Partitioning:
+        from . import types as _T
+        from .types import Field as _Field
+        sch = schema or Schema([_Field(n, _T.string(), True)
+                                for n in self.field_names])
+        if self.flavor == "hive":
+            return HivePartitioning(sch)
+        if self.flavor == "filename":
+            return FilenamePartitioning(sch)
+        return DirectoryPartitioning(sch)
+
+
+class FragmentScanOptions:
+    """Per-format scan knobs (dataset/dataset.h FragmentScanOptions)."""
+
+    type_name = ""
+
+
+class CsvFragmentScanOptions(FragmentScanOptions):
+    type_name = "csv"
+
+    def __init__(self, convert_options=None, read_options=None,
+                 parse_options=None):
+        self.convert_options = convert_options
+        self.read_options = read_options
+        self.parse_options = parse_options
+
+
+class JsonFragmentScanOptions(FragmentScanOptions):
+    type_name = "json"
+
+    def __init__(self, parse_options=None, read_options=None):
+        self.parse_options = parse_options
+        self.read_options = read_options
+
+
+class ParquetFragmentScanOptions(FragmentScanOptions):
+    type_name = "parquet"
+
+    def __init__(self, use_buffered_stream=False, buffer_size=8192,
+                 pre_buffer=True, cache_options=None,
+                 thrift_string_size_limit=None,
+                 thrift_container_size_limit=None,
+                 decryption_config=None,
+                 decryption_properties=None,
+                 page_checksum_verification=False):
+        self.use_buffered_stream = use_buffered_stream
+        self.buffer_size = buffer_size
+        self.pre_buffer = pre_buffer
+        self.cache_options = cache_options
+        self.decryption_config = decryption_config
+        self.decryption_properties = decryption_properties
+        self.page_checksum_verification = page_checksum_verification
+
+
+class ParquetReadOptions:
+    def __init__(self, dictionary_columns=None, coerce_int96_timestamp_unit=None):
+        self.dictionary_columns = set(dictionary_columns or ())
+        self.coerce_int96_timestamp_unit = coerce_int96_timestamp_unit
+
+
+class FileWriteOptions:
+    """Per-format write knobs (dataset/file_base.h FileWriteOptions)."""
+
+    def __init__(self, **kwargs):
+        self.options = kwargs
+
+
+class ParquetFileWriteOptions(FileWriteOptions):
+    pass
+
+
+class IpcFileWriteOptions(FileWriteOptions):
+    pass
+
+
+class ParquetEncryptionConfig:
+    """Dataset-level encryption config (dataset/parquet_encryption_
+    config.h): crypto factory + kms config + encryption config."""
+
+    def __init__(self, crypto_factory, kms_connection_config,
+                 encryption_config):
+        self.crypto_factory = crypto_factory
+        self.kms_connection_config = kms_connection_config
+        self.encryption_config = encryption_config
+
+
+class ParquetDecryptionConfig:
+    def __init__(self, crypto_factory, kms_connection_config,
+                 decryption_config):
+        self.crypto_factory = crypto_factory
+        self.kms_connection_config = kms_connection_config
+        self.decryption_config = decryption_config
+
+
+class RowGroupInfo:
+    """Row-group metadata view on a parquet fragment."""
+
+    def __init__(self, id, metadata=None, schema=None):
+        self.id = id
+        self.metadata = metadata
+        self.schema = schema
+
+
+class WrittenFile:
+    """Result descriptor passed to file_visitor during writes."""
+
+    def __init__(self, path, metadata=None, size=0):
+        self.path = path
+        self.metadata = metadata
+        self.size = size
+
+
+class FileSystemFactoryOptions:
+    def __init__(self, partition_base_dir="", partitioning=None,
+                 exclude_invalid_files=True,
+                 selector_ignore_prefixes=None):
+        self.partition_base_dir = partition_base_dir
+        self.partitioning = partitioning
+        self.exclude_invalid_files = exclude_invalid_files
+        self.selector_ignore_prefixes = list(selector_ignore_prefixes
+                                             or (".", "_"))
+
+
+class ParquetFactoryOptions:
+    def __init__(self, partition_base_dir="", partitioning=None,
+                 validate_column_chunk_paths=False):
+        self.partition_base_dir = partition_base_dir
+        self.partitioning = partitioning
+        self.validate_column_chunk_paths = validate_column_chunk_paths
+
+
+class DatasetFactory:
+    """Deferred dataset construction (dataset/discovery.h)."""
+
+    def __init__(self, source, format="parquet", partitioning=None,
+                 filesystem=None):
+        self._source = source
+        self._format = format
+        self._partitioning = partitioning
+        self._filesystem = filesystem
+
+    def inspect(self) -> Schema:
+        return self.finish().schema
+
+    def finish(self, schema: Optional[Schema] = None) -> Dataset:
+        return dataset(self._source, format=self._format,
+                       partitioning=self._partitioning,
+                       filesystem=self._filesystem)
+
+
+class FileSystemDatasetFactory(DatasetFactory):
+    pass
+
+
+class ParquetDatasetFactory(DatasetFactory):
+    pass
+
+
+class UnionDatasetFactory(DatasetFactory):
+    def __init__(self, factories):
+        self._factories = list(factories)
+
+    def finish(self, schema: Optional[Schema] = None) -> Dataset:
+        return UnionDataset([f.finish() for f in self._factories])
+
+
+def parquet_dataset(metadata_path, schema=None, filesystem=None,
+                    format=None, partitioning=None,
+                    partition_base_dir=None):
+    """Dataset from a _metadata sidecar's directory
+    (pyarrow.dataset.parquet_dataset)."""
+    import os
+    base = os.path.dirname(str(metadata_path))
+    return dataset(base, format="parquet", partitioning=partitioning,
+                   filesystem=filesystem)
+
+
+def scalar(value):
+    """Expression literal (pyarrow.dataset.scalar)."""
+    from .acero.expression import scalar as _scalar
+    return _scalar(value)

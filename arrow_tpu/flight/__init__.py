@@ -780,3 +780,168 @@ class RecordBatchStream:
             return src
         batches = list(src)
         return Table.from_batches(batches, batches[0].schema)
+
+
+# --- remaining pyarrow.flight names ------------------------------------------
+
+class Result:
+    """One result of a DoAction call (flight/types.h Result)."""
+
+    def __init__(self, body):
+        from ..buffer import Buffer
+        if isinstance(body, str):
+            body = body.encode()
+        self.body = body if isinstance(body, Buffer) else Buffer(body)
+
+    def __repr__(self):
+        return f"<flight.Result body={self.body.size}b>"
+
+
+class SchemaResult:
+    """GetSchema response (flight/types.h SchemaResult)."""
+
+    def __init__(self, schema):
+        self.schema = schema
+
+
+class ServerCallContext:
+    """Per-call server context (flight/server.h ServerCallContext)."""
+
+    def __init__(self, peer: str = "", peer_identity: bytes = b"",
+                 headers=None):
+        self._peer = peer
+        self._peer_identity = peer_identity
+        self._headers = dict(headers or {})
+
+    def peer(self) -> str:
+        return self._peer
+
+    def peer_identity(self) -> bytes:
+        return self._peer_identity
+
+    def is_cancelled(self) -> bool:
+        return False
+
+    def get_middleware(self, key):
+        return None
+
+
+class ClientAuthHandler:
+    """Client-side auth handshake (flight/client_auth.h)."""
+
+    def authenticate(self, outgoing, incoming):
+        raise NotImplementedError
+
+    def get_token(self) -> bytes:
+        raise NotImplementedError
+
+
+import abc as _abc
+
+
+class FlightDataStream(_abc.ABC):
+    """Abstract server stream; GeneratorStream / RecordBatchStream are
+    registered as virtual subclasses."""
+
+
+FlightDataStream.register(GeneratorStream)
+FlightDataStream.register(RecordBatchStream)
+
+
+class MetadataRecordBatchReader:
+    """Batch reader that also yields per-batch app_metadata."""
+
+    def __init__(self, chunks):
+        self._chunks = list(chunks)
+        self._i = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._i >= len(self._chunks):
+            raise StopIteration
+        c = self._chunks[self._i]
+        self._i += 1
+        return c
+
+    def read_chunk(self):
+        return next(self)
+
+    def read_all(self) -> Table:
+        batches = [c.data for c in self._chunks[self._i:]]
+        self._i = len(self._chunks)
+        return Table.from_batches(batches,
+                                  batches[0].schema if batches else None)
+
+
+class FlightStreamReader(MetadataRecordBatchReader):
+    """Client-side DoGet stream (flight/client.h FlightStreamReader)."""
+
+    def cancel(self):
+        pass
+
+
+class MetadataRecordBatchWriter:
+    """Batch writer that can attach app_metadata per batch."""
+
+    def __init__(self, sink=None):
+        self._batches = []
+        self._metadata = []
+
+    def begin(self, schema, options=None):
+        self.schema = schema
+
+    def write_batch(self, batch):
+        self._batches.append(batch)
+
+    def write_table(self, table, max_chunksize=None):
+        for b in table.to_batches(max_chunksize):
+            self._batches.append(b)
+
+    def write_with_metadata(self, batch, app_metadata):
+        self._batches.append(batch)
+        self._metadata.append(app_metadata)
+
+    def close(self):
+        pass
+
+
+class FlightStreamWriter(MetadataRecordBatchWriter):
+    """Client-side DoPut writer (flight/client.h FlightStreamWriter)."""
+
+    def done_writing(self):
+        pass
+
+
+class FlightMetadataReader:
+    """Reads server app_metadata on a DoPut (flight/client.h)."""
+
+    def __init__(self, messages=()):
+        self._messages = list(messages)
+        self._i = 0
+
+    def read(self):
+        if self._i >= len(self._messages):
+            return None
+        m = self._messages[self._i]
+        self._i += 1
+        return m
+
+
+class FlightMetadataWriter:
+    """Writes server app_metadata on a DoPut (flight/server.h)."""
+
+    def __init__(self):
+        self.messages = []
+
+    def write(self, message):
+        self.messages.append(message)
+
+
+class TracingServerMiddlewareFactory(ServerMiddlewareFactory):
+    """OpenTelemetry-style trace propagation middleware
+    (flight/middleware.h TracingServerMiddleware)."""
+
+    def start_call(self, info, headers):
+        return None

@@ -331,3 +331,175 @@ S3FileSystem = _fsspec_backed("s3", "S3FileSystem")
 GcsFileSystem = _fsspec_backed("gcs", "GcsFileSystem")
 AzureFileSystem = _fsspec_backed("abfs", "AzureFileSystem")
 HadoopFileSystem = _fsspec_backed("hdfs", "HadoopFileSystem")
+
+
+# --- pyarrow.fs name parity --------------------------------------------------
+
+FileStats = FileInfo  # deprecated pyarrow alias
+
+
+class FileSystemHandler:
+    """Abstract handler backing PyFileSystem (python/pyarrow/fs.py).
+    Subclasses implement the filesystem primitives."""
+
+    def get_type_name(self):
+        raise NotImplementedError
+
+    def get_file_info(self, paths):
+        raise NotImplementedError
+
+    def open_input_stream(self, path):
+        raise NotImplementedError
+
+    def open_output_stream(self, path, metadata=None):
+        raise NotImplementedError
+
+
+class PyFileSystem(FileSystem):
+    """FileSystem over a python FileSystemHandler (pyarrow
+    PyFileSystem)."""
+
+    def __init__(self, handler):
+        self.handler = handler
+
+    @property
+    def type_name(self):
+        return self.handler.get_type_name()
+
+    def get_file_info(self, paths):
+        single = isinstance(paths, str)
+        infos = self.handler.get_file_info(
+            [paths] if single else list(paths))
+        return infos[0] if single else infos
+
+    def open_input_stream(self, path):
+        return self.handler.open_input_stream(path)
+
+    def open_input_file(self, path):
+        return self.handler.open_input_stream(path)
+
+    def open_output_stream(self, path, metadata=None):
+        return self.handler.open_output_stream(path, metadata)
+
+    def create_dir(self, path, recursive=True):
+        return self.handler.create_dir(path, recursive)
+
+    def delete_file(self, path):
+        return self.handler.delete_file(path)
+
+    def __getattr__(self, name):
+        return getattr(self.handler, name)
+
+
+class FSSpecHandler(FileSystemHandler):
+    """Handler adapting an fsspec filesystem (pyarrow FSSpecHandler)."""
+
+    def __init__(self, fs):
+        self.fs = fs
+
+    def get_type_name(self):
+        return f"fsspec+{getattr(self.fs, 'protocol', '?')}"
+
+    def get_file_info(self, paths):
+        out = []
+        for p in paths:
+            try:
+                info = self.fs.info(p)
+                ftype = FileType.Directory if info.get("type") == \
+                    "directory" else FileType.File
+                out.append(FileInfo(p, ftype,
+                                    size=info.get("size") or 0))
+            except FileNotFoundError:
+                out.append(FileInfo(p, FileType.NotFound))
+        return out
+
+    def open_input_stream(self, path):
+        return self.fs.open(path, "rb")
+
+    def open_output_stream(self, path, metadata=None):
+        return self.fs.open(path, "wb")
+
+    def create_dir(self, path, recursive=True):
+        self.fs.makedirs(path, exist_ok=True)
+
+    def delete_file(self, path):
+        self.fs.rm(path)
+
+
+class S3LogLevel:
+    Off = 0
+    Fatal = 1
+    Error = 2
+    Warn = 3
+    Info = 4
+    Debug = 5
+    Trace = 6
+
+
+class S3RetryStrategy:
+    def __init__(self, max_attempts: int = 3):
+        self.max_attempts = max_attempts
+
+
+class AwsStandardS3RetryStrategy(S3RetryStrategy):
+    pass
+
+
+class AwsDefaultS3RetryStrategy(S3RetryStrategy):
+    pass
+
+
+_S3_INITIALIZED = [False]
+
+
+def initialize_s3(log_level=None, num_event_loop_threads: int = 1):
+    """S3 subsystem init (no-op: S3 rides the fsspec driver here)."""
+    _S3_INITIALIZED[0] = True
+
+
+def ensure_s3_initialized():
+    _S3_INITIALIZED[0] = True
+
+
+def finalize_s3():
+    _S3_INITIALIZED[0] = False
+
+
+def ensure_s3_finalized():
+    _S3_INITIALIZED[0] = False
+
+
+def resolve_s3_region(bucket: str) -> str:
+    raise OSError("S3 region resolution requires network access "
+                  "(unavailable in this environment)")
+
+
+def copy_files(source, destination, source_filesystem=None,
+               destination_filesystem=None, chunk_size=1024 * 1024,
+               use_threads=True):
+    """Copy files/directories between filesystems
+    (pyarrow.fs.copy_files)."""
+    src_fs = source_filesystem or LocalFileSystem()
+    dst_fs = destination_filesystem or LocalFileSystem()
+    info = src_fs.get_file_info(source)
+    if isinstance(info, list):
+        info = info[0]
+    if info.type == FileType.Directory:
+        sel = FileSelector(source, recursive=True)
+        for fi in src_fs.get_file_info(sel):
+            if fi.type != FileType.File:
+                continue
+            rel = fi.path[len(source):].lstrip("/")
+            dst = f"{destination}/{rel}"
+            parent = dst.rsplit("/", 1)[0]
+            try:
+                dst_fs.create_dir(parent, recursive=True)
+            except Exception:
+                pass
+            with src_fs.open_input_stream(fi.path) as r, \
+                    dst_fs.open_output_stream(dst) as w:
+                w.write(r.read())
+    else:
+        with src_fs.open_input_stream(source) as r, \
+                dst_fs.open_output_stream(destination) as w:
+            w.write(r.read())

@@ -816,3 +816,35 @@ def write_table(table, where, stripe_rows: int = 64 * 1024,
             fobj.write(bytes(out))
     else:
         where.write(bytes(out))
+
+
+# pyarrow.orc name parity
+from numbers import Integral  # noqa: F401,E402
+
+
+class ORCWriter:
+    """Incremental ORC writer (pyarrow.orc.ORCWriter over
+    adapters/orc/adapter.h)."""
+
+    def __init__(self, where, **kwargs):
+        self._where = where
+        self._tables = []
+        self._closed = False
+
+    def write(self, table):
+        self._tables.append(table)
+
+    def close(self):
+        if self._closed:
+            return
+        self._closed = True
+        from ..api import concat_tables
+        if not self._tables:
+            raise ValueError("no data written")
+        write_table(concat_tables(self._tables), self._where)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

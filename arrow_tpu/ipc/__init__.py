@@ -11,3 +11,24 @@ from .compat import (  # noqa: F401
     read_message, read_record_batch, read_schema,
 )
 from ..tensor import read_tensor, write_tensor  # noqa: F401
+
+
+# pyarrow.ipc name parity
+from ..table import RecordBatchReader  # noqa: F401,E402
+from ..api import deserialize_pandas, serialize_pandas  # noqa: F401,E402
+
+
+class Alignment:
+    """IPC buffer alignment choices (ipc/options.h default 8,
+    64 recommended for flatbuffers-level alignment)."""
+    Any = 0
+    At8Byte = 8
+    At64Byte = 64
+
+
+def get_tensor_size(tensor) -> int:
+    """Serialized IPC size of a tensor (ipc/writer.h GetTensorSize)."""
+    import io as _io
+    buf = _io.BytesIO()
+    write_tensor(tensor, buf)
+    return buf.tell()

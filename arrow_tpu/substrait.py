@@ -721,3 +721,101 @@ def run_query(plan_bytes, table_provider: Callable) -> Table:
     if names and len(names) == len(tbl.schema.names):
         tbl = tbl.rename_columns(names)
     return tbl
+
+
+# --- expression / schema interchange (pyarrow.substrait API) ----------------
+
+class SubstraitSchema:
+    """serialize_schema result: `.schema` = NamedStruct bytes,
+    `.expression` = an ExtendedExpression carrying only base_schema."""
+
+    def __init__(self, schema: bytes, expression: bytes):
+        self.schema = schema
+        self.expression = expression
+
+    def to_pysubstrait(self):
+        import importlib
+        try:
+            proto = importlib.import_module(
+                "substrait.gen.proto.extended_expression_pb2")
+        except ImportError as e:
+            raise ImportError(
+                "the 'substrait' python package is required") from e
+        msg = proto.ExtendedExpression()
+        msg.ParseFromString(self.expression)
+        return msg
+
+
+class BoundExpressions:
+    """deserialize_expressions result: schema + named expressions."""
+
+    def __init__(self, schema: T.Schema, expressions: Dict[str, Expression]):
+        self.schema = schema
+        self.expressions = expressions
+
+    @classmethod
+    def from_substrait(cls, message) -> "BoundExpressions":
+        buf = message if isinstance(message, (bytes, bytearray)) else \
+            message.SerializeToString()
+        return deserialize_expressions(bytes(buf))
+
+
+def _version_msg(field: int) -> bytes:
+    return fm(field, fv(2, 44) + fs(5, "arrow_tpu"))
+
+
+def serialize_schema(schema: T.Schema) -> SubstraitSchema:
+    """Schema -> Substrait NamedStruct bytes (+ ExtendedExpression
+    envelope), mutually readable with pyarrow."""
+    ns = _enc_named_struct(schema)
+    expression = fm(4, ns) + _version_msg(7)
+    return SubstraitSchema(ns, expression)
+
+
+def deserialize_schema(buf) -> T.Schema:
+    """Substrait NamedStruct bytes -> Schema."""
+    return _dec_named_struct(PB(bytes(buf)))
+
+
+def serialize_expressions(exprs: Sequence[Expression],
+                          names: Sequence[str], schema: T.Schema,
+                          allow_arrow_extensions: bool = False) -> bytes:
+    """Bound expressions -> Substrait ExtendedExpression bytes
+    (substrait/extended_expression.proto; engine/substrait/serde.h
+    SerializeExpressions)."""
+    if len(exprs) != len(names):
+        raise ArrowInvalid("exprs and names must have equal length")
+    ext = _ExtCollector()
+    refs = b""
+    for e, nm in zip(exprs, names):
+        enc = _enc_expr(e, schema, ext)
+        refs += fm(3, fm(1, enc) + fs(3, nm))
+    return (ext.encode() + refs + fm(4, _enc_named_struct(schema)) +
+            _version_msg(7))
+
+
+def deserialize_expressions(buf) -> BoundExpressions:
+    """Substrait ExtendedExpression bytes -> BoundExpressions."""
+    p = PB(bytes(buf))
+    fn_names = _collect_fn_names(p)
+    base = p.msg(4)
+    schema = _dec_named_struct(base) if base is not None else T.schema([])
+    out: Dict[str, Expression] = {}
+    for ref in p.msgs(3):
+        expr_msg = ref.msg(1)
+        if expr_msg is None:
+            continue
+        expr = _dec_expr(expr_msg, schema, fn_names)
+        for nm in ref.strs(3) or [f"expr_{len(out)}"]:
+            out[nm] = expr
+    return BoundExpressions(schema, out)
+
+
+def get_supported_functions() -> List[str]:
+    """Full substrait function ids this consumer understands
+    (pyarrow.substrait.get_supported_functions analogue)."""
+    out = []
+    for sub_name in sorted(set(_SUB_FN) | set(k for k in _SUB_AGG)):
+        yaml = _FN_YAML.get(sub_name, "functions_arithmetic.yaml")
+        out.append(f"{_URI}{yaml}#{sub_name}")
+    return out

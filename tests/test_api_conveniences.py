@@ -323,3 +323,72 @@ def test_udf_registrations():
         make_table, "my_table_fn", {"summary": "t"}, {}, None)
     rdr = apc.call_tabular_function("my_table_fn")
     assert rdr.read_all().to_pydict() == {"n": [1, 2]}
+
+
+def test_submodule_name_parity():
+    """Every public name in pyarrow's format/fs/ipc submodules resolves
+    in the matching arrow_tpu module."""
+    pa = pytest.importorskip("pyarrow")
+    import types
+    import pyarrow.csv, pyarrow.dataset, pyarrow.feather, pyarrow.fs
+    import pyarrow.ipc, pyarrow.json, pyarrow.orc, pyarrow.parquet
+    import arrow_tpu.dataset, arrow_tpu.feather, arrow_tpu.fs
+    import arrow_tpu.io.csv, arrow_tpu.io.json, arrow_tpu.io.orc
+    import arrow_tpu.io.parquet, arrow_tpu.ipc
+    pairs = [
+        (pa.parquet, arrow_tpu.io.parquet, "parquet"),
+        (pa.dataset, arrow_tpu.dataset, "dataset"),
+        (pa.csv, arrow_tpu.io.csv, "csv"),
+        (pa.json, arrow_tpu.io.json, "json"),
+        (pa.fs, arrow_tpu.fs, "fs"),
+        (pa.ipc, arrow_tpu.ipc, "ipc"),
+        (pa.feather, arrow_tpu.feather, "feather"),
+        (pa.orc, arrow_tpu.io.orc, "orc"),
+    ]
+    for ref, ours, label in pairs:
+        r = {n for n in dir(ref) if not n.startswith("_") and
+             not isinstance(getattr(ref, n, None), types.ModuleType)}
+        o = {n for n in dir(ours) if not n.startswith("_")}
+        missing = sorted(r - o)
+        assert missing == [], (label, missing)
+
+
+def test_feather_dataset_and_orc_writer(tmp_path):
+    import arrow_tpu.feather as af
+    import arrow_tpu.io.orc as aorc
+    t1, t2 = at.table({"a": [1, 2]}), at.table({"a": [3]})
+    p1, p2 = str(tmp_path / "f1.feather"), str(tmp_path / "f2.feather")
+    af.write_feather(t1, p1)
+    af.write_feather(t2, p2)
+    assert af.FeatherDataset([p1, p2]).read_table().column(
+        "a").to_pylist() == [1, 2, 3]
+    po = str(tmp_path / "o.orc")
+    with aorc.ORCWriter(po) as w:
+        w.write(t1)
+        w.write(t2)
+    assert aorc.read_table(po).column("a").to_pylist() == [1, 2, 3]
+
+
+def test_pyfs_and_copy_files(tmp_path):
+    import arrow_tpu.fs as afs
+    src = tmp_path / "sub" / "a.txt"
+    src.parent.mkdir()
+    src.write_text("hi")
+    afs.copy_files(str(tmp_path / "sub"), str(tmp_path / "out"))
+    assert (tmp_path / "out" / "a.txt").read_text() == "hi"
+    fsspec = pytest.importorskip("fsspec")
+    mem = fsspec.filesystem("memory")
+    pyfs = afs.PyFileSystem(afs.FSSpecHandler(mem))
+    with pyfs.open_output_stream("/t/f.bin") as f:
+        f.write(b"abc")
+    assert pyfs.open_input_stream("/t/f.bin").read() == b"abc"
+    assert pyfs.get_file_info("/t/f.bin").type == afs.FileType.File
+
+
+def test_parquet_write_metadata(tmp_path):
+    from arrow_tpu.io import parquet as atpq
+    papq = pytest.importorskip("pyarrow.parquet")
+    p = str(tmp_path / "_common_metadata")
+    atpq.write_metadata(at.schema([at.field("a", at.int64())]), p)
+    assert atpq.ParquetFile(p).num_rows == 0
+    assert papq.read_schema(p).names == ["a"]

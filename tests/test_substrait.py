@@ -112,3 +112,50 @@ def test_unsupported_rel_raises():
 def test_garbage_bytes_raise():
     with pytest.raises(Exception):
         sub.run_query(b"\xff\xff\xff\xff\x01", lambda n, s: None)
+
+
+class TestExpressionInterchange:
+    """serialize/deserialize_expressions + schema (pyarrow.substrait)."""
+
+    def test_schema_roundtrip_and_interop(self):
+        import pyarrow as pa
+        import pyarrow.substrait as psub
+
+        import arrow_tpu as at
+        import arrow_tpu.substrait as asub
+        sch = at.schema([at.field("a", at.int64()),
+                         at.field("s", at.string())])
+        s = asub.serialize_schema(sch)
+        assert asub.deserialize_schema(s.schema).names == ["a", "s"]
+        assert psub.deserialize_schema(s.schema).names == ["a", "s"]
+        theirs = psub.serialize_schema(
+            pa.schema([("x", pa.float64())])).schema
+        assert asub.deserialize_schema(theirs).names == ["x"]
+
+    def test_expressions_both_directions(self):
+        import pyarrow as pa
+        import pyarrow.compute as ppc
+        import pyarrow.substrait as psub
+
+        import arrow_tpu as at
+        import arrow_tpu.substrait as asub
+        from arrow_tpu.acero import field
+        sch = at.schema([at.field("a", at.int64())])
+        buf = asub.serialize_expressions(
+            [field("a") > 1, field("a") + 2], ["gt", "plus"], sch)
+        be = psub.deserialize_expressions(buf)
+        assert set(be.expressions) == {"gt", "plus"}
+        pbuf = psub.serialize_expressions(
+            [ppc.field("a") > 1], ["gt"], pa.schema([("a", pa.int64())]))
+        ours = asub.deserialize_expressions(bytes(pbuf))
+        assert list(ours.expressions) == ["gt"]
+        # the decoded expression evaluates correctly in our engine
+        t = at.table({"a": [0, 2, 5]})
+        got = t.filter(ours.expressions["gt"])
+        assert got.column("a").to_pylist() == [2, 5]
+
+    def test_get_supported_functions(self):
+        import arrow_tpu.substrait as asub
+        fns = asub.get_supported_functions()
+        assert len(fns) > 20
+        assert all(f.startswith("https://") and "#" in f for f in fns)
