@@ -71,3 +71,38 @@ def as_buffer(obj) -> Buffer:
 
 def allocate_buffer(nbytes: int) -> Buffer:
     return Buffer(np.zeros(nbytes, dtype=np.uint8))
+
+
+def _buf_address(self) -> int:
+    return self._data.ctypes.data
+
+
+def _buf_hex(self) -> bytes:
+    return self.to_pybytes().hex().encode()
+
+
+Buffer.address = property(_buf_address)
+Buffer.hex = _buf_hex
+Buffer.is_cpu = property(lambda self: True)
+Buffer.is_mutable = property(lambda self: self._data.flags.writeable)
+Buffer.parent = property(lambda self: None)
+
+
+def _buf_device(self):
+    from .device import Device
+    return Device()
+
+
+def _buf_device_type(self):
+    from .device import DeviceAllocationType
+    return DeviceAllocationType.CPU
+
+
+def _buf_memory_manager(self):
+    from .device import default_cpu_memory_manager
+    return default_cpu_memory_manager()
+
+
+Buffer.device = property(_buf_device)
+Buffer.device_type = property(_buf_device_type)
+Buffer.memory_manager = property(_buf_memory_manager)

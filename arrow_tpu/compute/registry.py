@@ -327,3 +327,25 @@ def materialize(result, n: int):
     if isinstance(result, dict):
         return {k: materialize(v, n) for k, v in result.items()}
     raise TypeError(f"unexpected kernel result {type(result)}")
+
+
+def _scalar_cast(self, target_type, safe=True, options=None):
+    """Cast via a 1-element array round trip (scalar.h CastTo)."""
+    from ..array.array import array as _make
+    a = _make([self.value], self.type)
+    out = a.cast(target_type)
+    return Scalar(out.to_pylist()[0], target_type)
+
+
+def _scalar_equals(self, other) -> bool:
+    return (isinstance(other, Scalar) and self.type == other.type
+            and self.value == other.value)
+
+
+def _scalar_validate(self, *, full: bool = False):
+    return None
+
+
+Scalar.cast = _scalar_cast
+Scalar.equals = _scalar_equals
+Scalar.validate = _scalar_validate

@@ -147,6 +147,43 @@ class DataType:
     def num_fields(self) -> int:
         return len(self.fields)
 
+    def field(self, i: int) -> "Field":
+        """Child field accessor (pyarrow DataType.field)."""
+        return self.fields[i]
+
+    @property
+    def num_buffers(self) -> int:
+        """Number of physical layout buffers (layout per the columnar
+        spec; pyarrow DataType.num_buffers)."""
+        tid = self.id
+        if tid in (TypeId.NA,):
+            return 0
+        if tid in (TypeId.STRUCT, TypeId.SPARSE_UNION,
+                   TypeId.RUN_END_ENCODED, TypeId.FIXED_SIZE_LIST):
+            return 1
+        if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
+                   TypeId.LARGE_BINARY):
+            return 3
+        if tid in (TypeId.LIST_VIEW, TypeId.LARGE_LIST_VIEW):
+            return 3
+        return 2
+
+    @property
+    def has_variadic_buffers(self) -> bool:
+        return self.id in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW)
+
+    def to_pandas_dtype(self):
+        """Matching NumPy/pandas dtype (pyarrow to_pandas_dtype)."""
+        import numpy as _np
+        if self.id == TypeId.TIMESTAMP:
+            return _np.dtype(f"datetime64[{self.unit}]").type
+        if self.id == TypeId.DURATION:
+            return _np.dtype(f"timedelta64[{self.unit}]").type
+        np_dt = _NUMPY_DTYPES.get(self.id)
+        if np_dt is not None:
+            return np_dt.type if hasattr(np_dt, "type") else np_dt
+        return _np.object_
+
     @property
     def fields(self) -> Sequence["Field"]:
         return ()
@@ -556,6 +593,19 @@ class Field:
     def with_nullable(self, nullable: bool) -> "Field":
         return Field(self.name, self.type, nullable, self.metadata)
 
+    def with_metadata(self, metadata) -> "Field":
+        return Field(self.name, self.type, self.nullable, metadata)
+
+    def remove_metadata(self) -> "Field":
+        return Field(self.name, self.type, self.nullable, None)
+
+    def flatten(self) -> list:
+        """Struct fields -> prefixed child fields (type.h Field::Flatten)."""
+        if self.type.id == TypeId.STRUCT:
+            return [Field(f"{self.name}.{c.name}", c.type, True,
+                          c.metadata) for c in self.type.fields]
+        return [self]
+
     def _key(self):
         return (self.name, self.type._key(), self.nullable,
                 tuple(sorted(self.metadata.items())) if self.metadata else ())
@@ -645,6 +695,54 @@ class Schema:
 
     def with_metadata(self, metadata) -> "Schema":
         return Schema(self.fields, metadata)
+
+    # pyarrow parity (type.h:2330 / python/pyarrow/types.pxi Schema)
+    add_metadata = with_metadata          # deprecated pyarrow name
+
+    def remove_metadata(self) -> "Schema":
+        return Schema(self.fields, None)
+
+    def field_by_name(self, name: str) -> Optional["Field"]:
+        idx = self.get_field_index(name)
+        return self.fields[idx] if idx >= 0 else None
+
+    def get_all_field_indices(self, name: str) -> list:
+        return [i for i, f in enumerate(self.fields) if f.name == name]
+
+    def insert(self, i: int, f: "Field") -> "Schema":
+        fs = list(self.fields)
+        fs.insert(i, f)
+        return Schema(fs, self.metadata)
+
+    def empty_table(self):
+        from .table import Table
+        return Table.from_batches([], self)
+
+    def to_string(self, truncate_metadata: bool = True,
+                  show_field_metadata: bool = True,
+                  show_schema_metadata: bool = True) -> str:
+        return repr(self)
+
+    def serialize(self, memory_pool=None):
+        """IPC-serialize the schema (ipc/writer.h SerializeSchema)."""
+        import io as _io
+        from . import ipc as _ipc
+        from .buffer import Buffer
+        buf = _io.BytesIO()
+        w = _ipc.new_stream(buf, self)
+        w.close()
+        return Buffer(buf.getvalue())
+
+    @property
+    def pandas_metadata(self):
+        import json as _json
+        raw = (self.metadata or {}).get(b"pandas")
+        return _json.loads(raw) if raw else None
+
+    @classmethod
+    def from_pandas(cls, df, preserve_index: bool = True) -> "Schema":
+        from .table import Table
+        return Table.from_pandas(df).schema
 
     def equals(self, other: "Schema", check_metadata: bool = False) -> bool:
         if len(self) != len(other):

@@ -392,3 +392,63 @@ def test_parquet_write_metadata(tmp_path):
     atpq.write_metadata(at.schema([at.field("a", at.int64())]), p)
     assert atpq.ParquetFile(p).num_rows == 0
     assert papq.read_schema(p).names == ["a"]
+
+
+def test_schema_field_datatype_parity():
+    pa = pytest.importorskip("pyarrow")
+    for rc, oc in [(pa.Schema, at.Schema), (pa.Field, at.Field),
+                   (pa.DataType, at.DataType), (pa.Scalar, at.Scalar),
+                   (pa.Buffer, at.Buffer)]:
+        missing = sorted({n for n in dir(rc) if not n.startswith("_")} -
+                         {n for n in dir(oc) if not n.startswith("_")})
+        assert missing == [], (rc.__name__, missing)
+
+
+def test_schema_methods():
+    s = at.schema([at.field("a", at.int64()), at.field("b", at.string()),
+                   at.field("a", at.int32())])
+    assert s.field_by_name("b").type == at.string()
+    assert s.field_by_name("zzz") is None
+    assert s.get_all_field_indices("a") == [0, 2]
+    s2 = s.insert(1, at.field("x", at.bool_()))
+    assert s2.names == ["a", "x", "b", "a"]
+    assert s.empty_table().num_rows == 0
+    assert s.remove_metadata().metadata is None
+    # serialized schema is readable by pyarrow
+    pa = pytest.importorskip("pyarrow")
+    buf = at.schema([at.field("k", at.int64())]).serialize()
+    got = pa.ipc.read_schema(pa.py_buffer(buf.to_pybytes()))
+    assert got.names == ["k"]
+
+
+def test_field_datatype_methods():
+    f = at.field("s", at.struct([("x", at.int8()), ("y", at.string())]))
+    flat = f.flatten()
+    assert [x.name for x in flat] == ["s.x", "s.y"]
+    assert at.field("p", at.int8()).flatten()[0].name == "p"
+    fm = at.field("a", at.int64()).with_metadata({b"k": b"v"})
+    assert fm.metadata == {b"k": b"v"}
+    assert fm.remove_metadata().metadata is None
+    t = at.struct([("x", at.int8())])
+    assert t.field(0).name == "x"
+    assert at.int64().num_buffers == 2
+    assert at.string().num_buffers == 3
+    assert at.struct([]).num_buffers == 1
+    assert at.string_view().has_variadic_buffers
+    import numpy as _np
+    assert at.int32().to_pandas_dtype() == _np.int32
+    assert at.timestamp("ns").to_pandas_dtype() == \
+        _np.dtype("datetime64[ns]").type
+
+
+def test_scalar_and_buffer_methods():
+    s = at.scalar(3)
+    assert s.cast(at.float64()).value == 3.0
+    assert s.equals(at.scalar(3)) and not s.equals(at.scalar(4))
+    s.validate(full=True)
+    b = at.Buffer(b"\x01\x02")
+    assert b.address > 0
+    assert b.hex() == b"0102"
+    assert b.is_cpu and not b.is_mutable or b.is_mutable  # defined
+    assert b.parent is None
+    assert b.device.is_cpu and b.memory_manager.is_cpu
