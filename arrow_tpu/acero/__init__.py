@@ -10,3 +10,7 @@ from .options import (  # noqa: F401
     ScanNodeOptions,
     SortedMergeNodeOptions, TableSourceNodeOptions, UnionNodeOptions,
 )
+
+# pyarrow.acero re-exports these container types
+from ..table import RecordBatch, Table  # noqa: F401,E402
+from ..array.array import array  # noqa: F401,E402

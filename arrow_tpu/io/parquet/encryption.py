@@ -361,3 +361,31 @@ class FileColumnCryptoState:
             return decrypt_module_ctr(self.key, data, pos)
         aad = module_aad(self.file_aad, module_type, rg, col, page)
         return decrypt_module_gcm(self.key, aad, data, pos)
+
+
+def create_encryption_properties(footer_key, *, aad_prefix=None,
+                                 store_aad_prefix: bool = True,
+                                 encryption_algorithm: str = ALG_AES_GCM_V1,
+                                 plaintext_footer: bool = False,
+                                 column_keys=None) -> \
+        "FileEncryptionProperties":
+    """Direct-key encryption properties (pyarrow.parquet.encryption.
+    create_encryption_properties)."""
+    if plaintext_footer:
+        raise NotImplementedError(
+            "plaintext-footer mode not supported (use encrypted footer)")
+    return FileEncryptionProperties(
+        bytes(footer_key), column_keys=column_keys,
+        algorithm=encryption_algorithm,
+        aad_prefix=bytes(aad_prefix) if aad_prefix else b"",
+        supply_aad_prefix=not store_aad_prefix)
+
+
+def create_decryption_properties(footer_key, *, aad_prefix=None,
+                                 column_keys=None) -> \
+        "FileDecryptionProperties":
+    """Direct-key decryption properties (pyarrow.parquet.encryption.
+    create_decryption_properties)."""
+    return FileDecryptionProperties(
+        footer_key=bytes(footer_key), column_keys=column_keys,
+        aad_prefix=bytes(aad_prefix) if aad_prefix else b"")

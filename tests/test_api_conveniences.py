@@ -345,6 +345,17 @@ def test_submodule_name_parity():
         (pa.feather, arrow_tpu.feather, "feather"),
         (pa.orc, arrow_tpu.io.orc, "orc"),
     ]
+    import pyarrow.acero, pyarrow.parquet.encryption
+    import pyarrow.flight, pyarrow.substrait
+    import arrow_tpu.acero, arrow_tpu.io.parquet.encryption
+    import arrow_tpu.flight, arrow_tpu.substrait
+    pairs += [
+        (pa.acero, arrow_tpu.acero, "acero"),
+        (pa.parquet.encryption, arrow_tpu.io.parquet.encryption,
+         "parquet.encryption"),
+        (pa.flight, arrow_tpu.flight, "flight"),
+        (pa.substrait, arrow_tpu.substrait, "substrait"),
+    ]
     for ref, ours, label in pairs:
         r = {n for n in dir(ref) if not n.startswith("_") and
              not isinstance(getattr(ref, n, None), types.ModuleType)}

@@ -211,3 +211,26 @@ def test_pyarrow_reads_ours(tmp_path, algo):
     for name in ("a", "b", "c"):
         assert got.column(name).to_pylist() == \
             want.column(name).to_pylist(), name
+
+
+def test_create_properties_helpers():
+    """pyarrow.parquet.encryption.create_*_properties direct-key API."""
+    from arrow_tpu.io.parquet.encryption import (
+        create_decryption_properties, create_encryption_properties)
+    enc = create_encryption_properties(FOOTER_KEY, aad_prefix=b"p1")
+    dec = create_decryption_properties(FOOTER_KEY)
+    _roundtrip(enc, dec)
+    # store_aad_prefix=False: the reader must supply the prefix
+    enc2 = create_encryption_properties(FOOTER_KEY, aad_prefix=b"p2",
+                                        store_aad_prefix=False)
+    tbl = _table()
+    buf = io.BytesIO()
+    write_table(tbl, buf, encryption_properties=enc2)
+    with pytest.raises(Exception):
+        read_table(buf.getvalue(),
+                   decryption_properties=create_decryption_properties(
+                       FOOTER_KEY))
+    got = read_table(buf.getvalue(),
+                     decryption_properties=create_decryption_properties(
+                         FOOTER_KEY, aad_prefix=b"p2"))
+    _assert_tables_equal(tbl, got)
