@@ -85,8 +85,39 @@ class Expression:
     def is_valid(self) -> "Expression":
         return Expression.call("is_valid", self)
 
-    def is_null(self) -> "Expression":
-        return Expression.call("is_null", self)
+    def is_null(self, nan_is_null: bool = False) -> "Expression":
+        return Expression.call("is_null", self,
+                               nan_is_null=nan_is_null)
+
+    def is_nan(self) -> "Expression":
+        return Expression.call("is_nan", self)
+
+    def cast(self, target_type, safe: bool = True,
+             options=None) -> "Expression":
+        return Expression.call("cast", self, to_type=target_type,
+                               safe=safe)
+
+    def to_substrait(self, schema, allow_arrow_extensions: bool = False):
+        """Serialize as a single-expression Substrait
+        ExtendedExpression (pyarrow Expression.to_substrait)."""
+        from ..substrait import serialize_expressions
+        from ..buffer import Buffer
+        return Buffer(serialize_expressions([self], ["expression"],
+                                            schema))
+
+    @staticmethod
+    def from_substrait(message) -> "Expression":
+        """Deserialize a single-expression ExtendedExpression."""
+        from ..substrait import deserialize_expressions
+        buf = message if isinstance(message, (bytes, bytearray)) else (
+            message.to_pybytes() if hasattr(message, "to_pybytes")
+            else message.SerializeToString())
+        bound = deserialize_expressions(bytes(buf))
+        if len(bound.expressions) != 1:
+            raise ValueError(
+                "expected exactly one expression, got "
+                f"{len(bound.expressions)}")
+        return next(iter(bound.expressions.values()))
 
     def __hash__(self):
         return hash(repr(self))

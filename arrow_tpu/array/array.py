@@ -126,10 +126,33 @@ class Array:
         return sum(b.size for b in self.data.buffers if b is not None)
 
     def to_pandas(self):
+        import numpy as np
         import pandas as pd
-        if self.type.is_numeric and self.null_count == 0:
+        t = self.type
+        if t.id in (TypeId.TIMESTAMP, TypeId.DURATION):
+            # pyarrow converts to datetime64/timedelta64 with NaT nulls
+            kind = "datetime64" if t.id == TypeId.TIMESTAMP else \
+                "timedelta64"
+            vals = np.asarray(self.data.values(),
+                              np.int64).astype(f"{kind}[{t.unit}]")
+            if self.null_count:
+                vals = vals.copy()
+                vals[~self.is_valid_mask()] = "NaT"
+            s = pd.Series(vals)
+            if t.id == TypeId.TIMESTAMP and getattr(t, "tz", None):
+                s = s.dt.tz_localize("UTC").dt.tz_convert(t.tz)
+            return s
+        if t.id == TypeId.DICTIONARY:
+            cats = self.dictionary.to_pylist()
+            codes = np.asarray(self.indices.data.values(), np.int64)
+            if self.null_count:
+                codes = codes.copy()
+                codes[~self.is_valid_mask()] = -1
+            return pd.Series(pd.Categorical.from_codes(
+                codes, categories=pd.Index(cats)))
+        if t.is_numeric and self.null_count == 0:
             return pd.Series(self.data.values())
-        if self.type.is_floating:
+        if t.is_floating:
             return pd.Series(self.to_numpy())
         return pd.Series(self.to_pylist(), dtype=object)
 

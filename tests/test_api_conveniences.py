@@ -463,3 +463,45 @@ def test_scalar_and_buffer_methods():
     assert b.is_cpu and not b.is_mutable or b.is_mutable  # defined
     assert b.parent is None
     assert b.device.is_cpu and b.memory_manager.is_cpu
+
+
+def test_expression_parity_and_substrait():
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.compute as ppc
+    from arrow_tpu.acero import field
+    from arrow_tpu.acero.expression import Expression
+    missing = sorted({n for n in dir(ppc.Expression)
+                      if not n.startswith("_")} -
+                     {n for n in dir(Expression) if not n.startswith("_")})
+    assert missing == [], missing
+    sch = at.schema([at.field("a", at.int64())])
+    buf = (field("a") > 1).to_substrait(sch)
+    got = ppc.Expression.from_substrait(pa.py_buffer(buf.to_pybytes()))
+    assert "FieldPath(0)" in str(got)
+    pbuf = (ppc.field("a") > 1).to_substrait(pa.schema([("a",
+                                                         pa.int64())]))
+    back = Expression.from_substrait(bytes(pbuf))
+    assert at.table({"a": [0, 2]}).filter(back).num_rows == 1
+    # cast / is_nan expression builders execute
+    t = at.table({"x": [0.0, float("nan")]})
+    assert t.filter(field("x").is_nan()).num_rows == 1
+
+
+def test_to_pandas_dtype_fidelity():
+    pa = pytest.importorskip("pyarrow")
+    pd = pytest.importorskip("pandas")
+    t = at.table({
+        "ts": at.array([0, None, 86400_000000], at.timestamp("us")),
+        "du": at.array([5, 6, None], at.duration("ms")),
+        "d": at.array(["a", "b", None],
+                      at.dictionary(at.int32(), at.string()))})
+    df = t.to_pandas()
+    ref = pa.table({
+        "ts": pa.array([0, None, 86400_000000], pa.timestamp("us")),
+        "du": pa.array([5, 6, None], pa.duration("ms")),
+        "d": pa.array(["a", "b", None]).dictionary_encode()}).to_pandas()
+    assert str(df["ts"].dtype) == str(ref["ts"].dtype)
+    assert str(df["du"].dtype) == str(ref["du"].dtype)
+    assert df["ts"].isna().tolist() == ref["ts"].isna().tolist()
+    assert df["ts"].dropna().tolist() == ref["ts"].dropna().tolist()
+    assert list(df["d"].cat.categories) == list(ref["d"].cat.categories)
