@@ -121,7 +121,8 @@ class FileEncryptionProperties:
                  column_key_metadata: Optional[Dict[str, bytes]] = None,
                  aad_prefix: bytes = b"",
                  supply_aad_prefix: bool = False,
-                 uniform: bool = True):
+                 uniform: bool = True,
+                 plaintext_footer: bool = False):
         if len(footer_key) not in (16, 24, 32):
             raise ValueError("footer key must be 16/24/32 bytes")
         if algorithm not in (ALG_AES_GCM_V1, ALG_AES_GCM_CTR_V1):
@@ -134,6 +135,9 @@ class FileEncryptionProperties:
         self.aad_prefix = aad_prefix
         self.supply_aad_prefix = supply_aad_prefix
         self.uniform = uniform and not self.column_keys
+        # plaintext footer: magic stays PAR1, the footer is readable by
+        # legacy readers and carries a GCM signature (nonce||tag)
+        self.plaintext_footer = plaintext_footer
         self.aad_file_unique = os.urandom(8)
 
     @property
@@ -256,10 +260,6 @@ class CryptoFactory:
             encryption_config: EncryptionConfiguration
     ) -> FileEncryptionProperties:
         ec = encryption_config
-        if ec.plaintext_footer:
-            raise NotImplementedError(
-                "plaintext-footer mode not supported (use encrypted "
-                "footer)")
         client = self._client(kms_config)
         key_len = ec.data_key_length_bits // 8
         keks: Dict[str, tuple] = {}  # master key id -> (kek, kek_id)
@@ -304,7 +304,8 @@ class CryptoFactory:
             algorithm=ec.encryption_algorithm,
             footer_key_metadata=footer_md,
             column_key_metadata=column_md,
-            uniform=ec.uniform_encryption)
+            uniform=ec.uniform_encryption,
+            plaintext_footer=ec.plaintext_footer)
 
     def file_decryption_properties(
             self, kms_config: KmsConnectionConfig,
@@ -371,14 +372,12 @@ def create_encryption_properties(footer_key, *, aad_prefix=None,
         "FileEncryptionProperties":
     """Direct-key encryption properties (pyarrow.parquet.encryption.
     create_encryption_properties)."""
-    if plaintext_footer:
-        raise NotImplementedError(
-            "plaintext-footer mode not supported (use encrypted footer)")
     return FileEncryptionProperties(
         bytes(footer_key), column_keys=column_keys,
         algorithm=encryption_algorithm,
         aad_prefix=bytes(aad_prefix) if aad_prefix else b"",
-        supply_aad_prefix=not store_aad_prefix)
+        supply_aad_prefix=not store_aad_prefix,
+        plaintext_footer=plaintext_footer)
 
 
 def create_decryption_properties(footer_key, *, aad_prefix=None,
@@ -389,3 +388,23 @@ def create_decryption_properties(footer_key, *, aad_prefix=None,
     return FileDecryptionProperties(
         footer_key=bytes(footer_key), column_keys=column_keys,
         aad_prefix=bytes(aad_prefix) if aad_prefix else b"")
+
+
+def sign_footer(key: bytes, file_aad: bytes, footer: bytes) -> bytes:
+    """Plaintext-footer signature = nonce || GCM tag over the footer
+    bytes (metadata.cc FileMetaData::WriteTo signing path,
+    SignedFooterEncrypt)."""
+    nonce = os.urandom(NONCE_LEN)
+    aad = module_aad(file_aad, MOD_FOOTER)
+    ct = AESGCM(key).encrypt(nonce, footer, aad)
+    return nonce + ct[-TAG_LEN:]
+
+
+def verify_footer_signature(key: bytes, file_aad: bytes, footer: bytes,
+                            signature: bytes) -> bool:
+    """Re-encrypt with the stored nonce and compare tags
+    (metadata.cc VerifySignature)."""
+    nonce, tag = signature[:NONCE_LEN], signature[NONCE_LEN:]
+    aad = module_aad(file_aad, MOD_FOOTER)
+    ct = AESGCM(key).encrypt(nonce, footer, aad)
+    return ct[-TAG_LEN:] == tag

@@ -197,6 +197,11 @@ class ParquetFile:
         else:
             raise ValueError("not a parquet file")
         md = CompactReader(footer).read_struct()
+        if 8 in md and self._file_crypto is None:
+            # plaintext footer of an encrypted file: FileMetaData
+            # fields 8/9 carry the algorithm + signing key metadata;
+            # the last 28 bytes of the footer blob are nonce||tag
+            self._init_plaintext_footer_crypto(md, footer)
         self.version = md.get(1, 1)
         self.num_rows = md.get(3, 0)
         self.created_by = (md.get(6) or b"").decode("utf8", "replace")
@@ -305,6 +310,40 @@ class ParquetFile:
         self._file_crypto = (footer_key, file_aad, ctr)
         return footer
 
+    def _init_plaintext_footer_crypto(self, md, footer: bytes):
+        """Plaintext-footer encrypted file (file_reader.cc:695-716):
+        resolve the footer key from FileMetaData field 9, verify the
+        GCM signature trailing the footer when a key is available."""
+        from ...compute.registry import ArrowInvalid
+        from .encryption import (NONCE_LEN, TAG_LEN,
+                                 verify_footer_signature)
+        alg = md.get(8, {})
+        if 1 in alg:
+            alg_struct, ctr = alg[1], False
+        elif 2 in alg:
+            alg_struct, ctr = alg[2], True
+        else:
+            raise ArrowInvalid("unknown parquet encryption algorithm")
+        aad_prefix = alg_struct.get(1, b"")
+        aad_file_unique = alg_struct.get(2, b"")
+        if alg_struct.get(3):  # supply_aad_prefix
+            if self.decryption is None or not self.decryption.aad_prefix:
+                raise ArrowInvalid(
+                    "file requires an externally-supplied AAD prefix")
+            aad_prefix = self.decryption.aad_prefix
+        file_aad = aad_prefix + aad_file_unique
+        if self.decryption is None:
+            # legacy read: plaintext columns remain readable; encrypted
+            # chunks will fail on key resolution
+            return
+        footer_key = self.decryption.resolve_footer_key(md.get(9, b""))
+        sig_len = NONCE_LEN + TAG_LEN
+        body, sig = footer[:-sig_len], footer[-sig_len:]
+        if not verify_footer_signature(footer_key, file_aad, body, sig):
+            raise ArrowInvalid(
+                "parquet crypto signature verification failed")
+        self._file_crypto = (footer_key, file_aad, ctr)
+
     def _attach_column_crypto(self):
         """Resolve a FileColumnCryptoState per encrypted chunk; decrypt
         column-key ColumnMetaData modules into chunk slot 3."""
@@ -327,12 +366,16 @@ class ParquetFile:
                     key = self.decryption.resolve_column_key(
                         path, ck.get(2, b""))
                     state = FileColumnCryptoState(key, file_aad, ctr)
-                    enc_meta = chunk.get(9)
-                    if enc_meta is not None and chunk.get(3) is None:
-                        pt, _ = state.decrypt(MOD_COLUMN_METADATA,
-                                              enc_meta, 0, rg_ord,
-                                              col_ord)
-                        chunk[3] = CompactReader(pt).read_struct()
+                # encrypted_column_metadata (field 9) carries the real
+                # ColumnMetaData; field 3 is absent (encrypted footer)
+                # or a redacted legacy copy (plaintext footer) —
+                # prefer the decrypted version
+                enc_meta = chunk.get(9)
+                if enc_meta is not None:
+                    pt, _ = state.decrypt(MOD_COLUMN_METADATA,
+                                          enc_meta, 0, rg_ord,
+                                          col_ord)
+                    chunk[3] = CompactReader(pt).read_struct()
                 chunk["_crypto"] = (state, rg_ord, col_ord)
 
     @property

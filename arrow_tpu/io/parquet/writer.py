@@ -254,7 +254,8 @@ class ParquetWriter:
         self.data_page_size = data_page_size
         self.row_groups: List[Dict] = []
         self.num_rows = 0
-        if self.encryption is not None:
+        if self.encryption is not None and \
+                not self.encryption.plaintext_footer:
             from .encryption import MAGIC_ENCRYPTED
             self.sink.write(MAGIC_ENCRYPTED)
         else:
@@ -673,6 +674,21 @@ class ParquetWriter:
         self._write_blooms()
         self._write_page_indexes()
         footer = self._footer()
+        if self.encryption is not None and \
+                self.encryption.plaintext_footer:
+            # plaintext-footer mode (file_writer.cc:483-488): plaintext
+            # FileMetaData (with encryption_algorithm + signing key
+            # metadata fields) || nonce+tag signature || i32 len || PAR1
+            from .encryption import sign_footer
+            p = self.encryption
+            sig = sign_footer(p.footer_key, p.file_aad, footer)
+            self._w(footer)
+            self._w(sig)
+            self.sink.write(struct.pack("<i", len(footer) + len(sig)))
+            self.sink.write(MAGIC)
+            if self._close:
+                self.sink.close()
+            return
         if self.encryption is not None:
             # encrypted-footer layout (parquet/file_writer.cc
             # WriteEncryptedFileMetadata): FileCryptoMetaData (plain
@@ -718,9 +734,11 @@ class ParquetWriter:
     def __exit__(self, *exc):
         self.close()
 
-    def _column_meta(self, w: CompactWriter, c: Dict, path) -> None:
+    def _column_meta(self, w: CompactWriter, c: Dict, path,
+                     redact: bool = False) -> None:
         """ColumnMetaData fields (parquet.thrift struct; emitted either
-        inline as ColumnChunk field 3 or as an encrypted module)."""
+        inline as ColumnChunk field 3 or as an encrypted module).
+        ``redact`` drops statistics (plaintext-footer legacy copy)."""
         w.field_i32(1, c["physical"])
         w.field_list_begin(2, CT_I32, len(c["encodings"]))
         for e in c["encodings"]:
@@ -738,7 +756,7 @@ class ParquetWriter:
         if "bloom_offset" in c:
             w.field_i64(14, c["bloom_offset"])
             w.field_i32(15, c["bloom_length"])
-        st = c.get("stats")
+        st = None if redact else c.get("stats")
         if st is not None and (st[0] is not None or st[2] is not None):
             mn, mx, nulls = st
             w.field_struct_begin(12)  # Statistics
@@ -813,17 +831,29 @@ class ParquetWriter:
                     w.field_i64(6, c["column_index_offset"])
                     w.field_i32(7, c["column_index_length"])
                 crypto = c.get("crypto")
-                if crypto is not None and not c["uses_footer_key"]:
-                    # column-key encryption: ColumnMetaData moves into
-                    # field 9 as an encrypted module; field 8 records
-                    # the key metadata (ColumnCryptoMetaData union 2)
+                plaintext_footer = (self.encryption is not None and
+                                    self.encryption.plaintext_footer)
+
+                def enc_column_meta():
                     cm = CompactWriter()
                     self._column_meta(cm, c, path)
                     cm.buf.append(0)  # struct stop
                     from .encryption import MOD_COLUMN_METADATA
-                    enc_meta = crypto.encrypt(
+                    return crypto.encrypt(
                         MOD_COLUMN_METADATA, cm.bytes(),
                         c["rg_ord"], c["col_ord"])
+
+                if crypto is not None and not c["uses_footer_key"]:
+                    # column-key encryption: full ColumnMetaData moves
+                    # into field 9 as an encrypted module; field 8
+                    # records the key metadata (union 2). In plaintext-
+                    # footer mode a REDACTED copy (no statistics) stays
+                    # in field 3 for legacy readers (metadata.cc:1790+)
+                    if plaintext_footer:
+                        w.field_struct_begin(3)
+                        self._column_meta(w, c, path, redact=True)
+                        w.struct_end()
+                    enc_meta = enc_column_meta()
                     w.field_struct_begin(8)
                     w.field_struct_begin(2)  # ENCRYPTION_WITH_COLUMN_KEY
                     w.field_list_begin(1, CT_BINARY, len(path))
@@ -831,6 +861,19 @@ class ParquetWriter:
                         w.elem_binary(pc.encode())
                     if c["key_metadata"]:
                         w.field_binary(2, c["key_metadata"])
+                    w.struct_end()
+                    w.struct_end()
+                    w.field_binary(9, enc_meta)
+                elif crypto is not None and plaintext_footer:
+                    # footer-key column in plaintext-footer mode: the
+                    # footer is readable by anyone, so the real
+                    # ColumnMetaData is encrypted into field 9 too
+                    w.field_struct_begin(3)
+                    self._column_meta(w, c, path, redact=True)
+                    w.struct_end()
+                    enc_meta = enc_column_meta()
+                    w.field_struct_begin(8)
+                    w.field_struct_begin(1)  # WITH_FOOTER_KEY
                     w.struct_end()
                     w.struct_end()
                     w.field_binary(9, enc_meta)
@@ -863,6 +906,24 @@ class ParquetWriter:
                 w.field_struct_begin(1)   # TYPE_ORDER
                 w.struct_end()
                 w.struct_end()
+        if self.encryption is not None and \
+                self.encryption.plaintext_footer:
+            # FileMetaData fields 8/9: encryption_algorithm +
+            # footer_signing_key_metadata (parquet.thrift)
+            from .encryption import ALG_AES_GCM_CTR_V1
+            p = self.encryption
+            alg_field = 2 if p.algorithm == ALG_AES_GCM_CTR_V1 else 1
+            w.field_struct_begin(8)
+            w.field_struct_begin(alg_field)
+            if p.aad_prefix and not p.supply_aad_prefix:
+                w.field_binary(1, p.aad_prefix)
+            w.field_binary(2, p.aad_file_unique)
+            if p.aad_prefix and p.supply_aad_prefix:
+                w.field_bool(3, True)
+            w.struct_end()
+            w.struct_end()
+            if p.footer_key_metadata:
+                w.field_binary(9, p.footer_key_metadata)
         w.struct_end()
         return w.bytes()
 

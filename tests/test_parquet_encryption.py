@@ -234,3 +234,69 @@ def test_create_properties_helpers():
                      decryption_properties=create_decryption_properties(
                          FOOTER_KEY, aad_prefix=b"p2"))
     _assert_tables_equal(tbl, got)
+
+
+# --- plaintext-footer mode ---------------------------------------------------
+
+def test_plaintext_footer_roundtrip():
+    enc = FileEncryptionProperties(FOOTER_KEY, plaintext_footer=True)
+    dec = FileDecryptionProperties(footer_key=FOOTER_KEY)
+    tbl = _table()
+    buf = io.BytesIO()
+    write_table(tbl, buf, encryption_properties=enc)
+    data = buf.getvalue()
+    assert data[:4] == b"PAR1" and data[-4:] == b"PAR1"
+    _assert_tables_equal(tbl, read_table(data,
+                                         decryption_properties=dec))
+    # legacy reader sees the schema; encrypted columns need keys
+    pf = ParquetFile(data)
+    assert pf.schema_arrow.names == ["a", "b", "c"]
+    # wrong key -> signature verification fails
+    with pytest.raises(Exception):
+        read_table(data, decryption_properties=FileDecryptionProperties(
+            footer_key=b"x" * 16))
+
+
+def test_plaintext_footer_column_keys_mixed():
+    enc = FileEncryptionProperties(FOOTER_KEY,
+                                   column_keys={"a": COL_KEY},
+                                   plaintext_footer=True)
+    dec = FileDecryptionProperties(footer_key=FOOTER_KEY,
+                                   column_keys={"a": COL_KEY})
+    tbl = _table()
+    buf = io.BytesIO()
+    write_table(tbl, buf, encryption_properties=enc)
+    _assert_tables_equal(tbl, read_table(buf.getvalue(),
+                                         decryption_properties=dec))
+    # plaintext columns remain readable without any keys
+    pf = ParquetFile(buf.getvalue())
+    assert pf.read(columns=["b"]).column("b").to_pylist() == \
+        ["x", "y", None, "w", "v"]
+
+
+def test_plaintext_footer_pyarrow_interop(tmp_path):
+    """Both directions via the KMS layer with plaintext_footer=True."""
+    our_factory = CryptoFactory(lambda cfg: _LocalWrapKms())
+    enc = our_factory.file_encryption_properties(
+        KmsConnectionConfig(), EncryptionConfiguration(
+            footer_key="kf", column_keys={"kc": ["a"]},
+            plaintext_footer=True))
+    p1 = str(tmp_path / "ours.parquet")
+    write_table(_table(), p1, encryption_properties=enc)
+    pa_dec = pe.CryptoFactory(_PyarrowKms).file_decryption_properties(
+        pe.KmsConnectionConfig())
+    got = papq.ParquetFile(p1, decryption_properties=pa_dec).read()
+    want = _pa_table()
+    for name in ("a", "b", "c"):
+        assert got.column(name).to_pylist() == \
+            want.column(name).to_pylist(), name
+
+    pa_enc = pe.CryptoFactory(_PyarrowKms).file_encryption_properties(
+        pe.KmsConnectionConfig(), pe.EncryptionConfiguration(
+            footer_key="kf", column_keys={"kc": ["a"]},
+            plaintext_footer=True))
+    p2 = str(tmp_path / "theirs.parquet")
+    papq.write_table(_pa_table(), p2, encryption_properties=pa_enc)
+    dec = our_factory.file_decryption_properties(KmsConnectionConfig())
+    _assert_tables_equal(_table(),
+                         read_table(p2, decryption_properties=dec))
