@@ -220,23 +220,18 @@ class DictionaryMemo:
         self._dicts = {}
 
 
-class CacheOptions:
-    """Read-coalescing options (io/caching.h CacheOptions)."""
+from .io.caching import CacheOptions  # noqa: E402
 
-    def __init__(self, *, hole_size_limit: int = 8192,
-                 range_size_limit: int = 32 * 1024 * 1024,
-                 lazy: bool = False, prefetch_limit: int = 0):
-        self.hole_size_limit = hole_size_limit
-        self.range_size_limit = range_size_limit
-        self.lazy = lazy
-        self.prefetch_limit = prefetch_limit
 
-    @staticmethod
-    def from_network_metrics(time_to_first_byte_millis,
-                             transfer_bandwidth_mib_per_sec,
-                             ideal_bandwidth_utilization_frac=0.9,
-                             max_ideal_request_size_mib=64):
-        return CacheOptions()
+def _cache_options_from_network_metrics(
+        time_to_first_byte_millis, transfer_bandwidth_mib_per_sec,
+        ideal_bandwidth_utilization_frac=0.9,
+        max_ideal_request_size_mib=64):
+    return CacheOptions()
+
+
+CacheOptions.from_network_metrics = staticmethod(
+    _cache_options_from_network_metrics)
 
 
 def have_libhdfs() -> bool:

@@ -391,8 +391,40 @@ class ParquetFile:
     def metadata(self):
         return self
 
+    def _chunk_ranges(self, row_groups=None, columns=None):
+        """(offset, length) of each selected column chunk's page bytes."""
+        sel = set(columns) if columns is not None else None
+        out = []
+        ci_names = [fd.name for fd in self.fields
+                    for _ in fd.leaves]
+        for i, rg in enumerate(self.row_groups):
+            if row_groups is not None and i not in row_groups:
+                continue
+            for chunk, name in zip(rg.get(1, []), ci_names):
+                if sel is not None and name not in sel:
+                    continue
+                meta = chunk.get(3) or {}
+                start = meta.get(11) or meta.get(9)
+                if start is None:
+                    continue
+                out.append((start, meta.get(7, 0) + (1 << 16)))
+        return out
+
+    def pre_buffer(self, row_groups=None, columns=None,
+                   cache_options=None) -> None:
+        """Coalesce + bulk-read the selected chunks' byte ranges up
+        front; subsequent reads are served from memory (io/caching.h
+        ReadRangeCache; parquet ArrowReaderProperties::pre_buffer)."""
+        from ..caching import CacheOptions, ReadRangeCache, _CachedSource
+        self.src.seek(0, 2)
+        size = self.src.tell()
+        cache = ReadRangeCache(self.src, cache_options or CacheOptions())
+        cache.cache([(o, min(ln, size - o))
+                     for o, ln in self._chunk_ranges(row_groups, columns)])
+        self.src = _CachedSource(cache, size)
+
     def read(self, columns: Optional[List[str]] = None,
-             filters=None) -> Table:
+             filters=None, pre_buffer: bool = False) -> Table:
         """filters: pyarrow-style list of (col, op, value) tuples (AND)
         or list-of-lists (OR of ANDs). Row groups whose column
         statistics (ColumnMetaData.statistics, parquet/metadata.h) prove
@@ -401,6 +433,8 @@ class ParquetFile:
         keep = [i for i in range(self.num_row_groups)
                 if filters is None or
                 self._row_group_may_match(i, filters)]
+        if pre_buffer:
+            self.pre_buffer(row_groups=set(keep), columns=columns)
         batches = [self.read_row_group(i, columns) for i in keep]
         schema = (batches[0].schema if batches else
                   self._selected_schema(columns))

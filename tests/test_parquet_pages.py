@@ -84,3 +84,42 @@ def test_small_page_size_many_pages():
     pf = ParquetFile(buf.getvalue())
     assert len(pf.offset_index(0, 0)) == 10   # 1024 rows/page
     assert pf.read().column("x").to_pylist() == list(range(10_000))
+
+
+def test_read_range_coalescing():
+    """io/caching.h analogue: coalesce_ranges + pre_buffer."""
+    from arrow_tpu.io.caching import (CacheOptions, ReadRangeCache,
+                                      coalesce_ranges)
+    assert coalesce_ranges([(0, 10), (15, 10), (100000, 5)]) == \
+        [(0, 25), (100000, 5)]
+    assert coalesce_ranges([(0, 10), (9000, 10)],
+                           hole_size_limit=100) == [(0, 10), (9000, 10)]
+    assert coalesce_ranges([]) == []
+    src = io.BytesIO(bytes(range(256)) * 10)
+    c = ReadRangeCache(src, CacheOptions())
+    c.cache([(0, 16), (20, 16)])
+    assert c.read(4, 4) == bytes(range(4, 8))
+    assert c.read(2000, 4) == (bytes(range(256)) * 10)[2000:2004]
+
+
+def test_parquet_pre_buffer_single_read():
+    t = at.table({"a": at.array(list(range(50_000)), at.int64()),
+                  "c": at.array([float(i) for i in range(50_000)],
+                                at.float64())})
+    buf = io.BytesIO()
+    write_table(t, buf)
+
+    class CountingIO(io.BytesIO):
+        reads = 0
+
+        def read(self, *a):
+            CountingIO.reads += 1
+            return super().read(*a)
+
+    src = CountingIO(buf.getvalue())
+    pf = ParquetFile(src)
+    CountingIO.reads = 0
+    got = pf.read(pre_buffer=True)
+    assert CountingIO.reads == 1   # one coalesced read for all chunks
+    assert got.column("a").to_pylist()[:3] == [0, 1, 2]
+    assert got.column("c").to_pylist()[-1] == 49_999.0
