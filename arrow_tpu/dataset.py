@@ -214,7 +214,15 @@ class FileFragment:
 class Dataset:
     def __init__(self, fragments: List[FileFragment], schema: Schema):
         self.fragments = fragments
-        self.schema = schema
+        self._schema = schema
+
+    @property
+    def schema(self) -> Schema:
+        return self._schema
+
+    @schema.setter
+    def schema(self, value: Schema):
+        self._schema = value
 
     def get_fragments(self, filter: Optional[Expression] = None):
         for frag in self.fragments:
@@ -280,10 +288,69 @@ class Dataset:
     def scanner(self, columns=None, filter=None):
         return Scanner(self, columns, filter)
 
-    head = None
+    def head(self, num_rows: int, columns=None, filter=None) -> Table:
+        return self.to_table(columns=columns,
+                             filter=filter).slice(0, num_rows)
 
     def count_rows(self, filter=None) -> int:
         return self.to_table(filter=filter).num_rows
+
+    # -- pyarrow.dataset Dataset parity ----------------------------------
+    def to_batches(self, columns=None, filter=None, **kwargs):
+        return self.to_table(columns=columns,
+                             filter=filter).to_batches()
+
+    def take(self, indices, columns=None, filter=None) -> Table:
+        return self.to_table(columns=columns, filter=filter).take(
+            indices)
+
+    def filter(self, expression) -> "Dataset":
+        """Dataset view with an attached filter (dataset.h
+        Dataset::filter)."""
+        out = _FilteredDataset(self.fragments, self.schema, expression)
+        return out
+
+    def sort_by(self, sorting, **kwargs) -> "Dataset":
+        from .dataset import InMemoryDataset as _IMD
+        return _IMD(self.to_table().sort_by(sorting, **kwargs))
+
+    def join(self, right_dataset, keys, right_keys=None,
+             join_type="left outer", left_suffix=None, right_suffix=None,
+             coalesce_keys=True, use_threads=True) -> Table:
+        right = right_dataset.to_table() if isinstance(
+            right_dataset, Dataset) else right_dataset
+        return self.to_table().join(
+            right, keys, right_keys, join_type,
+            left_suffix or "", right_suffix or "", coalesce_keys)
+
+    def join_asof(self, right_dataset, on, by, tolerance, right_on=None,
+                  right_by=None) -> Table:
+        right = right_dataset.to_table() if isinstance(
+            right_dataset, Dataset) else right_dataset
+        return self.to_table().join_asof(right, on, by, tolerance,
+                                         right_on, right_by)
+
+    def replace_schema(self, schema: Schema) -> "Dataset":
+        return Dataset(self.fragments, schema)
+
+    @property
+    def partition_expression(self):
+        from .acero.expression import scalar as _scalar
+        return _scalar(True)
+
+
+class _FilteredDataset(Dataset):
+    def __init__(self, fragments, schema, expression):
+        super().__init__(fragments, schema)
+        self._filter = expression
+
+    def to_table(self, columns=None, filter=None, **kwargs) -> Table:
+        from .acero.expression import Expression as _E
+        combined = self._filter
+        if filter is not None:
+            combined = _E.call("and_kleene", combined, filter)
+        return super().to_table(columns=columns, filter=combined,
+                                **kwargs)
 
 
 class Scanner:
@@ -303,6 +370,49 @@ class Scanner:
 
     def count_rows(self) -> int:
         return self.to_table().num_rows
+
+    # -- pyarrow.dataset Scanner parity -----------------------------------
+    @classmethod
+    def from_dataset(cls, dataset, columns=None, filter=None,
+                     **kwargs) -> "Scanner":
+        return cls(dataset, columns, filter)
+
+    @classmethod
+    def from_fragment(cls, fragment, schema=None, columns=None,
+                      filter=None, **kwargs) -> "Scanner":
+        ds = Dataset([fragment], schema or Schema([]))
+        return cls(ds, columns, filter)
+
+    @classmethod
+    def from_batches(cls, source, schema=None, columns=None,
+                     filter=None, **kwargs) -> "Scanner":
+        batches = list(source)
+        tbl = Table.from_batches(batches, schema)
+        return cls(InMemoryDataset(tbl), columns, filter)
+
+    @property
+    def dataset_schema(self) -> Schema:
+        return self.dataset.schema
+
+    @property
+    def projected_schema(self) -> Schema:
+        if self.columns is None:
+            return self.dataset.schema
+        return Schema([f for f in self.dataset.schema.fields
+                       if f.name in set(self.columns)])
+
+    def scan_batches(self):
+        for frag in self.dataset.get_fragments(self.filter):
+            tbl = frag.to_table(self.columns)
+            for rb in tbl.to_batches():
+                yield TaggedRecordBatch(rb, frag)
+
+    def take(self, indices) -> Table:
+        return self.to_table().take(indices)
+
+    def to_reader(self):
+        tbl = self.to_table()
+        return tbl.to_reader()
 
 
 def dataset(source, format: Union[str, FileFormat] = "parquet",

@@ -41,6 +41,10 @@ _SERVICE = "arrow.flight.protocol.FlightService"
 class FlightDescriptor:
     PATH = fp.FlightDescriptor.PATH
     CMD = fp.FlightDescriptor.CMD
+    # class-level defaults (pyarrow exposes these as properties)
+    descriptor_type = None
+    path = None
+    command = None
 
     def __init__(self, dtype, path=None, cmd=None):
         self.descriptor_type = dtype
@@ -72,6 +76,15 @@ class FlightDescriptor:
             return cls.for_path(*d.path)
         return cls.for_command(d.cmd)
 
+    def serialize(self) -> bytes:
+        return self.to_pb().SerializeToString()
+
+    @classmethod
+    def deserialize(cls, serialized: bytes) -> "FlightDescriptor":
+        d = fp.FlightDescriptor()
+        d.ParseFromString(bytes(serialized))
+        return cls.from_pb(d)
+
     def __repr__(self):
         if self.descriptor_type == self.PATH:
             return f"FlightDescriptor(path={self.path})"
@@ -92,14 +105,44 @@ class FlightEndpoint:
 
 
 class FlightInfo:
+    # class-level defaults (pyarrow exposes these as properties)
+    schema = None
+    descriptor = None
+    endpoints = None
+    total_records = -1
+    total_bytes = -1
+    ordered = False
+    app_metadata = b""
+
     def __init__(self, schema: Schema, descriptor: FlightDescriptor,
                  endpoints: List[FlightEndpoint],
-                 total_records: int = -1, total_bytes: int = -1):
+                 total_records: int = -1, total_bytes: int = -1,
+                 ordered: bool = False, app_metadata: bytes = b""):
         self.schema = schema
         self.descriptor = descriptor
         self.endpoints = endpoints
         self.total_records = total_records
         self.total_bytes = total_bytes
+        self.ordered = ordered
+        self.app_metadata = app_metadata
+
+    def serialize(self) -> bytes:
+        return self.to_pb().SerializeToString()
+
+    @classmethod
+    def from_pb(cls, pb) -> "FlightInfo":
+        rdr = RecordBatchStreamReader(pb.schema)
+        endpoints = [FlightEndpoint(Ticket(e.ticket.ticket))
+                     for e in pb.endpoint]
+        return cls(rdr.schema,
+                   FlightDescriptor.from_pb(pb.flight_descriptor),
+                   endpoints, pb.total_records, pb.total_bytes)
+
+    @classmethod
+    def deserialize(cls, serialized: bytes) -> "FlightInfo":
+        pb = fp.FlightInfo()
+        pb.ParseFromString(bytes(serialized))
+        return cls.from_pb(pb)
 
     def to_pb(self) -> fp.FlightInfo:
         out = fp.FlightInfo()
@@ -232,6 +275,8 @@ class FlightServerBase:
     do_put / do_exchange / do_action / list_actions (reference:
     flight/server.h:248)."""
 
+    port = 0  # bound port (set at construction)
+
     def __init__(self, location: str = "grpc://0.0.0.0:0",
                  auth_handler: Optional[ServerAuthHandler] = None,
                  tls_certificates=None):
@@ -300,6 +345,13 @@ class FlightServerBase:
 
     def do_get(self, ticket: Ticket) -> Table:
         raise NotImplementedError
+
+    def get_schema(self, context_or_descriptor, descriptor=None):
+        """Default GetSchema: derive from get_flight_info
+        (server.h:318 GetSchema)."""
+        d = descriptor if descriptor is not None else \
+            context_or_descriptor
+        return self.get_flight_info(d).schema
 
     def do_put(self, descriptor: FlightDescriptor, table: Table):
         raise NotImplementedError
@@ -436,6 +488,14 @@ class FlightServerBase:
         if block:
             self._server.wait_for_termination()
 
+    def run(self):
+        """Blocking serve (pyarrow FlightServerBase.serve blocks)."""
+        self.serve(block=True)
+
+    def wait(self):
+        """Block until the server shuts down."""
+        self._server.wait_for_termination()
+
     def shutdown(self):
         self._server.stop(grace=None)
 
@@ -466,6 +526,72 @@ class FlightClient:
 
     def _md(self):
         return self._metadata or None
+
+    @classmethod
+    def connect(cls, location, **kwargs) -> "FlightClient":
+        return cls(location, **kwargs)
+
+    def wait_for_available(self, timeout: int = 5):
+        import grpc as _grpc
+        _grpc.channel_ready_future(self._channel).result(timeout=timeout)
+
+    @property
+    def supports_async(self) -> bool:
+        return False
+
+    def as_async(self):
+        raise NotImplementedError("async flight client not supported")
+
+    def authenticate(self, auth_handler, options=None):
+        """Generic handshake driven by a ClientAuthHandler
+        (client.h Authenticate)."""
+        stub = self._channel.stream_stream(
+            self._method("Handshake"),
+            request_serializer=fp.HandshakeRequest.SerializeToString,
+            response_deserializer=fp.HandshakeResponse.FromString)
+
+        import queue as _q
+        outgoing: "_q.Queue" = _q.Queue()
+
+        class _Out:
+            def write(self, payload: bytes):
+                outgoing.put(payload)
+
+        def requests():
+            while True:
+                item = outgoing.get()
+                if item is None:
+                    return
+                req = fp.HandshakeRequest()
+                req.payload = item
+                yield req
+
+        responses = stub(requests(), metadata=self._md())
+
+        class _In:
+            def read(self):
+                try:
+                    return next(responses).payload
+                except StopIteration:
+                    outgoing.put(None)
+                    return b""
+
+        auth_handler.authenticate(_Out(), _In())
+        outgoing.put(None)
+        token = auth_handler.get_token()
+        if token:
+            tok = token.decode() if isinstance(token, bytes) else token
+            self._metadata.append(("authorization", f"Bearer {tok}"))
+
+    def get_schema(self, descriptor: FlightDescriptor):
+        """GetSchema RPC (client.h GetSchema)."""
+        stub = self._channel.unary_unary(
+            self._method("GetSchema"),
+            request_serializer=fp.FlightDescriptor.SerializeToString,
+            response_deserializer=fp.SchemaResult.FromString)
+        res = stub(descriptor.to_pb(), metadata=self._md())
+        rdr = RecordBatchStreamReader(res.schema)
+        return SchemaResult(rdr.schema)
 
     def authenticate_basic_token(self, username: str, password: str):
         """Handshake with BasicAuth credentials; returns the

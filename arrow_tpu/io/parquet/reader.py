@@ -384,6 +384,58 @@ class ParquetFile:
                        for c in self.columns])
 
     @property
+    def schema(self):
+        """Parquet schema view (pyarrow ParquetFile.schema); use
+        schema_arrow for the Arrow schema."""
+        from .metadata import ParquetSchema
+        return ParquetSchema(self)
+
+    def close(self, force: bool = False):
+        self._closed = True
+        if hasattr(self.src, "close"):
+            try:
+                self.src.close()
+            except Exception:
+                pass
+
+    @property
+    def closed(self) -> bool:
+        return getattr(self, "_closed", False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def iter_batches(self, batch_size: int = 65536, row_groups=None,
+                     columns: Optional[List[str]] = None,
+                     use_threads: bool = True, **kwargs):
+        """Stream record batches of ≤batch_size rows
+        (pyarrow ParquetFile.iter_batches)."""
+        groups = row_groups if row_groups is not None else \
+            range(self.num_row_groups)
+        for i in groups:
+            rb = self.read_row_group(i, columns)
+            n = rb.num_rows
+            for start in range(0, n, batch_size):
+                yield rb.slice(start, min(batch_size, n - start))
+
+    def read_row_groups(self, row_groups, columns=None,
+                        use_threads: bool = True, **kwargs) -> Table:
+        batches = [self.read_row_group(i, columns) for i in row_groups]
+        schema = (batches[0].schema if batches else
+                  self._selected_schema(columns))
+        return Table.from_batches(batches, schema)
+
+    def scan_contents(self, columns=None, batch_size: int = 65536) -> int:
+        """Read the selected columns, returning the row count
+        (pyarrow ParquetFile.scan_contents)."""
+        return sum(b.num_rows
+                   for b in self.iter_batches(batch_size,
+                                              columns=columns))
+
+    @property
     def num_row_groups(self) -> int:
         return len(self.row_groups)
 

@@ -289,6 +289,22 @@ class ParquetWriter:
         for rb in tbl.to_batches(row_group_size):
             self.write_batch(rb)
 
+    def write(self, table_or_batch, row_group_size: Optional[int] = None):
+        """pyarrow ParquetWriter.write: accepts Table or RecordBatch."""
+        if isinstance(table_or_batch, RecordBatch):
+            self.write_batch(table_or_batch)
+        else:
+            self.write_table(table_or_batch, row_group_size)
+
+    def add_key_value_metadata(self, key_value_metadata) -> None:
+        """Extra footer key/value metadata
+        (pyarrow ParquetWriter.add_key_value_metadata)."""
+        kv = getattr(self, "_extra_kv", {})
+        for k, v in dict(key_value_metadata).items():
+            kv[k if isinstance(k, str) else k.decode()] = \
+                v if isinstance(v, str) else v.decode()
+        self._extra_kv = kv
+
     def write_batch(self, rb: RecordBatch):
         from .nested import is_nested, shred
         chunks = []
@@ -894,6 +910,14 @@ class ParquetWriter:
             # -1 when unset (metadata.cc:649)
             w.field_i16(7, rg_idx)
             w.struct_end()
+        extra_kv = getattr(self, "_extra_kv", None)
+        if extra_kv:
+            w.field_list_begin(5, CT_STRUCT, len(extra_kv))
+            for k, v in extra_kv.items():
+                w.elem_struct_begin()
+                w.field_binary(1, k.encode())
+                w.field_binary(2, v.encode())
+                w.struct_end()
         w.field_binary(6, b"arrow_tpu parquet writer")
         # column_orders: readers only trust min_value/max_value when the
         # order is declared (ColumnOrder.TYPE_ORDER per leaf)

@@ -505,3 +505,57 @@ def test_to_pandas_dtype_fidelity():
     assert df["ts"].isna().tolist() == ref["ts"].isna().tolist()
     assert df["ts"].dropna().tolist() == ref["ts"].dropna().tolist()
     assert list(df["d"].cat.categories) == list(ref["d"].cat.categories)
+
+
+def test_parquetfile_and_dataset_class_parity():
+    papq = pytest.importorskip("pyarrow.parquet")
+    import pyarrow.dataset as pds
+
+    import arrow_tpu.dataset as atds
+    import arrow_tpu.io.parquet as atpq
+    for rc, oc in [(papq.ParquetFile, atpq.ParquetFile),
+                   (papq.ParquetWriter, atpq.ParquetWriter),
+                   (pds.Dataset, atds.Dataset),
+                   (pds.Scanner, atds.Scanner)]:
+        missing = sorted({n for n in dir(rc) if not n.startswith("_")} -
+                         {n for n in dir(oc) if not n.startswith("_")})
+        assert missing == [], (rc.__name__, missing)
+
+
+def test_parquetfile_methods(tmp_path):
+    import io
+    import arrow_tpu.io.parquet as atpq
+    t = at.table({"a": list(range(100))})
+    buf = io.BytesIO()
+    with atpq.ParquetWriter(buf, t.schema) as w:
+        w.write(t, row_group_size=30)
+        w.add_key_value_metadata({"creator": "test"})
+    pf = atpq.ParquetFile(buf.getvalue())
+    assert pf.key_value_metadata == {"creator": "test"}
+    assert [b.num_rows for b in pf.iter_batches(batch_size=25)] == \
+        [25, 5, 25, 5, 25, 5, 10]
+    assert pf.read_row_groups([0, 2]).num_rows == 60
+    assert pf.scan_contents() == 100
+    assert pf.schema.names == ["a"]
+    papq = pytest.importorskip("pyarrow.parquet")
+    assert papq.ParquetFile(io.BytesIO(buf.getvalue())).metadata \
+        .metadata == {b"creator": b"test"}
+
+
+def test_dataset_scanner_methods(tmp_path):
+    import arrow_tpu.dataset as ds
+    import arrow_tpu.io.parquet as atpq
+    from arrow_tpu.acero import field
+    t = at.table({"a": list(range(100))})
+    atpq.write_table(t, str(tmp_path / "f.parquet"))
+    dset = ds.dataset(str(tmp_path))
+    assert dset.head(3).num_rows == 3
+    assert dset.take(at.array([0, 5], at.int64())).column(
+        "a").to_pylist() == [0, 5]
+    assert dset.filter(field("a") < 10).to_table().num_rows == 10
+    assert dset.sort_by([("a", "descending")]).to_table().column(
+        "a").to_pylist()[0] == 99
+    sc = ds.Scanner.from_dataset(dset, columns=["a"])
+    assert sc.projected_schema.names == ["a"]
+    assert sc.to_reader().read_all().num_rows == 100
+    assert sum(c.record_batch.num_rows for c in sc.scan_batches()) == 100

@@ -242,3 +242,54 @@ def test_flight_class_surface():
         at.table({"a": [1]}).schema,
         iter(at.table({"a": [1, 2]}).to_batches()))
     assert s.to_table().num_rows == 2
+
+
+class TestClassSurfaceParity:
+    def test_flight_class_surfaces(self):
+        import pyarrow.flight as pfl
+
+        import arrow_tpu.flight as afl
+        for rc, oc in [(pfl.FlightServerBase, afl.FlightServerBase),
+                       (pfl.FlightClient, afl.FlightClient),
+                       (pfl.FlightDescriptor, afl.FlightDescriptor),
+                       (pfl.FlightInfo, afl.FlightInfo)]:
+            missing = sorted(
+                {n for n in dir(rc) if not n.startswith("_")} -
+                {n for n in dir(oc) if not n.startswith("_")})
+            assert missing == [], (rc.__name__, missing)
+
+    def test_descriptor_info_serialize_interop(self):
+        import pyarrow.flight as pfl
+
+        import arrow_tpu as at
+        import arrow_tpu.flight as afl
+        d = afl.FlightDescriptor.for_path("a", "b")
+        assert pfl.FlightDescriptor.deserialize(d.serialize()).path == \
+            [b"a", b"b"]
+        ours = afl.FlightDescriptor.deserialize(
+            pfl.FlightDescriptor.for_command(b"q").serialize())
+        assert ours.command == b"q"
+        info = afl.FlightInfo(at.schema([at.field("x", at.int64())]), d,
+                              [afl.FlightEndpoint(b"t1")], 5, 100)
+        pinfo = pfl.FlightInfo.deserialize(info.serialize())
+        assert pinfo.schema.names == ["x"]
+        assert pinfo.total_records == 5
+        back = afl.FlightInfo.deserialize(pinfo.serialize())
+        assert back.schema.names == ["x"] and back.total_records == 5
+
+    def test_client_get_schema_and_wait(self):
+        import arrow_tpu as at
+        import arrow_tpu.flight as afl
+        t = at.table({"k": [1, 2]})
+
+        class Srv(afl.FlightServerBase):
+            def get_flight_info(self, descriptor):
+                return afl.FlightInfo(t.schema, descriptor,
+                                      [afl.FlightEndpoint(b"t")], 2, -1)
+
+        with Srv("grpc://127.0.0.1:0") as srv:
+            cl = afl.FlightClient.connect(f"grpc://127.0.0.1:{srv.port}")
+            cl.wait_for_available(timeout=5)
+            res = cl.get_schema(afl.FlightDescriptor.for_command(b"x"))
+            assert res.schema.names == ["k"]
+            assert not cl.supports_async
