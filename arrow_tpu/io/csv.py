@@ -29,7 +29,17 @@ DEFAULT_TRUE = ["1", "True", "TRUE", "true"]
 DEFAULT_FALSE = ["0", "False", "FALSE", "false"]
 
 
-class ReadOptions:
+class _OptionsBase:
+    """equals/validate surface shared by the options classes
+    (pyarrow _csv.pyx options semantics)."""
+
+    def equals(self, other) -> bool:
+        return (type(self) is type(other) and
+                self.__dict__ == other.__dict__)
+
+    def validate(self) -> None:
+        return None
+class ReadOptions(_OptionsBase):
     def __init__(self, use_threads: bool = True, block_size: int = 1 << 20,
                  skip_rows: int = 0, column_names: Optional[List[str]] = None,
                  autogenerate_column_names: bool = False,
@@ -43,20 +53,22 @@ class ReadOptions:
         self.skip_rows_after_names = skip_rows_after_names
 
 
-class ParseOptions:
+class ParseOptions(_OptionsBase):
     def __init__(self, delimiter: str = ",", quote_char: str = '"',
                  double_quote: bool = True, escape_char=False,
                  newlines_in_values: bool = False,
-                 ignore_empty_lines: bool = True):
+                 ignore_empty_lines: bool = True,
+                 invalid_row_handler=None):
         self.delimiter = delimiter
         self.quote_char = quote_char
         self.double_quote = double_quote
         self.escape_char = escape_char
         self.newlines_in_values = newlines_in_values
         self.ignore_empty_lines = ignore_empty_lines
+        self.invalid_row_handler = invalid_row_handler
 
 
-class ConvertOptions:
+class ConvertOptions(_OptionsBase):
     def __init__(self, check_utf8: bool = True,
                  column_types: Optional[Dict[str, DataType]] = None,
                  null_values: Optional[List[str]] = None,
@@ -66,6 +78,10 @@ class ConvertOptions:
                  include_columns: Optional[List[str]] = None,
                  include_missing_columns: bool = False,
                  auto_dict_encode: bool = False,
+                 auto_dict_max_cardinality: int = 50,
+                 decimal_point: str = ".",
+                 default_column_type=None,
+                 quoted_strings_can_be_null: bool = True,
                  timestamp_parsers=None):
         self.check_utf8 = check_utf8
         self.column_types = column_types or {}
@@ -77,17 +93,23 @@ class ConvertOptions:
         self.include_columns = include_columns
         self.include_missing_columns = include_missing_columns
         self.auto_dict_encode = auto_dict_encode
+        self.auto_dict_max_cardinality = auto_dict_max_cardinality
+        self.decimal_point = decimal_point
+        self.default_column_type = default_column_type
+        self.quoted_strings_can_be_null = quoted_strings_can_be_null
         self.timestamp_parsers = timestamp_parsers
 
 
-class WriteOptions:
+class WriteOptions(_OptionsBase):
     def __init__(self, include_header: bool = True,
                  batch_size: int = 1024, delimiter: str = ",",
-                 quoting_style: str = "needed"):
+                 quoting_style: str = "needed",
+                 quoting_header: str = "needed"):
         self.include_header = include_header
         self.batch_size = batch_size
         self.delimiter = delimiter
         self.quoting_style = quoting_style
+        self.quoting_header = quoting_header
 
 
 def _open_text(source, encoding):

@@ -17,14 +17,24 @@ from ..table import Table
 from ..types import Schema
 
 
-class ReadOptions:
+class _OptionsBase:
+    """equals/validate surface shared by the options classes
+    (pyarrow _csv.pyx options semantics)."""
+
+    def equals(self, other) -> bool:
+        return (type(self) is type(other) and
+                self.__dict__ == other.__dict__)
+
+    def validate(self) -> None:
+        return None
+class ReadOptions(_OptionsBase):
     def __init__(self, use_threads: bool = True,
                  block_size: int = 1 << 20):
         self.use_threads = use_threads
         self.block_size = block_size
 
 
-class ParseOptions:
+class ParseOptions(_OptionsBase):
     def __init__(self, explicit_schema: Optional[Schema] = None,
                  newlines_in_values: bool = False,
                  unexpected_field_behavior: str = "infer"):

@@ -559,3 +559,24 @@ def test_dataset_scanner_methods(tmp_path):
     assert sc.projected_schema.names == ["a"]
     assert sc.to_reader().read_all().num_rows == 100
     assert sum(c.record_batch.num_rows for c in sc.scan_batches()) == 100
+
+
+def test_csv_json_options_surfaces():
+    pcsv = pytest.importorskip("pyarrow.csv")
+    pjson = pytest.importorskip("pyarrow.json")
+    import arrow_tpu.io.csv as acsv
+    import arrow_tpu.io.json as ajson
+    for rc, oc in [(pcsv.ReadOptions, acsv.ReadOptions),
+                   (pcsv.ParseOptions, acsv.ParseOptions),
+                   (pcsv.ConvertOptions, acsv.ConvertOptions),
+                   (pcsv.WriteOptions, acsv.WriteOptions),
+                   (pjson.ReadOptions, ajson.ReadOptions),
+                   (pjson.ParseOptions, ajson.ParseOptions)]:
+        inst = oc()
+        missing = sorted(n for n in dir(rc) if not n.startswith("_")
+                         and not hasattr(inst, n))
+        assert missing == [], (oc.__name__, missing)
+    ro = acsv.ReadOptions(block_size=5)
+    assert ro.equals(acsv.ReadOptions(block_size=5))
+    assert not ro.equals(acsv.ReadOptions())
+    ro.validate()
