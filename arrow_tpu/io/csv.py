@@ -168,18 +168,28 @@ def _convert_column(strs: List[Optional[str]], opts: ConvertOptions,
             return with_nulls([v in tv for v in raw], t)
         if t.is_integer or t.is_floating:
             dt = t.to_numpy_dtype()
-            vals = np.where(nulls, "0", raw.astype(str)).astype(dt)
+            sv = raw.astype(str)
+            if t.is_floating and opts.decimal_point != ".":
+                sv = np.char.replace(sv, opts.decimal_point, ".")
+            vals = np.where(nulls, "0", sv).astype(dt)
             return with_nulls(vals.tolist(), t)
         if t.id == T.TypeId.DATE32:
             return with_nulls([_parse_date(v) for v in raw], t)
         if t.id == T.TypeId.TIMESTAMP:
-            return with_nulls([_parse_ts(v) for v in raw], t)
+            return with_nulls([_parse_ts(v, opts.timestamp_parsers)
+                               for v in raw], t)
         raise NotImplementedError(f"CSV conversion to {t!r}")
+
+    if opts.default_column_type is not None:
+        return _convert_column(strs, _replace_default(opts),
+                               opts.default_column_type)
 
     # inference (reference order)
     if nulls.all():
         return make_array([None] * n, T.null())
     svals = raw.astype(str)
+    if opts.decimal_point != ".":
+        svals = np.char.replace(svals, opts.decimal_point, ".")
     out = _try_int64(svals, nulls)
     if out is not None:
         return with_nulls(out.tolist(), T.int64())
@@ -200,15 +210,39 @@ def _convert_column(strs: List[Optional[str]], opts: ConvertOptions,
     except Exception:
         pass
     can_null = opts.strings_can_be_null
-    return make_array([None if (s is None or (can_null and s in null_set))
-                       else s for s in strs], T.string())
+    out = make_array([None if (s is None or (can_null and s in null_set))
+                      else s for s in strs], T.string())
+    if opts.auto_dict_encode:
+        distinct = {s for s in strs if s is not None}
+        if len(distinct) <= opts.auto_dict_max_cardinality:
+            return out.dictionary_encode()
+    return out
+
+
+def _replace_default(opts: ConvertOptions) -> ConvertOptions:
+    import copy
+    o = copy.copy(opts)
+    o.default_column_type = None
+    return o
 
 
 def _parse_date(v):
     return datetime.date.fromisoformat(v)
 
 
-def _parse_ts(v):
+def _parse_ts(v, parsers=None):
+    if parsers:
+        for fmt in parsers:
+            if fmt == ISO8601:
+                try:
+                    return datetime.datetime.fromisoformat(v)
+                except ValueError:
+                    continue
+            try:
+                return datetime.datetime.strptime(v, fmt)
+            except ValueError:
+                continue
+        raise ValueError(f"no timestamp parser matched {v!r}")
     return datetime.datetime.fromisoformat(v)
 
 
@@ -241,9 +275,19 @@ def read_csv(source, read_options: Optional[ReadOptions] = None,
         next(rows, None)
 
     cols: List[List[Optional[str]]] = [[] for _ in names]
-    for row in rows:
+    for rownum, row in enumerate(rows):
         if not row and po.ignore_empty_lines:
             continue
+        if len(row) != len(names) and po.invalid_row_handler is not None:
+            decision = po.invalid_row_handler(InvalidRow(
+                len(names), len(row), rownum, ",".join(row)))
+            if decision == "skip":
+                continue
+            if decision == "error":
+                from ..errors import ArrowInvalid
+                raise ArrowInvalid(
+                    f"CSV row {rownum}: expected {len(names)} columns, "
+                    f"got {len(row)}")
         for i in range(len(names)):
             cols[i].append(row[i] if i < len(row) else None)
 

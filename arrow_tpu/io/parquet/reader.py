@@ -48,6 +48,7 @@ ENC_BYTE_STREAM_SPLIT = 9
 CODEC_UNCOMPRESSED = 0
 CODEC_SNAPPY = 1
 CODEC_GZIP = 2
+CODEC_BROTLI = 4
 CODEC_ZSTD = 6
 
 PAGE_DATA = 0
@@ -74,8 +75,12 @@ def _decompress(codec: int, data: bytes, uncompressed_size: int) -> bytes:
             raise NotImplementedError(
                 "snappy needs the native library (build failed)")
         return out
-    raise NotImplementedError(f"parquet codec {codec} not supported "
-                              "(brotli unavailable)")
+    if codec == CODEC_BROTLI:
+        from ...utils import brotli_ctypes
+        if brotli_ctypes.available():
+            return brotli_ctypes.decompress(data, uncompressed_size)
+        raise NotImplementedError("brotli: libbrotli not available")
+    raise NotImplementedError(f"parquet codec {codec} not supported")
 
 
 class ColumnSchema:

@@ -17,7 +17,8 @@ from ...array.array import Array
 from ...table import RecordBatch, Table
 from ...types import DataType, Schema, TypeId
 from ...utils import bits as bitutil
-from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_SNAPPY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
+from .reader import (BOOLEAN, BYTE_ARRAY, CODEC_BROTLI, CODEC_GZIP,
+                     CODEC_SNAPPY, CODEC_UNCOMPRESSED, CODEC_ZSTD,
                      DOUBLE, ENC_BYTE_STREAM_SPLIT, ENC_DELTA_BINARY_PACKED,
                      ENC_PLAIN, ENC_RLE, ENC_RLE_DICTIONARY, FLBA,
                      FLOAT, INT32, INT64, MAGIC, PAGE_DATA, PAGE_DICT)
@@ -199,6 +200,13 @@ def _compress(codec: int, data: bytes) -> bytes:
         if out is None:
             raise NotImplementedError("native snappy unavailable")
         return out
+    if codec == CODEC_GZIP:
+        import zlib
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+    if codec == CODEC_BROTLI:
+        from ...utils import brotli_ctypes
+        return brotli_ctypes.compress(data)
     raise NotImplementedError(f"codec {codec}")
 
 
@@ -240,7 +248,8 @@ class ParquetWriter:
         self.sink = sink
         self.schema = schema
         self.codec = {None: CODEC_UNCOMPRESSED, "none": CODEC_UNCOMPRESSED,
-                      "zstd": CODEC_ZSTD, "snappy": CODEC_SNAPPY}[
+                      "zstd": CODEC_ZSTD, "snappy": CODEC_SNAPPY,
+                      "gzip": CODEC_GZIP, "brotli": CODEC_BROTLI}[
             compression.lower() if isinstance(compression, str)
             else compression]
         self.use_dictionary = use_dictionary

@@ -194,17 +194,21 @@ CompressedOutputStream = output_stream
 
 class Codec:
     """Compression codec registry (util/compression.h). Backends:
-    zstd/gzip/snappy (native C++)/lz4 frame (native C++)/bz2; brotli
-    is unavailable in this environment and raises."""
+    zstd/gzip/snappy (native C++)/lz4 frame (native C++)/bz2/brotli
+    (system libbrotli via ctypes)."""
 
     def __init__(self, compression: str, compression_level=None):
         self.name = compression.lower()
         self.compression_level = compression_level
         if self.name not in ("zstd", "gzip", "snappy", "lz4",
-                             "lz4_frame", "bz2"):
+                             "lz4_frame", "bz2", "brotli"):
             raise ArrowInvalid(
                 f"unsupported codec {compression!r} "
-                "(zstd/gzip/snappy/lz4/bz2 available)")
+                "(zstd/gzip/snappy/lz4/bz2/brotli available)")
+        if self.name == "brotli":
+            from .utils import brotli_ctypes
+            if not brotli_ctypes.available():
+                raise ArrowInvalid("brotli: libbrotli not available")
 
     @staticmethod
     def is_available(compression: str) -> bool:
@@ -233,6 +237,10 @@ class Codec:
         if self.name == "bz2":
             import bz2
             return bz2.compress(data, self.compression_level or 9)
+        if self.name == "brotli":
+            from .utils import brotli_ctypes
+            return brotli_ctypes.compress(
+                data, quality=self.compression_level or 8)
         from .utils import lz4frame
         return lz4frame.compress(data)
 
@@ -254,6 +262,9 @@ class Codec:
         if self.name == "bz2":
             import bz2
             return bz2.decompress(data)
+        if self.name == "brotli":
+            from .utils import brotli_ctypes
+            return brotli_ctypes.decompress(data, decompressed_size)
         from .utils import lz4frame
         return lz4frame.decompress(data)
 

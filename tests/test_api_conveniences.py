@@ -580,3 +580,67 @@ def test_csv_json_options_surfaces():
     assert ro.equals(acsv.ReadOptions(block_size=5))
     assert not ro.equals(acsv.ReadOptions())
     ro.validate()
+
+
+def test_csv_convert_options_semantics():
+    import io as _io
+    pcsv = pytest.importorskip("pyarrow.csv")
+    pa = pytest.importorskip("pyarrow")
+    import arrow_tpu.io.csv as acsv
+    # decimal_point
+    data = b"x\n1,5\n2,25\n"
+    ours = acsv.read_csv(
+        _io.BytesIO(data), parse_options=acsv.ParseOptions(delimiter=";"),
+        convert_options=acsv.ConvertOptions(decimal_point=","))
+    assert ours.column("x").to_pylist() == [1.5, 2.25]
+    # default_column_type suppresses inference
+    t2 = acsv.read_csv(
+        _io.BytesIO(b"a\n1\n2\n"),
+        convert_options=acsv.ConvertOptions(
+            default_column_type=at.string()))
+    assert t2.column("a").to_pylist() == ["1", "2"]
+    # auto_dict_encode matches pyarrow's type choice
+    t3 = acsv.read_csv(
+        _io.BytesIO(b"s\nx\ny\nx\n"),
+        convert_options=acsv.ConvertOptions(auto_dict_encode=True))
+    assert t3.schema.types[0].id == at.TypeId.DICTIONARY
+    assert t3.column("s").to_pylist() == ["x", "y", "x"]
+    # cardinality cap falls back to plain strings
+    t3b = acsv.read_csv(
+        _io.BytesIO(b"s\nx\ny\nz\n"),
+        convert_options=acsv.ConvertOptions(auto_dict_encode=True,
+                                            auto_dict_max_cardinality=2))
+    assert t3b.schema.types[0] == at.string()
+    # timestamp_parsers (strptime formats)
+    t4 = acsv.read_csv(
+        _io.BytesIO(b"t\n01/02/2020\n"),
+        convert_options=acsv.ConvertOptions(
+            column_types={"t": at.timestamp("s")},
+            timestamp_parsers=["%d/%m/%Y"]))
+    ref4 = pcsv.read_csv(
+        _io.BytesIO(b"t\n01/02/2020\n"),
+        convert_options=pcsv.ConvertOptions(
+            column_types={"t": pa.timestamp("s")},
+            timestamp_parsers=["%d/%m/%Y"]))
+    assert t4.column("t").to_pylist() == ref4.column("t").to_pylist()
+
+
+def test_csv_invalid_row_handler():
+    import io as _io
+    import arrow_tpu.io.csv as acsv
+    data = b"a,b\n1,2\n3\n4,5\n"
+    seen = []
+
+    def skip(row):
+        seen.append((row.number, row.actual_columns,
+                     row.expected_columns))
+        return "skip"
+
+    t = acsv.read_csv(_io.BytesIO(data),
+                      parse_options=acsv.ParseOptions(
+                          invalid_row_handler=skip))
+    assert t.num_rows == 2 and seen == [(1, 1, 2)]
+    with pytest.raises(Exception):
+        acsv.read_csv(_io.BytesIO(data),
+                      parse_options=acsv.ParseOptions(
+                          invalid_row_handler=lambda r: "error"))

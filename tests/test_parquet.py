@@ -128,11 +128,15 @@ def test_metadata_surface():
     assert "arrow_tpu" in f.created_by
 
 
-def test_unsupported_codec_raises():
+def test_brotli_now_supported():
+    """brotli was unsupported; the system-libbrotli binding reads it."""
     pa_t = pa.table({"x": [1, 2, 3]})
     data = pa_to_bytes(pa_t, compression="brotli")
-    with pytest.raises(NotImplementedError):
-        pq.read_table(data)
+    assert pq.read_table(data).column("x").to_pylist() == [1, 2, 3]
+    with pytest.raises((NotImplementedError, KeyError)):
+        # LZO remains unsupported (no system codec)
+        from arrow_tpu.io.parquet.reader import _decompress
+        _decompress(3, b"xx", 10)
 
 
 def test_randomized_large():

@@ -112,3 +112,28 @@ def test_pyarrow_writes_we_read(seed):
         row_group_size=rng.choice([64, 10000]))
     got = read_table(buf.getvalue())
     _assert_equal(got, pt.to_pydict())
+
+
+def test_brotli_gzip_codecs_interop():
+    """brotli (system libbrotli via ctypes) + gzip write paths, both
+    interop directions (util/compression_brotli.cc analogue)."""
+    pa = pytest.importorskip("pyarrow")
+    papq = pytest.importorskip("pyarrow.parquet")
+    t = at.table({"a": list(range(5000)),
+                  "s": [f"v{i % 7}" for i in range(5000)]})
+    for comp in ("brotli", "gzip"):
+        buf = io.BytesIO()
+        write_table(t, buf, compression=comp)
+        assert read_table(buf.getvalue()).column("a").to_pylist() == \
+            list(range(5000))
+        assert papq.read_table(io.BytesIO(
+            buf.getvalue())).column("a").to_pylist() == list(range(5000))
+        pbuf = io.BytesIO()
+        papq.write_table(pa.table(t.to_pydict()), pbuf, compression=comp)
+        assert read_table(pbuf.getvalue()).column("s").to_pylist()[:3] \
+            == ["v0", "v1", "v2"]
+    c = at.Codec("brotli")
+    blob = c.compress(b"xyz" * 1000)
+    assert c.decompress(blob) == b"xyz" * 1000
+    assert c.decompress(blob, 3000) == b"xyz" * 1000
+    assert at.Codec.is_available("brotli")
