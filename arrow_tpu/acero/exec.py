@@ -522,72 +522,103 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
         return jax.jit(sort_fn)(out)
 
     if decl.factory_name in _CHAINABLE:
-        # Planner rewrite: aggregate over filter(+projects) consumes the
-        # filter MASK instead of a compacted batch — the filter's data
-        # movement disappears (projects are elementwise and mask-
-        # independent, so they commute with the rewrite).
-        if decl.factory_name == "aggregate":
-            chain = []
-            cur = decl.inputs[0]
-            while cur.factory_name == "project":
-                chain.append(cur)
-                cur = cur.inputs[0]
-            if cur.factory_name == "filter":
-                mask_expr = cur.options.filter_expression
-                input_batch = execute_declaration(cur.inputs[0],
-                                                  _root=False)
-                key = ("agg_fused", _config_key(decl),
-                       tuple(_config_key(d) for d in chain),
-                       repr(mask_expr), _dict_ids(input_batch))
-
-                def make_fused(chain=tuple(chain), mask_expr=mask_expr,
-                               options=decl.options):
-                    proj_fns = [
-                        _CHAINABLE["project"](d.options, None)[0]
-                        for d in reversed(chain)]
-                    agg_fn, _ = _node_aggregate(options, None,
-                                                pre_mask_expr=mask_expr)
-
-                    def staged(batch):
-                        # carry the ORIGINAL columns too: the mask may
-                        # reference columns the projects drop
-                        projected = batch
-                        for f in proj_fns:
-                            projected = f(projected)
-                        merged_cols = list(projected.columns)
-                        merged_fields = list(projected.schema.fields)
-                        have = set(projected.schema.names)
-                        for fld, c in zip(batch.schema.fields,
-                                          batch.columns):
-                            if fld.name not in have:
-                                merged_cols.append(c)
-                                merged_fields.append(fld)
-                        merged = DeviceBatch(Schema(merged_fields),
-                                             merged_cols,
-                                             batch.row_count)
-                        return agg_fn(merged)
-                    return staged
-
-                fn = _cached_jit(key, make_fused)
-                return fn(input_batch)
-
-        # Per-node jit, NOT one fused program: measured on v5e, fusing the
-        # whole chain into a single XLA computation regresses Q1 by ~60x
-        # (scatter/segment fusions recompute across consumers; barriers
-        # do not help). Node-level executables dispatch asynchronously so
-        # the pipeline still overlaps without host round-trips.
-        input_batch = execute_declaration(decl.inputs[0], _root=False)
-        key = (decl.factory_name, _config_key(decl),
+        # Collect the maximal linear segment of chainable unary nodes and
+        # compile it as ONE XLA program (measured on v5e: Q1 SF0.1 as one
+        # program runs 1.6x faster than per-node programs — 1.81 vs
+        # 2.88 ms — and matches at SF1 where device compute dominates;
+        # one program also cuts the remote-compiler invocations that made
+        # Q3 compile-bound on the tunneled platform). Segmented
+        # aggregates stay un-fused (they re-enter the executor above).
+        # ARROW_TPU_FUSE=off restores per-node programs for debugging.
+        seg = [decl]
+        cur = decl.inputs[0]
+        limit = 1 if _fuse_mode() == "off" else 64
+        while (len(seg) < limit and cur.factory_name in _CHAINABLE
+               and not (cur.factory_name == "aggregate"
+                        and getattr(cur.options, "segment_keys", None))):
+            seg.append(cur)
+            cur = cur.inputs[0]
+        decls_exec_order = list(reversed(seg))
+        input_batch = execute_declaration(cur, _root=False)
+        key = ("segment",
+               tuple((d.factory_name, _config_key(d))
+                     for d in decls_exec_order),
                _dict_ids(input_batch))
 
-        def make():
-            fn, _ = _CHAINABLE[decl.factory_name](decl.options, None)
-            return fn
+        def make(decls=tuple(decls_exec_order)):
+            fns = _segment_fns(decls)
+
+            def staged(batch):
+                for f in fns:
+                    batch = f(batch)
+                return batch
+            return staged
 
         fn = _cached_jit(key, make)
         return fn(input_batch)
 
     raise ArrowInvalid(f"unknown node factory {decl.factory_name!r}")
+
+
+_FUSE_MODE = None
+
+
+def _fuse_mode() -> str:
+    global _FUSE_MODE
+    if _FUSE_MODE is None:
+        _FUSE_MODE = os.environ.get("ARROW_TPU_FUSE", "on")
+    return _FUSE_MODE
+
+
+def _segment_fns(decls: Sequence[Declaration]) -> List[Callable]:
+    """Lower a linear run of chainable declarations (execution order) to
+    composable DeviceBatch -> DeviceBatch functions, applying the
+    filter-into-aggregate planner rewrite: an aggregate over
+    filter(+projects) consumes the filter MASK instead of a compacted
+    batch — the filter's data movement disappears (projects are
+    elementwise and mask-independent, so they commute with the
+    rewrite)."""
+    decls = list(decls)
+    node_fns: List[Callable] = []
+    i = 0
+    while i < len(decls):
+        d = decls[i]
+        if d.factory_name == "filter":
+            j = i + 1
+            while j < len(decls) and decls[j].factory_name == "project":
+                j += 1
+            if j < len(decls) and decls[j].factory_name == "aggregate":
+                mask_expr = d.options.filter_expression
+                proj_fns = [_CHAINABLE["project"](p2.options, None)[0]
+                            for p2 in decls[i + 1:j]]
+                agg_fn, _ = _node_aggregate(decls[j].options, None,
+                                            pre_mask_expr=mask_expr)
+
+                def fused(batch, proj_fns=tuple(proj_fns),
+                          agg_fn=agg_fn):
+                    # carry the ORIGINAL columns too: the mask may
+                    # reference columns the projects drop
+                    projected = batch
+                    for f in proj_fns:
+                        projected = f(projected)
+                    merged_cols = list(projected.columns)
+                    merged_fields = list(projected.schema.fields)
+                    have = set(projected.schema.names)
+                    for fld, c in zip(batch.schema.fields, batch.columns):
+                        if fld.name not in have:
+                            merged_cols.append(c)
+                            merged_fields.append(fld)
+                    merged = DeviceBatch(Schema(merged_fields),
+                                         merged_cols, batch.row_count)
+                    return agg_fn(merged)
+
+                node_fns.append(fused)
+                i = j + 1
+                continue
+        fn, _ = _CHAINABLE[d.factory_name](d.options, None)
+        node_fns.append(fn)
+        i += 1
+    return node_fns
 
 
 def _pivot_longer_host(options, tbl: Table) -> Table:
@@ -857,51 +888,23 @@ def _barrier_batch(batch: DeviceBatch) -> DeviceBatch:
 
 def compile_chain(decls: Sequence[Declaration]) -> Callable:
     """Compose a sequence of chainable node declarations (filter/project/
-    aggregate/order_by/fetch) into jitted DeviceBatch -> DeviceBatch
-    functions. Applies the same filter-into-aggregate fusion as the plan
-    executor. Used by benchmarks and the multi-chip driver to time pure
-    device execution with a pre-uploaded batch."""
+    aggregate/order_by/fetch) into ONE jitted DeviceBatch -> DeviceBatch
+    program (per-node programs under ARROW_TPU_FUSE=off). Applies the same
+    filter-into-aggregate fusion as the plan executor. Used by benchmarks
+    and the multi-chip driver to time pure device execution with a
+    pre-uploaded batch."""
     decls = list(decls)
-    node_fns = []
-    i = 0
-    while i < len(decls):
-        d = decls[i]
+    for d in decls:
         if d.factory_name not in _CHAINABLE:
             raise ArrowInvalid(f"{d.factory_name!r} is not chainable")
-        # fusion: filter [project*] aggregate
-        if d.factory_name == "filter":
-            j = i + 1
-            while j < len(decls) and decls[j].factory_name == "project":
-                j += 1
-            if j < len(decls) and decls[j].factory_name == "aggregate":
-                mask_expr = d.options.filter_expression
-                proj_fns = [_CHAINABLE["project"](p2.options, None)[0]
-                            for p2 in decls[i + 1:j]]
-                agg_fn, _ = _node_aggregate(decls[j].options, None,
-                                            pre_mask_expr=mask_expr)
+    node_fns = _segment_fns(decls)
 
-                def fused(batch, proj_fns=tuple(proj_fns),
-                          agg_fn=agg_fn):
-                    projected = batch
-                    for f in proj_fns:
-                        projected = f(projected)
-                    merged_cols = list(projected.columns)
-                    merged_fields = list(projected.schema.fields)
-                    have = set(projected.schema.names)
-                    for fld, c in zip(batch.schema.fields, batch.columns):
-                        if fld.name not in have:
-                            merged_cols.append(c)
-                            merged_fields.append(fld)
-                    merged = DeviceBatch(Schema(merged_fields),
-                                         merged_cols, batch.row_count)
-                    return agg_fn(merged)
-
-                node_fns.append(fused)
-                i = j + 1
-                continue
-        fn, _ = _CHAINABLE[d.factory_name](d.options, None)
-        node_fns.append(fn)
-        i += 1
+    if _fuse_mode() != "off":
+        def whole(batch, fns=tuple(node_fns)):
+            for f in fns:
+                batch = f(batch)
+            return batch
+        return jax.jit(whole)
 
     jitted = [jax.jit(f) for f in node_fns]
 
