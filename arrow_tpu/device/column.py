@@ -66,11 +66,13 @@ def jnp_dtype_for(t: DataType):
         return jnp.int8  # all-null column: dummy zeros + all-false validity
     if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         # device decimal = unscaled int64 (SURVEY §2.2 "decimals → int64
-        # on TPU"); precision beyond 18 digits stays host-only
+        # on TPU"); wider precisions ride as dictionary codes (see
+        # upload_column)
         if t.precision > 18:
-            raise NotImplementedError(
-                f"device decimal limited to precision 18, got {t!r}")
+            return jnp.int32
         return jnp.int64
+    if t.id == TypeId.FIXED_SIZE_BINARY:
+        return jnp.int32  # dictionary codes
     if t.id in _JNP_DTYPES:
         return _JNP_DTYPES[t.id]
     raise NotImplementedError(f"no device representation for {t!r}")
@@ -291,26 +293,101 @@ def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
         return DeviceColumn(vals, validity, t)
 
     if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
-        dtype = jnp_dtype_for(t)  # raises for precision > 18
-        d = arr.data
-        w = t.byte_width
-        raw = d.buffers[1].to_numpy().reshape(-1, w)[d.offset:d.offset + n]
-        # two's-complement little-endian truncated to the low limb is the
-        # value itself whenever it fits in int64 (precision <= 18 does)
-        low = raw[:, :8].copy().view(np.int64).reshape(-1)
-        vals = np.zeros(cap, dtype=np.int64)
-        vals[:n] = low
-        validity = _upload_mask(arr.data.validity_mask(), n, cap,
-                                arr.null_count)
-        return DeviceColumn(jnp.asarray(vals), validity, t)
+        if t.precision <= 18:
+            d = arr.data
+            w = t.byte_width
+            raw = d.buffers[1].to_numpy().reshape(-1, w)[d.offset:d.offset + n]
+            # two's-complement little-endian truncated to the low limb is
+            # the value itself whenever it fits in int64 (precision <= 18
+            # does)
+            low = raw[:, :8].copy().view(np.int64).reshape(-1)
+            vals = np.zeros(cap, dtype=np.int64)
+            vals[:n] = low
+            validity = _upload_mask(arr.data.validity_mask(), n, cap,
+                                    arr.null_count)
+            return DeviceColumn(jnp.asarray(vals), validity, t)
+        # precision > 18: dictionary-encode the 16/32-byte two's-complement
+        # values — codes give exact equality for group/join keys; order-by
+        # ranks the (Decimal-valued) dictionary host-side like strings
+        codes, mask, dict_arr = _dictionary_encode_fixed(arr)
+        vals = np.zeros(cap, dtype=np.int32)
+        vals[:n] = codes
+        validity = _upload_mask(mask, n, cap, arr.null_count)
+        return DeviceColumn(jnp.asarray(vals), validity, t, dict_arr)
 
-    dtype = jnp_dtype_for(t)
+    if tid == TypeId.FIXED_SIZE_BINARY:
+        codes, mask, dict_arr = _dictionary_encode_fixed(arr)
+        vals = np.zeros(cap, dtype=np.int32)
+        vals[:n] = codes
+        validity = _upload_mask(mask, n, cap, arr.null_count)
+        return DeviceColumn(jnp.asarray(vals), validity, t, dict_arr)
+
+    try:
+        dtype = jnp_dtype_for(t)
+    except NotImplementedError:
+        # host passthrough: nested/union/REE/interval columns have no
+        # fixed-width device representation; they ride plans as row-id
+        # codes with the host Array in the dictionary slot. Row movement
+        # (filter/sort payloads/take/join carry) works on the ids; the
+        # values are rehydrated at download. Compute ON such a column
+        # stays host-tier (reference precedent: Acero's Grouper/joins
+        # don't accept nested keys either).
+        codes = np.zeros(cap, dtype=np.int32)
+        codes[:n] = np.arange(n, dtype=np.int32)
+        mask = arr.data.validity_mask()
+        validity = _upload_mask(mask, n, cap, arr.null_count)
+        return DeviceColumn(jnp.asarray(codes), validity, t, arr)
+
     host_vals = arr.data.values()
     vals = np.zeros(cap, dtype=np.dtype(dtype))
     vals[:n] = host_vals
     mask = arr.data.validity_mask()
     validity = _upload_mask(mask, n, cap, arr.null_count)
     return DeviceColumn(jnp.asarray(vals), validity, t)
+
+
+def _dictionary_encode_fixed(arr: Array) -> Tuple[np.ndarray,
+                                                  Optional[np.ndarray],
+                                                  Array]:
+    """Dictionary-encode a fixed-width byte type (fixed-size binary or
+    decimal wider than 18 digits): (codes, valid_mask, dictionary Array of
+    the same type). Null rows are zeroed before encoding so every row has
+    uniform width; validity hides them."""
+    d = arr.data
+    t = arr.type
+    w = t.byte_width
+    n = d.length
+    mask = d.validity_mask()
+    raw = np.ascontiguousarray(d.values()).reshape(n, w)
+    if mask is not None:
+        raw = raw.copy()
+        raw[~mask] = 0
+    from ..native import dict_encode_binary
+    offs = np.arange(n + 1, dtype=np.int64) * w
+    native = dict_encode_binary(raw.reshape(-1), offs, None)
+    if native is not None:
+        codes, _uoffs, ubytes = native
+        ubytes = np.ascontiguousarray(ubytes)
+        n_uniq = len(_uoffs) - 1
+    else:
+        if n == 0:
+            codes = np.zeros(0, dtype=np.int32)
+            ubytes = np.zeros(0, dtype=np.uint8)
+            n_uniq = 0
+        else:
+            uniq, inv = np.unique(raw, axis=0, return_inverse=True)
+            inv = inv.reshape(-1)
+            first_pos = np.full(len(uniq), n, dtype=np.int64)
+            np.minimum.at(first_pos, inv, np.arange(n))
+            order = np.argsort(first_pos, kind="stable")
+            rank = np.empty(len(order), dtype=np.int64)
+            rank[order] = np.arange(len(order))
+            codes = rank[inv].astype(np.int32)
+            ubytes = np.ascontiguousarray(uniq[order]).reshape(-1)
+            n_uniq = len(uniq)
+    dict_arr = Array(ArrayData(t, n_uniq, [None, Buffer(ubytes)],
+                               null_count=0))
+    return codes, mask, dict_arr
 
 
 def _upload_mask(mask: Optional[np.ndarray], n: int, cap: int,
@@ -376,6 +453,30 @@ def download_column(col: DeviceColumn, n: int,
         return Array(ArrayData(
             t, n, [vbuf, Buffer(bitutil.pack_bits(vals.astype(np.bool_)))],
             null_count=null_count))
+
+    if col.dictionary is not None:
+        # generic dictionary decode (fixed-size binary / wide decimal /
+        # host-passthrough nested columns)
+        codes = vals.astype(np.int64)
+        if mask is not None:
+            codes = np.where(mask, codes, 0)
+        nd = len(col.dictionary)
+        codes = np.clip(codes, 0, max(nd - 1, 0))
+        if t.id in (TypeId.FIXED_SIZE_BINARY, TypeId.DECIMAL128,
+                    TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
+            w = t.byte_width
+            draw = col.dictionary.data.values().reshape(nd, w) if nd \
+                else np.zeros((1, w), dtype=np.uint8)
+            rows = draw[codes] if nd else np.zeros((n, w), dtype=np.uint8)
+            return Array(ArrayData(t, n,
+                                   [vbuf, Buffer(
+                                       np.ascontiguousarray(rows)
+                                       .reshape(-1))],
+                                   null_count=null_count))
+        dvals = col.dictionary.to_pylist()
+        out = [None if (mask is not None and not mask[i])
+               else dvals[int(codes[i])] for i in range(n)]
+        return make_array(out, t)
 
     if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         w = t.byte_width

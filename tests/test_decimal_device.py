@@ -85,13 +85,13 @@ def test_decimal_add_scale_mismatch_raises():
         pc.add(t.column("a").combine(), t.column("b").combine())
 
 
-def test_decimal_precision_over_18_stays_host():
+def test_decimal_precision_over_18_uploads_as_codes():
+    # wide decimals ride as dictionary codes (tests/test_passthrough.py
+    # covers the full key/sort/join semantics)
     t = at.table({"a": [Decimal("1.5")]},
                  schema=at.schema([at.field("a", at.decimal128(38, 1))]))
-    with pytest.raises(NotImplementedError):
-        upload_table(t)
-    # host path still fine
-    assert t.column("a").to_pylist() == [Decimal("1.5")]
+    back = download_table(upload_table(t))
+    assert back.to_pydict() == t.to_pydict()
 
 
 def test_decimal_join_key():
