@@ -380,7 +380,15 @@ class Declaration:
                 (a[1][5:] if a[1].startswith("hash_") else a[1])
                 in HOST_AGGS for a in self.options.aggregates):
             return maybe_host_aggregate(self)
-        batch = execute_declaration(self)
+        try:
+            batch = execute_declaration(self)
+        except ArrowInvalid as e:
+            # trace-time signal from decode_numeric_dict: the aggregate's
+            # target column is code-valued (wide decimal / nested) — rerun
+            # the aggregation exactly on the host tier
+            if self.factory_name == "aggregate" and "host tier" in str(e):
+                return maybe_host_aggregate(self, force=True)
+            raise
         return download_table(batch)
 
     def to_batches(self) -> List[RecordBatch]:

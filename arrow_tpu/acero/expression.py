@@ -197,17 +197,31 @@ def _rank_transform(col: DeviceColumn):
 
 
 def _translate_string_compare(fn, args):
+    """Comparisons against dictionary-coded columns (strings, fixed-size
+    binary, wide decimals, nested passthrough) translate to host work on
+    the dictionary values + a device code compare."""
+    import decimal as _decimal
     a, b = args
     a_str, b_str = _is_string_col(a), _is_string_col(b)
     if not a_str and not b_str:
         return args
     if a_str and b_str:
-        raise ArrowInvalid(
-            "string-to-string comparison requires unified dictionaries "
-            "(join keys are unified automatically)")
+        # column-vs-column: re-encode both against the sorted union
+        # dictionary, then compare the (order-preserving) codes directly
+        from ..compute.dispatch import unify_device_dicts
+        ua, ub = unify_device_dicts([a, b])
+        if ua.dictionary is not ub.dictionary:
+            raise ArrowInvalid(
+                "dictionary comparison requires unifiable dictionaries")
+        return [DeviceColumn(ua.values.astype(jnp.int64), ua.validity,
+                             T.int64()),
+                DeviceColumn(ub.values.astype(jnp.int64), ub.validity,
+                             T.int64())]
     col, lit, col_first = (a, b, True) if a_str else (b, a, False)
-    if not isinstance(lit, (str, bytes)):
-        raise ArrowInvalid(f"cannot compare strings with {type(lit)}")
+    if not isinstance(lit, (str, bytes, int, float, _decimal.Decimal)) or \
+            isinstance(lit, bool):
+        raise ArrowInvalid(
+            f"cannot compare dictionary-coded values with {type(lit)}")
     if fn in ("equal", "not_equal"):
         # value-level equality: every dictionary slot holding the literal
         # matches (derived dictionaries may hold duplicate values), so

@@ -21,6 +21,13 @@ from ..table import Table
 HOST_AGGS = {"list", "distinct", "pivot_wider",
              "hash_list", "hash_distinct", "hash_pivot_wider"}
 
+# aggregations with exact host implementations, used as the fallback for
+# code-valued target columns (wide decimals, nested passthrough) that the
+# device's numeric segment reductions must not touch
+_GENERIC_HOST = {"sum", "mean", "product", "min", "max", "min_max",
+                 "count", "count_distinct", "first", "last", "one",
+                 "variance", "stddev"}
+
 
 def _base(fn: str) -> str:
     return fn[5:] if fn.startswith("hash_") else fn
@@ -32,14 +39,34 @@ def _value_type(col_type) -> "T.DataType":
     return col_type
 
 
-def maybe_host_aggregate(decl) -> Optional[Table]:
+def _target_needs_host(tbl: Table, agg) -> bool:
+    """True when the aggregate's target column only exists on device as
+    dictionary/row-id codes that numeric reductions cannot use."""
+    target, fn, _, _ = agg
+    if _base(fn) not in _GENERIC_HOST:
+        return False
+    name = target if isinstance(target, str) else target[0]
+    try:
+        t = tbl.column(name).type
+    except KeyError:
+        return False
+    if t.id in (T.TypeId.DECIMAL128, T.TypeId.DECIMAL256):
+        return t.precision > 18
+    return t.id in (T.TypeId.LIST, T.TypeId.LARGE_LIST,
+                    T.TypeId.FIXED_SIZE_LIST, T.TypeId.STRUCT,
+                    T.TypeId.MAP, T.TypeId.SPARSE_UNION,
+                    T.TypeId.DENSE_UNION, T.TypeId.RUN_END_ENCODED)
+
+
+def maybe_host_aggregate(decl, force: bool = False) -> Optional[Table]:
     """Intercept an aggregate plan root whose aggregations include host-tier
-    functions. Returns the result Table, or None when not applicable."""
+    functions (or, with force=True, whose target columns are code-valued).
+    Returns the result Table, or None when not applicable."""
     if decl.factory_name != "aggregate":
         return None
     options = decl.options
     aggs = options.aggregates
-    if not any(_base(a[1]) in HOST_AGGS for a in aggs):
+    if not force and not any(_base(a[1]) in HOST_AGGS for a in aggs):
         return None
 
     from .exec import Declaration, execute_declaration
@@ -58,8 +85,9 @@ def maybe_host_aggregate(decl) -> Optional[Table]:
     else:
         tbl = download_table(execute_declaration(src, _root=False))
 
-    host = [a for a in aggs if _base(a[1]) in HOST_AGGS]
-    dev = [a for a in aggs if _base(a[1]) not in HOST_AGGS]
+    host = [a for a in aggs if _base(a[1]) in HOST_AGGS
+            or _target_needs_host(tbl, a)]
+    dev = [a for a in aggs if a not in host]
 
     host_cols, host_keys = _host_group_aggs(tbl, keys, host)
 
@@ -165,6 +193,116 @@ def _host_group_aggs(tbl: Table, keys: List[str],
             vt = _value_type(vcol.type)
             st = T.struct([(kn, vt) for kn in key_names])
             out[out_name] = make_array(rows, st)
+        elif base in _GENERIC_HOST:
+            col = tbl.column(target if isinstance(target, str)
+                             else target[0]).combine()
+            out[out_name] = _generic_group_agg(base, col, gids, ngroups,
+                                               opts)
         else:  # pragma: no cover
             raise ArrowInvalid(f"not a host aggregation: {fn}")
     return out, key_arrays
+
+
+def _generic_group_agg(base: str, col, gids, ngroups: int, opts) -> Array:
+    """Exact host grouped aggregation over python values — the fallback
+    tier for code-valued target columns (wide decimals, nested). Matches
+    the device kernels' null semantics (ScalarAggregateOptions)."""
+    import decimal as _d
+
+    from ..compute.registry import ArrowInvalid
+
+    vals = col.to_pylist()
+    skip_nulls = opts.get("skip_nulls", True)
+    min_count = opts.get("min_count",
+                         0 if base in ("first", "last", "one") else 1)
+    buckets: List[list] = [[] for _ in range(ngroups)]
+    has_null = [False] * ngroups
+    for g, v in zip(gids, vals):
+        if v is None:
+            has_null[g] = True
+        else:
+            buckets[g].append(v)
+
+    t = _value_type(col.type)
+    is_dec = t.id in (T.TypeId.DECIMAL128, T.TypeId.DECIMAL256,
+                      T.TypeId.DECIMAL32, T.TypeId.DECIMAL64)
+
+    def ok(g):
+        if len(buckets[g]) < min_count:
+            return False
+        if not skip_nulls and has_null[g]:
+            return False
+        return True
+
+    try:
+        if base == "count":
+            mode = opts.get("mode", "only_valid")
+            if mode == "only_valid":
+                rows = [len(b) for b in buckets]
+            elif mode == "only_null":
+                rows = [sum(1 for g2, v in zip(gids, vals)
+                            if g2 == g and v is None)
+                        for g in range(ngroups)]
+            else:
+                rows = [sum(1 for g2 in gids if g2 == g)
+                        for g in range(ngroups)]
+            return make_array(rows, T.int64())
+        if base == "count_distinct":
+            return make_array([len(set(b)) for b in buckets], T.int64())
+        if base in ("min", "max"):
+            f = min if base == "min" else max
+            return make_array(
+                [f(b) if b and ok(g) else None
+                 for g, b in enumerate(buckets)], t)
+        if base == "min_max":
+            st = T.struct([("min", t), ("max", t)])
+            return make_array(
+                [{"min": min(b), "max": max(b)} if b and ok(g)
+                 else {"min": None, "max": None}
+                 for g, b in enumerate(buckets)], st)
+        if base in ("first", "last", "one"):
+            return make_array(
+                [(b[0] if base != "last" else b[-1]) if b else None
+                 for b in buckets], t)
+        if base in ("variance", "stddev"):
+            ddof = opts.get("ddof", 0)
+            rows = []
+            for g, b in enumerate(buckets):
+                fv = [float(x) for x in b]
+                if len(fv) - ddof <= 0 or not ok(g):
+                    rows.append(None)
+                    continue
+                mu = sum(fv) / len(fv)
+                var = sum((x - mu) ** 2 for x in fv) / (len(fv) - ddof)
+                rows.append(var if base == "variance" else var ** 0.5)
+            return make_array(rows, T.float64())
+        if base in ("sum", "mean", "product"):
+            if not is_dec:
+                raise ArrowInvalid(
+                    f"{base} has no host kernel for {t!r}")
+            from ..compute.decimal_host import (_mk, _max_precision,
+                                                _quant, _round_half_away)
+            out_t = _mk(t, _max_precision(t), t.scale)
+            rows = []
+            for g, b in enumerate(buckets):
+                if not ok(g) or (base == "mean" and not b):
+                    rows.append(None)
+                    continue
+                if base == "sum":
+                    rows.append(sum(b, _d.Decimal(0)).quantize(
+                        _quant(t.scale)))
+                elif base == "product":
+                    p = _d.Decimal(1)
+                    for v in b:
+                        p *= v
+                    rows.append(_round_half_away(p, t.scale))
+                else:
+                    with _d.localcontext() as cctx:
+                        cctx.prec = 80
+                        m = sum(b, _d.Decimal(0)) / len(b)
+                    rows.append(_round_half_away(m, t.scale))
+            return make_array(rows, out_t)
+    except TypeError as e:
+        raise ArrowInvalid(
+            f"{base} has no host kernel for {t!r}: {e}") from None
+    raise ArrowInvalid(f"not a host aggregation: {base}")

@@ -29,22 +29,33 @@ from .registry import ArrowInvalid, ExecContext, Scalar, register
 
 @jax.tree_util.register_pytree_node_class
 class AggResult:
-    """Jit-transparent aggregate result: device value(s) + validity flag."""
+    """Jit-transparent aggregate result: device value(s) + validity flag.
+    ``dictionary`` (aux) marks code-valued results: the scalar value is an
+    index into it (min/max/first/last on dictionary-coded columns)."""
 
-    __slots__ = ("value", "valid", "type", "fields")
+    __slots__ = ("value", "valid", "type", "fields", "dictionary")
 
-    def __init__(self, value, valid, type: DataType, fields=None):
+    def __init__(self, value, valid, type: DataType, fields=None,
+                 dictionary=None):
         self.value = value      # jnp scalar, or tuple of jnp scalars
         self.valid = valid      # jnp bool scalar, or tuple
         self.type = type
         self.fields = fields    # names when value is a tuple (struct result)
+        self.dictionary = dictionary  # host Array for code-valued results
 
     def tree_flatten(self):
-        return (self.value, self.valid), (self.type, self.fields)
+        from ..device.column import _HostRef
+        return (self.value, self.valid), (self.type, self.fields,
+                                          _HostRef(self.dictionary))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], aux[1])
+        return cls(children[0], children[1], aux[0], aux[1], aux[2].obj)
+
+    def _decode(self, v, t):
+        if self.dictionary is not None:
+            return self.dictionary.to_pylist()[int(np.asarray(v))]
+        return _py_typed(v, t)
 
     def to_scalar(self):
         if self.fields is not None:
@@ -53,11 +64,71 @@ class AggResult:
             for i, (name, v, ok) in enumerate(zip(self.fields, self.value,
                                                   self.valid)):
                 ft = ftypes[i].type if ftypes is not None else None
-                vals[name] = _py_typed(v, ft) if bool(ok) else None
+                vals[name] = self._decode(v, ft) if bool(ok) else None
             return Scalar(vals, self.type)
         if not bool(self.valid):
             return Scalar(None, self.type)
-        return Scalar(_py_typed(self.value, self.type), self.type)
+        return Scalar(self._decode(self.value, self.type), self.type)
+
+
+def rank_recode(col: DeviceColumn) -> DeviceColumn:
+    """Re-encode a dictionary-coded column so codes are value-ordered
+    ranks, attaching the value-sorted dictionary. Trace-time host work on
+    the dictionary only (the per-row remap is a device gather) — the same
+    pattern as the string kernels. Needed because upload dictionaries for
+    strings are first-appearance-ordered (pyarrow dictionary_encode
+    parity), so raw codes are not comparable."""
+    if col.dictionary is None:
+        return col
+    vals = col.dictionary.to_pylist()
+    order = sorted(range(len(vals)),
+                   key=lambda i: (vals[i] is None, vals[i]))
+    if order == list(range(len(vals))):
+        return col  # already value-sorted (FSB / wide-decimal uploads)
+    from ..array.array import array as make_array
+    rank = np.empty(len(vals), dtype=np.int64)
+    rank[np.asarray(order)] = np.arange(len(vals))
+    new_codes = jnp.asarray(rank)[col.values.astype(jnp.int64)] \
+        .astype(jnp.int32)
+    sorted_dict = make_array([vals[i] for i in order], col.dictionary.type)
+    return DeviceColumn(new_codes, col.validity, col.type, sorted_dict)
+
+
+_NUMERIC_DICT_IDS = (
+    TypeId.INT8, TypeId.INT16, TypeId.INT32, TypeId.INT64,
+    TypeId.UINT8, TypeId.UINT16, TypeId.UINT32, TypeId.UINT64,
+    TypeId.HALF_FLOAT, TypeId.FLOAT, TypeId.DOUBLE, TypeId.BOOL)
+
+
+def decode_numeric_dict(col: DeviceColumn) -> DeviceColumn:
+    """Dictionary decay for numeric kernels (reference:
+    scalar_cast_dictionary.cc): a dictionary-coded column whose values are
+    numeric decodes to plain values at trace time (host reads the
+    dictionary, the per-row remap is a device gather). Code-valued columns
+    that numeric kernels must NOT touch (strings, fixed-size binary,
+    decimals wider than 18 digits, nested passthrough) raise — the planner
+    routes those to the host tier."""
+    if col.dictionary is None:
+        return col
+    dt = col.dictionary.type
+    if dt.id not in _NUMERIC_DICT_IDS:
+        raise ArrowInvalid(
+            f"numeric aggregate on code-valued column of type {col.type!r}"
+            " is not supported on device; it runs on the host tier")
+    dvals = col.dictionary.data.values()
+    dmask = col.dictionary.data.validity_mask()
+    if dmask is not None:
+        dvals = np.where(dmask, dvals, 0)
+    codes = col.values.astype(jnp.int64)
+    vals = jnp.asarray(np.ascontiguousarray(dvals))[codes]
+    validity = col.validity
+    if dmask is not None:
+        slot_ok = jnp.asarray(dmask)[codes]
+        validity = slot_ok if validity is None \
+            else jnp.logical_and(validity, slot_ok)
+    out_type = col.type.value_type if col.type.id == TypeId.DICTIONARY \
+        else col.type
+    return DeviceColumn(vals, validity, out_type)
 
 
 def _dec_factor(t: DataType):
@@ -114,6 +185,7 @@ def _sum_type(t: DataType) -> DataType:
 
 @register("sum", "aggregate")
 def _sum(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    a = decode_numeric_dict(a)
     v, live, n = _masked(ctx, a, 0)
     acc = _sum_dtype(v.dtype)
     total = jnp.sum(v.astype(acc))
@@ -123,6 +195,7 @@ def _sum(ctx, a, skip_nulls: bool = True, min_count: int = 1):
 
 @register("product", "aggregate")
 def _product(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    a = decode_numeric_dict(a)
     if _dec_factor(a.type) is not None:
         from .registry import ArrowInvalid
         raise ArrowInvalid("product of decimal not supported; cast first")
@@ -151,6 +224,7 @@ def _has_null(ctx, a):
 
 @register("mean", "aggregate")
 def _mean(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    a = decode_numeric_dict(a)
     v, live, n = _masked(ctx, a, 0)
     total = jnp.sum(v.astype(jnp.float64))
     # 0/0 -> NaN matches the reference: mean of zero values with
@@ -174,21 +248,23 @@ def _minmax_identity(dt, is_min: bool):
 
 @register("min", "aggregate")
 def _min(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    a = rank_recode(a)
     v, live, n = _masked(ctx, a, _minmax_identity(a.values.dtype, True))
     out = jnp.min(v)
     # min/max of zero values is null regardless of min_count
     valid = jnp.logical_and(
         _agg_valid(ctx, a, n, skip_nulls, min_count), n > 0)
-    return AggResult(out, valid, a.type)
+    return AggResult(out, valid, a.type, dictionary=a.dictionary)
 
 
 @register("max", "aggregate")
 def _max(ctx, a, skip_nulls: bool = True, min_count: int = 1):
+    a = rank_recode(a)
     v, live, n = _masked(ctx, a, _minmax_identity(a.values.dtype, False))
     out = jnp.max(v)
     valid = jnp.logical_and(
         _agg_valid(ctx, a, n, skip_nulls, min_count), n > 0)
-    return AggResult(out, valid, a.type)
+    return AggResult(out, valid, a.type, dictionary=a.dictionary)
 
 
 @register("min_max", "aggregate")
@@ -197,7 +273,7 @@ def _min_max(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     hi = _max(ctx, a, skip_nulls, min_count)
     return AggResult((lo.value, hi.value), (lo.valid, hi.valid),
                      T.struct([("min", a.type), ("max", a.type)]),
-                     fields=("min", "max"))
+                     fields=("min", "max"), dictionary=lo.dictionary)
 
 
 @register("count", "aggregate")
@@ -258,7 +334,7 @@ def _first(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     valid = has
     if not skip_nulls and a.validity is not None:
         valid = jnp.logical_and(has, a.validity[idx])
-    return AggResult(val, valid, a.type)
+    return AggResult(val, valid, a.type, dictionary=a.dictionary)
 
 
 @register("last", "aggregate")
@@ -272,7 +348,7 @@ def _last(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     valid = has
     if not skip_nulls and a.validity is not None:
         valid = jnp.logical_and(has, a.validity[idx])
-    return AggResult(val, valid, a.type)
+    return AggResult(val, valid, a.type, dictionary=a.dictionary)
 
 
 @register("first_last", "aggregate")
@@ -281,7 +357,7 @@ def _first_last(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     l = _last(ctx, a, skip_nulls, min_count)
     return AggResult((f.value, l.value), (f.valid, l.valid),
                      T.struct([("first", a.type), ("last", a.type)]),
-                     fields=("first", "last"))
+                     fields=("first", "last"), dictionary=a.dictionary)
 
 
 @register("index", "aggregate")
@@ -298,6 +374,7 @@ def _index(ctx, a, value=None):
 
 
 def _moments(ctx, a):
+    a = decode_numeric_dict(a)
     v, live, n = _masked(ctx, a, 0)
     vf = v.astype(jnp.float64)
     f = _dec_factor(a.type)

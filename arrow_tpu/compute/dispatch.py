@@ -100,13 +100,19 @@ def unify_inputs(name: str, args: Sequence, options) -> List:
                     out[i].type.unit != unit:
                 out[i] = out[i].cast(T.duration(unit))
 
-    # broadcast python str/bytes/datetime scalars to constant columns so
-    # the device kernel sees uniform dictionary-coded operands
+    # broadcast python str/bytes/datetime/Decimal scalars to constant
+    # columns so the device kernel sees uniform dictionary-coded operands
+    import decimal as _decimal
     str_kind_present = any(
         t.id in _STRING_KIND + _BINARY_KIND or
         (t.id == TypeId.DICTIONARY and
          t.value_type.id in _STRING_KIND + _BINARY_KIND)
         for t in (out[i].type for i in arr_idx))
+    fsb_types = [out[i].type for i in arr_idx
+                 if out[i].type.id == TypeId.FIXED_SIZE_BINARY]
+    dec_types = [out[i].type for i in arr_idx
+                 if out[i].type.id in (TypeId.DECIMAL128, TypeId.DECIMAL256,
+                                       TypeId.DECIMAL32, TypeId.DECIMAL64)]
     for i, a in enumerate(out):
         if i in arr_idx:
             continue
@@ -114,6 +120,30 @@ def unify_inputs(name: str, args: Sequence, options) -> List:
             out[i] = make_array([a] * n, T.string())
         elif isinstance(a, bytes) and str_kind_present:
             out[i] = make_array([a] * n, T.binary())
+        elif isinstance(a, bytes) and fsb_types:
+            out[i] = make_array([a] * n, T.fixed_size_binary(len(a)))
+        elif isinstance(a, _decimal.Decimal) and dec_types:
+            t0 = dec_types[0]
+            exp = -a.as_tuple().exponent
+            if t0.precision <= 18:
+                # plain-int64 device path: the literal must be exactly
+                # representable at the column's scale or unscaled-value
+                # comparisons would be wrong
+                if exp > t0.scale:
+                    from .registry import ArrowInvalid
+                    raise ArrowInvalid(
+                        f"decimal literal {a} has more fractional digits "
+                        f"than {t0!r}; rescale the literal or cast")
+                out[i] = make_array([a] * n, t0)
+            else:
+                # dictionary-coded path: codes unify by python Decimal
+                # value, so the literal keeps its own exact scale
+                scale = max(exp, 0)
+                digits = len(a.as_tuple().digits)
+                prec = max(t0.precision, digits, 19)
+                mk = T.decimal256 if (t0.id == TypeId.DECIMAL256
+                                      or prec > 38) else T.decimal128
+                out[i] = make_array([a] * n, mk(min(prec, 76), scale))
         elif isinstance(a, (_dt.datetime, _dt.date)):
             temporal_types = [out[j].type for j in arr_idx
                               if _is_temporal_mixable(out[j].type)]
@@ -139,7 +169,17 @@ def unify_device_dicts(prepared: List) -> List:
     union = sorted({v for d in dicts for v in d.to_pylist()
                     if v is not None})
     rank = {v: r for r, v in enumerate(union)}
-    union_arr = make_array(union, first.type)
+    union_type = first.type
+    if union_type.id in (TypeId.DECIMAL128, TypeId.DECIMAL256,
+                         TypeId.DECIMAL32, TypeId.DECIMAL64):
+        # dictionaries may mix scales (e.g. a literal broadcast at its own
+        # exact scale); the union must hold every value exactly
+        scale = max(getattr(d.type, "scale", 0) for d in dicts)
+        mk = T.decimal256 if union_type.id == TypeId.DECIMAL256 \
+            else T.decimal128
+        union_type = mk(76 if union_type.id == TypeId.DECIMAL256 else 38,
+                        scale)
+    union_arr = make_array(union, union_type)
     out = list(prepared)
     for i in dict_pos:
         col = prepared[i]

@@ -61,6 +61,8 @@ def _grp_validity(counts, num_groups, min_count, cap):
 def grouped_sum(ctx, values: DeviceColumn, gids, num_groups,
                 skip_nulls: bool = True, min_count: int = 1,
                 num_segments=None):
+    from .aggregate import decode_numeric_dict
+    values = decode_numeric_dict(values)
     nseg, live, seg = _prep(ctx, values, gids, num_segments)
     acc = _sum_dtype(values.values.dtype)
     sums = _segment_reduce(values.values.astype(acc), live, seg, nseg,
@@ -88,6 +90,8 @@ def _group_has_null(ctx, values, gids, nseg):
 @register("hash_product", "hash_aggregate")
 def grouped_product(ctx, values, gids, num_groups, skip_nulls: bool = True,
                     min_count: int = 1, num_segments=None):
+    from .aggregate import decode_numeric_dict
+    values = decode_numeric_dict(values)
     nseg, live, seg = _prep(ctx, values, gids, num_segments)
     acc = _sum_dtype(values.values.dtype)
     v = jnp.where(live, values.values.astype(acc), jnp.asarray(1, acc))
@@ -104,6 +108,8 @@ def grouped_product(ctx, values, gids, num_groups, skip_nulls: bool = True,
 @register("hash_mean", "hash_aggregate")
 def grouped_mean(ctx, values, gids, num_groups, skip_nulls: bool = True,
                  min_count: int = 1, num_segments=None):
+    from .aggregate import decode_numeric_dict
+    values = decode_numeric_dict(values)
     nseg, live, seg = _prep(ctx, values, gids, num_segments)
     fvals = values.values.astype(jnp.float64)
     from .aggregate import _dec_factor
@@ -124,6 +130,8 @@ def grouped_mean(ctx, values, gids, num_groups, skip_nulls: bool = True,
 
 def _grouped_minmax(ctx, values, gids, num_groups, is_min, skip_nulls,
                     min_count, num_segments=None):
+    from .aggregate import rank_recode
+    values = rank_recode(values)  # dict codes -> value-ordered ranks
     nseg, live, seg = _prep(ctx, values, gids, num_segments)
     ident = _minmax_identity(values.values.dtype, is_min)
     out = _segment_reduce(values.values, live, seg, nseg,
@@ -227,6 +235,8 @@ def grouped_all(ctx, values, gids, num_groups, skip_nulls: bool = True,
 
 
 def _grouped_var_m2(ctx, values, gids, num_groups):
+    from .aggregate import decode_numeric_dict
+    values = decode_numeric_dict(values)
     cap, live, seg = _prep(ctx, values, gids)
     from .aggregate import _dec_factor
     _f = _dec_factor(values.type)

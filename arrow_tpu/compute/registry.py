@@ -232,6 +232,10 @@ def call_function(name: str, args: Sequence, options=None,
     if isinstance(options, FunctionOptions):
         options = options.to_kwargs()
     fn = get_function(name)
+    from .decimal_host import maybe_wide_decimal_call
+    hit = maybe_wide_decimal_call(name, args, options)
+    if hit is not None:
+        return hit
     if name == "cast":
         from .cast_host import try_cast_host
         hit = try_cast_host(args, options)

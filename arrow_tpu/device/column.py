@@ -352,7 +352,11 @@ def _dictionary_encode_fixed(arr: Array) -> Tuple[np.ndarray,
     """Dictionary-encode a fixed-width byte type (fixed-size binary or
     decimal wider than 18 digits): (codes, valid_mask, dictionary Array of
     the same type). Null rows are zeroed before encoding so every row has
-    uniform width; validity hides them."""
+    uniform width; validity hides them.
+
+    The dictionary is VALUE-SORTED (bytes lexicographic for FSB, signed
+    numeric for decimals), so code order == value order: comparisons,
+    sorts, and min/max on codes are exact without a rank transform."""
     d = arr.data
     t = arr.type
     w = t.byte_width
@@ -362,30 +366,30 @@ def _dictionary_encode_fixed(arr: Array) -> Tuple[np.ndarray,
     if mask is not None:
         raw = raw.copy()
         raw[~mask] = 0
-    from ..native import dict_encode_binary
-    offs = np.arange(n + 1, dtype=np.int64) * w
-    native = dict_encode_binary(raw.reshape(-1), offs, None)
-    if native is not None:
-        codes, _uoffs, ubytes = native
-        ubytes = np.ascontiguousarray(ubytes)
-        n_uniq = len(_uoffs) - 1
+    if n == 0:
+        dict_arr = Array(ArrayData(t, 0,
+                                   [None, Buffer(np.zeros(0, np.uint8))],
+                                   null_count=0))
+        return np.zeros(0, dtype=np.int32), mask, dict_arr
+    is_decimal = t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256,
+                          TypeId.DECIMAL32, TypeId.DECIMAL64)
+    if is_decimal:
+        # order by signed value: flip the two's-complement sign bit and
+        # reverse to big-endian so lexicographic row order == numeric order
+        keys = raw[:, ::-1].copy()
+        keys[:, 0] ^= 0x80
     else:
-        if n == 0:
-            codes = np.zeros(0, dtype=np.int32)
-            ubytes = np.zeros(0, dtype=np.uint8)
-            n_uniq = 0
-        else:
-            uniq, inv = np.unique(raw, axis=0, return_inverse=True)
-            inv = inv.reshape(-1)
-            first_pos = np.full(len(uniq), n, dtype=np.int64)
-            np.minimum.at(first_pos, inv, np.arange(n))
-            order = np.argsort(first_pos, kind="stable")
-            rank = np.empty(len(order), dtype=np.int64)
-            rank[order] = np.arange(len(order))
-            codes = rank[inv].astype(np.int32)
-            ubytes = np.ascontiguousarray(uniq[order]).reshape(-1)
-            n_uniq = len(uniq)
-    dict_arr = Array(ArrayData(t, n_uniq, [None, Buffer(ubytes)],
+        keys = raw
+    uniq_keys, inv = np.unique(keys, axis=0, return_inverse=True)
+    codes = inv.reshape(-1).astype(np.int32)
+    if is_decimal:
+        uniq = uniq_keys.copy()
+        uniq[:, 0] ^= 0x80
+        uniq = uniq[:, ::-1]
+    else:
+        uniq = uniq_keys
+    ubytes = np.ascontiguousarray(uniq).reshape(-1)
+    dict_arr = Array(ArrayData(t, len(uniq), [None, Buffer(ubytes)],
                                null_count=0))
     return codes, mask, dict_arr
 

@@ -135,3 +135,89 @@ class TestWideDecimal:
         d = at.array([huge, None, -huge], T.decimal256(76, 2))
         t = at.Table.from_arrays([d], names=["d"])
         assert download_table(upload_table(t)).to_pydict() == t.to_pydict()
+
+
+class TestWideDecimalCompute:
+    """Wide-decimal kernels run on the exact host tier; results diff-
+    tested against pyarrow (reference decimal semantics: aggregate_basic
+    /scalar_arithmetic decimal paths)."""
+
+    def _arr(self):
+        return [Decimal("12345678901234567890.12"), Decimal("-1.50"),
+                None, Decimal("0.04")]
+
+    def _ours(self):
+        return at.array(self._arr(), T.decimal128(38, 2))
+
+    def _theirs(self):
+        return pa.array(self._arr(), pa.decimal128(38, 2))
+
+    @pytest.mark.parametrize("fn", ["sum", "mean", "min", "max",
+                                    "variance", "stddev"])
+    def test_scalar_aggs_match_pyarrow(self, fn):
+        import arrow_tpu.compute as pc
+        import pyarrow.compute as ppc
+        ours = getattr(pc, fn)(self._ours())
+        theirs = getattr(ppc, fn)(self._theirs())
+        assert ours.as_py() == theirs.as_py()
+
+    def test_arithmetic_matches_pyarrow(self):
+        import arrow_tpu.compute as pc
+        import pyarrow.compute as ppc
+        a = at.array([Decimal("1.5"), None], T.decimal128(19, 1))
+        b = at.array([Decimal("2.55"), Decimal("1.00")], T.decimal128(10, 2))
+        pa_a = pa.array([Decimal("1.5"), None], pa.decimal128(19, 1))
+        pa_b = pa.array([Decimal("2.55"), Decimal("1.00")],
+                        pa.decimal128(10, 2))
+        for fn in ["add", "subtract", "multiply"]:
+            ours = getattr(pc, fn)(a, b)
+            theirs = getattr(ppc, fn)(pa_a, pa_b)
+            assert ours.to_pylist() == theirs.to_pylist(), fn
+            assert str(ours.type) == str(theirs.type), fn
+
+    def test_multiply_overflow_raises_like_pyarrow(self):
+        import arrow_tpu.compute as pc
+        from arrow_tpu.compute.registry import ArrowInvalid
+        a = at.array([Decimal("1.5")], T.decimal128(38, 1))
+        with pytest.raises(ArrowInvalid):
+            pc.multiply(a, a)
+
+    def test_group_sum_mean_match_pyarrow(self):
+        t = at.Table.from_arrays(
+            [at.array([1, 1, 2, 2]), self._ours()], names=["k", "d"])
+        pt = _roundtrip_pa(t)
+        ours = t.group_by("k").aggregate(
+            [("d", "sum"), ("d", "mean")]).sort_by([("k", "ascending")])
+        theirs = pt.group_by("k").aggregate(
+            [("d", "sum"), ("d", "mean")]).sort_by([("k", "ascending")])
+        assert ours.to_pylist() == theirs.to_pylist()
+
+    def test_filter_on_wide_decimal_predicate(self):
+        t = at.Table.from_arrays(
+            [self._ours(), at.array([1, 2, 3, 4])], names=["d", "i"])
+        out = t.filter(field("d") > Decimal("0"))
+        assert [r["i"] for r in out.to_pylist()] == [1, 4]
+
+
+class TestDictMinMaxFix:
+    """min/max on dictionary-coded columns must compare VALUES, not
+    first-appearance codes (reference: aggregate_basic.cc MinMax on
+    strings)."""
+
+    def test_scalar_string_min_max(self):
+        import arrow_tpu.compute as pc
+        s = at.array(["zeta", "alpha", "mid"])
+        assert pc.min(s).as_py() == "alpha"
+        assert pc.max(s).as_py() == "zeta"
+
+    def test_grouped_string_min_max_match_pyarrow(self):
+        import pyarrow  # noqa
+        t = at.Table.from_arrays(
+            [at.array([1, 1, 2]), at.array(["zeta", "alpha", "mid"])],
+            names=["k", "s"])
+        pt = _roundtrip_pa(t)
+        ours = t.group_by("k").aggregate(
+            [("s", "min"), ("s", "max")]).sort_by([("k", "ascending")])
+        theirs = pt.group_by("k").aggregate(
+            [("s", "min"), ("s", "max")]).sort_by([("k", "ascending")])
+        assert ours.to_pylist() == theirs.to_pylist()
