@@ -280,3 +280,57 @@ def test_flight_sql_prepared_and_metadata(db):
         assert by_name[fsql.FLIGHT_SQL_SERVER_READ_ONLY] is True
         assert by_name[fsql.SQL_MAX_COLUMNS_IN_TABLE] == 10_000
         cli.close()
+
+
+class TestDbapi:
+    """PEP 249 driver over Flight SQL (reference analogue: the Flight SQL
+    ODBC driver, flight/sql/odbc/)."""
+
+    @pytest.fixture
+    def con(self, db):
+        pytest.importorskip("grpc")
+        from arrow_tpu.flight import dbapi
+        from arrow_tpu.flight.sql import FlightSqlServer
+        with FlightSqlServer(tables=db) as srv:
+            con = dbapi.connect(f"grpc://127.0.0.1:{srv.port}")
+            yield con
+            con.close()
+
+    def test_execute_fetch(self, con):
+        cur = con.cursor()
+        cur.execute("SELECT cust, sum(total) AS s FROM orders "
+                    "GROUP BY cust ORDER BY cust")
+        assert cur.rowcount == 3
+        assert [d[0] for d in cur.description] == ["cust", "s"]
+        assert cur.fetchone() == ("x", 40.0)
+        assert cur.fetchmany(5) == [("y", 20.0), ("z", None)]
+        assert cur.fetchone() is None
+
+    def test_qmark_parameters(self, con):
+        cur = con.cursor()
+        cur.execute("SELECT o_id FROM orders WHERE total > ? ORDER BY o_id",
+                    (15.0,))
+        assert cur.fetchall() == [(2,), (3,)]
+
+    def test_iteration_and_arrow_table(self, con):
+        cur = con.cursor()
+        cur.execute("SELECT o_id FROM orders ORDER BY o_id")
+        assert [r[0] for r in cur] == [1, 2, 3, 4]
+        cur.execute("SELECT o_id, cust FROM orders ORDER BY o_id")
+        t = cur.fetch_arrow_table()
+        assert t.column_names == ["o_id", "cust"]
+        assert t.num_rows == 4
+
+    def test_type_objects_and_errors(self, con):
+        from arrow_tpu.flight import dbapi
+        cur = con.cursor()
+        cur.execute("SELECT cust, total FROM orders")
+        assert cur.description[0][1] == dbapi.STRING
+        assert cur.description[1][1] == dbapi.NUMBER
+        with pytest.raises(dbapi.ProgrammingError):
+            cur.execute("SELECT * FROM missing_table")
+        with pytest.raises(dbapi.NotSupportedError):
+            con.rollback()
+        con.close()
+        with pytest.raises(dbapi.InterfaceError):
+            con.cursor()
