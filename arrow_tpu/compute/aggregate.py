@@ -172,8 +172,11 @@ def _sum_dtype(dt):
 
 def _sum_type(t: DataType) -> DataType:
     if t.id in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
-        # reference: sum of decimal keeps the scale, precision widens
-        return T.decimal128(18, t.scale)
+        # reference: sum of decimal keeps the scale, precision widens to
+        # the type's maximum (kernels/aggregate_basic.cc decimal sum)
+        if t.id == TypeId.DECIMAL256:
+            return T.decimal256(76, t.scale)
+        return T.decimal128(38, t.scale)
     if t.id == TypeId.BOOL:
         return T.uint64()
     if t.is_unsigned_integer:
@@ -226,14 +229,20 @@ def _has_null(ctx, a):
 def _mean(ctx, a, skip_nulls: bool = True, min_count: int = 1):
     a = decode_numeric_dict(a)
     v, live, n = _masked(ctx, a, 0)
+    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
+    if _dec_factor(a.type) is not None:
+        # decimal mean stays decimal at the INPUT type, rounded half away
+        # from zero (reference: aggregate_basic.cc decimal MeanImpl);
+        # exact in int64: |m| = (2|s| + c) // (2c)
+        s = jnp.sum(v.astype(jnp.int64))
+        c = jnp.maximum(n, 1)
+        mag = (2 * jnp.abs(s) + c) // (2 * c)
+        m = jnp.where(s < 0, -mag, mag)
+        return AggResult(m, valid, a.type)
     total = jnp.sum(v.astype(jnp.float64))
     # 0/0 -> NaN matches the reference: mean of zero values with
     # min_count=0 is a VALID NaN (aggregate_basic.cc MeanImpl)
     mean = total / n.astype(jnp.float64)
-    f = _dec_factor(a.type)
-    if f is not None:
-        mean = mean * f
-    valid = _agg_valid(ctx, a, n, skip_nulls, min_count)
     return AggResult(mean, valid, T.float64())
 
 

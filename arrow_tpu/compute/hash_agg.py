@@ -111,19 +111,26 @@ def grouped_mean(ctx, values, gids, num_groups, skip_nulls: bool = True,
     from .aggregate import decode_numeric_dict
     values = decode_numeric_dict(values)
     nseg, live, seg = _prep(ctx, values, gids, num_segments)
-    fvals = values.values.astype(jnp.float64)
-    from .aggregate import _dec_factor
-    f = _dec_factor(values.type)
-    if f is not None:
-        fvals = fvals * f
-    sums = _segment_reduce(fvals, live, seg,
-                           nseg, "sum", 0.0)
     counts = _group_valid_counts(nseg, live, seg)
-    means = sums / jnp.maximum(counts, 1).astype(jnp.float64)
     validity = _grp_validity(counts, num_groups, min_count, nseg)
     if not skip_nulls:
         validity = jnp.logical_and(validity, ~_group_has_null(
             ctx, values, gids, nseg))
+    from .aggregate import _dec_factor
+    if _dec_factor(values.type) is not None:
+        # decimal mean stays decimal at the INPUT type, rounded half away
+        # from zero (aggregate_basic.cc decimal MeanImpl); exact in int64
+        isums = _segment_reduce(values.values.astype(jnp.int64), live, seg,
+                                nseg, "sum", 0)
+        c = jnp.maximum(counts, 1)
+        mag = (2 * jnp.abs(isums) + c) // (2 * c)
+        means_i = jnp.where(isums < 0, -mag, mag)
+        return Compacted(DeviceColumn(means_i, validity, values.type),
+                         num_groups.astype(jnp.int32))
+    fvals = values.values.astype(jnp.float64)
+    sums = _segment_reduce(fvals, live, seg,
+                           nseg, "sum", 0.0)
+    means = sums / jnp.maximum(counts, 1).astype(jnp.float64)
     return Compacted(DeviceColumn(means, validity, T.float64()),
                      num_groups.astype(jnp.int32))
 
