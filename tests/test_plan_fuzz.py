@@ -284,3 +284,81 @@ def test_scalar_aggregate_options_differential(seed):
             assert np.isnan(ov), (fn, skip, mc, ov, tv)
         else:
             assert ov == pytest.approx(tv, rel=1e-9), (fn, skip, mc)
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_random_passthrough_plan(seed):
+    """Plans over tables holding passthrough-tier columns (wide decimals,
+    fixed-size binary, lists): filter/sort/group/join them and diff
+    against pyarrow (the tier: device/column.py dictionary/row-id
+    codes)."""
+    from decimal import Decimal
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(5, 200))
+
+    i64 = [int(v) if rng.random() > 0.1 else None
+           for v in rng.integers(-20, 20, n)]
+    dec = [Decimal(int(v)).scaleb(-2) * (10 ** 18 if rng.random() < 0.3
+                                         else 1)
+           if rng.random() > 0.15 else None
+           for v in rng.integers(-10**6, 10**6, n)]
+    fsb = [bytes([65 + int(v)] * 4) if rng.random() > 0.1 else None
+           for v in rng.integers(0, 6, n)]
+    lst = [[int(x) for x in rng.integers(0, 5, int(rng.integers(0, 4)))]
+           if rng.random() > 0.1 else None for _ in range(n)]
+
+    ot = at.table({
+        "i64": at.array(i64, at.int64()),
+        "dec": at.array(dec, at.decimal128(38, 2)),
+        "fsb": at.array(fsb, at.fixed_size_binary(4)),
+        "lst": at.array(lst, at.list_(at.int64())),
+    })
+    pt = pa.table({
+        "i64": pa.array(i64, pa.int64()),
+        "dec": pa.array(dec, pa.decimal128(38, 2)),
+        "fsb": pa.array(fsb, pa.binary(4)),
+        "lst": pa.array(lst, pa.list_(pa.int64())),
+    })
+
+    shape = int(rng.integers(0, 4))
+    c = int(rng.integers(-10, 10))
+    if shape == 0:
+        # filter on i64, carry every passthrough column through compaction
+        ours = ot.filter(field("i64") > c)
+        theirs = pt.filter(ppc.greater(ppc.field("i64"), c))
+        _compare(ours, theirs, seed)
+    elif shape == 1:
+        # sort by wide decimal (+ i64 tiebreak), lists ride as payload
+        ours = ot.sort_by([("dec", "ascending"), ("i64", "ascending"),
+                           ("fsb", "ascending")])
+        theirs = pt.sort_by([("dec", "ascending"), ("i64", "ascending"),
+                             ("fsb", "ascending")])
+        assert ours.to_pylist() == theirs.to_pylist(), f"seed {seed}"
+    elif shape == 2:
+        # group by fsb, aggregate the wide decimal exactly
+        ours = ot.group_by("fsb").aggregate(
+            [("dec", "sum"), ("dec", "min"), ("i64", "count")])
+        theirs = pt.group_by("fsb").aggregate(
+            [("dec", "sum"), ("dec", "min"), ("i64", "count")])
+        _compare(ours.sort_by([("fsb", "ascending")]),
+                 theirs.sort_by([("fsb", "ascending")]), seed)
+    else:
+        # join on the wide-decimal key
+        m = int(rng.integers(2, 30))
+        rdec = [Decimal(int(v)).scaleb(-2) for v in
+                rng.integers(-10**6, 10**6, m)] + [d for d in dec[:3]
+                                                   if d is not None]
+        rt_o = at.table({"dec": at.array(rdec, at.decimal128(38, 2)),
+                         "tag": at.array(list(range(len(rdec))),
+                                         at.int64())})
+        rt_p = pa.table({"dec": pa.array(rdec, pa.decimal128(38, 2)),
+                         "tag": pa.array(list(range(len(rdec))),
+                                         pa.int64())})
+        ours = ot.select(["i64", "dec"]).join(
+            rt_o, keys="dec", join_type="inner")
+        theirs = pt.select(["i64", "dec"]).join(
+            rt_p, keys="dec", join_type="inner")
+        _compare(ours.sort_by([("tag", "ascending"),
+                               ("i64", "ascending")]),
+                 theirs.sort_by([("tag", "ascending"),
+                                 ("i64", "ascending")]), seed)
