@@ -97,8 +97,23 @@ def _group_ids_perfect(ctx: ExecContext,
     return GroupResult(gids, num_groups, rep)
 
 
+_NESTED_IDS = (TypeId.LIST, TypeId.LARGE_LIST, TypeId.FIXED_SIZE_LIST,
+               TypeId.LIST_VIEW, TypeId.LARGE_LIST_VIEW, TypeId.STRUCT,
+               TypeId.MAP, TypeId.SPARSE_UNION, TypeId.DENSE_UNION,
+               TypeId.RUN_END_ENCODED)
+
+
 def group_ids(ctx: ExecContext,
               key_cols: Sequence[DeviceColumn]) -> GroupResult:
+    for c in key_cols:
+        if c.type.id in _NESTED_IDS:
+            # reference parity: the Grouper has no nested-key encoders
+            # (compute/row/grouper.cc rejects them); the passthrough
+            # row-id codes would otherwise group by row identity
+            from .registry import ArrowInvalid
+            raise ArrowInvalid(
+                f"grouping/distinct on nested type {c.type!r} is not "
+                "supported")
     cap = ctx.capacity
     sizes = _perfect_hash_sizes(key_cols, cap)
     if sizes is not None:

@@ -221,3 +221,18 @@ class TestDictMinMaxFix:
         theirs = pt.group_by("k").aggregate(
             [("s", "min"), ("s", "max")]).sort_by([("k", "ascending")])
         assert ours.to_pylist() == theirs.to_pylist()
+
+
+def test_nested_grouping_raises_like_pyarrow():
+    """Reference parity: the Grouper rejects nested key types
+    (compute/row/grouper.cc); row-id passthrough codes must not silently
+    group by row identity."""
+    import arrow_tpu.compute as pc
+    from arrow_tpu.compute.registry import ArrowInvalid
+    l = at.array([[1, 2], [3], [1, 2]], T.list_(T.int64()))
+    for fn in (pc.unique, pc.value_counts, pc.dictionary_encode):
+        with pytest.raises(ArrowInvalid):
+            fn(l)
+    t = at.Table.from_arrays([l, at.array([1, 2, 3])], names=["l", "v"])
+    with pytest.raises(ArrowInvalid):
+        t.group_by("l").aggregate([("v", "sum")])
