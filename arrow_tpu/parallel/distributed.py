@@ -40,6 +40,26 @@ from ..types import Field
 from .. import types as T
 
 
+def put_sharded(x, sharding: NamedSharding) -> jax.Array:
+    """Host/local array -> globally sharded array. Works in BOTH
+    single-process and multi-process (jax.distributed) runs: the callback
+    materializes only this process's addressable shards, whereas a plain
+    device_put of a host array requires every device to be addressable
+    (SURVEY §4: archery's process-pair pattern maps to one jax process
+    per 'host')."""
+    host = np.asarray(x)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
+def gather_host(x) -> np.ndarray:
+    """Sharded global array -> full host ndarray on EVERY process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -106,13 +126,14 @@ def distributed_groupby(mesh: Mesh, batch: DeviceBatch,
     key_types = [c.type for c in key_cols]
     key_dicts = [c.dictionary for c in key_cols]
 
+    ones = put_sharded(np.ones(cap, np.bool_), NamedSharding(mesh, P(axis)))
     vals_in = {f"k{i}": c.values for i, c in enumerate(key_cols)}
     vals_in.update({f"kv{i}": (c.validity if c.validity is not None
-                               else jnp.ones(cap, jnp.bool_))
+                               else ones)
                     for i, c in enumerate(key_cols)})
     vals_in.update({f"a{i}": c.values for i, c in enumerate(agg_cols)})
     vals_in.update({f"av{i}": (c.validity if c.validity is not None
-                               else jnp.ones(cap, jnp.bool_))
+                               else ones)
                     for i, c in enumerate(agg_cols)})
     counts = batch.row_count  # (ndev,) int32
     nk, na = len(key_cols), len(agg_cols)
@@ -261,20 +282,20 @@ def distributed_groupby(mesh: Mesh, batch: DeviceBatch,
 def _collect_groupby(res, key_names, key_types, key_dicts, aggs, ndev):
     """Gather per-device disjoint group results into one host Table."""
     from ..device.column import download_column
-    live = np.asarray(res["live"])
+    live = gather_host(res["live"])
     idx = np.nonzero(live)[0]
     cols = {}
     fields = []
     for i, (nm, t) in enumerate(zip(key_names, key_types)):
-        vals = np.asarray(res[f"key{i}"])[idx]
-        keyv = np.asarray(res[f"keyv{i}"])[idx]
+        vals = gather_host(res[f"key{i}"])[idx]
+        keyv = gather_host(res[f"keyv{i}"])[idx]
         col = DeviceColumn(jnp.asarray(vals), jnp.asarray(keyv), t,
                            key_dicts[i])
         cols[nm] = download_column(col, len(idx))
         fields.append(Field(nm, t))
     for i, a in enumerate(aggs):
-        vals = np.asarray(res[f"agg{i}"])[idx]
-        cnts = np.asarray(res[f"aggc{i}"])[idx]
+        vals = gather_host(res[f"agg{i}"])[idx]
+        cnts = gather_host(res[f"aggc{i}"])[idx]
         if a.fn == "count":
             arr_vals = vals.astype(np.int64)
             col = DeviceColumn(jnp.asarray(arr_vals), None, T.int64())
@@ -324,13 +345,13 @@ def shard_table(mesh: Mesh, table: Table, axis: str = "d") -> DeviceBatch:
         else:
             validity = None
         sharding = NamedSharding(mesh, P(axis))
-        values = jax.device_put(values, sharding)
+        values = put_sharded(values, sharding)
         if validity is not None:
-            validity = jax.device_put(validity, sharding)
+            validity = put_sharded(validity, sharding)
         cols.append(DeviceColumn(values, validity, f.type,
                                  per_dev[0].dictionary))
-    counts_arr = jax.device_put(jnp.asarray(counts, jnp.int32),
-                                NamedSharding(mesh, P(axis)))
+    counts_arr = put_sharded(jnp.asarray(counts, jnp.int32),
+                             NamedSharding(mesh, P(axis)))
     return DeviceBatch(table.schema, cols, counts_arr)
 
 
@@ -463,7 +484,7 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
 
     # host collection of live rows across shards
     from ..device.column import download_column
-    live = np.asarray(res["live"])
+    live = gather_host(res["live"])
     idx = np.nonzero(live)[0]
     cols, names = [], []
     rnames = set(right.schema.names)
@@ -579,7 +600,7 @@ def distributed_sort_table(mesh: Mesh, table: Table,
     res = fn(data, sb.row_count)
 
     from ..device.column import download_column
-    live = np.asarray(res["live"])
+    live = gather_host(res["live"])
     idx = np.nonzero(live)[0]  # device-major order == global sort order
     cols, names = [], []
     for i, f in enumerate(table.schema.fields):
@@ -674,7 +695,7 @@ def broadcast_join_tables(mesh: Mesh, left: Table, right: Table,
     res = fn(data, rdata, lb.row_count, rcnt)
 
     from ..device.column import download_column
-    live = np.asarray(res["live"])
+    live = gather_host(res["live"])
     idx = np.nonzero(live)[0]
     cols, names = [], []
     rnames = set(right.schema.names)
