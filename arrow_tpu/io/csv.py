@@ -174,10 +174,12 @@ def _convert_column(strs: List[Optional[str]], opts: ConvertOptions,
             vals = np.where(nulls, "0", sv).astype(dt)
             return with_nulls(vals.tolist(), t)
         if t.id == T.TypeId.DATE32:
-            return with_nulls([_parse_date(v) for v in raw], t)
+            return with_nulls([_parse_date(v) if not m else None
+                               for v, m in zip(raw, nulls)], t)
         if t.id == T.TypeId.TIMESTAMP:
             return with_nulls([_parse_ts(v, opts.timestamp_parsers)
-                               for v in raw], t)
+                               if not m else None
+                               for v, m in zip(raw, nulls)], t)
         raise NotImplementedError(f"CSV conversion to {t!r}")
 
     if opts.default_column_type is not None:
@@ -246,12 +248,383 @@ def _parse_ts(v, parsers=None):
     return datetime.datetime.fromisoformat(v)
 
 
+def _read_source_bytes(source, encoding) -> Optional[bytes]:
+    """Whole-file bytes for the native tokenizer; None when the source
+    can only be consumed as text."""
+    enc = encoding.lower().replace("-", "").replace("_", "")
+    data = None
+    if isinstance(source, str):
+        with open(source, "rb") as f:
+            data = f.read()
+    elif isinstance(source, bytes):
+        data = source
+    elif hasattr(source, "read"):
+        data = source.read()
+        if isinstance(data, str):
+            data = data.encode("utf8")
+            enc = "utf8"
+    if data is None:
+        return None
+    if enc in ("utf8", "ascii", "usascii"):
+        return data
+    try:
+        return data.decode(encoding).encode("utf8")
+    except (UnicodeDecodeError, LookupError):
+        return None
+
+
+def _single_ascii(c) -> bool:
+    return isinstance(c, str) and len(c) == 1 and ord(c) < 128
+
+
+def _row_field_strings(block, row_start: int, count: int) -> List[str]:
+    out = []
+    for j in range(count):
+        o0 = int(block.offsets[row_start + j])
+        o1 = int(block.offsets[row_start + j + 1])
+        out.append(bytes(block.pool[o0:o1]).decode("utf8"))
+    return out
+
+
+def _gathered_str_list(block, ids, nulls) -> List[Optional[str]]:
+    """Materialize python strings (None at nulls) for fallback
+    conversions (dates/timestamps/exotic explicit types)."""
+    from ..native import csv_gather_bytes
+    offs, data = csv_gather_bytes(block, ids, skip=nulls)
+    raw = bytes(data)
+    return [None if nulls[i] else raw[offs[i]:offs[i + 1]].decode("utf8")
+            for i in range(len(ids))]
+
+
+def _native_convert_column(block, ids, missing, co: ConvertOptions,
+                           explicit: Optional[DataType]):
+    """Convert one tokenized column (csv/converter.cc analogue). ids are
+    field ids per row; missing marks rows too short to have this column.
+    Returns an Array, or None to fall back to the python path."""
+    from .. import native as nat
+    from ..array.array import Array
+    from ..array.construct import _make_validity
+    from ..array.data import ArrayData
+    from ..buffer import Buffer
+    from ..utils import bits as bitutil
+
+    n = len(ids)
+    null_match = nat.csv_match_tokens(block, ids, co.null_values)
+    if null_match is None:
+        return None
+    null_match = null_match.astype(np.bool_)
+    if not co.quoted_strings_can_be_null:
+        null_match &= block.quoted[ids] == 0
+    nulls = null_match | missing
+    valid = ~nulls
+
+    def prim(t, values):
+        dt = t.to_numpy_dtype()
+        if values.dtype != dt:
+            values = values.astype(dt)
+        return Array(ArrayData(t, n, [_make_validity(valid),
+                                      Buffer(values)]))
+
+    def boolean(values):
+        return Array(ArrayData(
+            T.bool_(), n,
+            [_make_validity(valid),
+             Buffer(bitutil.pack_bits(values & valid))]))
+
+    def string(t, str_nulls):
+        offs, data = nat.csv_gather_bytes(block, ids, skip=str_nulls)
+        if offs[-1] > np.iinfo(np.int32).max:
+            return None
+        return Array(ArrayData(
+            t, n, [_make_validity(~str_nulls), Buffer(offs.astype(np.int32)),
+                   Buffer(data)]))
+
+    if explicit is not None:
+        t = explicit
+        if t.id == T.TypeId.NA:
+            if not nulls.all():
+                raise ValueError("CSV conversion to null: non-null value")
+            return make_array([None] * n, T.null())
+        if t.id == T.TypeId.STRING:
+            str_nulls = (nulls if co.strings_can_be_null else missing.copy())
+            return string(t, str_nulls)
+        if t.id == T.TypeId.BOOL:
+            tv = nat.csv_match_tokens(block, ids, co.true_values)
+            return boolean(tv.astype(np.bool_))
+        if t.is_integer:
+            r = nat.csv_parse_int64(block, ids, nulls)
+            if r is None:
+                raise ValueError(
+                    f"CSV conversion to {t!r} failed")
+            return prim(t, r[0])
+        if t.is_floating:
+            r = nat.csv_parse_float64(block, ids, nulls)
+            if r is None:
+                raise ValueError(
+                    f"CSV conversion to {t!r} failed")
+            return prim(t, r[0])
+        if t.id in (T.TypeId.DATE32, T.TypeId.TIMESTAMP):
+            strs = _gathered_str_list(block, ids, nulls)
+            return _convert_column(strs, co, t)
+        if t.id == T.TypeId.DICTIONARY and \
+                t.value_type.id == T.TypeId.STRING:
+            str_nulls = (nulls if co.strings_can_be_null
+                         else missing.copy())
+            s = string(t.value_type, str_nulls)
+            return None if s is None else s.dictionary_encode()
+        raise NotImplementedError(f"CSV conversion to {t!r}")
+
+    if co.default_column_type is not None:
+        return _native_convert_column(block, ids, missing,
+                                      _replace_default(co),
+                                      co.default_column_type)
+
+    # inference (reference resolution order, csv/inference_internal.h)
+    if nulls.all():
+        return make_array([None] * n, T.null())
+    r = nat.csv_parse_int64(block, ids, nulls)
+    if r is not None:
+        return prim(T.int64(), r[0])
+    r = nat.csv_parse_float64(block, ids, nulls)
+    if r is not None:
+        return prim(T.float64(), r[0])
+    bv = nat.csv_parse_bool(block, ids, nulls, DEFAULT_TRUE, DEFAULT_FALSE)
+    if bv is not None:
+        return boolean(bv.astype(np.bool_))
+    # date/timestamp: probe the first non-null value before paying the
+    # python-loop conversion
+    first = int(np.argmax(valid))
+    o0 = int(block.offsets[ids[first]])
+    o1 = int(block.offsets[ids[first] + 1])
+    probe = bytes(block.pool[o0:o1]).decode("utf8", "replace")
+    for parser, t in ((_parse_date, T.date32()),
+                      (_parse_ts, T.timestamp("s"))):
+        try:
+            parser(probe)
+        except Exception:
+            continue
+        try:
+            strs = _gathered_str_list(block, ids, nulls)
+            return _convert_column(strs, co, t)
+        except Exception:
+            continue
+    str_nulls = (nulls if co.strings_can_be_null else missing.copy())
+    out = string(T.string(), str_nulls)
+    if out is not None and co.auto_dict_encode:
+        enc = out.dictionary_encode()
+        if len(enc.dictionary) <= co.auto_dict_max_cardinality:
+            return enc
+    return out
+
+
+def _tokenize_and_layout(source, ro: ReadOptions, po: ParseOptions,
+                         co: ConvertOptions):
+    """Tokenize the whole source and resolve header + row selection.
+    Returns (block, names, rc_d, starts_d) — data-row field counts and
+    field-id starts after header/skip/empty/invalid handling — or None
+    when the options force the python path."""
+    from .. import native as nat
+    if nat.get_lib() is None:
+        return None
+    if not _single_ascii(po.delimiter):
+        return None
+    qc = po.quote_char if po.quote_char not in (False, None) else None
+    if qc is not None and not _single_ascii(qc):
+        return None
+    esc = po.escape_char if isinstance(po.escape_char, str) else None
+    if esc is not None and not _single_ascii(esc):
+        return None
+    if co.decimal_point != ".":
+        return None
+    data = _read_source_bytes(source, ro.encoding)
+    if data is None:
+        return None
+    if ro.use_threads and not po.newlines_in_values:
+        block = nat.csv_parse_parallel(data, po.delimiter, qc,
+                                       po.double_quote, esc)
+    else:
+        block = nat.csv_parse(data, po.delimiter, qc, po.double_quote, esc)
+    if block is None:
+        return None
+
+    rc = block.row_counts
+    row_starts = np.zeros(len(rc), np.int64)
+    if len(rc) > 1:
+        np.cumsum(rc[:-1], out=row_starts[1:])
+    pos = ro.skip_rows
+    if ro.column_names is not None:
+        names = list(ro.column_names)
+    elif ro.autogenerate_column_names:
+        if pos >= len(rc):
+            return block, [], rc[:0], row_starts[:0]
+        names = [f"f{i}" for i in range(int(rc[pos]))]
+    else:
+        if pos >= len(rc):
+            return block, [], rc[:0], row_starts[:0]
+        names = _row_field_strings(block, int(row_starts[pos]),
+                                   int(rc[pos]))
+        pos += 1
+    pos += ro.skip_rows_after_names
+    pos = min(pos, len(rc))
+
+    rc_d = rc[pos:]
+    starts_d = row_starts[pos:]
+    sel = np.ones(len(rc_d), np.bool_)
+    if po.ignore_empty_lines:
+        sel &= rc_d != 0
+    ncols = len(names)
+    if po.invalid_row_handler is not None:
+        bad = np.nonzero(sel & (rc_d != ncols))[0]
+        for i in bad:
+            row_text = ",".join(_row_field_strings(
+                block, int(starts_d[i]), int(rc_d[i])))
+            decision = po.invalid_row_handler(InvalidRow(
+                ncols, int(rc_d[i]), int(i), row_text))
+            if decision == "skip":
+                sel[i] = False
+            elif decision == "error":
+                from ..errors import ArrowInvalid
+                raise ArrowInvalid(
+                    f"CSV row {int(i)}: expected {ncols} columns, "
+                    f"got {int(rc_d[i])}")
+    return block, names, rc_d[sel], starts_d[sel]
+
+
+def _convert_rows_native(block, names, rc_d, starts_d, ro, co,
+                         column_types) -> Optional[Table]:
+    """Convert a row range to a Table; None -> fall back."""
+    jobs = []
+    for j, name in enumerate(names):
+        if co.include_columns is not None and \
+                name not in co.include_columns:
+            continue
+        missing = rc_d <= j
+        ids = np.where(missing, 0, starts_d + j)
+        jobs.append((name, ids, missing))
+
+    def convert(job):
+        name, ids, missing = job
+        return _native_convert_column(block, ids, missing, co,
+                                      column_types.get(name))
+
+    # the bulk work happens in ctypes calls that release the GIL, so
+    # per-column threads give real parallelism (reference: csv/reader.h
+    # use_threads -> parallel column conversion)
+    if ro.use_threads and len(jobs) > 1 and len(rc_d) * len(jobs) > 65536:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+            results = list(ex.map(convert, jobs))
+    else:
+        results = [convert(job) for job in jobs]
+
+    arrays, out_names = [], []
+    for (name, _, _), arr in zip(jobs, results):
+        if arr is None:
+            return None
+        arrays.append(arr)
+        out_names.append(name)
+    if co.include_columns:
+        order = [nm for nm in co.include_columns if nm in out_names]
+        idx = [out_names.index(nm) for nm in order]
+        arrays = [arrays[i] for i in idx]
+        out_names = order
+    return Table.from_arrays(arrays, out_names)
+
+
+def _read_csv_native(source, ro: ReadOptions, po: ParseOptions,
+                     co: ConvertOptions) -> Optional[Table]:
+    """Native-tokenizer read path; None -> caller falls back to the
+    python csv module."""
+    layout = _tokenize_and_layout(source, ro, po, co)
+    if layout is None:
+        return None
+    block, names, rc_d, starts_d = layout
+    if not names:
+        return Table.from_arrays([], [])
+    return _convert_rows_native(block, names, rc_d, starts_d, ro, co,
+                                co.column_types)
+
+
+class _NativeStreamer:
+    """Streaming blocks over one native-tokenized source: the first
+    block infers types, later blocks convert with them locked in
+    (csv/reader.h:65 StreamingReader semantics)."""
+
+    def __init__(self, block, names, rc_d, starts_d, ro, co):
+        self._block = block
+        self._names = names
+        self._rc = rc_d
+        self._starts = starts_d
+        self._ro = ro
+        self._co = co
+        n = len(rc_d)
+        # per-row byte cost mirrors the python path's heuristic:
+        # field bytes + one separator per field
+        ends = starts_d + rc_d
+        sizes = (block.offsets[ends] - block.offsets[starts_d]) + rc_d
+        cum = np.cumsum(sizes)
+        cuts = [0]
+        target = max(int(ro.block_size), 1)
+        while cuts[-1] < n:
+            base = int(cum[cuts[-1] - 1]) if cuts[-1] else 0
+            nxt = int(np.searchsorted(cum, base + target, side="left")) + 1
+            cuts.append(min(max(nxt, cuts[-1] + 1), n))
+        self._cuts = cuts
+        self._next = 1
+        self._types = dict(co.column_types)
+        self._first = self._convert(0) if n else None
+        self.schema = (self._first.schema if self._first is not None
+                       else T.Schema([]))
+        if self._first is not None:
+            self._types = {f.name: f.type for f in self._first.schema}
+
+    def _convert(self, k):
+        a, b = self._cuts[k], self._cuts[k + 1]
+        table = _convert_rows_native(
+            self._block, self._names, self._rc[a:b], self._starts[a:b],
+            self._ro, self._co, self._types)
+        if table is None:
+            raise ValueError("CSV native block conversion failed")
+        batches = table.to_batches()
+        return batches[0] if batches else None
+
+    def read_next_batch(self):
+        if self._first is not None:
+            out, self._first = self._first, None
+            return out
+        if self._next >= len(self._cuts) - 1:
+            raise StopIteration
+        k = self._next
+        self._next += 1
+        out = self._convert(k)
+        if out is None:
+            raise StopIteration
+        return out
+
+
+def _open_csv_native(source, ro, po, co) -> Optional["_NativeStreamer"]:
+    layout = _tokenize_and_layout(source, ro, po, co)
+    if layout is None:
+        return None
+    block, names, rc_d, starts_d = layout
+    if not names:
+        return None
+    try:
+        return _NativeStreamer(block, names, rc_d, starts_d, ro, co)
+    except ValueError:
+        return None
+
+
 def read_csv(source, read_options: Optional[ReadOptions] = None,
              parse_options: Optional[ParseOptions] = None,
              convert_options: Optional[ConvertOptions] = None) -> Table:
     ro = read_options or ReadOptions()
     po = parse_options or ParseOptions()
     co = convert_options or ConvertOptions()
+
+    out = _read_csv_native(source, ro, po, co)
+    if out is not None:
+        return out
 
     f = _open_text(source, ro.encoding)
     reader = _csv.reader(
@@ -344,6 +717,12 @@ class CSVStreamingReader:
         self._ro = read_options or ReadOptions()
         self._po = parse_options or ParseOptions()
         self._co = convert_options or ConvertOptions()
+        self._native = None
+        native = _open_csv_native(source, self._ro, self._po, self._co)
+        if native is not None:
+            self._native = native
+            self.schema = native.schema
+            return
         f = _open_text(source, self._ro.encoding)
         self._reader = _csv.reader(
             f, delimiter=self._po.delimiter,
@@ -404,6 +783,8 @@ class CSVStreamingReader:
         return batch
 
     def read_next_batch(self):
+        if self._native is not None:
+            return self._native.read_next_batch()
         if self._first is not None:
             out, self._first = self._first, None
             return out

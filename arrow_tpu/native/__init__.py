@@ -97,8 +97,254 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.lz4_block_compress.argtypes = [ctypes.c_void_p,
                                            ctypes.c_int64,
                                            ctypes.c_void_p]
+        lib.csv_parse.restype = ctypes.c_void_p
+        lib.csv_parse.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_uint8, ctypes.c_uint8,
+                                  ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32]
+        lib.csv_parse_sizes.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_parse_fill.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 4
+        lib.csv_parse_free.argtypes = [ctypes.c_void_p]
+        lib.csv_parse_int64.restype = ctypes.c_int64
+        lib.csv_parse_int64.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_parse_float64.restype = ctypes.c_int64
+        lib.csv_parse_float64.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_parse_bool.restype = ctypes.c_int64
+        lib.csv_parse_bool.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+        lib.csv_match_tokens.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_void_p]
+        lib.csv_gather_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
         _lib = lib
         return _lib
+
+
+def _ptr(arr: np.ndarray) -> ctypes.c_void_p:
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+class CsvBlock:
+    """Tokenized CSV block: flat unescaped field pool.
+
+    Attributes: offsets int64[n_fields+1] into pool, pool uint8[...],
+    quoted uint8[n_fields], row_counts int64[n_rows].
+    """
+
+    __slots__ = ("offsets", "pool", "quoted", "row_counts")
+
+    def __init__(self, offsets, pool, quoted, row_counts):
+        self.offsets = offsets
+        self.pool = pool
+        self.quoted = quoted
+        self.row_counts = row_counts
+
+
+def csv_parse(data: bytes, delimiter: str, quote_char,
+              doublequote: bool, escape_char) -> Optional[CsvBlock]:
+    """Tokenize a CSV byte block (csv/parser.cc analogue); None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8) if data else np.empty(0, np.uint8)
+    use_quote = 1 if quote_char else 0
+    handle = lib.csv_parse(
+        _ptr(src) if len(src) else None, len(src),
+        ord(delimiter), ord(quote_char) if quote_char else 0,
+        use_quote, 1 if doublequote else 0,
+        ord(escape_char) if isinstance(escape_char, str) else -1)
+    try:
+        n_fields = ctypes.c_int64()
+        n_rows = ctypes.c_int64()
+        pool_bytes = ctypes.c_int64()
+        lib.csv_parse_sizes(handle, ctypes.byref(n_fields),
+                            ctypes.byref(n_rows), ctypes.byref(pool_bytes))
+        offsets = np.empty(n_fields.value + 1, np.int64)
+        pool = np.empty(max(pool_bytes.value, 1), np.uint8)
+        quoted = np.empty(max(n_fields.value, 1), np.uint8)
+        row_counts = np.empty(max(n_rows.value, 1), np.int64)
+        lib.csv_parse_fill(handle, _ptr(offsets), _ptr(pool), _ptr(quoted),
+                           _ptr(row_counts))
+        return CsvBlock(offsets, pool[:pool_bytes.value],
+                        quoted[:n_fields.value],
+                        row_counts[:n_rows.value])
+    finally:
+        lib.csv_parse_free(handle)
+
+
+def csv_parse_parallel(data: bytes, delimiter: str, quote_char,
+                       doublequote: bool, escape_char,
+                       max_workers: int = 8) -> Optional[CsvBlock]:
+    """Chunked parallel tokenize: split at newline boundaries (valid when
+    newlines cannot appear inside values — the reference's parallel
+    chunker makes the same assumption, csv/chunker.cc) and merge. ctypes
+    releases the GIL, so chunks tokenize concurrently."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n < (1 << 21):
+        return csv_parse(data, delimiter, quote_char, doublequote,
+                         escape_char)
+    nchunks = min(max_workers, max(1, n >> 20))
+    bounds = [0]
+    for k in range(1, nchunks):
+        target = n * k // nchunks
+        cut = data.find(b"\n", max(target, bounds[-1]))
+        bounds.append(n if cut < 0 else cut + 1)
+    bounds.append(n)
+    spans = [(bounds[k], bounds[k + 1]) for k in range(nchunks)
+             if bounds[k + 1] > bounds[k]]
+    if len(spans) <= 1:
+        return csv_parse(data, delimiter, quote_char, doublequote,
+                         escape_char)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(spans)) as ex:
+        blocks = list(ex.map(
+            lambda s: csv_parse(data[s[0]:s[1]], delimiter, quote_char,
+                                doublequote, escape_char), spans))
+    if any(b is None for b in blocks):
+        return None
+    # merge: bias each chunk's offsets by the pool bytes before it
+    pools = [b.pool for b in blocks]
+    pool_sizes = np.array([len(p) for p in pools], np.int64)
+    bias = np.zeros(len(blocks), np.int64)
+    np.cumsum(pool_sizes[:-1], out=bias[1:])
+    offsets = np.concatenate(
+        [blocks[0].offsets] +
+        [b.offsets[1:] + bias[k + 1] for k, b in enumerate(blocks[1:])])
+    return CsvBlock(offsets, np.concatenate(pools),
+                    np.concatenate([b.quoted for b in blocks]),
+                    np.concatenate([b.row_counts for b in blocks]))
+
+
+def csv_parse_int64(block: CsvBlock, ids: np.ndarray,
+                    skip: Optional[np.ndarray]
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Bulk int64 parse of fields `ids`; returns (values, ok_mask) or
+    None when any field fails to parse (or no native lib)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ids)
+    ids = np.ascontiguousarray(ids, np.int64)
+    sptr = None
+    if skip is not None:
+        skip = np.ascontiguousarray(skip, np.uint8)
+        sptr = _ptr(skip)
+    out = np.empty(n, np.int64)
+    ok = np.empty(n, np.uint8)
+    failures = lib.csv_parse_int64(_ptr(block.pool), _ptr(block.offsets),
+                                   _ptr(ids), sptr, n, _ptr(out), _ptr(ok))
+    if failures:
+        return None
+    return out, ok
+
+
+def csv_parse_float64(block: CsvBlock, ids: np.ndarray,
+                      skip: Optional[np.ndarray]
+                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ids)
+    ids = np.ascontiguousarray(ids, np.int64)
+    sptr = None
+    if skip is not None:
+        skip = np.ascontiguousarray(skip, np.uint8)
+        sptr = _ptr(skip)
+    out = np.empty(n, np.float64)
+    ok = np.empty(n, np.uint8)
+    failures = lib.csv_parse_float64(_ptr(block.pool), _ptr(block.offsets),
+                                     _ptr(ids), sptr, n, _ptr(out),
+                                     _ptr(ok))
+    if failures:
+        return None
+    return out, ok
+
+
+def _token_buffers(tokens):
+    toks = [t.encode() for t in tokens]
+    tok_bytes = np.frombuffer(b"".join(toks) or b"\0", np.uint8)
+    tok_offs = np.zeros(len(toks) + 1, np.int32)
+    if toks:
+        tok_offs[1:] = np.cumsum([len(t) for t in toks])
+    return tok_bytes, tok_offs, len(toks)
+
+
+def csv_match_tokens(block: CsvBlock, ids: np.ndarray,
+                     tokens) -> Optional[np.ndarray]:
+    """Byte mask: field ids[i] equals one of `tokens` (list of str)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tok_bytes, tok_offs, m = _token_buffers(tokens)
+    ids = np.ascontiguousarray(ids, np.int64)
+    out = np.empty(len(ids), np.uint8)
+    lib.csv_match_tokens(_ptr(block.pool), _ptr(block.offsets), _ptr(ids),
+                         len(ids), _ptr(tok_bytes), _ptr(tok_offs),
+                         m, _ptr(out))
+    return out
+
+
+def csv_parse_bool(block: CsvBlock, ids: np.ndarray,
+                   skip: Optional[np.ndarray], true_tokens,
+                   false_tokens) -> Optional[np.ndarray]:
+    """Fused bool inference: values where every non-null field is a
+    true/false token, else None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tb, to, nt = _token_buffers(true_tokens)
+    fb, fo, nf = _token_buffers(false_tokens)
+    ids = np.ascontiguousarray(ids, np.int64)
+    sptr = None
+    if skip is not None:
+        skip = np.ascontiguousarray(skip, np.uint8)
+        sptr = _ptr(skip)
+    out = np.empty(len(ids), np.uint8)
+    failures = lib.csv_parse_bool(
+        _ptr(block.pool), _ptr(block.offsets), _ptr(ids), sptr, len(ids),
+        _ptr(tb), _ptr(to), nt, _ptr(fb), _ptr(fo), nf, _ptr(out))
+    if failures:
+        return None
+    return out
+
+
+def csv_gather_bytes(block: CsvBlock, ids: np.ndarray,
+                     skip: Optional[np.ndarray] = None
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Dense (offsets int64[n+1], bytes) for the given fields;
+    skip[i] != 0 gathers a zero-length value."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, np.int64)
+    lens = block.offsets[ids + 1] - block.offsets[ids]
+    sptr = None
+    if skip is not None:
+        skip = np.ascontiguousarray(skip, np.uint8)
+        lens = np.where(skip != 0, 0, lens)
+        sptr = _ptr(skip)
+    out_offsets = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    out = np.empty(max(total, 1), np.uint8)
+    lib.csv_gather_bytes(_ptr(block.pool), _ptr(block.offsets), _ptr(ids),
+                         sptr, len(ids), _ptr(out_offsets), _ptr(out))
+    return out_offsets, out[:total]
 
 
 def dict_encode_binary(data: np.ndarray, offsets: np.ndarray,

@@ -8,10 +8,12 @@
 //   * validity bitmap pack/unpack + popcount
 // Exposed as a plain C ABI consumed via ctypes (no Python headers needed).
 
+#include <charconv>
 #include <cstdint>
 #include <cstring>
 #include <string_view>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 extern "C" {
@@ -476,6 +478,296 @@ int64_t lz4_block_compress(const uint8_t* in, int64_t n, uint8_t* out) {
   }
   for (int64_t k = 0; k < lit; k++) out[op++] = in[anchor + k];
   return op;
+}
+
+// ---------------------------------------------------------------------------
+// CSV hot path (reference: cpp/src/arrow/csv/ chunker.cc + parser.cc +
+// converter.cc). One pass tokenizes a whole block into a flat field pool
+// (unescaped bytes + offsets + per-field quoted flags + per-row field
+// counts); bulk parsers then convert column strides without touching
+// Python objects.
+// ---------------------------------------------------------------------------
+
+struct CsvParseResult {
+  std::vector<int64_t> offsets;     // n_fields + 1
+  std::vector<uint8_t> pool;        // unescaped field bytes
+  std::vector<uint8_t> quoted;      // per field: started with quote char
+  std::vector<int64_t> row_counts;  // fields per row (0 = empty line)
+};
+
+// Tokenize `data` (UTF-8/ASCII-compatible). Row terminators: \n, \r\n, \r.
+// escape < 0 means no escape char. Matches Python csv.reader semantics:
+// an entirely empty line yields a 0-field row.
+void* csv_parse(const uint8_t* data, int64_t len, uint8_t delim,
+                uint8_t quote, int32_t use_quote, int32_t doublequote,
+                int32_t escape) {
+  auto* res = new CsvParseResult();
+  res->offsets.reserve(static_cast<size_t>(len / 8 + 16));
+  res->pool.reserve(static_cast<size_t>(len));
+  res->offsets.push_back(0);
+  // span-scan tables: stop bytes for unquoted / quoted field scans
+  bool stop_plain[256] = {false};
+  stop_plain[delim] = stop_plain['\n'] = stop_plain['\r'] = true;
+  if (escape >= 0) stop_plain[(uint8_t)escape] = true;
+  bool stop_quoted[256] = {false};
+  if (use_quote) stop_quoted[quote] = true;
+  if (escape >= 0) stop_quoted[(uint8_t)escape] = true;
+  int64_t i = 0;
+  while (i < len) {
+    int64_t row_fields = 0;
+    bool row_done = false;
+    bool saw_any = false;  // any byte (incl. delimiter) on this line
+    while (!row_done) {
+      // one field
+      bool was_quoted = false;
+      if (use_quote && i < len && data[i] == quote) {
+        was_quoted = true;
+        saw_any = true;
+        ++i;
+        while (i < len) {
+          int64_t run = i;
+          while (run < len && !stop_quoted[data[run]]) ++run;
+          if (run > i) {
+            res->pool.insert(res->pool.end(), data + i, data + run);
+            i = run;
+          }
+          if (i >= len) break;
+          uint8_t c = data[i];
+          if (escape >= 0 && c == (uint8_t)escape) {
+            if (i + 1 < len) {
+              res->pool.push_back(data[i + 1]);
+              i += 2;
+            } else {
+              res->pool.push_back(c);
+              ++i;
+            }
+            continue;
+          }
+          // c == quote
+          if (doublequote && i + 1 < len && data[i + 1] == quote) {
+            res->pool.push_back(quote);
+            i += 2;
+            continue;
+          }
+          ++i;  // closing quote
+          break;
+        }
+      }
+      // unquoted remainder (also trailing bytes after a closing quote)
+      while (i < len) {
+        int64_t run = i;
+        while (run < len && !stop_plain[data[run]]) ++run;
+        if (run > i) {
+          res->pool.insert(res->pool.end(), data + i, data + run);
+          saw_any = true;
+          i = run;
+        }
+        if (i >= len) break;
+        uint8_t c = data[i];
+        if (c == delim || c == '\n' || c == '\r') break;
+        // escape char: next byte literal (escape at EOF stays literal)
+        if (i + 1 < len) {
+          res->pool.push_back(data[i + 1]);
+          i += 2;
+        } else {
+          res->pool.push_back(c);
+          ++i;
+        }
+        saw_any = true;
+      }
+      // field terminator
+      if (i < len && data[i] == delim) {
+        saw_any = true;
+        ++i;
+        res->offsets.push_back((int64_t)res->pool.size());
+        res->quoted.push_back(was_quoted ? 1 : 0);
+        ++row_fields;
+        continue;
+      }
+      // row terminator or EOF
+      if (i < len && data[i] == '\r') {
+        ++i;
+        if (i < len && data[i] == '\n') ++i;
+      } else if (i < len && data[i] == '\n') {
+        ++i;
+      }
+      if (row_fields == 0 && !saw_any && !was_quoted) {
+        // entirely empty line -> 0-field row (csv.reader yields [])
+        res->row_counts.push_back(0);
+      } else {
+        res->offsets.push_back((int64_t)res->pool.size());
+        res->quoted.push_back(was_quoted ? 1 : 0);
+        res->row_counts.push_back(row_fields + 1);
+      }
+      row_done = true;
+    }
+  }
+  return res;
+}
+
+void csv_parse_sizes(void* handle, int64_t* n_fields, int64_t* n_rows,
+                     int64_t* pool_bytes) {
+  auto* res = static_cast<CsvParseResult*>(handle);
+  *n_fields = (int64_t)res->quoted.size();
+  *n_rows = (int64_t)res->row_counts.size();
+  *pool_bytes = (int64_t)res->pool.size();
+}
+
+void csv_parse_fill(void* handle, int64_t* offsets, uint8_t* pool,
+                    uint8_t* quoted, int64_t* row_counts) {
+  auto* res = static_cast<CsvParseResult*>(handle);
+  std::memcpy(offsets, res->offsets.data(),
+              res->offsets.size() * sizeof(int64_t));
+  if (!res->pool.empty()) {
+    std::memcpy(pool, res->pool.data(), res->pool.size());
+  }
+  if (!res->quoted.empty()) {
+    std::memcpy(quoted, res->quoted.data(), res->quoted.size());
+  }
+  if (!res->row_counts.empty()) {
+    std::memcpy(row_counts, res->row_counts.data(),
+                res->row_counts.size() * sizeof(int64_t));
+  }
+}
+
+void csv_parse_free(void* handle) {
+  delete static_cast<CsvParseResult*>(handle);
+}
+
+static inline std::string_view csv_field(const uint8_t* pool,
+                                         const int64_t* offsets,
+                                         int64_t id) {
+  return std::string_view(
+      reinterpret_cast<const char*>(pool) + offsets[id],
+      static_cast<size_t>(offsets[id + 1] - offsets[id]));
+}
+
+static inline std::string_view csv_trim(std::string_view v) {
+  size_t b = 0, e = v.size();
+  while (b < e && (v[b] == ' ' || v[b] == '\t')) ++b;
+  while (e > b && (v[e - 1] == ' ' || v[e - 1] == '\t')) --e;
+  return v.substr(b, e - b);
+}
+
+// Parse fields ids[0..n) as int64. skip (nullable byte mask): 1 = null,
+// emit 0. ok[i]=1 on success. Aborts on the first failure (callers treat
+// any failure as a column-level failure); returns 0 on full success or
+// the 1-based position of the first failure.
+int64_t csv_parse_int64(const uint8_t* pool, const int64_t* offsets,
+                        const int64_t* ids, const uint8_t* skip,
+                        int64_t n, int64_t* out, uint8_t* ok) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) { out[i] = 0; ok[i] = 1; continue; }
+    std::string_view v = csv_trim(csv_field(pool, offsets, ids[i]));
+    if (!v.empty() && v.front() == '+' && v.size() > 1) v.remove_prefix(1);
+    int64_t value = 0;
+    auto r = std::from_chars(v.data(), v.data() + v.size(), value);
+    if (r.ec == std::errc() && r.ptr == v.data() + v.size() && !v.empty()) {
+      out[i] = value;
+      ok[i] = 1;
+    } else {
+      ok[i] = 0;
+      return i + 1;
+    }
+  }
+  return 0;
+}
+
+int64_t csv_parse_float64(const uint8_t* pool, const int64_t* offsets,
+                          const int64_t* ids, const uint8_t* skip,
+                          int64_t n, double* out, uint8_t* ok) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) { out[i] = 0.0; ok[i] = 1; continue; }
+    std::string_view v = csv_trim(csv_field(pool, offsets, ids[i]));
+    if (!v.empty() && v.front() == '+' && v.size() > 1) v.remove_prefix(1);
+    double value = 0.0;
+    auto r = std::from_chars(v.data(), v.data() + v.size(), value);
+    if (r.ec == std::errc() && r.ptr == v.data() + v.size() && !v.empty()) {
+      out[i] = value;
+      ok[i] = 1;
+    } else {
+      ok[i] = 0;
+      return i + 1;
+    }
+  }
+  return 0;
+}
+
+// Token-set matcher with (first char, length) quick reject: most fields
+// are numbers/words that share no first byte with the null spellings.
+struct CsvTokenSet {
+  std::unordered_set<std::string_view> set;
+  bool first_ok[256] = {false};
+  uint64_t len_mask = 0;  // lengths 0..63 present
+  bool has_empty = false;
+
+  void build(const uint8_t* tok_bytes, const int32_t* tok_offs, int32_t m) {
+    set.reserve((size_t)m * 2);
+    for (int32_t t = 0; t < m; ++t) {
+      size_t tl = (size_t)(tok_offs[t + 1] - tok_offs[t]);
+      const char* p = reinterpret_cast<const char*>(tok_bytes) + tok_offs[t];
+      set.emplace(p, tl);
+      if (tl == 0) { has_empty = true; continue; }
+      first_ok[(uint8_t)p[0]] = true;
+      if (tl < 64) len_mask |= (uint64_t)1 << tl;
+    }
+  }
+
+  inline bool match(std::string_view v) const {
+    if (v.empty()) return has_empty;
+    if (!first_ok[(uint8_t)v[0]]) return false;
+    if (v.size() >= 64 || !((len_mask >> v.size()) & 1)) return false;
+    return set.count(v) != 0;
+  }
+};
+
+// out[i] = 1 iff field ids[i] equals one of the m tokens (exact bytes).
+void csv_match_tokens(const uint8_t* pool, const int64_t* offsets,
+                      const int64_t* ids, int64_t n,
+                      const uint8_t* tok_bytes, const int32_t* tok_offs,
+                      int32_t m, uint8_t* out) {
+  CsvTokenSet toks;
+  toks.build(tok_bytes, tok_offs, m);
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = toks.match(csv_field(pool, offsets, ids[i])) ? 1 : 0;
+  }
+}
+
+// Fused bool inference: out[i]=1 where true-token, 0 where false-token;
+// skipped (null) rows emit 0. Aborts at the first field in neither set;
+// returns 0 on success, first-failure position + 1 otherwise.
+int64_t csv_parse_bool(const uint8_t* pool, const int64_t* offsets,
+                       const int64_t* ids, const uint8_t* skip, int64_t n,
+                       const uint8_t* true_bytes, const int32_t* true_offs,
+                       int32_t n_true, const uint8_t* false_bytes,
+                       const int32_t* false_offs, int32_t n_false,
+                       uint8_t* out) {
+  CsvTokenSet tv, fv;
+  tv.build(true_bytes, true_offs, n_true);
+  fv.build(false_bytes, false_offs, n_false);
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) { out[i] = 0; continue; }
+    std::string_view v = csv_field(pool, offsets, ids[i]);
+    if (tv.match(v)) { out[i] = 1; continue; }
+    if (fv.match(v)) { out[i] = 0; continue; }
+    return i + 1;
+  }
+  return 0;
+}
+
+// Copy fields ids[0..n) into a dense byte buffer at out_offsets
+// (precomputed int64 cumsum of lengths, zero-length where skip[i]).
+// skip may be null.
+void csv_gather_bytes(const uint8_t* pool, const int64_t* offsets,
+                      const int64_t* ids, const uint8_t* skip, int64_t n,
+                      const int64_t* out_offsets, uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) continue;
+    int64_t id = ids[i];
+    int64_t len = offsets[id + 1] - offsets[id];
+    if (len) std::memcpy(out + out_offsets[i], pool + offsets[id],
+                         (size_t)len);
+  }
 }
 
 }  // extern "C"

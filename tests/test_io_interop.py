@@ -233,3 +233,85 @@ class TestCsvStreaming:
         assert acsv.ISO8601 == "ISO8601"
         row = acsv.InvalidRow(2, 3, 7, "x,y,z")
         assert row.expected_columns == 2 and row.actual_columns == 3
+
+
+class TestCSVNativeDifferential:
+    """The native tokenizer path must agree with the python-csv fallback
+    path on the same inputs (mirrors the reference's converter tests,
+    cpp/src/arrow/csv/converter_test.cc)."""
+
+    def _both(self, data, monkeypatch, **kw):
+        from arrow_tpu.io import csv as acsv
+        native = acsv.read_csv(data, **kw)
+        monkeypatch.setattr(acsv, "_tokenize_and_layout",
+                            lambda *a, **k: None)
+        fallback = acsv.read_csv(data, **kw)
+        assert native.to_pydict() == fallback.to_pydict()
+        assert [f.type for f in native.schema] == \
+            [f.type for f in fallback.schema]
+        return native
+
+    def test_quotes_escapes_empty_lines(self, monkeypatch):
+        data = (b'a,b,c\n'
+                b'1,"x,y",2.5\n'
+                b'\n'
+                b'2,"he said ""hi""",-1e3\n'
+                b'3,,nan\n'
+                b',"",4\n')
+        t = self._both(data, monkeypatch)
+        assert t.num_rows == 4
+
+    def test_crlf_and_missing_fields(self, monkeypatch):
+        data = b'a,b\r\n1,x\r\n2\r\n3,z,extra\r\n'
+        self._both(data, monkeypatch)
+
+    def test_explicit_types_and_null_tokens(self, monkeypatch):
+        import arrow_tpu as at
+        from arrow_tpu.io import csv as acsv
+        data = b'i,f,s,bl\nNULL,NA,keep,true\n7,0.5,NULL,false\n'
+        co = acsv.ConvertOptions(column_types={
+            "i": at.int32(), "f": at.float32(), "s": at.string(),
+            "bl": at.bool_()}, strings_can_be_null=True)
+        t = self._both(data, monkeypatch, convert_options=co)
+        assert t.column("i").to_pylist() == [None, 7]
+        assert t.column("s").to_pylist() == ["keep", None]
+
+    def test_random_differential(self, monkeypatch):
+        import random
+
+        import numpy as np
+        rng = random.Random(7)
+        rows = []
+        for _ in range(300):
+            cells = []
+            for c in range(4):
+                kind = rng.randrange(6)
+                if kind == 0:
+                    cells.append(str(rng.randrange(-999, 999)))
+                elif kind == 1:
+                    cells.append(f"{rng.random():.4f}")
+                elif kind == 2:
+                    cells.append(rng.choice(["NULL", "", "NA"]))
+                elif kind == 3:
+                    cells.append('"qu,oted"')
+                elif kind == 4:
+                    cells.append('"do""uble"')
+                else:
+                    cells.append(rng.choice(["plain", "words here"]))
+            rows.append(",".join(cells))
+        data = ("h1,h2,h3,h4\n" + "\n".join(rows) + "\n").encode()
+        self._both(data, monkeypatch)
+
+    def test_streaming_matches_read_csv(self):
+        from arrow_tpu.io import csv as acsv
+        body = "".join(f"{i},{i * 0.5},s{i % 9}\n" for i in range(5000))
+        data = ("x,y,z\n" + body).encode()
+        whole = acsv.read_csv(data)
+        r = acsv.open_csv(
+            data, read_options=acsv.ReadOptions(block_size=4096))
+        batches = list(r)
+        assert len(batches) > 1
+        assert sum(b.num_rows for b in batches) == whole.num_rows
+        import arrow_tpu as at
+        merged = at.Table.from_batches(batches, batches[0].schema)
+        assert merged.to_pydict() == whole.to_pydict()
