@@ -883,6 +883,11 @@ def _decode_plain(cs: ColumnSchema, data: bytes, n: int):
         return np.frombuffer(data, dtype=np.uint8,
                              count=n * w).reshape(n, w)
     if ph == BYTE_ARRAY:
+        from ...native import plain_decode_byte_array
+        decoded = plain_decode_byte_array(data, n)
+        if decoded is not None:
+            offsets, pool = decoded
+            return offsets, pool.tobytes()
         offsets = np.zeros(n + 1, dtype=np.int64)
         chunks = []
         pos = 0
@@ -921,9 +926,18 @@ def _assemble(cs: ColumnSchema, defs: np.ndarray, values_parts,
             if kind == "dict":
                 doffs, dbytes = dictionary
                 lens = (doffs[1:] - doffs[:-1])[v]
-                starts = doffs[:-1][v]
-                bs = b"".join(dbytes[int(s):int(s + l)] for s, l in
-                              zip(starts, lens)) if len(v) else b""
+                from ...native import gather_var_bytes
+                gathered = gather_var_bytes(
+                    np.frombuffer(dbytes, np.uint8), doffs, v) \
+                    if len(v) else None
+                if gathered is not None:
+                    bs = gathered[1].tobytes()
+                elif len(v):
+                    starts = doffs[:-1][v]
+                    bs = b"".join(dbytes[int(s):int(s + l)] for s, l in
+                                  zip(starts, lens))
+                else:
+                    bs = b""
                 all_offs.append(lens)
                 all_bytes.append(bs)
             else:

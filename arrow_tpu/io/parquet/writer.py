@@ -126,6 +126,10 @@ def _plain_encode(t: DataType, arr: Array, present: np.ndarray) -> bytes:
     if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
                TypeId.LARGE_BINARY):
         offs = d.offsets().astype(np.int64)
+        from ...native import plain_encode_byte_array
+        encoded = plain_encode_byte_array(d.data_bytes(), offs, present)
+        if encoded is not None:
+            return encoded
         raw = d.data_bytes().tobytes()
         out = bytearray()
         for i in np.nonzero(present)[0]:
@@ -170,8 +174,28 @@ def _column_stats(t: DataType, col: Array):
     try:
         present = col.is_valid_mask()
         nulls = int(len(col) - present.sum())
-        if t.id in (TypeId.BOOL, TypeId.STRING, TypeId.LARGE_STRING,
+        if t.id == TypeId.BOOL:
+            vals = col.data.values()[present]
+            if len(vals) == 0:
+                return None, None, nulls
+            return bool(vals.min()), bool(vals.max()), nulls
+        if t.id in (TypeId.STRING, TypeId.LARGE_STRING,
                     TypeId.BINARY, TypeId.LARGE_BINARY):
+            from ...native import minmax_binary
+            d = col.data
+            mm = minmax_binary(d.data_bytes(),
+                               d.offsets().astype(np.int64), present)
+            if mm is not None:
+                mn_i, mx_i, count = mm
+                if count == 0:
+                    return None, None, nulls
+                offs = d.offsets()
+                raw = d.data_bytes().tobytes()
+                lo = raw[offs[mn_i]:offs[mn_i + 1]]
+                hi = raw[offs[mx_i]:offs[mx_i + 1]]
+                if t.id in (TypeId.STRING, TypeId.LARGE_STRING):
+                    lo, hi = lo.decode(), hi.decode()
+                return lo, hi, nulls
             vals = [v for v in col.to_pylist() if v is not None]
             if not vals:
                 return None, None, nulls
@@ -343,8 +367,13 @@ class ParquetWriter:
         if self.data_page_size is None or n == 0:
             return max(n, 1)
         if physical == BYTE_ARRAY:
-            total = sum(len(v.encode() if isinstance(v, str) else v)
-                        for v in col.to_pylist() if v is not None)
+            if col.type.id in (TypeId.STRING, TypeId.BINARY,
+                               TypeId.LARGE_STRING, TypeId.LARGE_BINARY):
+                offs = col.data.offsets()
+                total = int(offs[-1] - offs[0])
+            else:
+                total = sum(len(v.encode() if isinstance(v, str) else v)
+                            for v in col.to_pylist() if v is not None)
             bpr = total / max(n, 1) + 4
         elif physical == FLBA:
             bpr = max(type_length, 1)
@@ -523,6 +552,58 @@ class ParquetWriter:
         from .bloom import (SplitBlockBloomFilter, hash_value,
                             xxhash64_u32, xxhash64_u64)
         try:
+            # vectorized distinct for plain fixed-width numeric columns
+            if (t.is_integer and physical in (INT32, INT64)) or \
+                    (t.is_floating and physical in (FLOAT, DOUBLE)):
+                present = col.is_valid_mask()
+                uniq = np.unique(col.data.values()[present])
+                if len(uniq) == 0 or len(uniq) > 65536:
+                    return None
+                bf = SplitBlockBloomFilter.for_ndv(len(uniq))
+                if physical == INT64:
+                    hashes = xxhash64_u64(
+                        uniq.astype(np.int64).view(np.uint64))
+                elif physical == INT32:
+                    hashes = xxhash64_u32(
+                        uniq.astype(np.int32).view(np.uint32))
+                elif physical == DOUBLE:
+                    # hash of the value's plain encoding (IEEE bytes)
+                    hashes = xxhash64_u64(
+                        uniq.astype(np.float64).view(np.uint64))
+                else:
+                    hashes = xxhash64_u32(
+                        uniq.astype(np.float32).view(np.uint32))
+                for h in hashes:
+                    bf.insert_hash(int(h))
+                return bf
+            if physical == BYTE_ARRAY and t.id in (
+                    TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
+                    TypeId.LARGE_BINARY):
+                from ...native import dict_encode_binary
+                d = col.data
+                valid = col.is_valid_mask().astype(np.uint8)
+                enc = dict_encode_binary(
+                    d.data_bytes(), d.offsets().astype(np.int64),
+                    valid if not valid.all() else None)
+                if enc is not None:
+                    _, uoffs, ubytes = enc
+                    raw = ubytes.tobytes()
+                    distinct = {raw[uoffs[i]:uoffs[i + 1]]
+                                for i in range(len(uoffs) - 1)}
+                    has_null = not valid.all()
+                    if has_null:
+                        # nulls encoded as the "" slot; drop it unless a
+                        # real "" value exists among valid rows
+                        empties = ((d.offsets()[1:] - d.offsets()[:-1])
+                                   == 0) & (valid != 0)
+                        if not empties.any():
+                            distinct.discard(b"")
+                    if not distinct or len(distinct) > 65536:
+                        return None
+                    bf = SplitBlockBloomFilter.for_ndv(len(distinct))
+                    for v in distinct:
+                        bf.insert_hash(hash_value(v, physical))
+                    return bf
             vals = col.to_pylist()
             distinct = {v for v in vals if v is not None}
             if not distinct or len(distinct) > 65536:

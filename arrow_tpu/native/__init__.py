@@ -127,6 +127,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.plain_decode_byte_array.restype = ctypes.c_int64
+        lib.plain_decode_byte_array.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.plain_encode_byte_array.restype = ctypes.c_int64
+        lib.plain_encode_byte_array.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.minmax_binary.restype = ctypes.c_int64
+        lib.minmax_binary.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -422,6 +434,90 @@ def rle_encode_native(values: np.ndarray,
                        len(values), bit_width,
                        out.ctypes.data_as(ctypes.c_void_p))
     return out[:n].tobytes()
+
+
+def gather_var_bytes(pool: np.ndarray, offsets: np.ndarray,
+                     ids: np.ndarray
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Dense (offsets int64[n+1], bytes) gather of var-length values
+    `ids` out of (pool, offsets); None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pool = np.ascontiguousarray(pool, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    ids = np.ascontiguousarray(ids, np.int64)
+    lens = offsets[ids + 1] - offsets[ids]
+    out_offsets = np.zeros(len(ids) + 1, np.int64)
+    np.cumsum(lens, out=out_offsets[1:])
+    total = int(out_offsets[-1])
+    out = np.empty(max(total, 1), np.uint8)
+    lib.csv_gather_bytes(_ptr(pool), _ptr(offsets), _ptr(ids), None,
+                         len(ids), _ptr(out_offsets), _ptr(out))
+    return out_offsets, out[:total]
+
+
+def plain_decode_byte_array(data, n: int
+                            ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Parquet PLAIN BYTE_ARRAY decode: n length-prefixed values ->
+    (offsets int64[n+1], compact bytes). Raises on overrun."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    offsets = np.empty(n + 1, np.int64)
+    out = np.empty(max(len(src), 1), np.uint8)
+    written = lib.plain_decode_byte_array(
+        _ptr(src) if len(src) else None, len(src), n, _ptr(offsets),
+        _ptr(out))
+    if written < 0:
+        raise ValueError("parquet BYTE_ARRAY data truncated")
+    return offsets, out[:written]
+
+
+def plain_encode_byte_array(pool: np.ndarray, offsets: np.ndarray,
+                            present: Optional[np.ndarray]
+                            ) -> Optional[bytes]:
+    """Parquet PLAIN BYTE_ARRAY encode of the present values."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pool = np.ascontiguousarray(pool, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+    pptr = None
+    if present is not None:
+        present = np.ascontiguousarray(present, np.uint8)
+        pptr = _ptr(present)
+        cap = int(lens[present != 0].sum()) + 4 * int((present != 0).sum())
+    else:
+        cap = int(lens.sum()) + 4 * n
+    out = np.empty(max(cap, 1), np.uint8)
+    written = lib.plain_encode_byte_array(_ptr(pool), _ptr(offsets), pptr,
+                                          n, _ptr(out))
+    return out[:written].tobytes()
+
+
+def minmax_binary(pool: np.ndarray, offsets: np.ndarray,
+                  valid: Optional[np.ndarray]
+                  ) -> Optional[Tuple[int, int, int]]:
+    """(min_idx, max_idx, n_valid) by unsigned-byte order; indices are
+    -1 when no valid values. None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pool = np.ascontiguousarray(pool, np.uint8)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    n = len(offsets) - 1
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, np.uint8)
+        vptr = _ptr(valid)
+    idx = np.empty(2, np.int64)
+    count = lib.minmax_binary(_ptr(pool), _ptr(offsets), vptr, n,
+                              _ptr(idx))
+    return int(idx[0]), int(idx[1]), int(count)
 
 
 def snappy_decompress(data: bytes, out_size: int) -> Optional[bytes]:

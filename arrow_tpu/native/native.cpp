@@ -770,4 +770,74 @@ void csv_gather_bytes(const uint8_t* pool, const int64_t* offsets,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Parquet BYTE_ARRAY plain codec + binary min/max (reference:
+// parquet/encoding.cc PlainEncoder/PlainDecoder<ByteArrayType>,
+// parquet/statistics.cc TypedStatsImpl<ByteArrayType>).
+// ---------------------------------------------------------------------------
+
+// Decode n length-prefixed byte arrays: fills offsets[n+1] and compact
+// `out` (caller sizes it as len - 4*n). Returns bytes written to out,
+// or -1 on overrun.
+int64_t plain_decode_byte_array(const uint8_t* data, int64_t len,
+                                int64_t n, int64_t* offsets,
+                                uint8_t* out) {
+  int64_t pos = 0, op = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (pos + 4 > len) return -1;
+    uint32_t ln;
+    std::memcpy(&ln, data + pos, 4);
+    pos += 4;
+    if (pos + (int64_t)ln > len) return -1;
+    std::memcpy(out + op, data + pos, ln);
+    pos += ln;
+    op += ln;
+    offsets[i + 1] = op;
+  }
+  return op;
+}
+
+// Encode values marked present as length-prefixed byte arrays; out must
+// hold sum(present lens) + 4 * n_present. Returns bytes written.
+int64_t plain_encode_byte_array(const uint8_t* pool,
+                                const int64_t* offsets,
+                                const uint8_t* present, int64_t n,
+                                uint8_t* out) {
+  int64_t op = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (present && !present[i]) continue;
+    uint32_t ln = (uint32_t)(offsets[i + 1] - offsets[i]);
+    std::memcpy(out + op, &ln, 4);
+    op += 4;
+    std::memcpy(out + op, pool + offsets[i], ln);
+    op += ln;
+  }
+  return op;
+}
+
+// Lexicographic (unsigned byte) min/max over valid var-length values.
+// Writes value indices to out_idx[2]; returns number of valid values.
+int64_t minmax_binary(const uint8_t* pool, const int64_t* offsets,
+                      const uint8_t* valid, int64_t n,
+                      int64_t* out_idx) {
+  int64_t mn = -1, mx = -1, count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) continue;
+    ++count;
+    if (mn < 0) { mn = mx = i; continue; }
+    std::string_view v(reinterpret_cast<const char*>(pool) + offsets[i],
+                       (size_t)(offsets[i + 1] - offsets[i]));
+    std::string_view lo(reinterpret_cast<const char*>(pool) + offsets[mn],
+                        (size_t)(offsets[mn + 1] - offsets[mn]));
+    std::string_view hi(reinterpret_cast<const char*>(pool) + offsets[mx],
+                        (size_t)(offsets[mx + 1] - offsets[mx]));
+    if (v < lo) mn = i;
+    if (v > hi) mx = i;
+  }
+  out_idx[0] = mn;
+  out_idx[1] = mx;
+  return count;
+}
+
 }  // extern "C"
