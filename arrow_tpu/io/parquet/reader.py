@@ -183,6 +183,8 @@ class ParquetFile:
         elif isinstance(source, str):
             source = open(source, "rb")
         self.src = source
+        import threading
+        self._src_lock = threading.Lock()
         self.decryption = decryption_properties
         self._file_crypto = None  # (footer_key, file_aad, ctr_pages)
         self._parse_footer()
@@ -661,7 +663,8 @@ class ParquetFile:
                        for c in cols])
 
     def read_row_group(self, i: int,
-                       columns: Optional[List[str]] = None) -> RecordBatch:
+                       columns: Optional[List[str]] = None,
+                       use_threads: bool = True) -> RecordBatch:
         rg = self.row_groups[i]
         chunks = rg.get(1, [])
         num_rows = rg.get(3, 0)
@@ -669,6 +672,33 @@ class ParquetFile:
         ci = 0
         from ...array.array import array as make_array
         from .nested import LeafSpec, assemble, is_nested
+
+        # flat columns decode in parallel (file reads serialized by
+        # _src_lock; the decode work is native and releases the GIL) —
+        # reference: parquet/arrow/reader.cc use_threads column-level
+        # parallelism
+        flat_jobs = []
+        for fd in self.fields:
+            if columns is not None and fd.name not in columns:
+                continue
+            if not is_nested(fd.arrow_type) and len(fd.leaves) == 1:
+                flat_jobs.append(fd)
+        flat_results = {}
+        if use_threads and len(flat_jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            ci2 = 0
+            jobs = []
+            for fd in self.fields:
+                fchunks = chunks[ci2:ci2 + len(fd.leaves)]
+                ci2 += len(fd.leaves)
+                if fd in flat_jobs:
+                    jobs.append((fd, fd.leaves[0], fchunks[0]))
+            with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+                for (fd, _, _), arr in zip(jobs, ex.map(
+                        lambda j: self._read_chunk(j[1], j[2], num_rows),
+                        jobs)):
+                    flat_results[id(fd)] = arr
+
         for fd in self.fields:
             fchunks = chunks[ci:ci + len(fd.leaves)]
             ci += len(fd.leaves)
@@ -676,7 +706,10 @@ class ParquetFile:
                 continue
             if not is_nested(fd.arrow_type) and len(fd.leaves) == 1:
                 cs = fd.leaves[0]
-                arrays.append(self._read_chunk(cs, fchunks[0], num_rows))
+                arr = flat_results.get(id(fd))
+                if arr is None:
+                    arr = self._read_chunk(cs, fchunks[0], num_rows)
+                arrays.append(arr)
                 fields.append(Field(fd.name, cs.arrow_type, fd.nullable))
                 continue
             leaf_results = []
@@ -707,10 +740,11 @@ class ParquetFile:
         data_off = meta.get(9)
         dict_off = meta.get(11)
         start = dict_off if dict_off is not None else data_off
-        self.src.seek(start)
         # read generously: total compressed size + headroom for headers
         total = meta.get(7, 0) + (1 << 16)
-        blob = self.src.read(total)
+        with self._src_lock:
+            self.src.seek(start)
+            blob = self.src.read(total)
 
         pos = 0
         dictionary = None
