@@ -170,28 +170,113 @@ def _strip_framing(framed: bytes) -> bytes:
     return framed[4:4 + word]
 
 
-def _table_to_flight_datas(tbl: Table) -> Iterator[fp.FlightData]:
+class _FD:
+    """FlightData stand-in, hand-encoded to/from the protobuf wire
+    format (format/Flight.proto FlightData: flight_descriptor=1,
+    data_header=2, app_metadata=3, data_body=1000). The reference
+    bypasses protobuf for exactly this message to avoid copying
+    multi-MB bodies (flight/serialization_internal.cc); here the custom
+    codec saves protobuf's copy-in + copy-out per direction and parses
+    bodies as zero-copy memoryviews."""
+
+    __slots__ = ("descriptor", "data_header", "app_metadata",
+                 "data_body")
+
+    def __init__(self, descriptor=None, data_header=b"",
+                 app_metadata=b"", data_body=b""):
+        self.descriptor = descriptor  # serialized FlightDescriptor
+        self.data_header = data_header
+        self.app_metadata = app_metadata
+        self.data_body = data_body
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(data, pos: int):
+    v = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return v, pos
+        shift += 7
+
+
+_BODY_TAG = _varint((1000 << 3) | 2)
+
+
+def _fd_serialize(fd: "_FD") -> bytes:
+    parts = []
+    if fd.descriptor:
+        parts += [b"\x0a", _varint(len(fd.descriptor)), fd.descriptor]
+    if fd.data_header:
+        parts += [b"\x12", _varint(len(fd.data_header)), fd.data_header]
+    if fd.app_metadata:
+        parts += [b"\x1a", _varint(len(fd.app_metadata)),
+                  fd.app_metadata]
+    if fd.data_body:
+        parts += [_BODY_TAG, _varint(len(fd.data_body)), fd.data_body]
+    return b"".join(parts)
+
+
+def _fd_parse(data: bytes) -> "_FD":
+    fd = _FD()
+    mv = memoryview(data)
+    pos, end = 0, len(data)
+    while pos < end:
+        tag, pos = _read_varint(data, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 2:
+            ln, pos = _read_varint(data, pos)
+            if field == 1:
+                fd.descriptor = bytes(mv[pos:pos + ln])
+            elif field == 2:
+                fd.data_header = bytes(mv[pos:pos + ln])
+            elif field == 3:
+                fd.app_metadata = bytes(mv[pos:pos + ln])
+            elif field == 1000:
+                fd.data_body = mv[pos:pos + ln]  # zero-copy
+            pos += ln
+        elif wt == 0:
+            _, pos = _read_varint(data, pos)
+        elif wt == 5:
+            pos += 4
+        elif wt == 1:
+            pos += 8
+        else:
+            raise ValueError(f"bad wire type {wt} in FlightData")
+    return fd
+
+
+def _table_to_flight_datas(tbl: Table) -> Iterator["_FD"]:
     mapper = DictionaryFieldMapper()
     schema_msg = serialize_schema_message(tbl.schema, mapper)
-    fd = fp.FlightData()
-    fd.data_header = _strip_framing(schema_msg)
-    yield fd
-    for rb in tbl.to_batches():
+    yield _FD(data_header=_strip_framing(schema_msg))
+    # stream in <=256Ki-row chunks: large enough to amortize python-grpc
+    # per-message overhead, small enough to pipeline (measured optimum
+    # on localhost; reference streams per-batch)
+    for rb in tbl.to_batches(max_chunksize=1 << 18):
         dicts = []
         for col in rb.columns:
             _collect_dictionaries(col.data, dicts)
         for did, dd in zip(mapper.ordered_ids, dicts):
             meta, body = serialize_dictionary_batch(did, dd)
-            fd = fp.FlightData()
-            fd.data_header = _strip_framing(meta)
-            fd.data_body = body
-            yield fd
+            yield _FD(data_header=_strip_framing(meta), data_body=body)
         meta, body = serialize_record_batch(
             [c.data for c in rb.columns], rb.num_rows)
-        fd = fp.FlightData()
-        fd.data_header = _strip_framing(meta)
-        fd.data_body = body
-        yield fd
+        yield _FD(data_header=_strip_framing(meta), data_body=body)
 
 
 class _FlightStreamAssembler:
@@ -203,9 +288,10 @@ class _FlightStreamAssembler:
         self.memo: Dict[int, object] = {}
         self.descriptor: Optional[FlightDescriptor] = None
 
-    def feed(self, fd: fp.FlightData) -> Optional[RecordBatch]:
-        if fd.HasField("flight_descriptor"):
-            self.descriptor = FlightDescriptor.from_pb(fd.flight_descriptor)
+    def feed(self, fd: "_FD") -> Optional[RecordBatch]:
+        if fd.descriptor:
+            self.descriptor = FlightDescriptor.from_pb(
+                fp.FlightDescriptor.FromString(fd.descriptor))
         if not fd.data_header:
             return None
         htype, header, body_len = parse_message_meta(fd.data_header)
@@ -270,10 +356,41 @@ class BasicServerAuthHandler(ServerAuthHandler):
 
 # --- server ----------------------------------------------------------------
 
+def _wants_context(fn) -> bool:
+    """True when a handler uses the pyarrow signature whose first
+    positional parameter is the ServerCallContext (flight/server.h
+    handlers all receive `const ServerCallContext&` first). Detected by
+    parameter name so both the compact no-context signatures and the
+    pyarrow ones are accepted."""
+    import inspect
+    try:
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.kind in (inspect.Parameter.POSITIONAL_ONLY,
+                                inspect.Parameter.POSITIONAL_OR_KEYWORD)]
+    except (TypeError, ValueError):
+        return False
+    return bool(params) and params[0].name == "context"
+
+
+def _result_to_table(out) -> Optional[Table]:
+    """Normalize a do_get/do_exchange return value: Table,
+    FlightDataStream (RecordBatchStream/GeneratorStream), or reader."""
+    if out is None or isinstance(out, Table):
+        return out
+    if hasattr(out, "to_table"):
+        return out.to_table()
+    if hasattr(out, "read_all"):
+        return out.read_all()
+    return out
+
+
 class FlightServerBase:
     """Subclass and override list_flights / get_flight_info / do_get /
     do_put / do_exchange / do_action / list_actions (reference:
-    flight/server.h:248)."""
+    flight/server.h:248). Handlers may use either the pyarrow
+    signatures (context first, e.g. ``do_get(self, context, ticket)``
+    returning a FlightDataStream) or the compact ones without context
+    returning a Table."""
 
     port = 0  # bound port (set at construction)
 
@@ -286,7 +403,9 @@ class FlightServerBase:
         self._location = location
         self.auth_handler = auth_handler
         self._server = grpc.server(
-            futures.ThreadPoolExecutor(max_workers=8))
+            futures.ThreadPoolExecutor(max_workers=8),
+            options=[("grpc.max_send_message_length", -1),
+                     ("grpc.max_receive_message_length", -1)])
         handlers = {
             "Handshake": grpc.stream_stream_rpc_method_handler(
                 self._handshake,
@@ -294,8 +413,8 @@ class FlightServerBase:
                 response_serializer=fp.HandshakeResponse.SerializeToString),
             "DoExchange": grpc.stream_stream_rpc_method_handler(
                 self._do_exchange,
-                request_deserializer=fp.FlightData.FromString,
-                response_serializer=fp.FlightData.SerializeToString),
+                request_deserializer=_fd_parse,
+                response_serializer=_fd_serialize),
             "ListFlights": grpc.unary_stream_rpc_method_handler(
                 self._list_flights,
                 request_deserializer=fp.Criteria.FromString,
@@ -311,10 +430,10 @@ class FlightServerBase:
             "DoGet": grpc.unary_stream_rpc_method_handler(
                 self._do_get,
                 request_deserializer=fp.Ticket.FromString,
-                response_serializer=fp.FlightData.SerializeToString),
+                response_serializer=_fd_serialize),
             "DoPut": grpc.stream_stream_rpc_method_handler(
                 self._do_put,
-                request_deserializer=fp.FlightData.FromString,
+                request_deserializer=_fd_parse,
                 response_serializer=fp.PutResult.SerializeToString),
             "DoAction": grpc.unary_stream_rpc_method_handler(
                 self._do_action,
@@ -351,6 +470,10 @@ class FlightServerBase:
         (server.h:318 GetSchema)."""
         d = descriptor if descriptor is not None else \
             context_or_descriptor
+        if _wants_context(self.get_flight_info):
+            ctx = (context_or_descriptor if descriptor is not None
+                   else ServerCallContext())
+            return self.get_flight_info(ctx, d).schema
         return self.get_flight_info(d).schema
 
     def do_put(self, descriptor: FlightDescriptor, table: Table):
@@ -369,6 +492,14 @@ class FlightServerBase:
         return []
 
     # -- grpc glue --
+    def _make_ctx(self, context) -> "ServerCallContext":
+        headers = {}
+        try:
+            headers = {k: v for k, v in context.invocation_metadata()}
+        except Exception:
+            pass
+        return ServerCallContext(peer=context.peer(), headers=headers)
+
     def _check_auth(self, context):
         if self.auth_handler is None:
             return
@@ -430,31 +561,64 @@ class FlightServerBase:
                 batches.append(rb)
         tbl_in = Table.from_batches(batches, asm.schema) \
             if asm.schema is not None else None
-        out = self.do_exchange(asm.descriptor, tbl_in)
+        if _wants_context(self.do_exchange):
+            chunks = [FlightStreamChunk(b, None) for b in batches]
+            reader = MetadataRecordBatchReader(chunks)
+            reader.schema = asm.schema
+            writer = MetadataRecordBatchWriter()
+            if asm.schema is not None:
+                writer.begin(asm.schema)
+            self.do_exchange(self._make_ctx(context), asm.descriptor,
+                             reader, writer)
+            if writer._batches:
+                schema = getattr(writer, "schema", None) or \
+                    writer._batches[0].schema
+                out = Table.from_batches(writer._batches, schema)
+                yield from _table_to_flight_datas(out)
+            return
+        out = _result_to_table(self.do_exchange(asm.descriptor, tbl_in))
         if out is not None:
             yield from _table_to_flight_datas(out)
+
     def _list_flights(self, request, context):
         self._check_auth(context)
-        for info in self.list_flights(request.expression):
+        if _wants_context(self.list_flights):
+            infos = self.list_flights(self._make_ctx(context),
+                                      request.expression)
+        else:
+            infos = self.list_flights(request.expression)
+        for info in infos:
             yield info.to_pb()
 
     def _get_flight_info(self, request, context):
         self._check_auth(context)
-        return self.get_flight_info(
-            FlightDescriptor.from_pb(request)).to_pb()
+        desc = FlightDescriptor.from_pb(request)
+        if _wants_context(self.get_flight_info):
+            return self.get_flight_info(self._make_ctx(context),
+                                        desc).to_pb()
+        return self.get_flight_info(desc).to_pb()
 
     def _get_schema(self, request, context):
         self._check_auth(context)
-        info = self.get_flight_info(FlightDescriptor.from_pb(request))
+        desc = FlightDescriptor.from_pb(request)
+        if _wants_context(self.get_schema):
+            res = self.get_schema(self._make_ctx(context), desc)
+        else:
+            res = self.get_schema(desc)
+        schema = res.schema if isinstance(res, SchemaResult) else res
         mapper = DictionaryFieldMapper()
         out = fp.SchemaResult()
-        out.schema = serialize_schema_message(info.schema, mapper)
+        out.schema = serialize_schema_message(schema, mapper)
         return out
 
     def _do_get(self, request, context):
         self._check_auth(context)
-        tbl = self.do_get(Ticket(request.ticket))
-        yield from _table_to_flight_datas(tbl)
+        if _wants_context(self.do_get):
+            out = self.do_get(self._make_ctx(context),
+                              Ticket(request.ticket))
+        else:
+            out = self.do_get(Ticket(request.ticket))
+        yield from _table_to_flight_datas(_result_to_table(out))
 
     def _do_put(self, request_iterator, context):
         self._check_auth(context)
@@ -464,23 +628,56 @@ class FlightServerBase:
             rb = asm.feed(fd)
             if rb is not None:
                 batches.append(rb)
+        if _wants_context(self.do_put):
+            chunks = [FlightStreamChunk(b, None) for b in batches]
+            reader = MetadataRecordBatchReader(chunks)
+            reader.schema = asm.schema
+            writer = FlightMetadataWriter()
+            self.do_put(self._make_ctx(context), asm.descriptor, reader,
+                        writer)
+            if writer.messages:
+                for m in writer.messages:
+                    pr = fp.PutResult()
+                    if hasattr(m, "to_pybytes"):
+                        m = m.to_pybytes()
+                    pr.app_metadata = bytes(m)
+                    yield pr
+                return
+            yield fp.PutResult()
+            return
         tbl = Table.from_batches(batches) if batches else None
         self.do_put(asm.descriptor, tbl)
         yield fp.PutResult()
 
     def _do_action(self, request, context):
         self._check_auth(context)
-        for body in self.do_action(request.type, request.body):
+        if _wants_context(self.do_action):
+            results = self.do_action(self._make_ctx(context),
+                                     Action(request.type, request.body))
+        else:
+            results = self.do_action(request.type, request.body)
+        for item in results or ():
+            body = item.body if isinstance(item, Result) else item
+            if hasattr(body, "to_pybytes"):
+                body = body.to_pybytes()
+            if isinstance(body, str):
+                body = body.encode()
             r = fp.Result()
-            r.body = body
+            r.body = bytes(body)
             yield r
 
     def _list_actions(self, request, context):
         self._check_auth(context)
-        for (t, desc) in self.list_actions():
+        if _wants_context(self.list_actions):
+            actions = self.list_actions(self._make_ctx(context))
+        else:
+            actions = self.list_actions()
+        for a_in in actions:
             a = fp.ActionType()
-            a.type = t
-            a.description = desc
+            if isinstance(a_in, ActionType):
+                a.type, a.description = a_in.type, a_in.description
+            else:
+                a.type, a.description = a_in
             yield a
 
     def serve(self, block: bool = False):
@@ -513,12 +710,16 @@ class FlightClient:
     def __init__(self, location: str, tls_root_certs: bytes = None):
         host_port = location.replace("grpc://", "").replace(
             "grpc+tcp://", "").replace("grpc+tls://", "")
+        opts = [("grpc.max_send_message_length", -1),
+                ("grpc.max_receive_message_length", -1)]
         if location.startswith("grpc+tls://") or tls_root_certs:
             creds = grpc.ssl_channel_credentials(
                 root_certificates=tls_root_certs)
-            self._channel = grpc.secure_channel(host_port, creds)
+            self._channel = grpc.secure_channel(host_port, creds,
+                                                options=opts)
         else:
-            self._channel = grpc.insecure_channel(host_port)
+            self._channel = grpc.insecure_channel(host_port,
+                                                  options=opts)
         self._metadata: List[Tuple[str, str]] = []
 
     def _method(self, name):
@@ -617,19 +818,18 @@ class FlightClient:
         bidirectional stream (reference: client.h DoExchange)."""
         stub = self._channel.stream_stream(
             self._method("DoExchange"),
-            request_serializer=fp.FlightData.SerializeToString,
-            response_deserializer=fp.FlightData.FromString)
+            request_serializer=_fd_serialize,
+            response_deserializer=_fd_parse)
 
         def gen():
             first = True
+            desc_bytes = descriptor.to_pb().SerializeToString()
             if tbl is None:
-                fd = fp.FlightData()
-                fd.flight_descriptor.CopyFrom(descriptor.to_pb())
-                yield fd
+                yield _FD(descriptor=desc_bytes)
                 return
             for fd in _table_to_flight_datas(tbl):
                 if first:
-                    fd.flight_descriptor.CopyFrom(descriptor.to_pb())
+                    fd.descriptor = desc_bytes
                     first = False
                 yield fd
 
@@ -670,11 +870,14 @@ class FlightClient:
                  for e in info.endpoint],
                 info.total_records, info.total_bytes)
 
-    def do_get(self, ticket: Ticket) -> Table:
+    def do_get(self, ticket: Ticket) -> "FlightStreamReader":
+        """Returns a FlightStreamReader (client.h DoGet): use
+        ``.read_all()`` / ``.read_chunk()`` like pyarrow; Table methods
+        also work directly for convenience."""
         stub = self._channel.unary_stream(
             self._method("DoGet"),
             request_serializer=fp.Ticket.SerializeToString,
-            response_deserializer=fp.FlightData.FromString)
+            response_deserializer=_fd_parse)
         req = fp.Ticket()
         req.ticket = ticket.ticket
         asm = _FlightStreamAssembler()
@@ -683,19 +886,34 @@ class FlightClient:
             rb = asm.feed(fd)
             if rb is not None:
                 batches.append(rb)
-        return Table.from_batches(batches, asm.schema)
+        tbl = Table.from_batches(batches, asm.schema)
+        return _DoGetResult([FlightStreamChunk(b, None) for b in batches],
+                            tbl)
 
-    def do_put(self, descriptor: FlightDescriptor, tbl: Table):
+    def do_put(self, descriptor: FlightDescriptor, data):
+        """pyarrow form: ``writer, meta = client.do_put(desc, schema)``
+        then write batches and ``writer.close()``. Compact form: pass a
+        Table/RecordBatch to upload it directly."""
+        from ..types import Schema as _Schema
+        if isinstance(data, _Schema):
+            return (_ClientPutWriter(self, descriptor, data),
+                    FlightMetadataReader())
+        tbl = data if isinstance(data, Table) else \
+            Table.from_batches([data], data.schema)
+        self._do_put_table(descriptor, tbl)
+
+    def _do_put_table(self, descriptor: FlightDescriptor, tbl: Table):
         stub = self._channel.stream_stream(
             self._method("DoPut"),
-            request_serializer=fp.FlightData.SerializeToString,
+            request_serializer=_fd_serialize,
             response_deserializer=fp.PutResult.FromString)
 
         def gen():
             first = True
+            desc_bytes = descriptor.to_pb().SerializeToString()
             for fd in _table_to_flight_datas(tbl):
                 if first:
-                    fd.flight_descriptor.CopyFrom(descriptor.to_pb())
+                    fd.descriptor = desc_bytes
                     first = False
                 yield fd
         list(stub(gen(), metadata=self._md()))
@@ -1008,6 +1226,39 @@ class FlightStreamReader(MetadataRecordBatchReader):
         pass
 
 
+class _DoGetResult(FlightStreamReader):
+    """FlightClient.do_get result: a FlightStreamReader that also
+    forwards Table attributes, so both pyarrow-style ``.read_all()``
+    and direct table use work."""
+
+    def __init__(self, chunks, table):
+        super().__init__(chunks)
+        self._table = table
+
+    @property
+    def schema(self):
+        return self._table.schema
+
+    def read_all(self) -> Table:
+        self._i = len(self._chunks)
+        return self._table
+
+    def to_reader(self):
+        return self._table.to_reader()
+
+    def __getattr__(self, name):
+        # fallback for Table API (to_pydict, num_rows, column, ...)
+        return getattr(self._table, name)
+
+    def __eq__(self, other):
+        other_tbl = other._table if isinstance(other, _DoGetResult) \
+            else other
+        return self._table == other_tbl
+
+    def __len__(self):
+        return len(self._table)
+
+
 class MetadataRecordBatchWriter:
     """Batch writer that can attach app_metadata per batch."""
 
@@ -1038,6 +1289,36 @@ class FlightStreamWriter(MetadataRecordBatchWriter):
 
     def done_writing(self):
         pass
+
+
+class _ClientPutWriter(MetadataRecordBatchWriter):
+    """Client-side DoPut writer (client.h FlightStreamWriter): batches
+    buffer locally and upload on close/done_writing."""
+
+    def __init__(self, client, descriptor, schema):
+        super().__init__()
+        self._client = client
+        self._descriptor = descriptor
+        self.begin(schema)
+        self._sent = False
+
+    def done_writing(self):
+        self.close()
+
+    def close(self):
+        if self._sent:
+            return
+        self._sent = True
+        tbl = (Table.from_batches(self._batches, self.schema)
+               if self._batches else
+               Table.from_batches([], self.schema))
+        self._client._do_put_table(self._descriptor, tbl)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class FlightMetadataReader:

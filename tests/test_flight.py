@@ -293,3 +293,79 @@ class TestClassSurfaceParity:
             res = cl.get_schema(afl.FlightDescriptor.for_command(b"x"))
             assert res.schema.names == ["k"]
             assert not cl.supports_async
+
+
+# --- pyarrow-signature compatibility ------------------------------------------
+
+
+class _PyarrowStyleServer(flight.FlightServerBase):
+    """Handlers using pyarrow.flight signatures (context first,
+    FlightDataStream returns) must work unchanged (server.h:248)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.put_received = None
+        self.exchanged = None
+
+    def do_get(self, context, ticket):
+        assert context.peer()
+        t = at.table({"v": [1, 2, 3]})
+        return flight.RecordBatchStream(t)
+
+    def do_put(self, context, descriptor, reader, writer):
+        self.put_received = reader.read_all()
+        from arrow_tpu.buffer import Buffer
+        writer.write(Buffer(b"ack"))
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        tbl = reader.read_all()
+        writer.begin(tbl.schema)
+        for b in tbl.to_batches():
+            writer.write_batch(b)
+
+    def do_action(self, context, action):
+        assert isinstance(action, flight.Action)
+        return [flight.Result(action.body + b"!"), b"raw"]
+
+    def list_actions(self, context):
+        return [flight.ActionType("a", "does a"), ("b", "does b")]
+
+    def get_flight_info(self, context, descriptor):
+        t = at.table({"v": [1, 2, 3]})
+        return flight.FlightInfo(
+            t.schema, descriptor,
+            [flight.FlightEndpoint(flight.Ticket(b"t"))], 3, -1)
+
+
+def test_pyarrow_style_handlers():
+    srv = _PyarrowStyleServer("grpc://127.0.0.1:0")
+    srv.serve()
+    try:
+        cli = flight.connect(f"grpc://127.0.0.1:{srv.port}")
+        # do_get returns a reader with read_all / read_chunk
+        reader = cli.do_get(flight.Ticket(b"t"))
+        assert reader.read_all().to_pydict() == {"v": [1, 2, 3]}
+        # get_flight_info with context
+        info = cli.get_flight_info(
+            flight.FlightDescriptor.for_path("p"))
+        assert info.total_records == 3
+        # do_put in the pyarrow writer form
+        t = at.table({"x": [9, 8]})
+        writer, _meta = cli.do_put(
+            flight.FlightDescriptor.for_path("p"), t.schema)
+        writer.write_table(t)
+        writer.close()
+        assert srv.put_received.to_pydict() == {"x": [9, 8]}
+        # do_exchange through reader/writer handlers
+        out = cli.do_exchange(
+            flight.FlightDescriptor.for_path("p"), t)
+        assert out.to_pydict() == {"x": [9, 8]}
+        # do_action with Action object + mixed result types
+        res = cli.do_action("poke", b"hi")
+        assert [bytes(b) for b in res] == [b"hi!", b"raw"]
+        # list_actions with context + ActionType returns
+        acts = cli.list_actions()
+        assert ("a", "does a") in acts and ("b", "does b") in acts
+        cli.close()
+    finally:
+        srv.shutdown()
