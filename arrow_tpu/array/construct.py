@@ -300,6 +300,11 @@ def array_data_from_sequence(values: Sequence[Any],
 
 
 def _from_numpy(arr: np.ndarray, type: Optional[DataType]) -> ArrayData:
+    if arr.dtype.kind in "US":
+        # numpy unicode/bytes arrays -> var-length string/binary
+        if type is None:
+            type = T.string() if arr.dtype.kind == "U" else T.binary()
+        return array_data_from_sequence(arr.tolist(), type)
     if type is None:
         type = T.from_numpy_dtype(arr.dtype)
     if arr.dtype.kind in "Mm":

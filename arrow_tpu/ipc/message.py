@@ -48,11 +48,18 @@ class BufferedBody:
         if codec == "lz4":
             from ..utils import lz4frame as _lz4check  # noqa: F401
 
-    def add(self, data: Optional[bytes]):
+    def add(self, data):
+        """Accepts bytes, memoryview or numpy arrays; uncompressed
+        bodies keep zero-copy views (copied only once, into the sink)."""
+        if isinstance(data, np.ndarray):
+            data = memoryview(
+                np.ascontiguousarray(data).view(np.uint8).reshape(-1))
         if data is None or len(data) == 0:
             # zero-length placeholder buffer
             self.layout.append((self.pos, 0))
             return
+        if self.codec is not None and not isinstance(data, bytes):
+            data = bytes(data)
         if self.codec == "zstd":
             comp = _zstd.ZstdCompressor().compress(data)
             if len(comp) < len(data):
@@ -82,7 +89,7 @@ def _validity_bytes(d: ArrayData) -> Optional[bytes]:
     if d.null_count == 0:
         return None
     mask = d.validity_mask()
-    return bitutil.pack_bits(mask).tobytes()
+    return bitutil.pack_bits(mask)
 
 
 def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
@@ -102,10 +109,10 @@ def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
         return
 
     if tid in (TypeId.SPARSE_UNION, TypeId.DENSE_UNION):
-        body.add(d.type_ids().tobytes())
+        body.add(d.type_ids())
         if tid == TypeId.DENSE_UNION:
             offs = d.buffers[1].view(np.int32)[d.offset:d.offset + d.length]
-            body.add(offs.tobytes())
+            body.add(offs)
             for c in d.children:
                 serialize_array(c, nodes, body)
         else:
@@ -121,7 +128,7 @@ def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
     body.add(_validity_bytes(d))
 
     if tid == TypeId.BOOL:
-        body.add(bitutil.pack_bits(d.values()).tobytes())
+        body.add(bitutil.pack_bits(d.values()))
         return
 
     if t.is_primitive or tid == TypeId.INTERVAL_DAY_TIME or \
@@ -129,13 +136,13 @@ def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
         if tid in (TypeId.INTERVAL_DAY_TIME, TypeId.INTERVAL_MONTH_DAY_NANO):
             w = t.bit_width // 8
             raw = d.buffers[1].to_numpy()
-            body.add(raw[d.offset * w:(d.offset + d.length) * w].tobytes())
+            body.add(raw[d.offset * w:(d.offset + d.length) * w])
         else:
-            body.add(d.values().tobytes())
+            body.add(d.values())
         return
 
     if tid == TypeId.DICTIONARY:
-        body.add(d.values().tobytes())
+        body.add(d.values())
         return
 
     if tid in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW):
@@ -162,15 +169,15 @@ def serialize_array(d: ArrayData, nodes: List[Tuple[int, int]],
         offs = d.offsets()
         start = int(offs[0])
         rebased = (offs - start) if start else offs
-        body.add(rebased.tobytes())
-        body.add(d.data_bytes()[start:int(offs[-1])].tobytes())
+        body.add(rebased)
+        body.add(d.data_bytes()[start:int(offs[-1])])
         return
 
     if tid in (TypeId.LIST, TypeId.MAP, TypeId.LARGE_LIST):
         offs = d.offsets()
         start, end = int(offs[0]), int(offs[-1])
         rebased = (offs - start) if start else offs
-        body.add(rebased.tobytes())
+        body.add(rebased)
         serialize_array(d.children[0].slice(start, end - start), nodes, body)
         return
 
@@ -259,19 +266,29 @@ def serialize_schema_message(schema, mapper) -> bytes:
     return encapsulate(_finish_message(b, fb.MSG_SCHEMA, off, 0))
 
 
-def serialize_record_batch(columns: Sequence[ArrayData], num_rows: int,
-                           codec: Optional[str] = None) -> Tuple[bytes, bytes]:
-    """Returns (framed metadata, body bytes)."""
+def serialize_record_batch_parts(
+        columns: Sequence[ArrayData], num_rows: int,
+        codec: Optional[str] = None) -> Tuple[bytes, List]:
+    """Returns (framed metadata, list of body buffer views). The parts
+    stay zero-copy views over the columns' buffers so a file/socket
+    writer can copy each exactly once (reference: WriteIpcPayload
+    writes per-buffer, ipc/writer.cc:773)."""
     nodes: List[Tuple[int, int]] = []
     body = BufferedBody(codec)
     for col in columns:
         serialize_array(col, nodes, body)
-    body_bytes = body.body()
     b = flatbuffers.Builder(1024)
     rb_off = _write_record_batch_fb(b, num_rows, nodes, body.layout, codec,
                                     body.variadic_counts)
-    meta = _finish_message(b, fb.MSG_RECORD_BATCH, rb_off, len(body_bytes))
-    return encapsulate(meta), body_bytes
+    meta = _finish_message(b, fb.MSG_RECORD_BATCH, rb_off, body.pos)
+    return encapsulate(meta), body.parts
+
+
+def serialize_record_batch(columns: Sequence[ArrayData], num_rows: int,
+                           codec: Optional[str] = None) -> Tuple[bytes, bytes]:
+    """Returns (framed metadata, body bytes)."""
+    meta, parts = serialize_record_batch_parts(columns, num_rows, codec)
+    return meta, b"".join(parts)
 
 
 def serialize_dictionary_batch(dict_id: int, dictionary: ArrayData,

@@ -19,7 +19,7 @@ from ..table import RecordBatch, Table
 from ..types import Schema, TypeId
 from . import fb
 from .fb import Reader, _table
-from .message import CONTINUATION, EOS, ArrayLoader, RecordBatchMeta, parse_message_meta, serialize_dictionary_batch, serialize_record_batch, serialize_schema_message
+from .message import CONTINUATION, EOS, ArrayLoader, RecordBatchMeta, parse_message_meta, serialize_dictionary_batch, serialize_record_batch, serialize_record_batch_parts, serialize_schema_message
 from .schema_fb import DictionaryFieldMapper, read_schema, write_schema
 
 MAGIC = b"ARROW1"
@@ -87,10 +87,11 @@ class RecordBatchStreamWriter:
                 f"batch schema {batch.schema.names} does not match stream "
                 f"schema {self.schema.names}")
         self._write_dictionaries(batch)
-        meta, body = serialize_record_batch(
+        meta, parts = serialize_record_batch_parts(
             [c.data for c in batch.columns], batch.num_rows, self.codec)
         self.sink.write(meta)
-        self.sink.write(body)
+        for part in parts:
+            self.sink.write(part)
 
     write = write_batch
 
@@ -152,11 +153,14 @@ class RecordBatchFileWriter(RecordBatchStreamWriter):
                 f"schema {self.schema.names}")
         self._write_dictionaries(batch)
         offset = self.sink.tell() - self._start
-        meta, body = serialize_record_batch(
+        meta, parts = serialize_record_batch_parts(
             [c.data for c in batch.columns], batch.num_rows, self.codec)
         self.sink.write(meta)
-        self.sink.write(body)
-        self._batch_blocks.append((offset, len(meta), len(body)))
+        body_len = 0
+        for part in parts:
+            self.sink.write(part)
+            body_len += len(part)
+        self._batch_blocks.append((offset, len(meta), body_len))
 
     write = write_batch
 
@@ -194,11 +198,49 @@ class RecordBatchFileWriter(RecordBatchStreamWriter):
         self._closed = True
 
 
+class _BufferSource:
+    """Zero-copy file-like over bytes/memoryview: read() returns
+    memoryview slices (the reference's BufferReader, io/memory.h:145)."""
+
+    def __init__(self, data):
+        self._mv = memoryview(data)
+        self._pos = 0
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = len(self._mv) - self._pos
+        out = self._mv[self._pos:self._pos + n]
+        self._pos += len(out)
+        return out
+
+    def seek(self, off, whence=0):
+        if whence == 0:
+            self._pos = off
+        elif whence == 1:
+            self._pos += off
+        else:
+            self._pos = len(self._mv) + off
+        return self._pos
+
+    def tell(self):
+        return self._pos
+
+
 class MessageStream:
-    """Incremental message parser (reference: ipc/message.h:239)."""
+    """Incremental message parser (reference: ipc/message.h:239).
+
+    In-memory sources hand out zero-copy memoryview bodies (the
+    reference's ArrayLoader assigns buffer slices "zero copy from
+    source if possible", ipc/reader.cc:173)."""
 
     def __init__(self, source: BinaryIO):
         self.src = source
+        self._zc = None
+        if isinstance(source, io.BytesIO):
+            try:
+                self._zc = source.getbuffer()
+            except Exception:
+                self._zc = None
 
     def next_message(self):
         """Returns (header_type, header Reader, body bytes) or None at EOS."""
@@ -219,7 +261,12 @@ class MessageStream:
         if len(meta) < meta_len:
             raise ValueError("truncated IPC message metadata")
         htype, header, body_len = parse_message_meta(meta)
-        body = self.src.read(body_len) if body_len else b""
+        if body_len and self._zc is not None:
+            pos = self.src.tell()
+            body = self._zc[pos:pos + body_len]
+            self.src.seek(pos + body_len)
+        else:
+            body = self.src.read(body_len) if body_len else b""
         if len(body) < body_len:
             raise ValueError(
                 f"truncated IPC message body: expected {body_len} bytes, "
@@ -230,7 +277,7 @@ class MessageStream:
 class RecordBatchStreamReader:
     def __init__(self, source: Union[BinaryIO, bytes, bytearray]):
         if isinstance(source, (bytes, bytearray, memoryview)):
-            source = io.BytesIO(source)
+            source = _BufferSource(source)
         self.stream = MessageStream(source)
         self.mapper = DictionaryFieldMapper()
         self.memo: Dict[int, ArrayData] = {}
@@ -285,7 +332,7 @@ class RecordBatchStreamReader:
 class RecordBatchFileReader:
     def __init__(self, source: Union[BinaryIO, bytes, bytearray]):
         if isinstance(source, (bytes, bytearray, memoryview)):
-            source = io.BytesIO(source)
+            source = _BufferSource(source)
         self.src = source
         src = self.src
         src.seek(0, 2)
