@@ -3,12 +3,15 @@
 from .exec import Declaration, execute_declaration  # noqa: F401
 from .expression import Expression, field, scalar  # noqa: F401
 from .options import (  # noqa: F401
-    AggregateNodeOptions, AsofJoinNodeOptions, ExecNodeOptions,
+    AggregateNodeOptions, AsofJoinNodeOptions, ConsumingSinkNodeOptions,
+    ExecNodeOptions,
     FetchNodeOptions, FilterNodeOptions, HashJoinNodeOptions,
-    OrderByNodeOptions, PivotLongerNodeOptions, PivotLongerRowTemplate,
+    OrderByNodeOptions, OrderBySinkNodeOptions, PivotLongerNodeOptions,
+    PivotLongerRowTemplate,
     ProjectNodeOptions, RecordBatchReaderSourceNodeOptions,
-    ScanNodeOptions,
-    SortedMergeNodeOptions, TableSourceNodeOptions, UnionNodeOptions,
+    ScanNodeOptions, SelectKSinkNodeOptions, SinkNodeOptions,
+    SortedMergeNodeOptions, TableSinkNodeOptions, TableSourceNodeOptions,
+    UnionNodeOptions,
 )
 
 # pyarrow.acero re-exports these container types

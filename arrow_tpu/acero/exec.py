@@ -565,6 +565,33 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
         fn = _cached_jit(key, make)
         return fn(input_batch)
 
+    if decl.factory_name in ("sink", "table_sink", "consuming_sink",
+                             "order_by_sink", "select_k_sink"):
+        # sink family (sink_node.cc:557-561): terminals in the reference's
+        # push model; in this pull model they evaluate their input (plus
+        # the fused sort / top-k for the ordering sinks) and surface it
+        # through to_table()/to_reader().
+        inner = execute_declaration(decl.inputs[0], _root=False)
+        opts = decl.options
+        if decl.factory_name == "order_by_sink":
+            fn, _ = _node_order_by(OrderByNodeOptions(
+                opts.sort_keys, getattr(opts, "null_placement", "at_end")),
+                None)
+            inner = jax.jit(fn)(inner)
+        elif decl.factory_name == "select_k_sink":
+            fn, _ = _node_order_by(OrderByNodeOptions(opts.sort_keys), None)
+            inner = jax.jit(fn)(inner)
+            fetch_fn, _ = _node_fetch(FetchNodeOptions(0, opts.k), None)
+            inner = jax.jit(fetch_fn)(inner)
+        elif decl.factory_name == "consuming_sink":
+            tbl = download_table(inner)
+            for rb in tbl.to_batches():
+                opts.consumer(rb)
+            finish = getattr(opts.consumer, "finish", None)
+            if callable(finish):
+                finish()
+        return inner
+
     raise ArrowInvalid(f"unknown node factory {decl.factory_name!r}")
 
 

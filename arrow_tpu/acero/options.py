@@ -182,3 +182,49 @@ class ScanNodeOptions(ExecNodeOptions):
     def table(self):
         return self.dataset.to_table(columns=self.columns,
                                      filter=self.filter)
+
+
+class SinkNodeOptions(ExecNodeOptions):
+    """Generic stream sink (sink_node.cc:557 "sink"). The engine's pull
+    model surfaces results through Declaration.to_table/to_reader; the
+    node itself is a pass-through terminal."""
+
+    def __init__(self, schema=None, backpressure=None):
+        self.schema = schema
+        self.backpressure = backpressure
+
+
+class TableSinkNodeOptions(SinkNodeOptions):
+    """Accumulate into a Table (sink_node.cc "table_sink")."""
+
+
+class ConsumingSinkNodeOptions(ExecNodeOptions):
+    """Push each output batch into a consumer callback
+    (sink_node.cc "consuming_sink"; acero/options.h ConsumingSinkNodeOptions).
+    ``consumer`` receives each RecordBatch; an optional ``finish``
+    attribute/callable runs when the plan completes."""
+
+    def __init__(self, consumer):
+        self.consumer = consumer
+
+
+class OrderBySinkNodeOptions(SinkNodeOptions):
+    """Sort-then-sink (sink_node.cc "order_by_sink")."""
+
+    def __init__(self, sort_keys, null_placement: str = "at_end",
+                 schema=None):
+        super().__init__(schema)
+        self.sort_keys = [(k, "ascending") if isinstance(k, str) else
+                          (k[0], k[1]) for k in sort_keys]
+        self.null_placement = null_placement
+
+
+class SelectKSinkNodeOptions(SinkNodeOptions):
+    """Top-k select then sink (sink_node.cc "select_k_sink";
+    SelectKOptions in compute/api_vector.h)."""
+
+    def __init__(self, k: int, sort_keys, schema=None):
+        super().__init__(schema)
+        self.k = int(k)
+        self.sort_keys = [(kk, "ascending") if isinstance(kk, str) else
+                          (kk[0], kk[1]) for kk in sort_keys]

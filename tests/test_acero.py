@@ -336,3 +336,45 @@ def test_derived_dictionary_group_join_unique():
 
     codes = Declaration.from_sequence(proj).to_table().column("code")
     assert sorted(pc.unique(codes).to_pylist()) == ["07", "13", "25", "31"]
+
+
+def test_sink_node_family():
+    """sink / table_sink / consuming_sink / order_by_sink /
+    select_k_sink factories (reference: sink_node.cc:557-561)."""
+    import arrow_tpu as at
+    from arrow_tpu import acero
+    from arrow_tpu.acero import Declaration
+
+    t = at.table({"k": [3, 1, 2, 5, 4], "v": [1., 2., 3., 4., 5.]})
+    src = Declaration("table_source", acero.TableSourceNodeOptions(t))
+
+    for name in ("sink", "table_sink"):
+        out = Declaration.from_sequence(
+            [src, Declaration(name, acero.SinkNodeOptions())]).to_table()
+        assert out.num_rows == 5
+
+    out = Declaration.from_sequence(
+        [src, Declaration("order_by_sink", acero.OrderBySinkNodeOptions(
+            [("k", "descending")]))]).to_table()
+    assert out.column("k").combine().to_pylist() == [5, 4, 3, 2, 1]
+
+    out = Declaration.from_sequence(
+        [src, Declaration("select_k_sink", acero.SelectKSinkNodeOptions(
+            3, [("k", "ascending")]))]).to_table()
+    assert out.column("k").combine().to_pylist() == [1, 2, 3]
+
+    seen = []
+
+    class Consumer:
+        def __call__(self, rb):
+            seen.append(rb.num_rows)
+
+        def finish(self):
+            seen.append("finished")
+
+    Declaration.from_sequence(
+        [src, Declaration("consuming_sink",
+                          acero.ConsumingSinkNodeOptions(Consumer()))]
+    ).to_table()
+    assert sum(x for x in seen if x != "finished") == 5
+    assert seen[-1] == "finished"
