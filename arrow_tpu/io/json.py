@@ -43,9 +43,155 @@ class ParseOptions(_OptionsBase):
         self.unexpected_field_behavior = unexpected_field_behavior
 
 
+def _parse_records(data: str) -> List[Dict]:
+    """Parse newline-delimited JSON. Fast path: one C-level json parse
+    of the whole block wrapped as an array (newlines cannot occur inside
+    JSON strings unescaped, so \\n+ only separates records — the same
+    invariant the reference's chunker exploits, json/chunker.cc)."""
+    stripped = data.strip()
+    if not stripped:
+        return []
+    import re
+    try:
+        records = _json.loads(
+            "[" + re.sub(r"[\r\n]+", ",", stripped) + "]")
+        if all(isinstance(r, dict) for r in records):
+            return records
+    except ValueError:
+        pass
+    records = []
+    for line in data.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        records.append(_json.loads(line))
+    return records
+
+
+def _fast_array(col: List):
+    """C-speed conversion for homogeneous no-null scalar columns;
+    None -> caller uses the generic inference path."""
+    import numpy as np
+
+    from ..array.array import Array
+    from ..array.construct import _make_validity
+    from ..array.data import ArrayData
+    from ..buffer import Buffer
+    kinds = set(map(type, col))
+    if kinds == {int}:
+        try:
+            return make_array(np.array(col, dtype=np.int64))
+        except (ValueError, TypeError, OverflowError):
+            return None
+    if kinds == {float} or kinds == {int, float}:
+        return make_array(np.array(col, dtype=np.float64))
+    if kinds == {bool}:
+        return make_array(np.array(col, dtype=np.bool_))
+    if kinds == {str}:
+        joined = "".join(col)
+        b = joined.encode()
+        if len(b) != len(joined):
+            return None  # non-ascii: byte lengths differ, generic path
+        offsets = np.zeros(len(col) + 1, dtype=np.int32)
+        np.cumsum(np.fromiter(map(len, col), np.int32, len(col)),
+                  out=offsets[1:])
+        if offsets[-1] != len(b):
+            return None
+        return Array(ArrayData(T.string(), len(col),
+                               [None, Buffer(offsets), Buffer(b)],
+                               null_count=0))
+    return None
+
+
+def _native_json_table(data: bytes, ro: ReadOptions) -> Optional[Table]:
+    """Native flat-ndjson path (json/parser.cc analogue): C++ tokenizer
+    + bulk typed conversion; None -> python fallback."""
+    import numpy as np
+
+    from .. import native as nat
+    from ..array.array import Array
+    from ..array.construct import _make_validity
+    from ..array.data import ArrayData
+    from ..buffer import Buffer
+    from ..utils import bits as bitutil
+
+    block = nat.json_parse_flat(data)
+    if block is None:
+        return None
+    n, ncols = block.n_rows, block.ncols
+    kinds = block.kinds.reshape(n, ncols) if n else \
+        block.kinds.reshape(0, max(ncols, 1))
+    arrays, names = [], []
+
+    def convert(j):
+        col_kinds = kinds[:, j]
+        nulls = col_kinds == 0
+        valid = ~nulls
+        ids = np.arange(n, dtype=np.int64) * ncols + j
+        present = col_kinds[valid]
+        kindset = set(np.unique(present).tolist())
+        if not kindset:
+            return make_array([None] * n, T.null())
+        if kindset == {3}:  # numbers: int64 if all integral else float64
+            r = nat.csv_parse_int64(block, ids, nulls)
+            if r is not None:
+                return Array(ArrayData(T.int64(), n,
+                                       [_make_validity(valid),
+                                        Buffer(r[0])]))
+            r = nat.csv_parse_float64(block, ids, nulls)
+            if r is not None:
+                return Array(ArrayData(T.float64(), n,
+                                       [_make_validity(valid),
+                                        Buffer(r[0])]))
+        elif kindset <= {1, 2}:  # booleans
+            vals = (col_kinds == 2)
+            return Array(ArrayData(
+                T.bool_(), n,
+                [_make_validity(valid), Buffer(bitutil.pack_bits(vals))]))
+        elif kindset == {4}:  # strings (already unescaped in the pool)
+            offs, bs = nat.csv_gather_bytes(block, ids, skip=nulls)
+            if offs[-1] <= np.iinfo(np.int32).max:
+                return Array(ArrayData(
+                    T.string(), n,
+                    [_make_validity(valid),
+                     Buffer(offs.astype(np.int32)), Buffer(bs)]))
+        # mixed / nested / overflow: rebuild python values from the pool
+        raw = block.pool.tobytes()
+        offs = block.offsets
+        vals = []
+        for i in range(n):
+            k = int(col_kinds[i])
+            fid = i * ncols + j
+            if k == 0:
+                vals.append(None)
+            elif k == 1:
+                vals.append(False)
+            elif k == 2:
+                vals.append(True)
+            else:
+                text = raw[offs[fid]:offs[fid + 1]].decode("utf8")
+                if k == 4:
+                    vals.append(text)
+                elif k == 3:
+                    try:
+                        vals.append(int(text))
+                    except ValueError:
+                        vals.append(float(text))
+                else:
+                    vals.append(_json.loads(text))
+        return make_array(vals)
+
+    for j, name in enumerate(block.keys):
+        arrays.append(convert(j))
+        names.append(name)
+    schema = Schema([T.field(nm, a.type) for nm, a in zip(names, arrays)])
+    return Table.from_pydict(dict(zip(names, arrays)), schema)
+
+
 def read_json(source, read_options: Optional[ReadOptions] = None,
               parse_options: Optional[ParseOptions] = None) -> Table:
     po = parse_options or ParseOptions()
+    ro = read_options or ReadOptions()
     if isinstance(source, str):
         with open(source, "rb") as f:
             data = f.read()
@@ -53,20 +199,22 @@ def read_json(source, read_options: Optional[ReadOptions] = None,
         data = bytes(source)
     else:
         data = source.read()
+
+    if isinstance(data, bytes) and po.explicit_schema is None:
+        out = _native_json_table(data, ro)
+        if out is not None:
+            return out
     if isinstance(data, bytes):
         data = data.decode("utf8")
 
-    records: List[Dict] = []
-    for line in data.splitlines():
-        line = line.strip()
-        if not line:
-            continue
-        records.append(_json.loads(line))
+    records = _parse_records(data)
 
     names: List[str] = []
+    seen = set()
     for r in records:
         for k in r:
-            if k not in names:
+            if k not in seen:
+                seen.add(k)
                 names.append(k)
 
     if po.explicit_schema is not None:
@@ -89,7 +237,8 @@ def read_json(source, read_options: Optional[ReadOptions] = None,
     for n in names:
         col = [r.get(n) for r in records]
         t = (schema.field(n).type if schema is not None else None)
-        cols[n] = make_array(col, t)
+        arr = _fast_array(col) if t is None else None
+        cols[n] = arr if arr is not None else make_array(col, t)
     out_schema = schema or Schema(
         [T.field(n, cols[n].type) for n in names])
     return Table.from_pydict(cols, out_schema)

@@ -127,6 +127,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p]
+        lib.json_parse_flat.restype = ctypes.c_void_p
+        lib.json_parse_flat.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.json_parse_sizes.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 5
+        lib.json_parse_fill.argtypes = [ctypes.c_void_p] + \
+            [ctypes.c_void_p] * 5
+        lib.json_parse_free.argtypes = [ctypes.c_void_p]
         lib.plain_decode_byte_array.restype = ctypes.c_int64
         lib.plain_decode_byte_array.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -434,6 +441,63 @@ def rle_encode_native(values: np.ndarray,
                        len(values), bit_width,
                        out.ctypes.data_as(ctypes.c_void_p))
     return out[:n].tobytes()
+
+
+class JsonBlock:
+    """Tokenized flat-ndjson block: value pool + kind byte per field.
+
+    kinds: 0=null 1=false 2=true 3=number 4=string 5=nested-raw-json.
+    Field id for (row, col) = row * ncols + col.
+    """
+
+    __slots__ = ("offsets", "pool", "kinds", "keys", "n_rows", "ncols")
+
+    def __init__(self, offsets, pool, kinds, keys, n_rows, ncols):
+        self.offsets = offsets
+        self.pool = pool
+        self.kinds = kinds
+        self.keys = keys
+        self.n_rows = n_rows
+        self.ncols = ncols
+
+
+def json_parse_flat(data: bytes) -> Optional[JsonBlock]:
+    """Tokenize flat same-keyed ndjson; None when the native lib is
+    unavailable or the input needs the general parser."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8) if data else np.empty(0, np.uint8)
+    handle = lib.json_parse_flat(_ptr(src) if len(src) else None,
+                                 len(src))
+    try:
+        ok = ctypes.c_int32()
+        n_rows = ctypes.c_int64()
+        ncols = ctypes.c_int32()
+        pool_bytes = ctypes.c_int64()
+        key_bytes = ctypes.c_int64()
+        lib.json_parse_sizes(handle, ctypes.byref(ok),
+                             ctypes.byref(n_rows), ctypes.byref(ncols),
+                             ctypes.byref(pool_bytes),
+                             ctypes.byref(key_bytes))
+        if not ok.value:
+            return None
+        n_fields = n_rows.value * ncols.value
+        offsets = np.empty(n_fields + 1, np.int64)
+        pool = np.empty(max(pool_bytes.value, 1), np.uint8)
+        kinds = np.empty(max(n_fields, 1), np.uint8)
+        kb = np.empty(max(key_bytes.value, 1), np.uint8)
+        ko = np.empty(ncols.value + 1, np.int32)
+        lib.json_parse_fill(handle, _ptr(offsets), _ptr(pool),
+                            _ptr(kinds), _ptr(kb), _ptr(ko))
+        raw = kb.tobytes()
+        keys = [raw[ko[i]:ko[i + 1]].decode("utf8")
+                for i in range(ncols.value)]
+        return JsonBlock(offsets, pool[:pool_bytes.value],
+                         kinds[:n_fields], keys, n_rows.value,
+                         ncols.value)
+    finally:
+        lib.json_parse_free(handle)
 
 
 def gather_var_bytes(pool: np.ndarray, offsets: np.ndarray,

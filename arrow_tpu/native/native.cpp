@@ -771,6 +771,278 @@ void csv_gather_bytes(const uint8_t* pool, const int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// Flat newline-delimited JSON tokenizer (reference: cpp/src/arrow/json/
+// parser.cc on rapidjson). Fast path for machine-generated ndjson where
+// every record is a flat object with the SAME keys in the SAME order;
+// anything else reports !ok and the caller falls back to the python
+// parser. Values land unescaped in a flat pool with a kind byte each:
+//   0=null 1=false 2=true 3=number(raw text) 4=string(unescaped)
+//   5=nested(raw json text)
+// ---------------------------------------------------------------------------
+
+struct JsonParseResult {
+  std::vector<int64_t> offsets;     // n_fields + 1
+  std::vector<uint8_t> pool;
+  std::vector<uint8_t> kinds;
+  std::vector<uint8_t> key_bytes;   // first row's keys, concatenated
+  std::vector<int32_t> key_offsets; // ncols + 1
+  int64_t n_rows = 0;
+  int32_t ncols = 0;
+  int32_t ok = 0;
+};
+
+static inline void json_utf8_append(std::vector<uint8_t>& pool,
+                                    uint32_t cp) {
+  if (cp < 0x80) {
+    pool.push_back((uint8_t)cp);
+  } else if (cp < 0x800) {
+    pool.push_back((uint8_t)(0xC0 | (cp >> 6)));
+    pool.push_back((uint8_t)(0x80 | (cp & 0x3F)));
+  } else if (cp < 0x10000) {
+    pool.push_back((uint8_t)(0xE0 | (cp >> 12)));
+    pool.push_back((uint8_t)(0x80 | ((cp >> 6) & 0x3F)));
+    pool.push_back((uint8_t)(0x80 | (cp & 0x3F)));
+  } else {
+    pool.push_back((uint8_t)(0xF0 | (cp >> 18)));
+    pool.push_back((uint8_t)(0x80 | ((cp >> 12) & 0x3F)));
+    pool.push_back((uint8_t)(0x80 | ((cp >> 6) & 0x3F)));
+    pool.push_back((uint8_t)(0x80 | (cp & 0x3F)));
+  }
+}
+
+static inline int json_hex4(const uint8_t* d, int64_t i, int64_t len,
+                            uint32_t* out) {
+  if (i + 4 > len) return 0;
+  uint32_t v = 0;
+  for (int k = 0; k < 4; ++k) {
+    uint8_t c = d[i + k];
+    v <<= 4;
+    if (c >= '0' && c <= '9') v |= c - '0';
+    else if (c >= 'a' && c <= 'f') v |= c - 'a' + 10;
+    else if (c >= 'A' && c <= 'F') v |= c - 'A' + 10;
+    else return 0;
+  }
+  *out = v;
+  return 1;
+}
+
+// Unescape a JSON string starting at the opening quote; appends bytes
+// to pool, returns position past the closing quote or -1.
+static int64_t json_string_into(const uint8_t* d, int64_t len, int64_t i,
+                                std::vector<uint8_t>& pool) {
+  ++i;  // opening quote
+  while (i < len) {
+    int64_t run = i;
+    while (run < len && d[run] != '"' && d[run] != '\\') ++run;
+    if (run > i) {
+      pool.insert(pool.end(), d + i, d + run);
+      i = run;
+    }
+    if (i >= len) return -1;
+    if (d[i] == '"') return i + 1;
+    // escape
+    ++i;
+    if (i >= len) return -1;
+    uint8_t e = d[i++];
+    switch (e) {
+      case '"': pool.push_back('"'); break;
+      case '\\': pool.push_back('\\'); break;
+      case '/': pool.push_back('/'); break;
+      case 'b': pool.push_back('\b'); break;
+      case 'f': pool.push_back('\f'); break;
+      case 'n': pool.push_back('\n'); break;
+      case 'r': pool.push_back('\r'); break;
+      case 't': pool.push_back('\t'); break;
+      case 'u': {
+        uint32_t cp;
+        if (!json_hex4(d, i, len, &cp)) return -1;
+        i += 4;
+        if (cp >= 0xD800 && cp <= 0xDBFF && i + 6 <= len &&
+            d[i] == '\\' && d[i + 1] == 'u') {
+          uint32_t lo;
+          if (!json_hex4(d, i + 2, len, &lo)) return -1;
+          if (lo >= 0xDC00 && lo <= 0xDFFF) {
+            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+            i += 6;
+          }
+        }
+        json_utf8_append(pool, cp);
+        break;
+      }
+      default:
+        return -1;
+    }
+  }
+  return -1;
+}
+
+// Skip over a string (no unescape); returns pos past closing quote or -1.
+static int64_t json_skip_string(const uint8_t* d, int64_t len,
+                                int64_t i) {
+  ++i;
+  while (i < len) {
+    if (d[i] == '\\') { i += 2; continue; }
+    if (d[i] == '"') return i + 1;
+    ++i;
+  }
+  return -1;
+}
+
+void* json_parse_flat(const uint8_t* d, int64_t len) {
+  auto* res = new JsonParseResult();
+  res->offsets.reserve((size_t)(len / 16 + 16));
+  res->pool.reserve((size_t)len);
+  res->offsets.push_back(0);
+  res->key_offsets.push_back(0);
+  auto fail = [&]() -> void* { res->ok = 0; return res; };
+  int64_t i = 0;
+  auto skip_ws = [&]() {
+    while (i < len && (d[i] == ' ' || d[i] == '\t' || d[i] == '\r' ||
+                       d[i] == '\n')) ++i;
+  };
+  std::vector<std::pair<int32_t, int32_t>> first_keys;  // span into key_bytes
+  while (true) {
+    skip_ws();
+    if (i >= len) break;
+    if (d[i] != '{') return fail();
+    ++i;
+    int32_t col = 0;
+    skip_ws();
+    if (i < len && d[i] == '}') {  // empty object row
+      if (res->n_rows == 0) res->ncols = 0;
+      if (res->ncols != 0) return fail();
+      ++i;
+      ++res->n_rows;
+      continue;
+    }
+    while (true) {
+      skip_ws();
+      if (i >= len || d[i] != '"') return fail();
+      // key: raw span (escaped keys -> fallback)
+      int64_t kstart = i + 1;
+      int64_t kend = kstart;
+      while (kend < len && d[kend] != '"' && d[kend] != '\\') ++kend;
+      if (kend >= len || d[kend] == '\\') return fail();
+      if (res->n_rows == 0) {
+        int32_t off = (int32_t)res->key_bytes.size();
+        res->key_bytes.insert(res->key_bytes.end(), d + kstart, d + kend);
+        res->key_offsets.push_back((int32_t)res->key_bytes.size());
+        first_keys.emplace_back(off, (int32_t)(kend - kstart));
+      } else {
+        if (col >= res->ncols) return fail();
+        auto [koff, klen] = first_keys[col];
+        if (klen != (int32_t)(kend - kstart) ||
+            std::memcmp(res->key_bytes.data() + koff, d + kstart,
+                        (size_t)klen) != 0)
+          return fail();
+      }
+      i = kend + 1;
+      skip_ws();
+      if (i >= len || d[i] != ':') return fail();
+      ++i;
+      skip_ws();
+      if (i >= len) return fail();
+      uint8_t c = d[i];
+      if (c == '"') {
+        i = json_string_into(d, len, i, res->pool);
+        if (i < 0) return fail();
+        res->kinds.push_back(4);
+      } else if (c == 't') {
+        if (i + 4 > len || std::memcmp(d + i, "true", 4)) return fail();
+        i += 4;
+        res->kinds.push_back(2);
+      } else if (c == 'f') {
+        if (i + 5 > len || std::memcmp(d + i, "false", 5)) return fail();
+        i += 5;
+        res->kinds.push_back(1);
+      } else if (c == 'n') {
+        if (i + 4 > len || std::memcmp(d + i, "null", 4)) return fail();
+        i += 4;
+        res->kinds.push_back(0);
+      } else if (c == '-' || (c >= '0' && c <= '9')) {
+        int64_t start = i;
+        while (i < len) {
+          uint8_t nc = d[i];
+          if ((nc >= '0' && nc <= '9') || nc == '-' || nc == '+' ||
+              nc == '.' || nc == 'e' || nc == 'E') { ++i; continue; }
+          break;
+        }
+        res->pool.insert(res->pool.end(), d + start, d + i);
+        res->kinds.push_back(3);
+      } else if (c == '{' || c == '[') {
+        int64_t start = i;
+        int depth = 0;
+        while (i < len) {
+          uint8_t nc = d[i];
+          if (nc == '"') {
+            i = json_skip_string(d, len, i);
+            if (i < 0) return fail();
+            continue;
+          }
+          if (nc == '{' || nc == '[') ++depth;
+          else if (nc == '}' || nc == ']') {
+            --depth;
+            if (depth == 0) { ++i; break; }
+          }
+          ++i;
+        }
+        if (depth != 0) return fail();
+        res->pool.insert(res->pool.end(), d + start, d + i);
+        res->kinds.push_back(5);
+      } else {
+        return fail();
+      }
+      res->offsets.push_back((int64_t)res->pool.size());
+      ++col;
+      skip_ws();
+      if (i >= len) return fail();
+      if (d[i] == ',') { ++i; continue; }
+      if (d[i] == '}') { ++i; break; }
+      return fail();
+    }
+    if (res->n_rows == 0) {
+      res->ncols = col;
+    } else if (col != res->ncols) {
+      return fail();
+    }
+    ++res->n_rows;
+  }
+  res->ok = 1;
+  return res;
+}
+
+void json_parse_sizes(void* handle, int32_t* ok, int64_t* n_rows,
+                      int32_t* ncols, int64_t* pool_bytes,
+                      int64_t* key_bytes) {
+  auto* res = static_cast<JsonParseResult*>(handle);
+  *ok = res->ok;
+  *n_rows = res->n_rows;
+  *ncols = res->ncols;
+  *pool_bytes = (int64_t)res->pool.size();
+  *key_bytes = (int64_t)res->key_bytes.size();
+}
+
+void json_parse_fill(void* handle, int64_t* offsets, uint8_t* pool,
+                     uint8_t* kinds, uint8_t* key_bytes,
+                     int32_t* key_offsets) {
+  auto* res = static_cast<JsonParseResult*>(handle);
+  std::memcpy(offsets, res->offsets.data(),
+              res->offsets.size() * sizeof(int64_t));
+  if (!res->pool.empty())
+    std::memcpy(pool, res->pool.data(), res->pool.size());
+  if (!res->kinds.empty())
+    std::memcpy(kinds, res->kinds.data(), res->kinds.size());
+  if (!res->key_bytes.empty())
+    std::memcpy(key_bytes, res->key_bytes.data(), res->key_bytes.size());
+  std::memcpy(key_offsets, res->key_offsets.data(),
+              res->key_offsets.size() * sizeof(int32_t));
+}
+
+void json_parse_free(void* handle) {
+  delete static_cast<JsonParseResult*>(handle);
+}
+
+// ---------------------------------------------------------------------------
 // Parquet BYTE_ARRAY plain codec + binary min/max (reference:
 // parquet/encoding.cc PlainEncoder/PlainDecoder<ByteArrayType>,
 // parquet/statistics.cc TypedStatsImpl<ByteArrayType>).

@@ -315,3 +315,53 @@ class TestCSVNativeDifferential:
         import arrow_tpu as at
         merged = at.Table.from_batches(batches, batches[0].schema)
         assert merged.to_pydict() == whole.to_pydict()
+
+
+class TestJSONNativeDifferential:
+    """Native flat-ndjson tokenizer vs the python json fallback and
+    pyarrow (reference: json/parser_test.cc)."""
+
+    def _check(self, data: bytes, monkeypatch=None):
+        import pyarrow as pa
+        import pyarrow.json as pajson
+
+        from arrow_tpu.io import json as ajson
+        native = ajson.read_json(data)
+        ref = pajson.read_json(pa.BufferReader(data))
+        assert native.to_pydict() == ref.to_pydict()
+        return native
+
+    def test_escapes_and_unicode(self):
+        data = (b'{"s": "a\\"b\\\\c\\nd\\u00e9\\ud83d\\ude00", "i": -5}\n'
+                b'{"s": null, "i": 7}\n')
+        t = self._check(data)
+        assert t.column("s").to_pylist()[0] == 'a"b\\c\nd\xe9\U0001F600'
+
+    def test_numbers_int_vs_float(self):
+        data = b'{"x": 1, "y": 1.5, "z": 2e3}\n{"x": -9, "y": 0.25, "z": 1e-3}\n'
+        t = self._check(data)
+        import arrow_tpu as at
+        assert t.schema.field("x").type == at.int64()
+        assert t.schema.field("y").type == at.float64()
+        assert t.schema.field("z").type == at.float64()
+
+    def test_nested_objects_and_lists(self):
+        data = (b'{"o": {"a": [1, 2], "b": "x"}, "l": [1, 2, null]}\n'
+                b'{"o": null, "l": []}\n')
+        self._check(data)
+
+    def test_bool_null_columns(self):
+        data = b'{"b": true, "n": null}\n{"b": false, "n": null}\n{"b": null, "n": null}\n'
+        t = self._check(data)
+        assert t.column("b").to_pylist() == [True, False, None]
+
+    def test_fallback_matches_native(self, monkeypatch):
+        from arrow_tpu.io import json as ajson
+        data = b'{"a": 1, "s": "x"}\n{"a": 2, "s": "y"}\n'
+        native = ajson.read_json(data)
+        monkeypatch.setattr(ajson, "_native_json_table",
+                            lambda *a, **k: None)
+        fallback = ajson.read_json(data)
+        assert native.to_pydict() == fallback.to_pydict()
+        assert [f.type for f in native.schema] == \
+            [f.type for f in fallback.schema]
