@@ -278,12 +278,8 @@ def _single_ascii(c) -> bool:
 
 
 def _row_field_strings(block, row_start: int, count: int) -> List[str]:
-    out = []
-    for j in range(count):
-        o0 = int(block.offsets[row_start + j])
-        o1 = int(block.offsets[row_start + j + 1])
-        out.append(bytes(block.pool[o0:o1]).decode("utf8"))
-    return out
+    return [block.field_bytes(row_start + j).decode("utf8")
+            for j in range(count)]
 
 
 def _gathered_str_list(block, ids, nulls) -> List[Optional[str]]:
@@ -394,9 +390,7 @@ def _native_convert_column(block, ids, missing, co: ConvertOptions,
     # date/timestamp: probe the first non-null value before paying the
     # python-loop conversion
     first = int(np.argmax(valid))
-    o0 = int(block.offsets[ids[first]])
-    o1 = int(block.offsets[ids[first] + 1])
-    probe = bytes(block.pool[o0:o1]).decode("utf8", "replace")
+    probe = block.field_bytes(int(ids[first])).decode("utf8", "replace")
     for parser, t in ((_parse_date, T.date32()),
                       (_parse_ts, T.timestamp("s"))):
         try:
@@ -560,8 +554,12 @@ class _NativeStreamer:
         n = len(rc_d)
         # per-row byte cost mirrors the python path's heuristic:
         # field bytes + one separator per field
-        ends = starts_d + rc_d
-        sizes = (block.offsets[ends] - block.offsets[starts_d]) + rc_d
+        sc = block.id_scale
+        first_off = starts_d * sc
+        last_off = np.maximum((starts_d + rc_d) * sc - (sc - 1),
+                              first_off)
+        sizes = np.maximum(
+            block.offsets[last_off] - block.offsets[first_off], 0) + rc_d
         cum = np.cumsum(sizes)
         cuts = [0]
         target = max(int(ro.block_size), 1)

@@ -107,6 +107,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_parse_fill.argtypes = [ctypes.c_void_p] + \
             [ctypes.c_void_p] * 4
         lib.csv_parse_free.argtypes = [ctypes.c_void_p]
+        lib.csv_parse_nq.restype = ctypes.c_void_p
+        lib.csv_parse_nq.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_uint8]
+        lib.csv_parse_n_offsets.restype = ctypes.c_int64
+        lib.csv_parse_n_offsets.argtypes = [ctypes.c_void_p]
         lib.csv_parse_int64.restype = ctypes.c_int64
         lib.csv_parse_int64.argtypes = [ctypes.c_void_p] * 4 + \
             [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
@@ -155,29 +160,67 @@ def _ptr(arr: np.ndarray) -> ctypes.c_void_p:
 
 
 class CsvBlock:
-    """Tokenized CSV block: flat unescaped field pool.
+    """Tokenized CSV block.
 
-    Attributes: offsets int64[n_fields+1] into pool, pool uint8[...],
-    quoted uint8[n_fields], row_counts int64[n_rows].
+    Copying form (id_scale=1): offsets int64[n_fields+1] into an
+    unescaped pool; field k spans offsets[k]..offsets[k+1].
+    Zero-copy form (id_scale=2): pool IS the source bytes and offsets
+    hold (start, end) pairs; field k spans offsets[2k]..offsets[2k+1].
+    The bulk converters work on either by multiplying field ids by
+    id_scale.
     """
 
-    __slots__ = ("offsets", "pool", "quoted", "row_counts")
+    __slots__ = ("offsets", "pool", "quoted", "row_counts", "id_scale")
 
-    def __init__(self, offsets, pool, quoted, row_counts):
+    def __init__(self, offsets, pool, quoted, row_counts, id_scale=1):
         self.offsets = offsets
         self.pool = pool
         self.quoted = quoted
         self.row_counts = row_counts
+        self.id_scale = id_scale
+
+    def field_bytes(self, fid: int) -> bytes:
+        o = fid * self.id_scale
+        return bytes(self.pool[int(self.offsets[o]):
+                               int(self.offsets[o + 1])])
 
 
 def csv_parse(data: bytes, delimiter: str, quote_char,
-              doublequote: bool, escape_char) -> Optional[CsvBlock]:
+              doublequote: bool, escape_char,
+              needs_copy: Optional[bool] = None) -> Optional[CsvBlock]:
     """Tokenize a CSV byte block (csv/parser.cc analogue); None if the
-    native library is unavailable."""
+    native library is unavailable. Blocks containing no quote/escape
+    byte take a zero-copy tokenizer (offsets into the source, no pool
+    copy). data may be bytes or a memoryview."""
     lib = get_lib()
     if lib is None:
         return None
-    src = np.frombuffer(data, np.uint8) if data else np.empty(0, np.uint8)
+    src = np.frombuffer(data, np.uint8) if len(data) else \
+        np.empty(0, np.uint8)
+    if needs_copy is None:
+        needs_copy = _block_needs_copy(data, quote_char, escape_char)
+    if not needs_copy:
+        handle = lib.csv_parse_nq(_ptr(src) if len(src) else None,
+                                  len(src), ord(delimiter))
+        try:
+            n_offs = lib.csv_parse_n_offsets(handle)
+            n_fields = ctypes.c_int64()
+            n_rows = ctypes.c_int64()
+            pool_bytes = ctypes.c_int64()
+            lib.csv_parse_sizes(handle, ctypes.byref(n_fields),
+                                ctypes.byref(n_rows),
+                                ctypes.byref(pool_bytes))
+            offsets = np.empty(max(n_offs, 1), np.int64)
+            quoted = np.zeros(max(n_fields.value, 1), np.uint8)
+            row_counts = np.empty(max(n_rows.value, 1), np.int64)
+            dummy = np.empty(1, np.uint8)
+            lib.csv_parse_fill(handle, _ptr(offsets), _ptr(dummy),
+                               _ptr(quoted), _ptr(row_counts))
+            return CsvBlock(offsets[:n_offs], src,
+                            quoted[:n_fields.value],
+                            row_counts[:n_rows.value], id_scale=2)
+        finally:
+            lib.csv_parse_free(handle)
     use_quote = 1 if quote_char else 0
     handle = lib.csv_parse(
         _ptr(src) if len(src) else None, len(src),
@@ -201,6 +244,20 @@ def csv_parse(data: bytes, delimiter: str, quote_char,
                         row_counts[:n_rows.value])
     finally:
         lib.csv_parse_free(handle)
+
+
+def _block_needs_copy(data, quote_char, escape_char) -> bool:
+    if isinstance(data, memoryview):
+        arr = np.frombuffer(data, np.uint8)
+        if quote_char is not None and bool(
+                (arr == ord(quote_char)).any()):
+            return True
+        return isinstance(escape_char, str) and bool(
+            (arr == ord(escape_char)).any())
+    return (quote_char is not None and
+            data.find(quote_char.encode()) >= 0) or \
+           (isinstance(escape_char, str) and
+            data.find(escape_char.encode()) >= 0)
 
 
 def csv_parse_parallel(data: bytes, delimiter: str, quote_char,
@@ -229,24 +286,45 @@ def csv_parse_parallel(data: bytes, delimiter: str, quote_char,
     if len(spans) <= 1:
         return csv_parse(data, delimiter, quote_char, doublequote,
                          escape_char)
+    needs_copy = _block_needs_copy(data, quote_char, escape_char)
+    mv = memoryview(data)
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=len(spans)) as ex:
         blocks = list(ex.map(
-            lambda s: csv_parse(data[s[0]:s[1]], delimiter, quote_char,
-                                doublequote, escape_char), spans))
+            lambda s: csv_parse(mv[s[0]:s[1]], delimiter, quote_char,
+                                doublequote, escape_char,
+                                needs_copy=needs_copy), spans))
     if any(b is None for b in blocks):
         return None
-    # merge: bias each chunk's offsets by the pool bytes before it
-    pools = [b.pool for b in blocks]
-    pool_sizes = np.array([len(p) for p in pools], np.int64)
-    bias = np.zeros(len(blocks), np.int64)
-    np.cumsum(pool_sizes[:-1], out=bias[1:])
-    offsets = np.concatenate(
-        [blocks[0].offsets] +
-        [b.offsets[1:] + bias[k + 1] for k, b in enumerate(blocks[1:])])
-    return CsvBlock(offsets, np.concatenate(pools),
-                    np.concatenate([b.quoted for b in blocks]),
-                    np.concatenate([b.row_counts for b in blocks]))
+    quoted = np.concatenate([b.quoted for b in blocks])
+    row_counts = np.concatenate([b.row_counts for b in blocks])
+    if all(b.id_scale == 2 for b in blocks):
+        # all chunks are zero-copy views of `data`: rebase their pair
+        # offsets by chunk start; the merged pool IS the source
+        offsets = np.concatenate(
+            [b.offsets + s[0] for s, b in zip(spans, blocks)]) \
+            if blocks else np.zeros(0, np.int64)
+        return CsvBlock(offsets, np.frombuffer(data, np.uint8), quoted,
+                        row_counts, id_scale=2)
+    # mixed forms: normalize every chunk to (start, end) pairs over a
+    # concatenated pool
+    pair_offs = []
+    pools = []
+    bias = 0
+    for b in blocks:
+        if b.id_scale == 1:
+            po = np.empty(2 * (len(b.offsets) - 1), np.int64)
+            po[0::2] = b.offsets[:-1]
+            po[1::2] = b.offsets[1:]
+        else:
+            po = b.offsets.astype(np.int64, copy=True)
+        pair_offs.append(po + bias)
+        pools.append(b.pool)
+        bias += len(b.pool)
+    offsets = np.concatenate(pair_offs) if pair_offs else \
+        np.zeros(0, np.int64)
+    return CsvBlock(offsets, np.concatenate(pools), quoted, row_counts,
+                    id_scale=2)
 
 
 def csv_parse_int64(block: CsvBlock, ids: np.ndarray,
@@ -259,6 +337,8 @@ def csv_parse_int64(block: CsvBlock, ids: np.ndarray,
         return None
     n = len(ids)
     ids = np.ascontiguousarray(ids, np.int64)
+    if block.id_scale != 1:
+        ids = ids * block.id_scale
     sptr = None
     if skip is not None:
         skip = np.ascontiguousarray(skip, np.uint8)
@@ -280,6 +360,8 @@ def csv_parse_float64(block: CsvBlock, ids: np.ndarray,
         return None
     n = len(ids)
     ids = np.ascontiguousarray(ids, np.int64)
+    if block.id_scale != 1:
+        ids = ids * block.id_scale
     sptr = None
     if skip is not None:
         skip = np.ascontiguousarray(skip, np.uint8)
@@ -311,6 +393,8 @@ def csv_match_tokens(block: CsvBlock, ids: np.ndarray,
         return None
     tok_bytes, tok_offs, m = _token_buffers(tokens)
     ids = np.ascontiguousarray(ids, np.int64)
+    if block.id_scale != 1:
+        ids = ids * block.id_scale
     out = np.empty(len(ids), np.uint8)
     lib.csv_match_tokens(_ptr(block.pool), _ptr(block.offsets), _ptr(ids),
                          len(ids), _ptr(tok_bytes), _ptr(tok_offs),
@@ -329,6 +413,8 @@ def csv_parse_bool(block: CsvBlock, ids: np.ndarray,
     tb, to, nt = _token_buffers(true_tokens)
     fb, fo, nf = _token_buffers(false_tokens)
     ids = np.ascontiguousarray(ids, np.int64)
+    if block.id_scale != 1:
+        ids = ids * block.id_scale
     sptr = None
     if skip is not None:
         skip = np.ascontiguousarray(skip, np.uint8)
@@ -351,6 +437,8 @@ def csv_gather_bytes(block: CsvBlock, ids: np.ndarray,
     if lib is None:
         return None
     ids = np.ascontiguousarray(ids, np.int64)
+    if block.id_scale != 1:
+        ids = ids * block.id_scale
     lens = block.offsets[ids + 1] - block.offsets[ids]
     sptr = None
     if skip is not None:
@@ -449,6 +537,8 @@ class JsonBlock:
     kinds: 0=null 1=false 2=true 3=number 4=string 5=nested-raw-json.
     Field id for (row, col) = row * ncols + col.
     """
+
+    id_scale = 1  # shared bulk converters scale field ids by this
 
     __slots__ = ("offsets", "pool", "kinds", "keys", "n_rows", "ncols")
 

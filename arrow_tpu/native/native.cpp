@@ -495,6 +495,33 @@ struct CsvParseResult {
   std::vector<int64_t> row_counts;  // fields per row (0 = empty line)
 };
 
+// SWAR span scan: first index >= i whose byte matches one of up to 4
+// patterns (0 entries in `pats` beyond `npat` are ignored). The classic
+// haszero trick marks the first true occurrence per word; false markers
+// only ever follow a true one, so ctz of the OR is exact.
+static inline uint64_t swar_haszero(uint64_t v) {
+  return (v - 0x0101010101010101ULL) & ~v & 0x8080808080808080ULL;
+}
+
+static inline int64_t scan_special(const uint8_t* d, int64_t i,
+                                   int64_t len, const uint64_t* pats,
+                                   int npat, const bool* table) {
+  while (i + 8 <= len) {
+    uint64_t w;
+    std::memcpy(&w, d + i, 8);
+    uint64_t m = 0;
+    for (int p = 0; p < npat; ++p) m |= swar_haszero(w ^ pats[p]);
+    if (m) return i + (int64_t)(__builtin_ctzll(m) >> 3);
+    i += 8;
+  }
+  while (i < len && !table[d[i]]) ++i;
+  return i;
+}
+
+static inline uint64_t swar_broadcast(uint8_t c) {
+  return 0x0101010101010101ULL * (uint64_t)c;
+}
+
 // Tokenize `data` (UTF-8/ASCII-compatible). Row terminators: \n, \r\n, \r.
 // escape < 0 means no escape char. Matches Python csv.reader semantics:
 // an entirely empty line yields a 0-field row.
@@ -512,6 +539,13 @@ void* csv_parse(const uint8_t* data, int64_t len, uint8_t delim,
   bool stop_quoted[256] = {false};
   if (use_quote) stop_quoted[quote] = true;
   if (escape >= 0) stop_quoted[(uint8_t)escape] = true;
+  uint64_t plain_pats[4] = {swar_broadcast(delim), swar_broadcast('\n'),
+                            swar_broadcast('\r'), 0};
+  int n_plain = 3;
+  if (escape >= 0) plain_pats[n_plain++] = swar_broadcast((uint8_t)escape);
+  uint64_t quoted_pats[2] = {swar_broadcast(quote), 0};
+  int n_quoted = use_quote ? 1 : 0;
+  if (escape >= 0) quoted_pats[n_quoted++] = swar_broadcast((uint8_t)escape);
   int64_t i = 0;
   while (i < len) {
     int64_t row_fields = 0;
@@ -525,8 +559,8 @@ void* csv_parse(const uint8_t* data, int64_t len, uint8_t delim,
         saw_any = true;
         ++i;
         while (i < len) {
-          int64_t run = i;
-          while (run < len && !stop_quoted[data[run]]) ++run;
+          int64_t run = scan_special(data, i, len, quoted_pats, n_quoted,
+                                     stop_quoted);
           if (run > i) {
             res->pool.insert(res->pool.end(), data + i, data + run);
             i = run;
@@ -555,8 +589,8 @@ void* csv_parse(const uint8_t* data, int64_t len, uint8_t delim,
       }
       // unquoted remainder (also trailing bytes after a closing quote)
       while (i < len) {
-        int64_t run = i;
-        while (run < len && !stop_plain[data[run]]) ++run;
+        int64_t run = scan_special(data, i, len, plain_pats, n_plain,
+                                   stop_plain);
         if (run > i) {
           res->pool.insert(res->pool.end(), data + i, data + run);
           saw_any = true;
@@ -603,6 +637,60 @@ void* csv_parse(const uint8_t* data, int64_t len, uint8_t delim,
     }
   }
   return res;
+}
+
+// Zero-copy tokenizer for blocks with no quote/escape chars: offsets
+// are emitted as (start, end) PAIRS into the caller's buffer (field k
+// spans offsets[2k]..offsets[2k+1], so the bulk converters work
+// unchanged with ids doubled); no pool copy is made.
+void* csv_parse_nq(const uint8_t* data, int64_t len, uint8_t delim) {
+  auto* res = new CsvParseResult();
+  res->offsets.reserve((size_t)(len / 4 + 16));
+  uint64_t pats[3] = {swar_broadcast(delim), swar_broadcast('\n'),
+                      swar_broadcast('\r')};
+  bool table[256] = {false};
+  table[delim] = table['\n'] = table['\r'] = true;
+  int64_t i = 0;
+  while (i < len) {
+    int64_t row_fields = 0;
+    bool saw_any = false;
+    while (true) {
+      int64_t start = i;
+      i = scan_special(data, i, len, pats, 3, table);
+      if (i > start) saw_any = true;
+      if (i < len && data[i] == delim) {
+        res->offsets.push_back(start);
+        res->offsets.push_back(i);
+        ++row_fields;
+        ++i;
+        saw_any = true;
+        continue;
+      }
+      // newline or EOF
+      int64_t end = i;
+      if (i < len && data[i] == '\r') {
+        ++i;
+        if (i < len && data[i] == '\n') ++i;
+      } else if (i < len) {
+        ++i;
+      }
+      if (row_fields == 0 && !saw_any) {
+        res->row_counts.push_back(0);
+      } else {
+        res->offsets.push_back(start);
+        res->offsets.push_back(end);
+        res->row_counts.push_back(row_fields + 1);
+      }
+      break;
+    }
+  }
+  // quoted flags: all zero, one per field
+  res->quoted.assign(res->offsets.size() / 2, 0);
+  return res;
+}
+
+int64_t csv_parse_n_offsets(void* handle) {
+  return (int64_t)static_cast<CsvParseResult*>(handle)->offsets.size();
 }
 
 void csv_parse_sizes(void* handle, int64_t* n_fields, int64_t* n_rows,
