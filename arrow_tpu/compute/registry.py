@@ -305,7 +305,20 @@ def call_function(name: str, args: Sequence, options=None,
     # simplicity python numbers are baked via closure in options when static
     runner = _jitted(name, okey, sig)
     result = runner(cols, row_count, scalars)
-    return materialize(result, n)
+    out = materialize(result, n)
+    if name == "run_end_encode" and isinstance(out, dict):
+        # assemble the REE array (reference returns a
+        # RunEndEncodedArray, vector_run_end_encode.cc)
+        from .. import types as _T
+        from ..array.array import Array as _Array
+        from ..array.data import ArrayData as _ArrayData
+        re_arr, val_arr = out["run_ends"], out["values"]
+        t = _T.run_end_encoded(re_arr.type, val_arr.type)
+        length = int(re_arr.to_pylist()[-1]) if len(re_arr) else 0
+        return _Array(_ArrayData(t, length, [],
+                                 children=[re_arr.data, val_arr.data],
+                                 null_count=0))
+    return out
 
 
 def materialize(result, n: int):

@@ -216,30 +216,39 @@ def _case_when(ctx, cond_struct, *cases):
                         t if t is not None else T.float64())
 
 
-@register("mode", "aggregate")
-def _mode(ctx, col, n: int = 1, skip_nulls: bool = True,
-          min_count: int = 0):
-    """Most frequent value(s). Returns struct-of-arrays {mode, count}
-    (reference: kernels/aggregate_mode.cc)."""
-    from .aggregate import AggResult
-    from .grouper import group_ids
-    g = group_ids(ctx, [col])
-    cap = ctx.capacity
-    live = jnp.logical_and(col.valid_mask(ctx.row_mask()),
-                           g.group_ids < cap)
-    from .move import segment_count
-    seg = jnp.where(live, g.group_ids, 0).astype(jnp.int32)
-    counts = segment_count(live, seg, cap)
-    in_range = jnp.arange(cap, dtype=jnp.int64) < g.num_groups
-    counts = jnp.where(in_range, counts, -1)
-    best = jnp.argmax(counts)  # ties: lowest group id = first appearance
-    safe_rep = jnp.where(in_range, g.rep_indices, 0)
-    # mode value = representative row of the winning group
-    from .move import gather_rows
-    (rep_row,) = gather_rows([safe_rep], best[None].astype(jnp.int32))
-    (mode_val,) = gather_rows([col.values], rep_row.astype(jnp.int32))
-    count_val = counts[best]
-    has = jnp.sum(live, dtype=jnp.int64) > 0
-    return AggResult((mode_val[0], count_val), (has, has),
-                     T.struct([("mode", col.type), ("count", T.int64())]),
-                     fields=("mode", "count"))
+def _register_mode():
+    """Most frequent value(s) as a StructArray{mode, count} of the top
+    ``n`` modes, ties broken by smallest value (reference:
+    kernels/aggregate_mode.cc ModeOptions semantics). Counting runs on
+    device via value_counts; the tiny top-n selection is host-side."""
+    from .registry import register_host
+
+    @register_host("mode")
+    def _mode(arr, n: int = 1, skip_nulls: bool = True,
+              min_count: int = 0):
+        from ..array.array import array as make_array
+        from . import value_counts as _vc
+        vc = _vc(arr)
+        pairs = []
+        n_valid = 0
+        has_null = False
+        for item in vc.to_pylist():
+            v, c = item["values"], item["counts"]
+            if v is None:
+                has_null = True
+                continue
+            n_valid += c
+            pairs.append((v, c))
+        empty = (n_valid < max(min_count, 1) or
+                 (not skip_nulls and has_null))
+        if empty:
+            pairs = []
+        else:
+            pairs.sort(key=lambda p: (-p[1], p[0]))
+            pairs = pairs[:max(int(n), 0)]
+        t = T.struct([("mode", arr.type), ("count", T.int64())])
+        return make_array(
+            [{"mode": v, "count": c} for v, c in pairs], t)
+
+
+_register_mode()

@@ -226,3 +226,36 @@ def test_checked_aliases_exist():
               "cumulative_prod_checked", "is_in_meta_binary",
               "index_in_meta_binary"):
         assert pc.get_function(n) is not None
+
+
+def test_run_end_encode_returns_ree_array():
+    """run_end_encode yields a RunEndEncodedArray like the reference
+    (vector_run_end_encode.cc), round-tripping through decode."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import arrow_tpu as at
+    import arrow_tpu.compute as ac
+    vals = [1, 1, 2, 2, 2, None, 7]
+    ree = ac.run_end_encode(at.array(vals))
+    assert ree.type.id == at.TypeId.RUN_END_ENCODED
+    pree = pc.run_end_encode(pa.array(vals))
+    assert ree.to_pylist() == pree.to_pylist() == vals
+    assert ac.run_end_decode(ree).to_pylist() == vals
+
+
+def test_mode_matches_pyarrow_semantics():
+    """ties -> smallest value; n option; min_count/skip_nulls
+    (aggregate_mode.cc ModeOptions)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import arrow_tpu as at
+    import arrow_tpu.compute as ac
+    for vals, opts in [([2, 2, 1, 1], {}),
+                       ([1, 1, 2, 2, 3], {"n": 2}),
+                       ([None, None, 5], {}),
+                       ([4], {"min_count": 2})]:
+        ours = ac.mode(at.array(vals), **opts).to_pylist()
+        theirs = pc.mode(pa.array(vals), **opts).to_pylist()
+        assert ours == theirs, (vals, opts, ours, theirs)
