@@ -51,6 +51,25 @@ class Array:
                              null_count=d._null_count, offset=d.offset)
         return Array(idx_data)
 
+    @property
+    def run_ends(self) -> "Array":
+        """Run-ends child of a run-end-encoded array (reference:
+        array/array_run_end.h:48 RunEndEncodedArray::run_ends)."""
+        if self.type.id != TypeId.RUN_END_ENCODED:
+            raise ValueError("not a run-end-encoded array")
+        return Array(self.data.children[0])
+
+    @property
+    def values(self) -> "Array":
+        """Values child: REE values (array_run_end.h) or flattened list
+        child (array_nested.h ListArray::values)."""
+        if self.type.id == TypeId.RUN_END_ENCODED:
+            return Array(self.data.children[1])
+        if self.type.id in (TypeId.LIST, TypeId.LARGE_LIST,
+                            TypeId.FIXED_SIZE_LIST, TypeId.MAP):
+            return Array(self.data.children[0])
+        raise ValueError(f"{self.type!r} has no values child")
+
     # -- access ---------------------------------------------------------
     def is_valid_mask(self) -> np.ndarray:
         m = self.data.validity_mask()

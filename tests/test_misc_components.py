@@ -121,8 +121,14 @@ def test_fill_scans_and_replace():
 def test_run_end_encode():
     ree = pc.call_function("run_end_encode",
                            [at.array([1, 1, 2, 2, 2, None, 3])])
-    assert ree["run_ends"].to_pylist() == [2, 5, 6, 7]
-    assert ree["values"].to_pylist() == [1, 2, None, 3]
+    assert ree.run_ends.to_pylist() == [2, 5, 6, 7]
+    assert ree.values.to_pylist() == [1, 2, None, 3]
+    # pyarrow shape parity: RunEndEncodedArray exposes the same children
+    import pyarrow as pa
+    import pyarrow.compute as ppc
+    p = ppc.run_end_encode(pa.array([1, 1, 2, 2, 2, None, 3]))
+    assert ree.run_ends.to_pylist() == p.run_ends.to_pylist()
+    assert ree.values.to_pylist() == p.values.to_pylist()
 
 
 def test_sparse_tensor_ipc_roundtrip():
