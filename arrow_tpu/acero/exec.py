@@ -32,7 +32,8 @@ from ..compute.grouper import (group_capacity_bound, group_ids,
 from ..compute.registry import ArrowInvalid, ExecContext, get_function
 from ..compute.selection import filter_batch
 from ..device.column import (BLOCK, DeviceBatch, DeviceColumn,
-                             download_table, round_up, upload_table)
+                             capacity_class, download_table, round_up,
+                             upload_table)
 from ..table import RecordBatch, Table
 from ..types import Field, Schema
 from .expression import Expression
@@ -758,25 +759,43 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
         from ..compute import bloom as B
         lb = B.log_bits_for(right.capacity)
         bkey = ("bloom_pushdown", lb, tuple(options.left_keys),
-                tuple(options.right_keys))
+                tuple(options.right_keys), tuple(left.schema.names),
+                _dict_ids(left))
 
-        def make_bloom():
-            def fn(build_keys, probe_keys, build_rc, probe_rc):
+        def make_bloom(key_names=tuple(options.left_keys)):
+            def fn(build_keys, probe, build_rc):
+                # bloom build + query + probe-side compaction fused into
+                # ONE program (the eager filter_batch previously
+                # dispatched each compaction op as its own tiny program
+                # through the tunneled relay)
+                probe_keys = [probe.column(k) for k in key_names]
                 b_live = jnp.arange(build_keys[0].capacity,
                                     dtype=jnp.int32) < build_rc
-                p_live = jnp.arange(probe_keys[0].capacity,
-                                    dtype=jnp.int32) < probe_rc
+                p_live = probe.row_mask()
                 for c in build_keys:
                     b_live = jnp.logical_and(b_live, c.valid_mask(None))
                 for c in probe_keys:
                     p_live = jnp.logical_and(p_live, c.valid_mask(None))
                 bf = B.build_bloom(build_keys, b_live, lb)
-                return B.bloom_query(bf, probe_keys, p_live)
+                hit = B.bloom_query(bf, probe_keys, p_live)
+                return filter_batch(probe, DeviceColumn(hit, None,
+                                                        T.bool_()))
             return fn
 
-        hit = _cached_jit(bkey, make_bloom)(
-            rkeys, lkeys, right.row_count, left.row_count)
-        left = filter_batch(left, DeviceColumn(hit, None, T.bool_()))
+        # bloom compares key membership, so probe codes must be unified
+        # with the build side: swap unified key columns into the probe
+        # batch for the fused program (output columns keep the original
+        # dictionaries — planning-only re-encode, like hash_join_dict.cc)
+        if any(lk.dictionary is not None or rk.dictionary is not None
+               for lk, rk in zip(lkeys, rkeys)):
+            repl = dict(zip(options.left_keys, lkeys))
+            cols = [repl.get(f.name, c)
+                    for f, c in zip(left.schema.fields, left.columns)]
+            probe_in = DeviceBatch(left.schema, cols, left.row_count)
+        else:
+            probe_in = left
+        left = _cached_jit(bkey, make_bloom)(rkeys, probe_in,
+                                             right.row_count)
         lkeys = [left.column(k) for k in options.left_keys]
 
     planner_key = ("join_plan", jt, tuple(options.left_keys),
@@ -798,18 +817,26 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
 
     # semi/anti on the BUILD (right) side: pure build-row filters
     if jt in ("right semi", "right anti"):
+        fkey = ("join_build_filter", jt, tuple(right.schema.names),
+                _dict_ids(right))
+
+        def make_bfilter():
+            def fn(batch, mask_vals):
+                return filter_batch(batch, DeviceColumn(mask_vals, None,
+                                                        T.bool_()))
+            return fn
+
         mask_vals = matched if jt == "right semi" else unmatched
-        mask_col = DeviceColumn(mask_vals, None, T.bool_())
-        return filter_batch(right, mask_col)
+        return _cached_jit(fkey, make_bfilter)(right, mask_vals)
     if jt in ("left semi", "left anti"):
         total = int(plan.total)
-        out_cap = round_up(max(total, 1))
+        out_cap = capacity_class(total)
         return _join_materialize(options, plan, left, right, out_cap, total,
                                  0, unmatched, probe_only=True)
 
     total = int(plan.total)
     extra = int(n_unmatched) if jt in ("right outer", "full outer") else 0
-    out_cap = round_up(max(total + extra, 1))
+    out_cap = capacity_class(total + extra)
     return _join_materialize(options, plan, left, right, out_cap, total,
                              extra, unmatched)
 

@@ -41,6 +41,20 @@ def round_up(n: int, m: int = BLOCK) -> int:
     return max(m, (n + m - 1) // m * m)
 
 
+def capacity_class(n: int) -> int:
+    """Round a data-dependent output size up to its power-of-two capacity
+    class (min BLOCK). Data-dependent capacities (join matches, filtered
+    counts) are part of every jit cache key; classing them bounds the
+    number of distinct compiled programs to log2(rows) instead of one per
+    observed size — on the tunneled TPU platform each extra program costs
+    a 60-90 s remote compile. ARROW_TPU_CAP_CLASS=exact opts out (wastes
+    no gather lanes, recompiles per size)."""
+    import os
+    if os.environ.get("ARROW_TPU_CAP_CLASS", "pow2") == "exact":
+        return round_up(n)
+    return max(BLOCK, 1 << (max(n, 1) - 1).bit_length())
+
+
 _JNP_DTYPES = {
     TypeId.BOOL: jnp.bool_,
     TypeId.INT8: jnp.int8, TypeId.INT16: jnp.int16,
