@@ -193,13 +193,13 @@ def _node_aggregate_inner(options: AggregateNodeOptions, schema: Schema,
             safe_rep = jnp.where(
                 jnp.arange(rep_bound, dtype=jnp.int64) < g.num_groups,
                 g.rep_indices[:rep_bound], 0)
-            for k, kc in zip(keys, key_cols):
-                vals = kc.values[safe_rep]
-                validity = kc.validity[safe_rep] \
-                    if kc.validity is not None else None
-                out_cols.append(DeviceColumn(vals, validity, kc.type,
-                                             kc.dictionary))
-                out_fields.append(Field(k, kc.type))
+            # ONE shared sort-based gather for all key columns (plain
+            # element gathers lower quadratically on TPU — move.py)
+            from ..compute.selection import gather_columns
+            rep_cols = gather_columns(key_cols, safe_rep)
+            for k, rc in zip(keys, rep_cols):
+                out_cols.append(rc)
+                out_fields.append(Field(k, rc.type))
             bound_static = group_slot_bound_exact(key_cols, cap)
             for target, fname, opts, out_name in aggs:
                 dev_name = fname if fname.startswith("hash_") \
@@ -1039,9 +1039,9 @@ def _execute_asof_join(options, left: DeviceBatch,
             lkey = pack(gp, lrank)
             pos = jnp.searchsorted(rkey_sorted, lkey, side="right") - 1
             safe_pos = jnp.clip(pos, 0, r_cap - 1)
-            cand = rs_order[safe_pos]
-            cand_g = gb[cand]
-            cand_v = rv[cand]
+            from ..compute.move import gather_rows
+            (cand,) = gather_rows([rs_order], safe_pos)
+            cand_g, cand_v = gather_rows([gb, rv], cand)
             ok = (pos >= 0) & (cand_g == gp) & (gp >= 0) & lmask
             if tol <= 0:
                 ok = jnp.logical_and(ok, cand_v >= lv + tol)
@@ -1053,15 +1053,18 @@ def _execute_asof_join(options, left: DeviceBatch,
             out_cols = list(left.columns)
             rnames = [n for n in right.schema.names
                       if n not in (options.right_on, *options.right_by)]
+            # ONE shared sort-based gather for every right payload column
+            # (plain element gathers lower quadratically on TPU — move.py)
+            from ..compute.selection import gather_columns
+            rcols = [right.column(n) for n in rnames]
+            gathered = gather_columns(rcols, safe_cand)
             extra = []
-            for n in rnames:
-                c = right.column(n)
-                vals = c.values[safe_cand]
+            for gc in gathered:
                 validity = ok
-                if c.validity is not None:
-                    validity = jnp.logical_and(ok, c.validity[safe_cand])
-                extra.append(DeviceColumn(vals, validity, c.type,
-                                          c.dictionary))
+                if gc.validity is not None:
+                    validity = jnp.logical_and(ok, gc.validity)
+                extra.append(DeviceColumn(gc.values, validity, gc.type,
+                                          gc.dictionary))
             return out_cols + extra, rnames
         return fn
 

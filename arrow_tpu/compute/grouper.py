@@ -120,14 +120,21 @@ def group_ids(ctx: ExecContext,
         return _group_ids_perfect(ctx, key_cols, sizes)
     row_mask = ctx.row_mask()
     keys = group_key_arrays(key_cols, row_mask)
-    perm = stable_sort_indices(keys, cap)          # stable: padding last
-    sorted_keys = [k[perm] for k in keys]
+    # ONE stable sort returns the sorted keys, the sorted row mask AND the
+    # permutation (payload carry: re-gathering keys by perm would be a
+    # quadratic 1-D element gather on TPU — compute/move.py)
+    iota = jnp.arange(cap, dtype=jnp.int64)
+    sort_out = jax.lax.sort(tuple(keys) + (row_mask, iota), dimension=0,
+                            is_stable=True, num_keys=len(keys))
+    sorted_keys = list(sort_out[:len(keys)])
+    sorted_mask_carried = sort_out[len(keys)]
+    perm = sort_out[-1]
     idx = jnp.arange(cap, dtype=jnp.int64)
     neq = jnp.zeros(cap, jnp.bool_)
     for k in sorted_keys:
         neq = jnp.logical_or(neq, k != jnp.roll(k, 1))
     is_new = jnp.logical_or(idx == 0, neq)
-    sorted_mask = row_mask[perm]
+    sorted_mask = sorted_mask_carried
     is_new = jnp.logical_and(is_new, sorted_mask)
     # group id in SORTED order
     gid_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
@@ -170,28 +177,28 @@ def unique_batch(ctx: ExecContext, batch: DeviceBatch,
 
 @register("unique", "vector")
 def _unique(ctx, col):
+    from .selection import gather_columns
     g = group_ids(ctx, [col])
     cap = ctx.capacity
     safe_rep = jnp.where(jnp.arange(cap, dtype=jnp.int64) < g.num_groups,
                          g.rep_indices, 0)
-    vals = col.values[safe_rep]
-    validity = col.validity[safe_rep] if col.validity is not None else None
-    return Compacted(DeviceColumn(vals, validity, col.type, col.dictionary),
-                     g.num_groups.astype(jnp.int32))
+    (out,) = gather_columns([col], safe_rep)
+    return Compacted(out, g.num_groups.astype(jnp.int32))
 
 
 @register("value_counts", "vector")
 def _value_counts(ctx, col):
+    from .move import segment_count
+    from .selection import gather_columns
     g = group_ids(ctx, [col])
     cap = ctx.capacity
-    live = jnp.where(g.group_ids < cap, 1, 0).astype(jnp.int64)
-    counts = jax.ops.segment_sum(live,
-                                 jnp.minimum(g.group_ids, cap - 1),
-                                 num_segments=cap)
+    live = g.group_ids < cap
+    seg = jnp.where(live, g.group_ids, 0).astype(jnp.int32)
+    counts = segment_count(live, seg, cap)
     safe_rep = jnp.where(jnp.arange(cap, dtype=jnp.int64) < g.num_groups,
                          g.rep_indices, 0)
-    vals = col.values[safe_rep]
-    validity = col.validity[safe_rep] if col.validity is not None else None
+    (rep,) = gather_columns([col], safe_rep)
+    vals, validity = rep.values, rep.validity
     n = g.num_groups.astype(jnp.int32)
     return {
         "values": Compacted(DeviceColumn(vals, validity, col.type,

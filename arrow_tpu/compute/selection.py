@@ -136,15 +136,21 @@ def _drop_null(ctx, values: DeviceColumn):
 @register("take", "vector", ctx_arg=1)
 def _take(ctx, values: DeviceColumn, indices: DeviceColumn,
           n_values=None, boundscheck: bool = True):
+    from .move import gather_rows
     idx = indices.values.astype(jnp.int64)
     live = indices.valid_mask(ctx.row_mask())
     n_valid_rows = ctx.row_count  # of the indices column
     limit = values.capacity if n_values is None else n_values
     in_range = jnp.logical_and(idx >= 0, idx < limit)
     safe_idx = jnp.where(jnp.logical_and(live, in_range), idx, 0)
-    out_vals = values.values[safe_idx]
-    v_validity = (values.validity[safe_idx]
-                  if values.validity is not None else None)
+    # route through the linear movement layer (plain 1-D element gathers
+    # lower quadratically on TPU — compute/move.py header)
+    if values.validity is not None:
+        out_vals, v_validity = gather_rows(
+            [values.values, values.validity], safe_idx)
+    else:
+        (out_vals,), v_validity = gather_rows([values.values],
+                                              safe_idx), None
     validity = None
     if indices.validity is not None or v_validity is not None:
         validity = jnp.ones(indices.capacity, dtype=jnp.bool_)
@@ -209,12 +215,34 @@ def filter_batch(batch: DeviceBatch, mask_col: DeviceColumn,
     return DeviceBatch(batch.schema, cols, count)
 
 
+def gather_columns(cols: Sequence[DeviceColumn],
+                   idx: jax.Array) -> list:
+    """Gather rows of several columns by index through ONE shared
+    sort-based gather (move.gather_rows): every values/validity buffer
+    rides the same key sort, keeping the whole move linear on TPU."""
+    from .move import gather_rows
+    arrays, spec = [], []
+    for c in cols:
+        arrays.append(c.values)
+        has_v = c.validity is not None
+        if has_v:
+            arrays.append(c.validity)
+        spec.append(has_v)
+    outs = gather_rows(arrays, idx)
+    res, i = [], 0
+    for c, has_v in zip(cols, spec):
+        vals = outs[i]
+        i += 1
+        validity = None
+        if has_v:
+            validity = outs[i]
+            i += 1
+        res.append(DeviceColumn(vals, validity, c.type, c.dictionary))
+    return res
+
+
 def take_batch(batch: DeviceBatch, indices: jax.Array,
                count) -> DeviceBatch:
     """Gather whole batch rows by plain index array (no null indices)."""
-    cols = []
-    for c in batch.columns:
-        vals = c.values[indices]
-        validity = c.validity[indices] if c.validity is not None else None
-        cols.append(DeviceColumn(vals, validity, c.type, c.dictionary))
+    cols = gather_columns(batch.columns, indices)
     return DeviceBatch(batch.schema, cols, count)
