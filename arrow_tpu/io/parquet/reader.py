@@ -1,9 +1,10 @@
 """Parquet file reader.
 
 Reference analogue: cpp/src/parquet/file_reader.h + arrow bridge
-(parquet/arrow/reader.h). Scope: flat schemas (no nested), PLAIN +
-dictionary encodings, data pages v1/v2, UNCOMPRESSED/ZSTD codecs — the
-subset pyarrow writes by default plus zstd.
+(parquet/arrow/reader.h). Scope: flat AND nested schemas (Dremel
+def/rep-level record assembly via nested.py), PLAIN/dictionary/RLE/
+DELTA_*/BYTE_STREAM_SPLIT encodings, data pages v1/v2, bloom filters,
+page index, AES encryption, and the codec set of writer.py.
 """
 
 from __future__ import annotations
