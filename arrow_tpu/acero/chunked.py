@@ -1,0 +1,1055 @@
+"""Chunked (streaming) device execution — the morsel analogue.
+
+Reference analogues: Acero bounds working sets by slicing sources into
+<=32Ki-row morsels and streaming them through the plan
+(acero/exec_plan.h:57 kMaxBatchSize, source_node.cc:122
+SliceAndDeliverMorsel), accumulating build sides
+(acero/accumulation_queue.h:74) and merging per-thread aggregate states
+(groupby_aggregate_node.cc:255 consume/merge/finalize); sorts run
+per-chunk then k-way merge (compute/kernels/vector_sort.cc:47
+ChunkedArraySorter, vector_sort_internal.h:307 ChunkedMergeImpl).
+
+TPU redesign: a plan over a large table executes as a sequence of
+fixed-capacity DeviceBatch chunks pumped through ONE jitted per-chunk
+program with device-resident carry state, so the device working set is
+O(chunk + state) regardless of table size:
+
+* grouped/scalar aggregate: per-chunk partial states merged into a
+  bounded state DeviceBatch (consume/merge/finalize). Group ids stay in
+  first-appearance order across chunks because merge concatenates the
+  state (earlier appearances) before the chunk.
+* order_by: per-chunk processing downloads rows + their normalized sort
+  key words; the final merge is a host lexsort over the words — RAM, not
+  HBM, bounds the sort (external merge sort with the merge on host).
+* order_by + fetch (top-k): per-chunk sort+truncate carried on device,
+  final sort of the k-row state — fully device-resident.
+* hashjoin: build side uploaded whole (the reference also accumulates
+  the whole build side), probe side streamed chunk-by-chunk
+  (swiss_join.cc:2540 build-then-probe phasing).
+* filter/project: stateless chunk map, fused into the consume program.
+
+Enabled by ARROW_TPU_CHUNK_ROWS=N or Declaration.to_table(chunk_rows=N).
+Unsupported plan shapes return None from maybe_execute_chunked and fall
+back to whole-table execution.
+
+Float caveat: chunked sums reassociate float addition at chunk
+boundaries, so float aggregates match the unchunked result up to
+summation order (integers, decimals <=18 digits, counts, keys and
+min/max are exact). The distributed layer documents the same caveat.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import types as T
+from ..compute.grouper import group_capacity_bound, group_ids
+from ..compute.move import segment_count, segment_reduce, gather_rows
+from ..compute.registry import ArrowInvalid, ExecContext
+from ..compute.selection import gather_columns
+from ..device.column import (BLOCK, DeviceBatch, DeviceColumn,
+                             download_column, host_column_repr, round_up)
+from ..table import Table
+from ..types import Field, Schema, TypeId
+from .options import (AggregateNodeOptions, FetchNodeOptions,
+                      OrderByNodeOptions)
+
+_STREAMABLE_MIDDLE = ("filter", "project", "hashjoin")
+_STREAM_JOIN_TYPES = ("inner", "left outer", "left semi", "left anti")
+
+
+def chunk_rows_env() -> int:
+    try:
+        return int(os.environ.get("ARROW_TPU_CHUNK_ROWS", "0"))
+    except ValueError:
+        return 0
+
+
+def state_rows_env(default: int) -> int:
+    try:
+        return int(os.environ.get("ARROW_TPU_STATE_ROWS", "0")) or default
+    except ValueError:
+        return default
+
+
+# --- plan linearization ------------------------------------------------------
+
+class _Linear:
+    """source table + middle ops (filter/project/probe-side joins) +
+    optional terminal (aggregate / order_by [+fetch] / fetch)."""
+
+    def __init__(self, table, middle, terminal, post_fetch):
+        self.table = table
+        self.middle = middle          # list[Declaration]
+        self.terminal = terminal      # Declaration | None
+        self.post_fetch = post_fetch  # FetchNodeOptions | None
+
+
+def _linearize(decl) -> Optional[_Linear]:
+    chain = []
+    cur = decl
+    while True:
+        f = cur.factory_name
+        if f in ("table_source", "named_table"):
+            tbl = getattr(cur.options, "table", None)
+            if tbl is None:
+                return None
+            chain.reverse()
+            return _split_chain(tbl, chain)
+        if f in ("filter", "project", "order_by", "fetch", "aggregate",
+                 "hashjoin"):
+            if f == "aggregate" and getattr(cur.options, "segment_keys",
+                                            None):
+                return None
+            if f == "hashjoin":
+                if cur.options.join_type not in _STREAM_JOIN_TYPES:
+                    return None
+                if getattr(cur.options, "filter_expression", None) \
+                        is not None:
+                    return None
+            chain.append(cur)
+            cur = cur.inputs[0]
+            continue
+        return None
+
+
+def _split_chain(tbl, chain) -> Optional[_Linear]:
+    # find the terminal: last aggregate/order_by/fetch; everything after
+    # it is unsupported except fetch-after-order_by
+    middle: List = []
+    terminal = None
+    post_fetch = None
+    i = 0
+    while i < len(chain):
+        d = chain[i]
+        f = d.factory_name
+        if f in ("filter", "project", "hashjoin"):
+            if terminal is not None:
+                return None  # ops after a terminal: unsupported
+            middle.append(d)
+        elif f == "aggregate":
+            if terminal is not None or i != len(chain) - 1:
+                return None
+            terminal = d
+        elif f == "order_by":
+            if terminal is not None:
+                return None
+            terminal = d
+        elif f == "fetch":
+            if terminal is None and i == len(chain) - 1:
+                terminal = d
+            elif (terminal is not None
+                  and terminal.factory_name == "order_by"
+                  and i == len(chain) - 1):
+                post_fetch = d.options
+            else:
+                return None
+        i += 1
+    return _Linear(tbl, middle, terminal, post_fetch)
+
+
+# --- chunk source ------------------------------------------------------------
+
+class _ChunkSource:
+    """Host-prepared table sliced into fixed-capacity device chunks. All
+    chunks share one dictionary object per column (comparable codes +
+    warm jit caches) and one (capacity, dtypes) shape — one compiled
+    per-chunk program serves every chunk."""
+
+    def __init__(self, table: Table, chunk_rows: int):
+        combined = [c.combine() for c in table.columns]
+        self.schema = table.schema
+        self.hosts = [host_column_repr(a) for a in combined]
+        self.n = table.num_rows
+        self.chunk_rows = chunk_rows
+        self.capacity = round_up(min(chunk_rows, max(self.n, 1)))
+        self.n_chunks = max(1, -(-self.n // chunk_rows))
+
+    def chunk(self, i: int) -> DeviceBatch:
+        start = i * self.chunk_rows
+        length = min(self.chunk_rows, self.n - start)
+        cols = [h.slice_upload(start, length, self.capacity)
+                for h in self.hosts]
+        return DeviceBatch(self.schema, cols,
+                           jnp.asarray(length, jnp.int32))
+
+    def __iter__(self):
+        # prefetch one chunk ahead: device_put is async, so chunk i+1's
+        # H2D transfer overlaps chunk i's compute (SURVEY §7 stage 4
+        # double-buffered feed)
+        nxt = self.chunk(0)
+        for i in range(self.n_chunks):
+            cur = nxt
+            if i + 1 < self.n_chunks:
+                nxt = self.chunk(i + 1)
+            yield cur
+
+
+# --- middle pipeline ---------------------------------------------------------
+
+def _middle_runner(middle) -> Callable[[DeviceBatch], DeviceBatch]:
+    """Compose the middle ops into a per-chunk callable. Runs of
+    filter/project fuse into jitted segments; joins execute via the
+    existing two-phase join (build side pre-executed ONCE)."""
+    from .exec import (_cached_jit, _config_key, _execute_hashjoin,
+                       _segment_fns, execute_declaration)
+
+    stages = []  # list of ("fns", [fn..]) | ("join", options, build_batch)
+    run: List = []
+
+    def flush():
+        if run:
+            stages.append(("fns", list(run)))
+            run.clear()
+
+    for d in middle:
+        if d.factory_name == "hashjoin":
+            flush()
+            build = execute_declaration(d.inputs[1], _root=False)
+            stages.append(("join", d.options, build))
+        else:
+            run.append(d)
+    flush()
+
+    compiled = []
+    for si, st in enumerate(stages):
+        if st[0] == "fns":
+            decls = st[1]
+            key = ("chunk_mid", tuple((d.factory_name, _config_key(d))
+                                      for d in decls))
+
+            def make(decls=tuple(decls)):
+                fns = _segment_fns(decls)
+
+                def staged(batch):
+                    for f in fns:
+                        batch = f(batch)
+                    return batch
+                return staged
+
+            compiled.append(("fns", key, make))
+        else:
+            compiled.append(st)
+
+    def runner(batch: DeviceBatch) -> DeviceBatch:
+        for st in compiled:
+            if st[0] == "fns":
+                _, key, make = st
+                from .exec import _dict_ids
+                fn = _cached_jit(key + (_dict_ids(batch), batch.capacity),
+                                 make)
+                batch = fn(batch)
+            else:
+                _, options, build = st
+                batch = _execute_hashjoin(options, batch, build)
+        return batch
+
+    return runner
+
+
+# --- grouped aggregate: consume / merge / finalize ---------------------------
+
+_SUPPORTED_AGGS = {"sum", "product", "mean", "min", "max", "min_max",
+                   "count", "count_all", "any", "all", "first", "last",
+                   "one", "variance", "stddev"}
+
+
+class _AggState:
+    """Partial-state field layout for one aggregate."""
+
+    def __init__(self, j, fname, target, opts, out_name):
+        self.j = j
+        self.fname = fname
+        self.target = target
+        self.opts = dict(opts or {})
+        self.out_name = out_name
+        self.prefix = f"__p{j}_"
+
+
+def _norm_aggs(options: AggregateNodeOptions) -> Optional[List[_AggState]]:
+    out = []
+    for j, (target, fname, opts, out_name) in enumerate(options.aggregates):
+        f = fname[5:] if fname.startswith("hash_") else fname
+        if f not in _SUPPORTED_AGGS:
+            return None
+        if isinstance(target, (list, tuple)):
+            target = target[0] if target else None
+        out.append(_AggState(j, f, target, opts, out_name))
+    return out
+
+
+def _partial_fields(a: _AggState, vdtype, vtype) -> List[Tuple[str, object]]:
+    """(suffix, dtype) pairs of the partial arrays for one aggregate."""
+    from ..compute.aggregate import _sum_dtype
+    f = a.fname
+    if f in ("sum", "product", "mean"):
+        return [("s", _sum_dtype(vdtype)), ("c", jnp.int64),
+                ("hn", jnp.bool_)]
+    if f == "min":
+        return [("mn", vdtype), ("c", jnp.int64), ("hn", jnp.bool_)]
+    if f == "max":
+        return [("mx", vdtype), ("c", jnp.int64), ("hn", jnp.bool_)]
+    if f == "min_max":
+        return [("mn", vdtype), ("mx", vdtype), ("c", jnp.int64),
+                ("hn", jnp.bool_)]
+    if f in ("count", "count_all"):
+        return [("c", jnp.int64)]
+    if f == "any":
+        return [("t", jnp.bool_), ("c", jnp.int64)]
+    if f == "all":
+        return [("fl", jnp.bool_), ("c", jnp.int64)]
+    if f in ("first", "last", "one"):
+        return [("v", vdtype), ("h", jnp.bool_), ("vv", jnp.bool_)]
+    if f in ("variance", "stddev"):
+        return [("c", jnp.int64), ("s", jnp.float64), ("ss", jnp.float64),
+                ("hn", jnp.bool_)]
+    raise AssertionError(f)
+
+
+def _prep_value_col(a: _AggState, batch: DeviceBatch) -> DeviceColumn:
+    """Resolve + normalize the aggregate's target column the way the
+    grouped kernels do (numeric dict decode / rank recode)."""
+    from ..compute.aggregate import decode_numeric_dict, rank_recode
+    if a.fname == "count_all":
+        return batch.columns[0]
+    col = batch.column(a.target)
+    if a.fname in ("min", "max", "min_max"):
+        return rank_recode(col)
+    if a.fname in ("sum", "product", "mean", "variance", "stddev"):
+        return decode_numeric_dict(col)
+    return col
+
+
+def _consume_partials(a: _AggState, ctx, col: DeviceColumn, gids,
+                      nseg: int) -> Dict[str, jax.Array]:
+    """Per-chunk partial state arrays at bound nseg."""
+    from ..compute.aggregate import _dec_factor, _minmax_identity
+    cap = ctx.capacity
+    row_live = jnp.logical_and(ctx.row_mask(), gids < cap)
+    valid = col.valid_mask(None)
+    live = jnp.logical_and(row_live, valid)
+    seg = jnp.where(live, gids, 0).astype(jnp.int32)
+    rseg = jnp.where(row_live, gids, 0).astype(jnp.int32)
+    f = a.fname
+    p: Dict[str, jax.Array] = {}
+
+    def has_null():
+        if col.validity is None:
+            return jnp.zeros(nseg, jnp.bool_)
+        isnull = jnp.logical_and(row_live, ~col.validity)
+        nseg_ = jnp.where(isnull, gids, 0).astype(jnp.int32)
+        return segment_count(isnull, nseg_, nseg) > 0
+
+    if f in ("sum", "product", "mean"):
+        from ..compute.aggregate import _sum_dtype
+        acc = _sum_dtype(col.values.dtype)
+        if f == "product":
+            v = jnp.where(live, col.values.astype(acc), jnp.asarray(1, acc))
+            p["s"] = jax.ops.segment_prod(v, seg, num_segments=nseg)
+        else:
+            v = jnp.where(live, col.values.astype(acc), jnp.asarray(0, acc))
+            p["s"] = segment_reduce(v, seg, nseg, "sum", 0)
+        p["c"] = segment_count(live, seg, nseg)
+        p["hn"] = has_null()
+    elif f in ("min", "max", "min_max"):
+        if f in ("min", "min_max"):
+            ident = _minmax_identity(col.values.dtype, True)
+            v = jnp.where(live, col.values, jnp.asarray(
+                ident, col.values.dtype))
+            p["mn"] = segment_reduce(v, seg, nseg, "min", ident)
+        if f in ("max", "min_max"):
+            ident = _minmax_identity(col.values.dtype, False)
+            v = jnp.where(live, col.values, jnp.asarray(
+                ident, col.values.dtype))
+            p["mx"] = segment_reduce(v, seg, nseg, "max", ident)
+        p["c"] = segment_count(live, seg, nseg)
+        p["hn"] = has_null()
+    elif f == "count":
+        mode = a.opts.get("mode", "only_valid")
+        if mode == "only_valid":
+            m = live
+        elif mode == "only_null":
+            m = jnp.logical_and(row_live, ~valid)
+        else:
+            m = row_live
+        p["c"] = segment_count(m, jnp.where(m, gids, 0).astype(jnp.int32),
+                               nseg)
+    elif f == "count_all":
+        p["c"] = segment_count(row_live, rseg, nseg)
+    elif f == "any":
+        t = jnp.logical_and(live, col.values.astype(jnp.bool_))
+        p["t"] = segment_count(t, jnp.where(t, gids, 0).astype(jnp.int32),
+                               nseg) > 0
+        p["c"] = segment_count(live, seg, nseg)
+    elif f == "all":
+        fl = jnp.logical_and(live, ~col.values.astype(jnp.bool_))
+        p["fl"] = segment_count(fl, jnp.where(fl, gids, 0).astype(jnp.int32),
+                                nseg) > 0
+        p["c"] = segment_count(live, seg, nseg)
+    elif f in ("first", "last", "one"):
+        skip_nulls = a.opts.get("skip_nulls", True) or a.fname == "one"
+        m = live if skip_nulls else row_live
+        is_first = f in ("first", "one")
+        p["v"], p["vv"], p["h"] = _positional_pick(
+            ctx, col, gids, nseg, m, is_first)
+    elif f in ("variance", "stddev"):
+        fac = _dec_factor(col.type)
+        fv = col.values.astype(jnp.float64)
+        if fac is not None:
+            fv = fv * fac
+        v = jnp.where(live, fv, 0.0)
+        p["c"] = segment_count(live, seg, nseg)
+        p["s"] = segment_reduce(v, seg, nseg, "sum", 0.0)
+        p["ss"] = segment_reduce(v * v, seg, nseg, "sum", 0.0)
+        p["hn"] = has_null()
+    return {a.prefix + k: v for k, v in p.items()}
+
+
+def _positional_pick(ctx, col, gids, nseg, m, is_first):
+    """(value, value_validity, has) per group for the first/last row where
+    m holds — int32 position reduce + one shared linear gather."""
+    cap = ctx.capacity
+    seg = jnp.where(m, gids, 0).astype(jnp.int32)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    if is_first:
+        pos = segment_reduce(jnp.where(m, idx, cap).astype(jnp.int32),
+                             seg, nseg, "min", cap)
+        has = pos < cap
+    else:
+        pos = segment_reduce(jnp.where(m, idx, -1).astype(jnp.int32),
+                             seg, nseg, "max", -1)
+        has = pos >= 0
+    safe = jnp.where(has, pos, 0).astype(jnp.int32)
+    if col.validity is not None:
+        v, vv = gather_rows([col.values, col.validity], safe)
+    else:
+        (v,) = gather_rows([col.values], safe)
+        vv = jnp.ones(nseg, jnp.bool_)
+    return v, jnp.logical_and(vv, has), has
+
+
+def _merge_partials(a: _AggState, state_p, chunk_p, state_live, chunk_live,
+                    gids2, nseg: int):
+    """Merge concatenated (state ++ chunk) partial rows by combined group
+    id. state rows precede chunk rows, so positional merges (first/last)
+    see chronological order."""
+    f = a.fname
+    live = jnp.concatenate([state_live, chunk_live])
+    seg = jnp.where(live, gids2, 0).astype(jnp.int32)
+    out: Dict[str, jax.Array] = {}
+
+    def cat(suffix):
+        return jnp.concatenate([state_p[a.prefix + suffix],
+                                chunk_p[a.prefix + suffix]])
+
+    def msum(suffix, identity=0):
+        v = cat(suffix)
+        v = jnp.where(live, v, jnp.asarray(identity, v.dtype))
+        return segment_reduce(v, seg, nseg, "sum", identity)
+
+    def mbool_or(suffix):
+        v = jnp.logical_and(cat(suffix), live)
+        return segment_count(
+            v, jnp.where(v, gids2, 0).astype(jnp.int32), nseg) > 0
+
+    if f in ("sum", "mean"):
+        out["s"] = msum("s")
+        out["c"] = msum("c")
+        out["hn"] = mbool_or("hn")
+    elif f == "product":
+        v = cat("s")
+        v = jnp.where(live, v, jnp.asarray(1, v.dtype))
+        out["s"] = jax.ops.segment_prod(v, seg, num_segments=nseg)
+        out["c"] = msum("c")
+        out["hn"] = mbool_or("hn")
+    elif f in ("min", "max", "min_max"):
+        from ..compute.aggregate import _minmax_identity
+        if f in ("min", "min_max"):
+            v = cat("mn")
+            ident = _minmax_identity(v.dtype, True)
+            v = jnp.where(live, v, jnp.asarray(ident, v.dtype))
+            out["mn"] = segment_reduce(v, seg, nseg, "min", ident)
+        if f in ("max", "min_max"):
+            v = cat("mx")
+            ident = _minmax_identity(v.dtype, False)
+            v = jnp.where(live, v, jnp.asarray(ident, v.dtype))
+            out["mx"] = segment_reduce(v, seg, nseg, "max", ident)
+        out["c"] = msum("c")
+        out["hn"] = mbool_or("hn")
+    elif f in ("count", "count_all"):
+        out["c"] = msum("c")
+    elif f == "any":
+        out["t"] = mbool_or("t")
+        out["c"] = msum("c")
+    elif f == "all":
+        out["fl"] = mbool_or("fl")
+        out["c"] = msum("c")
+    elif f in ("first", "last", "one"):
+        h = jnp.logical_and(cat("h"), live)
+        n2 = gids2.shape[0]
+        idx = jnp.arange(n2, dtype=jnp.int32)
+        seg_h = jnp.where(h, gids2, 0).astype(jnp.int32)
+        if f in ("first", "one"):
+            pos = segment_reduce(jnp.where(h, idx, n2).astype(jnp.int32),
+                                 seg_h, nseg, "min", n2)
+            has = pos < n2
+        else:
+            pos = segment_reduce(jnp.where(h, idx, -1).astype(jnp.int32),
+                                 seg_h, nseg, "max", -1)
+            has = pos >= 0
+        safe = jnp.where(has, pos, 0).astype(jnp.int32)
+        v, vv = gather_rows([cat("v"), cat("vv")], safe)
+        out["v"] = v
+        out["vv"] = jnp.logical_and(vv, has)
+        out["h"] = has
+    elif f in ("variance", "stddev"):
+        out["c"] = msum("c")
+        out["s"] = msum("s")
+        out["ss"] = msum("ss")
+        out["hn"] = mbool_or("hn")
+    return {a.prefix + k: v for k, v in out.items()}
+
+
+def _finalize_agg(a: _AggState, p: Dict[str, jax.Array], vtype,
+                  vdict) -> List[Tuple[str, DeviceColumn]]:
+    """Final output column(s) from merged partial state (device arrays at
+    state capacity)."""
+    from ..compute.aggregate import _dec_factor, _sum_type
+    f = a.fname
+    skip_nulls = a.opts.get("skip_nulls", True)
+    min_count = a.opts.get("min_count",
+                           1 if f in ("sum", "product", "mean") else 0)
+
+    def g(suffix):
+        return p[a.prefix + suffix]
+
+    if f in ("count", "count_all"):
+        return [(a.out_name, DeviceColumn(g("c"), None, T.int64()))]
+    if f in ("sum", "product"):
+        validity = g("c") >= jnp.asarray(min_count, jnp.int64)
+        if not skip_nulls:
+            validity = jnp.logical_and(validity, ~g("hn"))
+        return [(a.out_name, DeviceColumn(g("s"), validity,
+                                          _sum_type(vtype)))]
+    if f == "mean":
+        validity = g("c") >= jnp.asarray(min_count, jnp.int64)
+        if not skip_nulls:
+            validity = jnp.logical_and(validity, ~g("hn"))
+        if _dec_factor(vtype) is not None:
+            isums = g("s").astype(jnp.int64)
+            c = jnp.maximum(g("c"), 1)
+            mag = (2 * jnp.abs(isums) + c) // (2 * c)
+            means = jnp.where(isums < 0, -mag, mag)
+            return [(a.out_name, DeviceColumn(means, validity, vtype))]
+        means = g("s").astype(jnp.float64) / \
+            jnp.maximum(g("c"), 1).astype(jnp.float64)
+        return [(a.out_name, DeviceColumn(means, validity, T.float64()))]
+    if f in ("min", "max", "min_max"):
+        validity = g("c") > 0
+        if not skip_nulls:
+            validity = jnp.logical_and(validity, ~g("hn"))
+        outs = []
+        if f in ("min", "min_max"):
+            nm = a.out_name if f == "min" else f"{a.out_name}_min"
+            outs.append((nm, DeviceColumn(g("mn"), validity, vtype, vdict)))
+        if f in ("max", "min_max"):
+            nm = a.out_name if f == "max" else f"{a.out_name}_max"
+            outs.append((nm, DeviceColumn(g("mx"), validity, vtype, vdict)))
+        return outs
+    if f == "any":
+        validity = (g("c") >= jnp.asarray(min_count, jnp.int64)
+                    if min_count > 0 else None)
+        return [(a.out_name, DeviceColumn(g("t"), validity, T.bool_()))]
+    if f == "all":
+        validity = (g("c") >= jnp.asarray(min_count, jnp.int64)
+                    if min_count > 0 else None)
+        return [(a.out_name, DeviceColumn(~g("fl"), validity, T.bool_()))]
+    if f in ("first", "last", "one"):
+        validity = jnp.logical_and(g("h"), g("vv"))
+        return [(a.out_name, DeviceColumn(g("v"), validity, vtype, vdict))]
+    if f in ("variance", "stddev"):
+        ddof = a.opts.get("ddof", 0)
+        c = g("c").astype(jnp.float64)
+        mean = g("s") / jnp.maximum(c, 1.0)
+        m2 = g("ss") - c * mean * mean
+        var = jnp.maximum(m2, 0.0) / jnp.maximum(c - ddof, 1.0)
+        validity = g("c") > jnp.asarray(ddof, jnp.int64)
+        validity = jnp.logical_and(
+            validity, g("c") >= jnp.asarray(min_count, jnp.int64))
+        if not skip_nulls:
+            validity = jnp.logical_and(validity, ~g("hn"))
+        out = jnp.sqrt(var) if f == "stddev" else var
+        return [(a.out_name, DeviceColumn(out, validity, T.float64()))]
+    raise AssertionError(f)
+
+
+class _ChunkedGroupBy:
+    """Device-resident consume/merge carry state for a grouped (or
+    keyless scalar) aggregation."""
+
+    def __init__(self, options: AggregateNodeOptions, aggs: List[_AggState],
+                 state_cap: int):
+        self.keys = list(options.keys or [])
+        self.scalar = not self.keys
+        self.aggs = aggs
+        self.state_cap = state_cap
+        self.state: Optional[DeviceBatch] = None
+        self._step = None
+        self._vmeta: Dict[int, Tuple] = {}
+
+    def _key_cols(self, batch: DeviceBatch) -> List[DeviceColumn]:
+        if self.scalar:
+            return [DeviceColumn(jnp.zeros(batch.capacity, jnp.bool_),
+                                 None, T.bool_())]
+        return [batch.column(k) for k in self.keys]
+
+    def _make_step(self):
+        aggs = self.aggs
+        S = self.state_cap
+        key_names = self.keys or ["__dummy__"]
+
+        def step(state: Optional[DeviceBatch], chunk: DeviceBatch):
+            ctx = ExecContext(chunk.capacity, chunk.row_count)
+            key_cols = self._key_cols(chunk)
+            g = group_ids(ctx, key_cols)
+            B = group_capacity_bound(key_cols, chunk.capacity)
+            B = min(B, chunk.capacity)
+            vcols = [_prep_value_col(a, chunk) for a in aggs]
+            chunk_p: Dict[str, jax.Array] = {}
+            for a, vc in zip(aggs, vcols):
+                chunk_p.update(_consume_partials(a, ctx, vc, g.group_ids, B))
+            safe_rep = jnp.where(
+                jnp.arange(B, dtype=jnp.int64) < g.num_groups,
+                g.rep_indices[:B], 0)
+            chunk_keys = gather_columns(key_cols, safe_rep)
+            chunk_live = jnp.arange(B, dtype=jnp.int64) < g.num_groups
+
+            if state is None:
+                # first chunk: state = chunk partials placed at [0, S)
+                out_cols, out_fields = [], []
+                for k, kc in zip(key_names, chunk_keys):
+                    out_cols.append(_fit(kc, S))
+                    out_fields.append(Field(k, kc.type))
+                for name, arr in chunk_p.items():
+                    out_cols.append(DeviceColumn(_fit_arr(arr, S), None,
+                                                 _ftype(arr.dtype)))
+                    out_fields.append(Field(name, out_cols[-1].type))
+                overflow = g.num_groups > S
+                out_cols.append(DeviceColumn(
+                    jnp.zeros(S, jnp.bool_).at[0].set(overflow), None,
+                    T.bool_()))
+                out_fields.append(Field("__overflow__", T.bool_()))
+                return DeviceBatch(Schema(out_fields), out_cols,
+                                   jnp.minimum(g.num_groups,
+                                               S).astype(jnp.int32))
+
+            # merge: concat state groups (chronologically first) + chunk
+            n_state = state.row_count
+            state_live = jnp.arange(S, dtype=jnp.int64) < n_state
+            comb_keys = []
+            for i, k in enumerate(key_names):
+                sc = state.column(k)
+                cc = chunk_keys[i]
+                vals = jnp.concatenate([sc.values, cc.values])
+                if sc.validity is not None or cc.validity is not None:
+                    sv = sc.validity if sc.validity is not None else \
+                        jnp.ones(S, jnp.bool_)
+                    cv = cc.validity if cc.validity is not None else \
+                        jnp.ones(B, jnp.bool_)
+                    validity = jnp.concatenate([sv, cv])
+                else:
+                    validity = None
+                comb_keys.append(DeviceColumn(vals, validity, sc.type,
+                                              sc.dictionary))
+            comb_live = jnp.concatenate([state_live, chunk_live])
+            ctx2 = ExecContext(S + B, jnp.asarray(S + B, jnp.int32))
+            ctx2.row_mask_ = comb_live
+            g2 = group_ids(ctx2, comb_keys)
+            state_p = {n: state.column(n).values for n in chunk_p}
+            merged: Dict[str, jax.Array] = {}
+            for a in aggs:
+                merged.update(_merge_partials(
+                    a, state_p, chunk_p, state_live, chunk_live,
+                    g2.group_ids, S))
+            safe2 = jnp.where(
+                jnp.arange(S, dtype=jnp.int64) < g2.num_groups,
+                g2.rep_indices[:S], 0)
+            new_keys = gather_columns(comb_keys, safe2)
+            prev_over = state.column("__overflow__").values
+            overflow = jnp.logical_or(prev_over[0], g2.num_groups > S)
+            out_cols, out_fields = [], []
+            for k, kc in zip(key_names, new_keys):
+                out_cols.append(kc)
+                out_fields.append(Field(k, kc.type))
+            for name, arr in merged.items():
+                out_cols.append(DeviceColumn(arr, None, _ftype(arr.dtype)))
+                out_fields.append(Field(name, out_cols[-1].type))
+            out_cols.append(DeviceColumn(
+                jnp.zeros(S, jnp.bool_).at[0].set(overflow), None,
+                T.bool_()))
+            out_fields.append(Field("__overflow__", T.bool_()))
+            return DeviceBatch(Schema(out_fields), out_cols,
+                               jnp.minimum(g2.num_groups,
+                                           S).astype(jnp.int32))
+        return step
+
+    def consume(self, chunk: DeviceBatch):
+        # capture value-column metadata (type + post-recode dictionary)
+        # once; eager (non-jit) calls are trace-time host work only
+        if not self._vmeta:
+            for a in self.aggs:
+                vc = _prep_value_col(a, chunk)
+                self._vmeta[a.j] = (vc.type, vc.dictionary)
+        if self._step is None:
+            step = self._make_step()
+            self._step = step
+            # jax.jit re-traces per input structure (capacity, dtypes,
+            # dictionary identities), so two jit objects suffice
+            self._jit_first = jax.jit(lambda c: step(None, c))
+            self._jit_merge = jax.jit(step)
+        if self.state is None:
+            self.state = self._jit_first(chunk)
+        else:
+            self.state = self._jit_merge(self.state, chunk)
+
+    def finalize(self) -> DeviceBatch:
+        state = self.state
+        if state is None:
+            raise ArrowInvalid("chunked aggregate consumed no chunks")
+        if bool(np.asarray(state.column("__overflow__").values[0])):
+            raise ArrowInvalid(
+                "chunked aggregate exceeded the group-state capacity "
+                f"({self.state_cap}); raise ARROW_TPU_STATE_ROWS or the "
+                "chunk size")
+        S = self.state_cap
+        p = {f.name: state.column(f.name).values
+             for f in state.schema.fields
+             if f.name.startswith("__p")}
+        out_cols, out_fields = [], []
+        if not self.scalar:
+            for k in self.keys:
+                kc = state.column(k)
+                out_cols.append(kc)
+                out_fields.append(Field(k, kc.type))
+        for a in self.aggs:
+            vtype, vdict = self._vmeta[a.j]
+            for name, col in _finalize_agg(a, p, vtype, vdict):
+                out_cols.append(col)
+                out_fields.append(Field(name, col.type))
+        rc = jnp.asarray(1, jnp.int32) if self.scalar else state.row_count
+        if self.scalar:
+            # scalar aggregation of zero rows still emits one result row
+            pass
+        return DeviceBatch(Schema(out_fields), out_cols, rc)
+
+
+def _fit(col: DeviceColumn, cap: int) -> DeviceColumn:
+    """Pad or truncate a column to capacity, keeping validity."""
+    return DeviceColumn(_fit_arr(col.values, cap),
+                        None if col.validity is None
+                        else _fit_arr(col.validity, cap),
+                        col.type, col.dictionary)
+
+
+def _fit_arr(arr: jax.Array, cap: int) -> jax.Array:
+    n = arr.shape[0]
+    if n == cap:
+        return arr
+    if n > cap:
+        return arr[:cap]
+    return jnp.concatenate([arr, jnp.zeros((cap - n,) + arr.shape[1:],
+                                           arr.dtype)])
+
+
+def _ftype(dtype):
+    """Field type for a raw partial array (internal bookkeeping only)."""
+    from ..types import from_numpy_dtype
+    return from_numpy_dtype(np.dtype(dtype))
+
+
+# --- order_by: external sort -------------------------------------------------
+
+class _ChunkedOrderBy:
+    """Download each processed chunk's live rows together with their
+    normalized sort-key words; the final merge is ONE host lexsort over
+    the words — exactly the key encoding the device sort uses, so the
+    result matches the device order_by bit-for-bit."""
+
+    def __init__(self, options: OrderByNodeOptions):
+        self.sort_keys = options.sort_keys
+        self.null_placement = options.null_placement
+        self._rows: List[Dict] = []
+        self._schema = None
+        self._dicts = None
+        self._jit = {}
+
+    def consume(self, chunk: DeviceBatch):
+        from .exec import _rank_col
+        from ..compute.keys import sort_key_arrays
+        if self._schema is None:
+            self._schema = chunk.schema
+            self._dicts = [c.dictionary for c in chunk.columns]
+        names = [k for k, _ in self.sort_keys]
+        orders = [o for _, o in self.sort_keys]
+
+        key = (chunk.capacity,)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(batch):
+                cols = []
+                for n in names:
+                    c = batch.column(n)
+                    if c.dictionary is not None:
+                        c = _rank_col(c)
+                    cols.append(c)
+                keys = sort_key_arrays(cols, orders, self.null_placement,
+                                       batch.row_mask())
+                return keys, batch
+            fn = self._jit[key] = jax.jit(run)
+        keys, batch = fn(chunk)
+        n = int(batch.row_count)
+        rec = {"n": n,
+               "keys": [np.asarray(k[:n]) for k in keys],
+               "cols": [(np.asarray(c.values[:n]),
+                         None if c.validity is None
+                         else np.asarray(c.validity[:n]))
+                        for c in batch.columns]}
+        self._rows.append(rec)
+
+    def finalize(self, post_fetch: Optional[FetchNodeOptions]) -> Table:
+        if not self._rows:
+            return Table.from_arrays([], [])
+        nk = len(self._rows[0]["keys"])
+        keys = [np.concatenate([r["keys"][i] for r in self._rows])
+                for i in range(nk)]
+        # np.lexsort: LAST key is primary; our key list is
+        # [cls0, word0, cls1, word1, ...] with key 0 primary
+        order = np.lexsort(tuple(reversed(keys)))
+        if post_fetch is not None:
+            off = post_fetch.offset
+            cnt = post_fetch.count
+            order = order[off:] if cnt < 0 else order[off:off + cnt]
+        total = order.shape[0]
+        cols = []
+        for ci, f in enumerate(self._schema.fields):
+            vals = np.concatenate([r["cols"][ci][0] for r in self._rows])
+            vals = vals[order]
+            masks = [r["cols"][ci][1] for r in self._rows]
+            if any(m is not None for m in masks):
+                full = np.concatenate(
+                    [m if m is not None
+                     else np.ones(r["n"], np.bool_)
+                     for m, r in zip(masks, self._rows)])
+                mask = full[order]
+            else:
+                mask = None
+            col = DeviceColumn(vals, mask, f.type, self._dicts[ci])
+            cols.append(download_column(col, total))
+        return Table.from_arrays(cols, self._schema.names)
+
+
+class _ChunkedTopK:
+    """order_by + fetch(offset, count) with a small k: per-chunk sort +
+    truncate-to-k carried on device; merge = sort(state ++ chunk_top) and
+    keep k. Fully device-resident (select_k over chunks)."""
+
+    def __init__(self, options: OrderByNodeOptions, k: int):
+        self.options = options
+        self.k = k
+        self.cap = round_up(k)
+        self.state: Optional[DeviceBatch] = None
+        self._jit = {}
+
+    def consume(self, chunk: DeviceBatch):
+        from .exec import _rank_col
+        from ..compute.keys import sort_key_arrays
+        from ..compute.move import sort_with_payload
+        key = (chunk.capacity, self.state is not None)
+        fn = self._jit.get(key)
+        if fn is None:
+            options = self.options
+            cap = self.cap
+            k = self.k
+            names = [n for n, _ in options.sort_keys]
+            orders = [o for _, o in options.sort_keys]
+
+            def run(state, chunk):
+                if state is not None:
+                    # concat state rows ahead of chunk rows: live rows are
+                    # NOT a prefix here, so an explicit live mask replaces
+                    # batch.row_mask() in the key encoding (class 3 pushes
+                    # dead slots last in the sort)
+                    cols = []
+                    for sc, cc in zip(state.columns, chunk.columns):
+                        vals = jnp.concatenate([sc.values, cc.values])
+                        if sc.validity is not None or cc.validity is not None:
+                            sv = sc.validity if sc.validity is not None \
+                                else jnp.ones(sc.capacity, jnp.bool_)
+                            cv = cc.validity if cc.validity is not None \
+                                else jnp.ones(cc.capacity, jnp.bool_)
+                            validity = jnp.concatenate([sv, cv])
+                        else:
+                            validity = None
+                        cols.append(DeviceColumn(vals, validity, cc.type,
+                                                 cc.dictionary))
+                    live = jnp.concatenate([
+                        jnp.arange(cap, dtype=jnp.int32) < state.row_count,
+                        chunk.row_mask()])
+                    merged = DeviceBatch(
+                        chunk.schema, cols,
+                        (state.row_count + chunk.row_count).astype(
+                            jnp.int32))
+                else:
+                    merged = chunk
+                    live = chunk.row_mask()
+                kcols = []
+                for nm in names:
+                    c = merged.column(nm)
+                    if c.dictionary is not None:
+                        c = _rank_col(c)
+                    kcols.append(c)
+                keys = sort_key_arrays(kcols, orders,
+                                       options.null_placement, live)
+                arrays, spec = [], []
+                for c in merged.columns:
+                    arrays.append(c.values)
+                    has_v = c.validity is not None
+                    if has_v:
+                        arrays.append(c.validity)
+                    spec.append(has_v)
+                outs = sort_with_payload(keys, arrays)
+                new_cols, i = [], 0
+                for c, has_v in zip(merged.columns, spec):
+                    v = _fit_arr(outs[i], cap)
+                    i += 1
+                    m = None
+                    if has_v:
+                        m = _fit_arr(outs[i], cap)
+                        i += 1
+                    new_cols.append(DeviceColumn(v, m, c.type,
+                                                 c.dictionary))
+                rc = jnp.minimum(jnp.sum(live, dtype=jnp.int32), k)
+                return DeviceBatch(merged.schema, new_cols, rc)
+
+            if key[1]:
+                fn = jax.jit(run)
+            else:
+                fn = jax.jit(lambda c: run(None, c))
+            self._jit[key] = fn
+        self.state = fn(self.state, chunk) if self.state is not None \
+            else fn(chunk)
+
+    def finalize(self, post_fetch: FetchNodeOptions) -> Table:
+        from ..device.column import download_table
+        if self.state is None:
+            return Table.from_arrays([], [])
+        tbl = download_table(self.state)
+        off, cnt = post_fetch.offset, post_fetch.count
+        n = tbl.num_rows
+        if off or cnt >= 0:
+            ln = n - off if cnt < 0 else min(cnt, max(n - off, 0))
+            tbl = tbl.slice(off, max(ln, 0))
+        return tbl
+
+
+# --- driver ------------------------------------------------------------------
+
+def maybe_execute_chunked(decl, chunk_rows: int) -> Optional[Table]:
+    """Execute the Declaration chunked if its shape is supported; return
+    None to fall back to whole-table execution."""
+    lin = _linearize(decl)
+    if lin is None:
+        return None
+    n = lin.table.num_rows
+    if n <= chunk_rows:
+        return None  # single chunk: whole-table path is equivalent
+
+    term = lin.terminal
+    if term is not None and term.factory_name == "aggregate":
+        aggs = _norm_aggs(term.options)
+        if aggs is None:
+            return None
+    try:
+        source = _ChunkSource(lin.table, chunk_rows)
+    except NotImplementedError:
+        return None
+    runner = _middle_runner(lin.middle)
+
+    if term is None:
+        out_batches = []
+        for chunk in source:
+            b = runner(chunk)
+            from ..device.column import download_batch
+            out_batches.append(download_batch(b))
+        return Table.from_batches(out_batches)
+
+    f = term.factory_name
+    if f == "aggregate":
+        state_cap = state_rows_env(source.capacity)
+        gb = _ChunkedGroupBy(term.options, aggs, state_cap)
+        for chunk in source:
+            gb.consume(runner(chunk))
+        from ..device.column import download_table
+        return download_table(gb.finalize())
+
+    if f == "order_by":
+        pf = lin.post_fetch
+        if pf is not None and pf.count >= 0 and \
+                pf.offset + pf.count <= max(chunk_rows, BLOCK):
+            topk = _ChunkedTopK(term.options, pf.offset + pf.count)
+            for chunk in source:
+                topk.consume(runner(chunk))
+            return topk.finalize(pf)
+        ob = _ChunkedOrderBy(term.options)
+        for chunk in source:
+            ob.consume(runner(chunk))
+        return ob.finalize(lin.post_fetch)
+
+    if f == "fetch":
+        off, cnt = term.options.offset, term.options.count
+        out_batches = []
+        taken = 0
+        from ..device.column import download_batch
+        for chunk in source:
+            b = runner(chunk)
+            rb = download_batch(b)
+            if off >= rb.num_rows:
+                off -= rb.num_rows
+                continue
+            if off:
+                rb = rb.slice(off, rb.num_rows - off)
+                off = 0
+            if cnt >= 0:
+                need = cnt - taken
+                if need <= 0:
+                    break
+                if rb.num_rows > need:
+                    rb = rb.slice(0, need)
+            taken += rb.num_rows
+            out_batches.append(rb)
+            if cnt >= 0 and taken >= cnt:
+                break
+        if not out_batches:
+            sch = _empty_schema_of(lin)
+            if sch is None:
+                return None
+            return Table.from_batches([], sch)
+        return Table.from_batches(out_batches)
+
+    return None
+
+
+def _empty_schema_of(lin: _Linear):
+    # run one tiny chunk through the pipeline to learn the output schema
+    try:
+        src = _ChunkSource(lin.table, max(lin.table.num_rows, 1))
+        b = _middle_runner(lin.middle)(src.chunk(0))
+        from ..device.column import download_batch
+        return download_batch(b).schema
+    except Exception:
+        return None

@@ -109,6 +109,16 @@ def unify_dictionaries(cols: Sequence[DeviceColumn]) -> List[DeviceColumn]:
     return out
 
 
+def _dict_remap_table(old_dict, union_dict) -> np.ndarray:
+    """old-code -> union-code remap table (host metadata step)."""
+    pos = {v: i for i, v in enumerate(union_dict.to_pylist())}
+    ovals = old_dict.to_pylist()
+    out = np.zeros(max(len(ovals), 1), dtype=np.int64)
+    for i, v in enumerate(ovals):
+        out[i] = pos[v]
+    return out
+
+
 # --- node implementations --------------------------------------------------
 
 def _node_filter(options: FilterNodeOptions, schema: Schema):
@@ -375,12 +385,26 @@ class Declaration:
             current = d
         return current
 
-    def to_table(self, use_threads: bool = True) -> Table:
+    def to_table(self, use_threads: bool = True,
+                 chunk_rows: int = None) -> Table:
         from .host_agg import HOST_AGGS, maybe_host_aggregate
         if self.factory_name == "aggregate" and any(
                 (a[1][5:] if a[1].startswith("hash_") else a[1])
                 in HOST_AGGS for a in self.options.aggregates):
             return maybe_host_aggregate(self)
+        # chunked (streaming) execution bounds device memory at
+        # O(chunk + carry state) — the morsel analogue (acero/chunked.py)
+        from .chunked import chunk_rows_env, maybe_execute_chunked
+        cr = chunk_rows if chunk_rows is not None else chunk_rows_env()
+        if cr:
+            try:
+                out = maybe_execute_chunked(self, cr)
+            except ArrowInvalid as e:
+                if "host tier" not in str(e):
+                    raise
+                out = None
+            if out is not None:
+                return out
         try:
             batch = execute_declaration(self)
         except ArrowInvalid as e:
@@ -742,10 +766,33 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
     lkeys = [left.column(k) for k in options.left_keys]
     rkeys = [right.column(k) for k in options.right_keys]
 
-    # unify string-key dictionaries pairwise (host step)
+    # unify string-key dictionaries pairwise (host step). Memoized on the
+    # options object per (key index, dictionary identities): chunked
+    # probes re-join many probe chunks against one build side, and a
+    # fresh union dictionary per chunk would change the jit cache key —
+    # recompiling every per-chunk program.
+    memo = getattr(options, "_unify_memo", None)
+    if memo is None:
+        memo = options._unify_memo = {}
     for i, (lk, rk) in enumerate(zip(lkeys, rkeys)):
         if lk.dictionary is not None or rk.dictionary is not None:
-            lk2, rk2 = unify_dictionaries([lk, rk])
+            mkey = (i, id(lk.dictionary), id(rk.dictionary))
+            hit = memo.get(mkey)
+            if hit is not None and hit[0] is lk.dictionary \
+                    and hit[1] is rk.dictionary:
+                ldict, rdict = hit[2], hit[3]
+                lk2 = DeviceColumn(
+                    jnp.asarray(hit[4])[lk.values.astype(jnp.int64)]
+                    .astype(jnp.int32), lk.validity, lk.type, ldict)
+                rk2 = DeviceColumn(
+                    jnp.asarray(hit[5])[rk.values.astype(jnp.int64)]
+                    .astype(jnp.int32), rk.validity, rk.type, rdict)
+            else:
+                lk2, rk2 = unify_dictionaries([lk, rk])
+                lmap = _dict_remap_table(lk.dictionary, lk2.dictionary)
+                rmap = _dict_remap_table(rk.dictionary, rk2.dictionary)
+                memo[mkey] = (lk.dictionary, rk.dictionary,
+                              lk2.dictionary, rk2.dictionary, lmap, rmap)
             lkeys[i], rkeys[i] = lk2, rk2
 
     # bloom pushdown: prefilter the probe (left) side by build-key

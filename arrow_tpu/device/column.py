@@ -269,10 +269,42 @@ def _dictionary_encode_host(arr: Array) -> Tuple[np.ndarray, Optional[np.ndarray
     return codes, mask, dict_arr
 
 
-def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
+class HostColumn:
+    """Host-side prepared device representation of a column: unpadded
+    numpy values + optional bool mask + type + (identity-stable)
+    dictionary. Separating preparation from the device_put lets chunked
+    execution slice ONE prepared column into many uploads that all share
+    the same dictionary object (comparable codes + warm jit caches)."""
+
+    __slots__ = ("values", "mask", "type", "dictionary")
+
+    def __init__(self, values: np.ndarray, mask: Optional[np.ndarray],
+                 type: DataType, dictionary: Optional[Array] = None):
+        self.values = values
+        self.mask = mask
+        self.type = type
+        self.dictionary = dictionary
+
+    def __len__(self):
+        return len(self.values)
+
+    def slice_upload(self, start: int, length: int,
+                     capacity: int) -> DeviceColumn:
+        vals = np.zeros(capacity, dtype=self.values.dtype)
+        vals[:length] = self.values[start:start + length]
+        validity = None
+        if self.mask is not None:
+            m = np.zeros(capacity, dtype=np.bool_)
+            m[:length] = self.mask[start:start + length]
+            validity = jnp.asarray(m)
+        return DeviceColumn(jnp.asarray(vals), validity, self.type,
+                            self.dictionary)
+
+
+def host_column_repr(arr: Array) -> HostColumn:
+    """Prepare a column's device representation on the host (unpadded)."""
     t = arr.type
     n = len(arr)
-    cap = capacity if capacity is not None else round_up(n)
     tid = t.id
 
     if tid in (TypeId.STRING_VIEW, TypeId.BINARY_VIEW):
@@ -286,25 +318,19 @@ def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
     if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
                TypeId.LARGE_BINARY):
         codes, mask, dict_arr = _dictionary_encode_host(arr)
-        vals = np.zeros(cap, dtype=np.int32)
-        vals[:n] = codes
-        validity = _upload_mask(mask, n, cap, arr.null_count)
-        return DeviceColumn(jnp.asarray(vals), validity, t, dict_arr)
+        return HostColumn(codes.astype(np.int32, copy=False),
+                          _mask_or_none(mask, arr.null_count), t, dict_arr)
 
     if tid == TypeId.DICTIONARY:
         d = arr.data
         mask = d.validity_mask()
         codes = d.values()
-        vals = np.zeros(cap, dtype=codes.dtype)
-        vals[:n] = codes
-        validity = _upload_mask(mask, n, cap, arr.null_count)
-        return DeviceColumn(jnp.asarray(vals), validity, t,
-                            Array(d.dictionary) if d.dictionary else None)
+        return HostColumn(codes, _mask_or_none(mask, arr.null_count), t,
+                          Array(d.dictionary) if d.dictionary else None)
 
     if tid == TypeId.NA:
-        vals = jnp.zeros(cap, dtype=jnp.int8)
-        validity = jnp.zeros(cap, dtype=jnp.bool_)
-        return DeviceColumn(vals, validity, t)
+        return HostColumn(np.zeros(n, dtype=np.int8),
+                          np.zeros(n, dtype=np.bool_), t)
 
     if tid in (TypeId.DECIMAL128, TypeId.DECIMAL256, TypeId.DECIMAL32, TypeId.DECIMAL64):
         if t.precision <= 18:
@@ -315,26 +341,19 @@ def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
             # the value itself whenever it fits in int64 (precision <= 18
             # does)
             low = raw[:, :8].copy().view(np.int64).reshape(-1)
-            vals = np.zeros(cap, dtype=np.int64)
-            vals[:n] = low
-            validity = _upload_mask(arr.data.validity_mask(), n, cap,
-                                    arr.null_count)
-            return DeviceColumn(jnp.asarray(vals), validity, t)
+            return HostColumn(low, _mask_or_none(arr.data.validity_mask(),
+                                                 arr.null_count), t)
         # precision > 18: dictionary-encode the 16/32-byte two's-complement
         # values — codes give exact equality for group/join keys; order-by
         # ranks the (Decimal-valued) dictionary host-side like strings
         codes, mask, dict_arr = _dictionary_encode_fixed(arr)
-        vals = np.zeros(cap, dtype=np.int32)
-        vals[:n] = codes
-        validity = _upload_mask(mask, n, cap, arr.null_count)
-        return DeviceColumn(jnp.asarray(vals), validity, t, dict_arr)
+        return HostColumn(codes.astype(np.int32, copy=False),
+                          _mask_or_none(mask, arr.null_count), t, dict_arr)
 
     if tid == TypeId.FIXED_SIZE_BINARY:
         codes, mask, dict_arr = _dictionary_encode_fixed(arr)
-        vals = np.zeros(cap, dtype=np.int32)
-        vals[:n] = codes
-        validity = _upload_mask(mask, n, cap, arr.null_count)
-        return DeviceColumn(jnp.asarray(vals), validity, t, dict_arr)
+        return HostColumn(codes.astype(np.int32, copy=False),
+                          _mask_or_none(mask, arr.null_count), t, dict_arr)
 
     try:
         dtype = jnp_dtype_for(t)
@@ -346,18 +365,27 @@ def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
         # values are rehydrated at download. Compute ON such a column
         # stays host-tier (reference precedent: Acero's Grouper/joins
         # don't accept nested keys either).
-        codes = np.zeros(cap, dtype=np.int32)
-        codes[:n] = np.arange(n, dtype=np.int32)
+        codes = np.arange(n, dtype=np.int32)
         mask = arr.data.validity_mask()
-        validity = _upload_mask(mask, n, cap, arr.null_count)
-        return DeviceColumn(jnp.asarray(codes), validity, t, arr)
+        return HostColumn(codes, _mask_or_none(mask, arr.null_count), t,
+                          arr)
 
-    host_vals = arr.data.values()
-    vals = np.zeros(cap, dtype=np.dtype(dtype))
-    vals[:n] = host_vals
+    host_vals = np.asarray(arr.data.values(), dtype=np.dtype(dtype))
     mask = arr.data.validity_mask()
-    validity = _upload_mask(mask, n, cap, arr.null_count)
-    return DeviceColumn(jnp.asarray(vals), validity, t)
+    return HostColumn(host_vals, _mask_or_none(mask, arr.null_count), t)
+
+
+def _mask_or_none(mask: Optional[np.ndarray],
+                  null_count: int) -> Optional[np.ndarray]:
+    if null_count == 0 or mask is None:
+        return None
+    return mask
+
+
+def upload_column(arr: Array, capacity: Optional[int] = None) -> DeviceColumn:
+    n = len(arr)
+    cap = capacity if capacity is not None else round_up(n)
+    return host_column_repr(arr).slice_upload(0, n, cap)
 
 
 def _dictionary_encode_fixed(arr: Array) -> Tuple[np.ndarray,
