@@ -81,13 +81,17 @@ def state_rows_env(default: int) -> int:
 
 class _Linear:
     """source table + middle ops (filter/project/probe-side joins) +
-    optional terminal (aggregate / order_by [+fetch] / fetch)."""
+    optional terminal (aggregate / order_by [+fetch] / fetch). An
+    aggregate terminal may carry post_ops — ops applied to the (small,
+    state-capacity-bounded) aggregate result as a regular whole-table
+    plan, covering Q1/Q3's aggregate -> order_by [-> fetch] tails."""
 
-    def __init__(self, table, middle, terminal, post_fetch):
+    def __init__(self, table, middle, terminal, post_fetch, post_ops=()):
         self.table = table
         self.middle = middle          # list[Declaration]
         self.terminal = terminal      # Declaration | None
         self.post_fetch = post_fetch  # FetchNodeOptions | None
+        self.post_ops = list(post_ops)  # Declarations after an aggregate
 
 
 def _linearize(decl) -> Optional[_Linear]:
@@ -124,16 +128,25 @@ def _split_chain(tbl, chain) -> Optional[_Linear]:
     middle: List = []
     terminal = None
     post_fetch = None
+    post_ops: List = []
     i = 0
     while i < len(chain):
         d = chain[i]
         f = d.factory_name
+        if terminal is not None and terminal.factory_name == "aggregate":
+            # tail after the aggregate runs whole-table on the small
+            # aggregate result (Q1/Q3: order_by [+ fetch] tails)
+            if f in ("filter", "project", "order_by", "fetch"):
+                post_ops.append(d)
+                i += 1
+                continue
+            return None
         if f in ("filter", "project", "hashjoin"):
             if terminal is not None:
                 return None  # ops after a terminal: unsupported
             middle.append(d)
         elif f == "aggregate":
-            if terminal is not None or i != len(chain) - 1:
+            if terminal is not None:
                 return None
             terminal = d
         elif f == "order_by":
@@ -150,7 +163,7 @@ def _split_chain(tbl, chain) -> Optional[_Linear]:
             else:
                 return None
         i += 1
-    return _Linear(tbl, middle, terminal, post_fetch)
+    return _Linear(tbl, middle, terminal, post_fetch, post_ops)
 
 
 # --- chunk source ------------------------------------------------------------
@@ -995,7 +1008,15 @@ def maybe_execute_chunked(decl, chunk_rows: int) -> Optional[Table]:
         for chunk in source:
             gb.consume(runner(chunk))
         from ..device.column import download_table
-        return download_table(gb.finalize())
+        out = download_table(gb.finalize())
+        if lin.post_ops:
+            from .exec import Declaration
+            from .options import TableSourceNodeOptions
+            cur = Declaration("table_source", TableSourceNodeOptions(out))
+            for d in lin.post_ops:
+                cur = Declaration(d.factory_name, d.options, inputs=[cur])
+            out = cur.to_table()
+        return out
 
     if f == "order_by":
         pf = lin.post_fetch

@@ -329,3 +329,43 @@ def test_single_chunk_falls_back():
             [("i", "hash_sum", None, "s")], keys=["g"])),
     ])
     assert maybe_execute_chunked(plan, 1000) is None
+
+
+# --- TPC-H shapes (the BASELINE configs that motivated chunking) -------------
+
+def test_q1_chunked_matches_whole():
+    from arrow_tpu.io import tpch, tpch_queries
+    li = tpch.lineitem_table(0.01)
+    plan = tpch_queries.q1_plan(li)
+    chunked = maybe_execute_chunked(plan, 8192)
+    assert chunked is not None
+    whole = plan.to_table()
+    assert_tables_equal(
+        chunked, whole,
+        float_cols=("sum_qty", "sum_base_price", "sum_disc_price",
+                    "sum_charge", "avg_qty", "avg_price", "avg_disc"),
+        rtol=1e-9)
+
+
+def test_q3_chunked_matches_whole():
+    from arrow_tpu.io import tpch, tpch_queries
+    cust = tpch.customer_table(0.01)
+    orders = tpch.orders_table(0.01)
+    li = tpch.lineitem_table(0.01)
+    plan = tpch_queries.q3_plan(cust, orders, li)
+    chunked = maybe_execute_chunked(plan, 8192)
+    assert chunked is not None
+    whole = plan.to_table()
+    assert_tables_equal(chunked, whole, float_cols=("revenue",),
+                        rtol=1e-9)
+
+
+def test_q6_chunked_matches_whole():
+    from arrow_tpu.io import tpch, tpch_queries
+    li = tpch.lineitem_table(0.01)
+    plan = tpch_queries.q6_plan(li)
+    chunked = maybe_execute_chunked(plan, 8192)
+    assert chunked is not None
+    whole = plan.to_table()
+    assert_tables_equal(chunked, whole, float_cols=("revenue",),
+                        rtol=1e-9)
