@@ -626,7 +626,9 @@ class _ChunkedGroupBy:
         S = self.state_cap
         key_names = self.keys or ["__dummy__"]
 
-        def step(state: Optional[DeviceBatch], chunk: DeviceBatch):
+        def consume_chunk(chunk: DeviceBatch):
+            """chunk -> (group-rep keys, live mask, partial dict, B,
+            overflow flag) at bound B."""
             ctx = ExecContext(chunk.capacity, chunk.row_count)
             key_cols = self._key_cols(chunk)
             g = group_ids(ctx, key_cols)
@@ -641,27 +643,30 @@ class _ChunkedGroupBy:
                 g.rep_indices[:B], 0)
             chunk_keys = gather_columns(key_cols, safe_rep)
             chunk_live = jnp.arange(B, dtype=jnp.int64) < g.num_groups
+            return chunk_keys, chunk_live, chunk_p, B, g.num_groups > S
 
-            if state is None:
-                # first chunk: state = chunk partials placed at [0, S)
-                out_cols, out_fields = [], []
-                for k, kc in zip(key_names, chunk_keys):
-                    out_cols.append(_fit(kc, S))
-                    out_fields.append(Field(k, kc.type))
-                for name, arr in chunk_p.items():
-                    out_cols.append(DeviceColumn(_fit_arr(arr, S), None,
-                                                 _ftype(arr.dtype)))
-                    out_fields.append(Field(name, out_cols[-1].type))
-                overflow = g.num_groups > S
-                out_cols.append(DeviceColumn(
-                    jnp.zeros(S, jnp.bool_).at[0].set(overflow), None,
-                    T.bool_()))
-                out_fields.append(Field("__overflow__", T.bool_()))
-                return DeviceBatch(Schema(out_fields), out_cols,
-                                   jnp.minimum(g.num_groups,
-                                               S).astype(jnp.int32))
+        def make_state(chunk_keys, chunk_live, chunk_p, overflow):
+            """Partial side placed at [0, S) as a fresh state batch."""
+            n_live = jnp.sum(chunk_live, dtype=jnp.int32)
+            out_cols, out_fields = [], []
+            for k, kc in zip(key_names, chunk_keys):
+                out_cols.append(_fit(kc, S))
+                out_fields.append(Field(k, kc.type))
+            for name, arr in chunk_p.items():
+                out_cols.append(DeviceColumn(_fit_arr(arr, S), None,
+                                             _ftype(arr.dtype)))
+                out_fields.append(Field(name, out_cols[-1].type))
+            out_cols.append(DeviceColumn(
+                jnp.zeros(S, jnp.bool_).at[0].set(overflow), None,
+                T.bool_()))
+            out_fields.append(Field("__overflow__", T.bool_()))
+            return DeviceBatch(Schema(out_fields), out_cols,
+                               jnp.minimum(n_live, S).astype(jnp.int32))
 
-            # merge: concat state groups (chronologically first) + chunk
+        def merge_into(state, chunk_keys, chunk_live, chunk_p, B,
+                       b_overflow):
+            """Merge a partial side (keys/live/partials at bound B) into
+            the state; state rows precede, preserving appearance order."""
             n_state = state.row_count
             state_live = jnp.arange(S, dtype=jnp.int64) < n_state
             comb_keys = []
@@ -677,8 +682,8 @@ class _ChunkedGroupBy:
                     validity = jnp.concatenate([sv, cv])
                 else:
                     validity = None
-                comb_keys.append(DeviceColumn(vals, validity, sc.type,
-                                              sc.dictionary))
+                comb_keys.append(DeviceColumn(vals, validity, cc.type,
+                                              cc.dictionary))
             comb_live = jnp.concatenate([state_live, chunk_live])
             ctx2 = ExecContext(S + B, jnp.asarray(S + B, jnp.int32))
             ctx2.row_mask_ = comb_live
@@ -694,7 +699,9 @@ class _ChunkedGroupBy:
                 g2.rep_indices[:S], 0)
             new_keys = gather_columns(comb_keys, safe2)
             prev_over = state.column("__overflow__").values
-            overflow = jnp.logical_or(prev_over[0], g2.num_groups > S)
+            overflow = jnp.logical_or(jnp.logical_or(prev_over[0],
+                                                     b_overflow),
+                                      g2.num_groups > S)
             out_cols, out_fields = [], []
             for k, kc in zip(key_names, new_keys):
                 out_cols.append(kc)
@@ -709,6 +716,27 @@ class _ChunkedGroupBy:
             return DeviceBatch(Schema(out_fields), out_cols,
                                jnp.minimum(g2.num_groups,
                                            S).astype(jnp.int32))
+
+        def step(state: Optional[DeviceBatch], chunk: DeviceBatch):
+            ck, cl, cp, B, over = consume_chunk(chunk)
+            if state is None:
+                return make_state(ck, cl, cp, over)
+            return merge_into(state, ck, cl, cp, B, jnp.asarray(False))
+
+        def merge_states(sA: DeviceBatch, sB: DeviceBatch):
+            """Merge two state batches (distributed per-device partials,
+            reference groupby_aggregate_node.cc:255 merge-into-state-0).
+            sA's groups precede sB's, preserving appearance order when
+            states are merged in partition order."""
+            b_keys = [sB.column(k) for k in key_names]
+            b_live = jnp.arange(S, dtype=jnp.int64) < sB.row_count
+            b_p = {f.name: sB.column(f.name).values
+                   for f in sB.schema.fields if f.name.startswith("__p")}
+            b_over = sB.column("__overflow__").values[0]
+            return merge_into(sA, b_keys, b_live, b_p, S, b_over)
+
+        step.first = lambda chunk: step(None, chunk)
+        step.merge_states = merge_states
         return step
 
     def consume(self, chunk: DeviceBatch):

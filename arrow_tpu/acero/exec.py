@@ -386,12 +386,20 @@ class Declaration:
         return current
 
     def to_table(self, use_threads: bool = True,
-                 chunk_rows: int = None) -> Table:
+                 chunk_rows: int = None, distributed: bool = False,
+                 mesh=None) -> Table:
         from .host_agg import HOST_AGGS, maybe_host_aggregate
         if self.factory_name == "aggregate" and any(
                 (a[1][5:] if a[1].startswith("hash_") else a[1])
                 in HOST_AGGS for a in self.options.aggregates):
             return maybe_host_aggregate(self)
+        # distributed: run the plan across a device mesh (dist_exec.py);
+        # unsupported shapes fall through to single-device execution
+        if distributed or mesh is not None:
+            from .dist_exec import maybe_execute_distributed
+            out = maybe_execute_distributed(self, mesh)
+            if out is not None:
+                return out
         # chunked (streaming) execution bounds device memory at
         # O(chunk + carry state) — the morsel analogue (acero/chunked.py)
         from .chunked import chunk_rows_env, maybe_execute_chunked
