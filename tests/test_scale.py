@@ -1,0 +1,281 @@
+"""Scale correctness: differential tests past the toy regime (1M+ rows).
+
+The reference's engine tests run randomized joins against a naive
+reference join (acero/hash_join_node_test.cc); its scale hazards —
+capacity-class bucketing, int32 slot math, quadratic gathers — only
+bite well above 100k rows. These tests run 1M-row joins (all 8 join
+types), sorts, group-bys and asof joins against pyarrow, comparing
+whole tables vectorized (via IPC into pyarrow, sort, Table.equals) so
+the comparison itself stays fast."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.acero as pacero
+import pyarrow.compute as ppc
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu import acero, ipc
+from arrow_tpu.acero import Declaration
+
+N = 1_000_000
+
+
+def to_pa(t: at.Table) -> pa.Table:
+    pt = pa.ipc.open_stream(ipc.serialize_table(t)).read_all()
+    cols = []
+    for name in pt.column_names:
+        c = pt.column(name)
+        if pa.types.is_dictionary(c.type):
+            c = c.cast(c.type.value_type)
+        cols.append(c.combine_chunks())
+    return pa.table(cols, names=pt.column_names)
+
+
+def _arr(x):
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    return x
+
+
+def assert_same_rows(ours: at.Table, theirs: pa.Table):
+    """Multiset row equality, vectorized: canonical-sort both sides."""
+    o = to_pa(ours)
+    assert o.num_rows == theirs.num_rows, (o.num_rows, theirs.num_rows)
+    assert set(o.column_names) == set(theirs.column_names)
+    theirs = theirs.select(o.column_names)
+    for name in o.column_names:
+        tc = theirs.column(name).combine_chunks()
+        if pa.types.is_dictionary(tc.type):
+            theirs = theirs.set_column(
+                theirs.column_names.index(name),
+                name, tc.cast(tc.type.value_type))
+    keys = [(n, "ascending") for n in o.column_names]
+    o_sorted = o.sort_by(keys)
+    t_sorted = theirs.sort_by(keys)
+    for name in o.column_names:
+        oc, tc = _arr(o_sorted.column(name)), _arr(t_sorted.column(name))
+        if tc.type != oc.type:
+            tc = tc.cast(oc.type)
+        assert oc.equals(tc), f"column {name} differs"
+
+
+@pytest.fixture(scope="module")
+def join_inputs():
+    rng = np.random.default_rng(11)
+    left = at.table({
+        "key": rng.integers(0, 200_000, N),
+        "k2": rng.integers(0, 50, N).astype(np.int32),
+        "lv": rng.integers(-1000, 1000, N),
+    })
+    right = at.table({
+        "rkey": rng.integers(0, 220_000, 300_000),
+        "rk2": rng.integers(0, 50, 300_000).astype(np.int32),
+        "rv": rng.integers(0, 97, 300_000),
+    })
+    pl = to_pa(left)
+    pr = to_pa(right)
+    return left, right, pl, pr
+
+
+JOIN_TYPES = ["inner", "left outer", "right outer", "full outer",
+              "left semi", "right semi", "left anti", "right anti"]
+
+
+@pytest.mark.parametrize("join_type", JOIN_TYPES)
+def test_join_1m_rows(join_inputs, join_type):
+    left, right, pl, pr = join_inputs
+    opts = dict(left_keys=["key", "k2"], right_keys=["rkey", "rk2"])
+    ours = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        join_type, **opts),
+        inputs=[Declaration("table_source",
+                            acero.TableSourceNodeOptions(left)),
+                Declaration("table_source",
+                            acero.TableSourceNodeOptions(right))]
+        ).to_table()
+    theirs = pacero.Declaration("hashjoin", pacero.HashJoinNodeOptions(
+        join_type, **opts),
+        inputs=[pacero.Declaration("table_source",
+                                   pacero.TableSourceNodeOptions(pl)),
+                pacero.Declaration("table_source",
+                                   pacero.TableSourceNodeOptions(pr))]
+        ).to_table()
+    assert_same_rows(ours, theirs)
+
+
+def test_sort_1m_rows_multikey():
+    rng = np.random.default_rng(12)
+    t = at.table({
+        "a": rng.integers(0, 1000, N),
+        "b": rng.normal(size=N),
+        "u": np.arange(N),  # unique tiebreaker -> total order
+    })
+    ours = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(t)),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("a", "ascending"), ("b", "descending"), ("u", "ascending")])),
+    ]).to_table()
+    pt = to_pa(t)
+    theirs = pt.sort_by([("a", "ascending"), ("b", "descending"),
+                         ("u", "ascending")])
+    o = to_pa(ours)
+    for name in o.column_names:
+        oc = _arr(o.column(name))
+        tc = _arr(theirs.column(name)).cast(oc.type)
+        assert oc.equals(tc), name
+
+
+def test_groupby_1m_rows_high_cardinality():
+    rng = np.random.default_rng(13)
+    t = at.table({
+        "k": rng.integers(0, 150_000, N),  # ~150k groups
+        "v": rng.integers(-100, 100, N),
+    })
+    ours = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(t)),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("v", "hash_sum", None, "s"),
+             ("v", "hash_min", None, "mn"),
+             ("v", "hash_max", None, "mx"),
+             ("v", "hash_count", None, "c")], keys=["k"])),
+    ]).to_table()
+    pt = to_pa(t)
+    theirs = pacero.Declaration.from_sequence([
+        pacero.Declaration("table_source",
+                           pacero.TableSourceNodeOptions(pt)),
+        pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+            [("v", "hash_sum", None, "s"),
+             ("v", "hash_min", None, "mn"),
+             ("v", "hash_max", None, "mx"),
+             ("v", "hash_count", None, "c")], keys=["k"])),
+    ]).to_table()
+    assert_same_rows(ours, theirs)
+
+
+def test_unique_value_counts_1m():
+    rng = np.random.default_rng(14)
+    vals = rng.integers(0, 64_000, N)
+    arr = at.array(vals)
+    import arrow_tpu.compute as c
+    import pyarrow.compute as pc2
+    u_ours = np.sort(np.asarray(c.unique(arr).to_pylist()))
+    u_theirs = np.sort(pc2.unique(pa.array(vals)).to_numpy())
+    np.testing.assert_array_equal(u_ours, u_theirs)
+    vc = c.value_counts(arr)
+    pvc = pc2.value_counts(pa.array(vals))
+    ours_map = {d["values"]: d["counts"] for d in vc.to_pylist()}
+    theirs_map = {d["values"]: d["counts"] for d in pvc.to_pylist()}
+    assert ours_map == theirs_map
+
+
+def test_capacity_class_boundaries():
+    # lengths straddling the padding classes: 2^k -1/0/+1
+    import arrow_tpu.compute as c
+    for n in (2**16 - 1, 2**16, 2**16 + 1, 2**20 - 1, 2**20 + 1):
+        vals = np.arange(n, dtype=np.int64)
+        s = c.sum(at.array(vals)).as_py()
+        assert s == n * (n - 1) // 2, n
+
+
+def test_asof_join_500k():
+    rng = np.random.default_rng(15)
+    n = 500_000
+    lt = np.sort(rng.integers(0, 10_000_000, n))
+    rt = np.sort(rng.integers(0, 10_000_000, 200_000))
+    left = at.table({"t": lt, "lv": np.arange(n)})
+    right = at.table({"t": rt, "rv": np.arange(200_000)})
+    tol = 5_000
+    ours = Declaration("asofjoin", acero.AsofJoinNodeOptions(
+        left_on="t", left_by=[], right_on="t", right_by=[],
+        tolerance=-tol),
+        inputs=[Declaration("table_source",
+                            acero.TableSourceNodeOptions(left)),
+                Declaration("table_source",
+                            acero.TableSourceNodeOptions(right))]
+        ).to_table()
+    pl, pr = to_pa(left), to_pa(right)
+    theirs = pacero.Declaration("asofjoin", pacero.AsofJoinNodeOptions(
+        left_on="t", left_by=[], right_on="t", right_by=[],
+        tolerance=-tol),
+        inputs=[pacero.Declaration("table_source",
+                                   pacero.TableSourceNodeOptions(pl)),
+                pacero.Declaration("table_source",
+                                   pacero.TableSourceNodeOptions(pr))]
+        ).to_table()
+    o = to_pa(ours)
+    theirs = theirs.select(o.column_names)
+    for name in o.column_names:
+        oc = _arr(o.column(name))
+        tc = _arr(theirs.column(name)).cast(oc.type)
+        assert oc.equals(tc), name
+
+
+def test_chunked_groupby_1m_matches_whole():
+    rng = np.random.default_rng(16)
+    t = at.table({
+        "k": rng.integers(0, 5000, N),
+        "v": rng.integers(-10, 10, N),
+    })
+    plan = Declaration.from_sequence([
+        Declaration("table_source", acero.TableSourceNodeOptions(t)),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("v", "hash_sum", None, "s"),
+             ("v", "hash_count", None, "c")], keys=["k"])),
+    ])
+    from arrow_tpu.acero.chunked import maybe_execute_chunked
+    chunked = maybe_execute_chunked(plan, 131072)
+    assert chunked is not None
+    whole = plan.to_table()
+    assert chunked.to_pydict() == whole.to_pydict()
+
+
+def test_tpch_q1_sf01_vs_pyarrow():
+    """TPC-H Q1 at SF0.1 (~600k lineitem rows) vs pyarrow acero."""
+    from arrow_tpu.io import tpch, tpch_queries
+    li = tpch.lineitem_table(0.1)
+    ours = tpch_queries.q1_plan(li).to_table()
+
+    pt = to_pa(li)
+    import datetime
+    cutoff = (datetime.date(1998, 9, 2) - datetime.date(1970, 1, 1)).days
+    shipdays = ppc.cast(ppc.cast(pt.column("l_shipdate"),
+                                 pa.int32()), pa.int64())
+    pt = pt.set_column(pt.column_names.index("l_shipdate"),
+                       "l_shipdate", shipdays)
+    disc_price = ppc.field("l_extendedprice") * (
+        ppc.scalar(1.0) - ppc.field("l_discount"))
+    charge = disc_price * (ppc.scalar(1.0) + ppc.field("l_tax"))
+    theirs = pacero.Declaration.from_sequence([
+        pacero.Declaration("table_source",
+                           pacero.TableSourceNodeOptions(pt)),
+        pacero.Declaration("filter", pacero.FilterNodeOptions(
+            ppc.field("l_shipdate") <= ppc.scalar(cutoff))),
+        pacero.Declaration("project", pacero.ProjectNodeOptions(
+            [ppc.field("l_returnflag"), ppc.field("l_linestatus"),
+             ppc.field("l_quantity"), ppc.field("l_extendedprice"),
+             disc_price, charge, ppc.field("l_discount")],
+            ["l_returnflag", "l_linestatus", "l_quantity",
+             "l_extendedprice", "disc_price", "charge", "l_discount"])),
+        pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+            [("l_quantity", "hash_sum", None, "sum_qty"),
+             ("l_extendedprice", "hash_sum", None, "sum_base_price"),
+             ("disc_price", "hash_sum", None, "sum_disc_price"),
+             ("charge", "hash_sum", None, "sum_charge"),
+             ("l_quantity", "hash_mean", None, "avg_qty"),
+             ("l_extendedprice", "hash_mean", None, "avg_price"),
+             ("l_discount", "hash_mean", None, "avg_disc"),
+             ("l_quantity", "hash_count", None, "count_order")],
+            keys=["l_returnflag", "l_linestatus"])),
+        pacero.Declaration("order_by", pacero.OrderByNodeOptions(
+            [("l_returnflag", "ascending"),
+             ("l_linestatus", "ascending")])),
+    ]).to_table()
+
+    o, t2 = ours.to_pydict(), theirs.to_pydict()
+    assert o["l_returnflag"] == [
+        v.as_py() if hasattr(v, "as_py") else v
+        for v in theirs.column("l_returnflag").to_pylist()]
+    assert o["count_order"] == t2["count_order"]
+    for k in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+              "avg_qty", "avg_price", "avg_disc"):
+        np.testing.assert_allclose(o[k], t2[k], rtol=1e-9, err_msg=k)
