@@ -10,10 +10,19 @@ VMEM accumulators at 2.4x its bandwidth (docs/BENCHMARKS.md).
 
 TPU twist: the engine runs with jax_enable_x64, and TPUs have no f64
 hardware — XLA emulates every f64 op in software. These kernels instead
-stream the RAW BITS of the f64 column (bitcast to u32 pairs), decode
-each value to an exact float-float (hi, lo) f32 pair with integer ops,
-and accumulate in compensated double-single arithmetic on the VPU —
-~2^-48 relative error (vs 2^-52 for true f64) at f32 throughput.
+split each f64 value into an exact float-float (hi, lo) f32 pair with
+two arithmetic ops OUTSIDE the kernel (hi = f32(v); lo = f32(v - hi),
+the classic double -> double-single split; the subtraction is exact by
+Sterbenz), then accumulate the pairs in compensated double-single
+arithmetic on the VPU — ~2^-48 relative error (vs 2^-52 for true f64)
+at f32 throughput. No bitcasts: the tunneled XLA x64-rewrite pass
+rejects every f64 bitcast-convert (measured round 2), and strided
+in-kernel slices lower to an unsupported Mosaic gather, so the split
+must be arithmetic and the kernel inputs must be plain f32 planes.
+
+Limitation: finite f64 values with |x| >= 2^128 overflow the hi part
+to f32 inf (the sum becomes inf). The previous bit-decoding design had
+the same ceiling.
 
 Scope: per-group SUM for f32/f64 value columns, num_groups <= 128.
 Dead rows must carry the identity (0) — the same contract
@@ -42,14 +51,31 @@ def _supported_platform() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def pallas_available() -> bool:
-    """True when the Pallas TPU lowering path is usable."""
+    """True when the Pallas TPU lowering path is usable.
+
+    Import alone is not enough: on the tunneled axon platform the remote
+    Mosaic compiler rejects EVERY kernel ("failed to legalize operation
+    'func.return'", measured round 2 — version skew between local JAX
+    and the remote compiler), so we probe-compile a trivial kernel once
+    and cache the answer."""
     if not _supported_platform():
         return False
     try:
-        from jax.experimental import pallas as pl  # noqa: F401
+        import jax.experimental.pallas as pl
         from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+        def _probe(x_ref, o_ref):
+            o_ref[:, :] = x_ref[:, :] * 2.0
+
+        x = jnp.zeros((8, _LANES), jnp.float32)
+        out = pl.pallas_call(
+            _probe,
+            out_shape=jax.ShapeDtypeStruct((8, _LANES), jnp.float32),
+        )(x)
+        jax.block_until_ready(out)
+        float(np.asarray(out[0, 0]))
         return True
-    except Exception:  # pragma: no cover
+    except Exception:
         return False
 
 
@@ -77,81 +103,50 @@ def _ff_add(ah, al, bh, bl):
     return hi, lo
 
 
-def _decode_f64_ff(lo32, hi32):
-    """IEEE-754 binary64 words -> exact-ish float-float (hi, lo) f32 pair.
-
-    hi carries the top 23 mantissa bits at the value's exponent; lo the
-    next 29 bits scaled by 2^(e-1075) (truncated to f32's 24 — relative
-    error <= 2^-47). Values with |x| < 2^-126 flush to 0; Inf/NaN map to
-    f32 Inf/NaN.
-    """
-    u32 = jnp.uint32
-    e = (hi32 >> 20) & jnp.uint32(0x7FF)
-    sign = hi32 & jnp.uint32(0x80000000)
-    m23 = ((hi32 & jnp.uint32(0xFFFFF)) << 3) | (lo32 >> 29)
-    normal = jnp.logical_and(e > 896, e < jnp.uint32(0x7FF))
-    hi_bits = sign | (((e - 896) & jnp.uint32(0xFF)) << 23) | m23
-    hi = jax.lax.bitcast_convert_type(hi_bits, jnp.float32)
-    # low part: r * 2^(e-1075), r = low 29 mantissa bits
-    r = (lo32 & jnp.uint32(0x1FFFFFFF)).astype(jnp.float32)
-    sc_ok = e > 948  # else 2^(e-1075) underflows f32; contribution < 2^-97
-    sc_bits = ((jnp.where(sc_ok, e, jnp.uint32(1000)) - 948)
-               & jnp.uint32(0xFF)) << 23
-    sc = jax.lax.bitcast_convert_type(sc_bits.astype(u32), jnp.float32)
-    lo = r * sc
-    lo = jnp.where(sign != 0, -lo, lo)
-    lo = jnp.where(jnp.logical_and(normal, sc_ok), lo,
-                   jnp.zeros_like(lo))
-    special = e == jnp.uint32(0x7FF)  # Inf / NaN
-    mant_any = (m23 != 0) | ((lo32 & jnp.uint32(0x1FFFFFFF)) != 0)
-    spec_bits = sign | jnp.uint32(0x7F800000) | \
-        jnp.where(mant_any, jnp.uint32(0x400000), jnp.uint32(0))
-    spec = jax.lax.bitcast_convert_type(spec_bits, jnp.float32)
-    hi = jnp.where(normal, hi, jnp.where(special, spec,
-                                         jnp.zeros_like(hi)))
+def split_f64_ff(v: jax.Array):
+    """f64 array -> exact float-float (hi, lo) f32 planes, arithmetic
+    only (the tunneled compiler rejects f64 bitcasts). hi is v rounded
+    to f32; lo is the exact remainder rounded to f32 (error <= 2^-48
+    relative). Inf/NaN propagate through hi with lo = 0."""
+    hi = v.astype(jnp.float32)
+    rest = v - hi.astype(jnp.float64)
+    lo = jnp.where(jnp.isfinite(hi), rest,
+                   jnp.zeros_like(rest)).astype(jnp.float32)
     return hi, lo
 
 
-def _df_tree_reduce(h, l):
-    """Reduce (R, 128) float-float arrays to one (hi, lo) scalar pair by
-    halving folds (log-depth, so error stays ~2^-48 * log n)."""
+def _df_row_reduce(h, l):
+    """Reduce (R, 128) float-float arrays to a (1, 128) per-lane pair by
+    halving folds (log-depth, so error stays ~2^-48 * log n). The
+    cross-lane combine happens OUTSIDE the kernel in f64 — Mosaic
+    forbids scalar stores to VMEM, so everything in-kernel stays a
+    full-lane vector."""
     rows = h.shape[0]
     while rows > 1:
         half = rows // 2
         h, l = _ff_add(h[:half], l[:half], h[half:rows], l[half:rows])
         rows = half
-    # lanes: (1, 128) -> scalar
-    lanes = h.shape[1]
-    while lanes > 1:
-        half = lanes // 2
-        h, l = _ff_add(h[:, :half], l[:, :half],
-                       h[:, half:lanes], l[:, half:lanes])
-        lanes = half
-    return h[0, 0], l[0, 0]
+    return h, l
 
 
-def _f32_tree_reduce(v):
-    """Plain f32 log-depth reduction of (R, 128) to a scalar (better
-    error than a naive sequential sum; used for the f32 kernel)."""
+def _f32_row_reduce(v):
+    """Plain f32 log-depth reduction of (R, 128) to (1, 128)."""
     rows = v.shape[0]
     while rows > 1:
         half = rows // 2
         v = v[:half] + v[half:rows]
         rows = half
-    lanes = v.shape[1]
-    while lanes > 1:
-        half = lanes // 2
-        v = v[:, :half] + v[:, half:lanes]
-        lanes = half
-    return v[0, 0]
+    return v
 
 
 # --- kernels -----------------------------------------------------------------
 
-def _kernel_f64(u_ref, g_ref, out_ref, acc_ref):
-    """u_ref: (BLOCK_ROWS, 256) u32 — interleaved (lo, hi) words of 128
-    f64 lane values per row; g_ref: (BLOCK_ROWS, 128) i32 group ids;
-    acc_ref: (2, 128) f32 VMEM accumulator (row 0 hi, row 1 lo)."""
+def _kernel_ff(n_slots, vh_ref, vl_ref, g_ref, out_ref, acc_ref):
+    """vh/vl: (BLOCK_ROWS, 128) f32 float-float planes of the f64 value
+    column; g_ref: (BLOCK_ROWS, 128) i32 group ids; acc_ref holds, per
+    slot s, a per-lane accumulator pair in rows (2s, 2s+1). n_slots is
+    static — the per-slot loop unrolls exactly num_segments times, not
+    MAX_GROUPS. No scalar loads/stores (Mosaic forbids them in VMEM)."""
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
@@ -160,28 +155,25 @@ def _kernel_f64(u_ref, g_ref, out_ref, acc_ref):
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    u = u_ref[:, :]
-    lo32 = u[:, 0::2]
-    hi32 = u[:, 1::2]
-    vh, vl = _decode_f64_ff(lo32, hi32)
+    vh = vh_ref[:, :]
+    vl = vl_ref[:, :]
     g = g_ref[:, :]
-    G = out_ref.shape[1]
-    for s in range(G):
+    for s in range(n_slots):
         m = g == s
-        bh, bl = _df_tree_reduce(jnp.where(m, vh, 0.0),
-                                 jnp.where(m, vl, 0.0))
-        ah = acc_ref[0, s]
-        al = acc_ref[1, s]
+        bh, bl = _df_row_reduce(jnp.where(m, vh, 0.0),
+                                jnp.where(m, vl, 0.0))
+        ah = acc_ref[2 * s:2 * s + 1, :]
+        al = acc_ref[2 * s + 1:2 * s + 2, :]
         nh, nl = _ff_add(ah, al, bh, bl)
-        acc_ref[0, s] = nh
-        acc_ref[1, s] = nl
+        acc_ref[2 * s:2 * s + 1, :] = nh
+        acc_ref[2 * s + 1:2 * s + 2, :] = nl
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
         out_ref[:, :] = acc_ref[:, :]
 
 
-def _kernel_f32(v_ref, g_ref, out_ref, acc_ref):
+def _kernel_f32(n_slots, v_ref, g_ref, out_ref, acc_ref):
     import jax.experimental.pallas as pl
 
     i = pl.program_id(0)
@@ -192,14 +184,13 @@ def _kernel_f32(v_ref, g_ref, out_ref, acc_ref):
 
     v = v_ref[:, :]
     g = g_ref[:, :]
-    G = out_ref.shape[1]
-    for s in range(G):
-        b = _f32_tree_reduce(jnp.where(g == s, v, 0.0))
-        ah = acc_ref[0, s]
-        al = acc_ref[1, s]
-        nh, nl = _ff_add(ah, al, b, jnp.float32(0.0))
-        acc_ref[0, s] = nh
-        acc_ref[1, s] = nl
+    for s in range(n_slots):
+        b = _f32_row_reduce(jnp.where(g == s, v, 0.0))
+        ah = acc_ref[2 * s:2 * s + 1, :]
+        al = acc_ref[2 * s + 1:2 * s + 2, :]
+        nh, nl = _ff_add(ah, al, b, jnp.zeros_like(b))
+        acc_ref[2 * s:2 * s + 1, :] = nh
+        acc_ref[2 * s + 1:2 * s + 2, :] = nl
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -234,43 +225,49 @@ def grouped_sum_pallas(values: jax.Array, gids: jax.Array,
     g2 = g.reshape(nb * block_rows, _LANES)
     gspec = pl.BlockSpec((block_rows, _LANES),
                          lambda i: (i, 0))
-    out_shape = jax.ShapeDtypeStruct((2, MAX_GROUPS), jnp.float32)
-    scratch = [pltpu.VMEM((2, MAX_GROUPS), jnp.float32)]
+    # accumulator rows (2s, 2s+1) hold slot s's per-lane (hi, lo) pair;
+    # round rows up to the f32 min tile (8 sublanes).
+    acc_rows = max(8, -(-2 * num_segments // 8) * 8)
+    out_shape = jax.ShapeDtypeStruct((acc_rows, _LANES), jnp.float32)
+    out_spec = pl.BlockSpec((acc_rows, _LANES), lambda i: (0, 0))
+    scratch = [pltpu.VMEM((acc_rows, _LANES), jnp.float32)]
+    vspec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0))
+
+    def _combine(out, dtype):
+        # out rows (2s, 2s+1) are slot s's per-lane (hi, lo) f32 pair;
+        # each converts exactly to f64, so a 128-term f64 lane sum keeps
+        # the compensated precision.
+        hi = out[0:2 * num_segments:2].astype(jnp.float64)
+        lo = out[1:2 * num_segments + 1:2].astype(jnp.float64)
+        return jnp.sum(hi + lo, axis=1).astype(dtype)
 
     if values.dtype == jnp.float64:
         v = _pad_to(values, n_pad, jnp.float64(0.0))
-        u = jax.lax.bitcast_convert_type(v, jnp.uint32)  # (n_pad, 2)
-        u2 = u.reshape(nb * block_rows, 2 * _LANES)
-        vspec = pl.BlockSpec((block_rows, 2 * _LANES),
-                             lambda i: (i, 0))
+        vh, vl = split_f64_ff(v)
         out = pl.pallas_call(
-            _kernel_f64,
+            functools.partial(_kernel_ff, num_segments),
             grid=(nb,),
-            in_specs=[vspec, gspec],
-            out_specs=pl.BlockSpec((2, MAX_GROUPS), lambda i: (0, 0)),
+            in_specs=[vspec, vspec, gspec],
+            out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
-        )(u2, g2)
-        total = (out[0].astype(jnp.float64)
-                 + out[1].astype(jnp.float64))
-        return total[:num_segments]
+        )(vh.reshape(nb * block_rows, _LANES),
+          vl.reshape(nb * block_rows, _LANES), g2)
+        return _combine(out, jnp.float64)
 
     if values.dtype == jnp.float32:
         v = _pad_to(values, n_pad, jnp.float32(0.0))
         v2 = v.reshape(nb * block_rows, _LANES)
-        vspec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0))
         out = pl.pallas_call(
-            _kernel_f32,
+            functools.partial(_kernel_f32, num_segments),
             grid=(nb,),
             in_specs=[vspec, gspec],
-            out_specs=pl.BlockSpec((2, MAX_GROUPS), lambda i: (0, 0)),
+            out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
             interpret=interpret,
         )(v2, g2)
-        total = (out[0].astype(jnp.float64)
-                 + out[1].astype(jnp.float64))
-        return total[:num_segments].astype(jnp.float32)
+        return _combine(out, jnp.float32)
 
     raise ValueError(f"unsupported dtype {values.dtype}")

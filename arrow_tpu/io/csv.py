@@ -228,6 +228,15 @@ def _replace_default(opts: ConvertOptions) -> ConvertOptions:
     return o
 
 
+def _micros_to_unit(us: np.ndarray, unit: str) -> np.ndarray:
+    """Epoch microseconds -> the timestamp unit, floor semantics
+    (matching _temporal_to_int's `us // scale`)."""
+    if unit == "ns":
+        return us * 1000
+    scale = {"s": 1_000_000, "ms": 1000, "us": 1}[unit]
+    return us // scale if scale != 1 else us
+
+
 def _parse_date(v):
     return datetime.date.fromisoformat(v)
 
@@ -359,7 +368,19 @@ def _native_convert_column(block, ids, missing, co: ConvertOptions,
                 raise ValueError(
                     f"CSV conversion to {t!r} failed")
             return prim(t, r[0])
-        if t.id in (T.TypeId.DATE32, T.TypeId.TIMESTAMP):
+        if t.id == T.TypeId.DATE32:
+            d = nat.csv_parse_date32(block, ids, nulls)
+            if d is not None:
+                return prim(t, d)
+            strs = _gathered_str_list(block, ids, nulls)
+            return _convert_column(strs, co, t)
+        if t.id == T.TypeId.TIMESTAMP and not co.timestamp_parsers:
+            us = nat.csv_parse_ts_micros(block, ids, nulls)
+            if us is not None:
+                return prim(t, _micros_to_unit(us, t.unit))
+            strs = _gathered_str_list(block, ids, nulls)
+            return _convert_column(strs, co, t)
+        if t.id == T.TypeId.TIMESTAMP:
             strs = _gathered_str_list(block, ids, nulls)
             return _convert_column(strs, co, t)
         if t.id == T.TypeId.DICTIONARY and \
@@ -387,8 +408,17 @@ def _native_convert_column(block, ids, missing, co: ConvertOptions,
     bv = nat.csv_parse_bool(block, ids, nulls, DEFAULT_TRUE, DEFAULT_FALSE)
     if bv is not None:
         return boolean(bv.astype(np.bool_))
-    # date/timestamp: probe the first non-null value before paying the
-    # python-loop conversion
+    # date/timestamp: native bulk ISO parse first (value_parsing.h
+    # ParseTimestampISO8601 analogue); a native abort falls through to
+    # the python probe so exotic-but-valid ISO forms keep inferring.
+    d = nat.csv_parse_date32(block, ids, nulls)
+    if d is not None:
+        return prim(T.date32(), d)
+    us = nat.csv_parse_ts_micros(block, ids, nulls)
+    if us is not None:
+        return prim(T.timestamp("s"), _micros_to_unit(us, "s"))
+    # probe the first non-null value before paying the python-loop
+    # conversion
     first = int(np.argmax(valid))
     probe = block.field_bytes(int(ids[first])).decode("utf8", "replace")
     for parser, t in ((_parse_date, T.date32()),

@@ -118,6 +118,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_parse_float64.restype = ctypes.c_int64
         lib.csv_parse_float64.argtypes = [ctypes.c_void_p] * 4 + \
             [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_parse_date32.restype = ctypes.c_int64
+        lib.csv_parse_date32.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p]
+        lib.csv_parse_ts_micros.restype = ctypes.c_int64
+        lib.csv_parse_ts_micros.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p]
         lib.csv_parse_bool.restype = ctypes.c_int64
         lib.csv_parse_bool.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -374,6 +380,54 @@ def csv_parse_float64(block: CsvBlock, ids: np.ndarray,
     if failures:
         return None
     return out, ok
+
+
+def csv_parse_date32(block: CsvBlock, ids: np.ndarray,
+                     skip: Optional[np.ndarray]) -> Optional[np.ndarray]:
+    """Bulk ISO date parse of fields `ids` -> date32 days, or None when
+    any field fails (caller falls back to the python parser)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ids)
+    ids = np.ascontiguousarray(ids, np.int64)
+    if block.id_scale != 1:
+        ids = ids * block.id_scale
+    sptr = None
+    if skip is not None:
+        skip = np.ascontiguousarray(skip, np.uint8)
+        sptr = _ptr(skip)
+    out = np.empty(n, np.int32)
+    failures = lib.csv_parse_date32(_ptr(block.pool), _ptr(block.offsets),
+                                    _ptr(ids), sptr, n, _ptr(out))
+    if failures:
+        return None
+    return out
+
+
+def csv_parse_ts_micros(block: CsvBlock, ids: np.ndarray,
+                        skip: Optional[np.ndarray]
+                        ) -> Optional[np.ndarray]:
+    """Bulk ISO timestamp parse of fields `ids` -> int64 microseconds
+    since epoch (tz offsets folded to UTC), or None on any failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ids)
+    ids = np.ascontiguousarray(ids, np.int64)
+    if block.id_scale != 1:
+        ids = ids * block.id_scale
+    sptr = None
+    if skip is not None:
+        skip = np.ascontiguousarray(skip, np.uint8)
+        sptr = _ptr(skip)
+    out = np.empty(n, np.int64)
+    failures = lib.csv_parse_ts_micros(_ptr(block.pool),
+                                       _ptr(block.offsets),
+                                       _ptr(ids), sptr, n, _ptr(out))
+    if failures:
+        return None
+    return out
 
 
 def _token_buffers(tokens):

@@ -859,6 +859,180 @@ void csv_gather_bytes(const uint8_t* pool, const int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// ISO-8601 date/timestamp bulk parsers (reference: cpp/src/arrow/util/
+// value_parsing.h ParseTimestampISO8601 + csv/converter.cc). Semantics
+// mirror the python fallback (datetime.date/datetime.fromisoformat):
+// any field the native parser is unsure about aborts the whole column
+// so the caller falls back to the python path — abort is always
+// correctness-safe.
+// ---------------------------------------------------------------------------
+
+static inline bool parse_digits(std::string_view v, size_t pos, int len,
+                                int64_t* out) {
+  if (pos + (size_t)len > v.size()) return false;
+  int64_t r = 0;
+  for (int i = 0; i < len; ++i) {
+    uint8_t c = (uint8_t)v[pos + i];
+    if (c < '0' || c > '9') return false;
+    r = r * 10 + (c - '0');
+  }
+  *out = r;
+  return true;
+}
+
+// Howard Hinnant's days_from_civil (public-domain algorithm).
+static inline int64_t days_from_civil(int64_t y, int64_t m, int64_t d) {
+  y -= m <= 2;
+  const int64_t era = (y >= 0 ? y : y - 399) / 400;
+  const int64_t yoe = y - era * 400;
+  const int64_t doy = (153 * (m + (m > 2 ? -3 : 9)) + 2) / 5 + d - 1;
+  const int64_t doe = yoe * 365 + yoe / 4 - yoe / 100 + doy;
+  return era * 146097 + doe - 719468;
+}
+
+static inline bool valid_ymd(int64_t y, int64_t m, int64_t d) {
+  if (y < 1 || y > 9999 || m < 1 || m > 12 || d < 1) return false;
+  static const int dim[12] = {31, 28, 31, 30, 31, 30,
+                              31, 31, 30, 31, 30, 31};
+  int64_t md = dim[m - 1];
+  if (m == 2 && ((y % 4 == 0 && y % 100 != 0) || y % 400 == 0)) md = 29;
+  return d <= md;
+}
+
+// Parse the date part (YYYY-MM-DD or YYYYMMDD); on success sets *days
+// and *pos to the first unconsumed char.
+static inline bool parse_iso_date_part(std::string_view v, int64_t* days,
+                                       size_t* pos) {
+  int64_t y, m, d;
+  if (!parse_digits(v, 0, 4, &y)) return false;
+  size_t p = 4;
+  bool dashes = p < v.size() && v[p] == '-';
+  if (dashes) ++p;
+  if (!parse_digits(v, p, 2, &m)) return false;
+  p += 2;
+  if (dashes) {
+    if (p >= v.size() || v[p] != '-') return false;
+    ++p;
+  }
+  if (!parse_digits(v, p, 2, &d)) return false;
+  p += 2;
+  if (!valid_ymd(y, m, d)) return false;
+  *days = days_from_civil(y, m, d);
+  *pos = p;
+  return true;
+}
+
+// Parse HH[:MM[:SS[.f{1,6}]]] (or compact HHMM[SS]) plus optional
+// Z / +-HH[:MM[:SS]] offset; must consume the whole remainder.
+static inline bool parse_iso_time_part(std::string_view v, size_t p,
+                                       int64_t* micros_out) {
+  int64_t hh = 0, mm = 0, ss = 0, frac = 0, off_sign = 0;
+  int64_t off_hh = 0, off_mm = 0, off_ss = 0;
+  if (!parse_digits(v, p, 2, &hh)) return false;
+  p += 2;
+  bool colons = p < v.size() && v[p] == ':';
+  if (p < v.size() && v[p] != 'Z' && v[p] != 'z' && v[p] != '+' &&
+      v[p] != '-') {
+    if (colons) ++p;
+    if (!parse_digits(v, p, 2, &mm)) return false;
+    p += 2;
+    if (p < v.size() && ((colons && v[p] == ':') ||
+                         (!colons && v[p] >= '0' && v[p] <= '9'))) {
+      if (colons) ++p;
+      if (!parse_digits(v, p, 2, &ss)) return false;
+      p += 2;
+      if (p < v.size() && (v[p] == '.' || v[p] == ',')) {
+        ++p;
+        int nd = 0;
+        int64_t f = 0;
+        while (p < v.size() && v[p] >= '0' && v[p] <= '9' && nd < 6) {
+          f = f * 10 + (v[p] - '0');
+          ++p;
+          ++nd;
+        }
+        if (nd == 0) return false;
+        // fromisoformat (3.11+) truncates digits beyond microseconds
+        while (p < v.size() && v[p] >= '0' && v[p] <= '9') ++p;
+        static const int64_t sc[7] = {0, 100000, 10000, 1000, 100, 10, 1};
+        frac = f * sc[nd];
+      }
+    }
+  }
+  if (p < v.size()) {
+    char c = v[p];
+    if (c == 'Z' || c == 'z') {
+      ++p;
+      off_sign = 1;  // offset 0, but marks "aware"; value is UTC already
+    } else if (c == '+' || c == '-') {
+      off_sign = (c == '+') ? 1 : -1;
+      ++p;
+      if (!parse_digits(v, p, 2, &off_hh)) return false;
+      p += 2;
+      if (p < v.size() && v[p] == ':') {
+        ++p;
+        if (!parse_digits(v, p, 2, &off_mm)) return false;
+        p += 2;
+        if (p < v.size() && v[p] == ':') {
+          ++p;
+          if (!parse_digits(v, p, 2, &off_ss)) return false;
+          p += 2;
+        }
+      } else if (parse_digits(v, p, 2, &off_mm)) {
+        p += 2;
+      }
+      if (off_hh > 23 || off_mm > 59 || off_ss > 59) return false;
+    }
+  }
+  if (p != v.size()) return false;
+  if (hh > 23 || mm > 59 || ss > 59) return false;
+  // tz offsets are validated but NOT folded: the python path subtracts
+  // an epoch carrying the value's own tzinfo, so the offset cancels and
+  // the wall-clock time is what lands in the column (_temporal_to_int).
+  (void)off_sign;
+  *micros_out = ((hh * 60 + mm) * 60 + ss) * 1000000 + frac;
+  return true;
+}
+
+// Parse fields ids[0..n) as date32 days (strict date-only ISO). Same
+// skip/abort contract as csv_parse_int64.
+int64_t csv_parse_date32(const uint8_t* pool, const int64_t* offsets,
+                         const int64_t* ids, const uint8_t* skip,
+                         int64_t n, int32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) { out[i] = 0; continue; }
+    std::string_view v = csv_trim(csv_field(pool, offsets, ids[i]));
+    int64_t days;
+    size_t p;
+    if (!parse_iso_date_part(v, &days, &p) || p != v.size()) return i + 1;
+    out[i] = (int32_t)days;
+  }
+  return 0;
+}
+
+// Parse fields ids[0..n) as ISO timestamps -> microseconds since epoch
+// (tz offsets folded to UTC, matching the python path's aware-datetime
+// arithmetic). Separator between date and time may be 'T', 't' or ' '.
+int64_t csv_parse_ts_micros(const uint8_t* pool, const int64_t* offsets,
+                            const int64_t* ids, const uint8_t* skip,
+                            int64_t n, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) { out[i] = 0; continue; }
+    std::string_view v = csv_trim(csv_field(pool, offsets, ids[i]));
+    int64_t days;
+    size_t p;
+    if (!parse_iso_date_part(v, &days, &p)) return i + 1;
+    int64_t micros = 0;
+    if (p < v.size()) {
+      char c = v[p];
+      if (c != 'T' && c != 't' && c != ' ') return i + 1;
+      if (!parse_iso_time_part(v, p + 1, &micros)) return i + 1;
+    }
+    out[i] = days * 86400000000LL + micros;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Flat newline-delimited JSON tokenizer (reference: cpp/src/arrow/json/
 // parser.cc on rapidjson). Fast path for machine-generated ndjson where
 // every record is a flat object with the SAME keys in the SAME order;

@@ -141,6 +141,40 @@ def bench_q3(sf: float, iters: int):
 
 
 def main():
+    """Watchdog wrapper: the tunneled axon device can wedge an entire
+    process (RPCs hang forever — observed round 2), so the measurement
+    runs in a subprocess with a hard timeout and retries. The last line
+    of stdout is always ONE JSON record."""
+    if os.environ.get("ARROW_TPU_BENCH_WORKER") == "1":
+        return _run()
+    import subprocess
+    timeout = float(os.environ.get("ARROW_TPU_BENCH_TIMEOUT", "900"))
+    retries = int(os.environ.get("ARROW_TPU_BENCH_RETRIES", "2"))
+    env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1")
+    last_err = "unknown"
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {timeout:g}s (device wedged?)"
+            continue
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        last_err = (proc.stderr.strip().splitlines() or ["no output"])[-1]
+    sf = os.environ.get("ARROW_TPU_BENCH_SF", "1.0")
+    print(json.dumps({
+        "metric": f"tpch_q1_sf{float(sf):g}_rows_per_s",
+        "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
+        "error": last_err[:200],
+    }))
+
+
+def _run():
     sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
     iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "20"))
     query = os.environ.get("ARROW_TPU_BENCH_QUERY", "q1")

@@ -302,6 +302,25 @@ class TestCSVNativeDifferential:
         data = ("h1,h2,h3,h4\n" + "\n".join(rows) + "\n").encode()
         self._both(data, monkeypatch)
 
+    def test_temporal_native_matches_python(self, monkeypatch):
+        """The native ISO date/timestamp bulk parsers (native.cpp
+        csv_parse_date32/csv_parse_ts_micros) must agree with the
+        python fromisoformat fallback, including tz-offset wall-clock
+        semantics (_temporal_to_int cancels the offset) and >6-digit
+        fraction truncation."""
+        data = (b"ts,d\n"
+                b"2020-01-01T12:30:45.123456,2020-01-01\n"
+                b"2020-06-15 23:59:59,1999-12-31\n"
+                b"2020-01-01T12:30:45Z,2020-02-29\n"
+                b"2020-01-01T12:30:45+05:30,2021-01-31\n"
+                b"2020-01-01,2000-02-29\n"
+                b"20200101T1230,0001-01-01\n"
+                b"2020-01-01T12:30:45.1234567,9999-12-31\n")
+        t = self._both(data, monkeypatch)
+        import arrow_tpu as at
+        assert t.schema.field("ts").type == at.timestamp("s")
+        assert t.schema.field("d").type == at.date32()
+
     def test_streaming_matches_read_csv(self):
         from arrow_tpu.io import csv as acsv
         body = "".join(f"{i},{i * 0.5},s{i % 9}\n" for i in range(5000))
