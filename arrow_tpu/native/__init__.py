@@ -118,6 +118,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_parse_float64.restype = ctypes.c_int64
         lib.csv_parse_float64.argtypes = [ctypes.c_void_p] * 4 + \
             [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_transpose_columns.restype = None
+        lib.csv_transpose_columns.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64] * 3 + [ctypes.c_void_p, ctypes.c_void_p]
         lib.csv_parse_date32.restype = ctypes.c_int64
         lib.csv_parse_date32.argtypes = [ctypes.c_void_p] * 4 + \
             [ctypes.c_int64, ctypes.c_void_p]
@@ -277,7 +280,9 @@ def csv_parse_parallel(data: bytes, delimiter: str, quote_char,
     if lib is None:
         return None
     n = len(data)
-    if n < (1 << 21):
+    # below ~64 MB the chunk merge (numpy concats of per-chunk offsets)
+    # costs more than the parallel tokenize saves (measured round 2)
+    if n < (1 << 26):
         return csv_parse(data, delimiter, quote_char, doublequote,
                          escape_char)
     nchunks = min(max_workers, max(1, n >> 20))
@@ -380,6 +385,28 @@ def csv_parse_float64(block: CsvBlock, ids: np.ndarray,
     if failures:
         return None
     return out, ok
+
+
+def csv_transpose_columns(block: CsvBlock, row_starts: np.ndarray,
+                          row_counts: np.ndarray, ncols: int
+                          ) -> Optional[list]:
+    """One sequential pass over the field table -> per-column CsvBlocks
+    (pair offsets + quoted flags, id_scale=2 with identity ids), so the
+    bulk converters scan contiguously instead of column-strided."""
+    lib = get_lib()
+    if lib is None or ncols == 0:
+        return None
+    n = len(row_starts)
+    row_starts = np.ascontiguousarray(row_starts, np.int64)
+    row_counts = np.ascontiguousarray(row_counts, np.int64)
+    out_off = np.empty((ncols, 2 * n), np.int64)
+    out_q = np.empty((ncols, n), np.uint8)
+    lib.csv_transpose_columns(
+        _ptr(block.offsets), _ptr(block.quoted), _ptr(row_starts),
+        _ptr(row_counts), n, ncols, block.id_scale,
+        _ptr(out_off), _ptr(out_q))
+    return [CsvBlock(out_off[j], block.pool, out_q[j], row_counts,
+                     id_scale=2) for j in range(ncols)]
 
 
 def csv_parse_date32(block: CsvBlock, ids: np.ndarray,

@@ -858,6 +858,37 @@ void csv_gather_bytes(const uint8_t* pool, const int64_t* offsets,
   }
 }
 
+// Transpose the row-major token stream into per-column (start, end)
+// pair-offset arrays (+ per-column quoted flags): one sequential pass
+// over the field table instead of ncols column-strided passes (each
+// strided pass pulls a fresh cache line per field — measured 3x the
+// cost of the converters themselves). Missing fields (short rows) emit
+// the (0, 0) span; callers mask them separately.
+// out_offsets: ncols * (2 * n_rows) int64, column-major blocks;
+// out_quoted:  ncols * n_rows u8.
+void csv_transpose_columns(const int64_t* offsets, const uint8_t* quoted,
+                           const int64_t* row_starts,
+                           const int64_t* row_counts, int64_t n_rows,
+                           int64_t ncols, int64_t id_scale,
+                           int64_t* out_offsets, uint8_t* out_quoted) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t start = row_starts[r];
+    int64_t rc = row_counts[r];
+    int64_t m = rc < ncols ? rc : ncols;
+    for (int64_t j = 0; j < m; ++j) {
+      int64_t id = (start + j) * id_scale;
+      out_offsets[j * 2 * n_rows + 2 * r] = offsets[id];
+      out_offsets[j * 2 * n_rows + 2 * r + 1] = offsets[id + 1];
+      out_quoted[j * n_rows + r] = quoted[start + j];
+    }
+    for (int64_t j = m; j < ncols; ++j) {
+      out_offsets[j * 2 * n_rows + 2 * r] = 0;
+      out_offsets[j * 2 * n_rows + 2 * r + 1] = 0;
+      out_quoted[j * n_rows + r] = 0;
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // ISO-8601 date/timestamp bulk parsers (reference: cpp/src/arrow/util/
 // value_parsing.h ParseTimestampISO8601 + csv/converter.cc). Semantics

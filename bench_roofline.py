@@ -1,20 +1,24 @@
 #!/usr/bin/env python
-"""Roofline + micro-benchmark sweep on the real chip (VERDICT round-1
-item 2; reference protocol: the 75 *_benchmark.cc binaries, SURVEY §6).
+"""Slope-based roofline + micro-benchmark sweep on the real chip.
 
-Measures, in order:
-  1. platform roofline: f32 streaming sum (single and multi-stream)
-  2. selection/sort/grouper/join micro kernels with bytes-touched GB/s
-  3. grouped-sum variants: XLA broadcast reduce vs Pallas float-float
-     kernel, f64 and f32 (compute/pallas_agg.py)
-  4. TPC-H Q1 (whole + chunked), Q3, Q9-style, SF from env
+Round-2 methodology fix: the tunneled platform executes programs with a
+~1.5 ms per-program dispatch floor, so single-size "GB/s" numbers are
+floor-dominated and under-report true HBM rates (round-1's "84 GB/s
+measured roofline" artifact). Every metric here is measured at TWO
+working-set sizes and reported as
+    bw_gbps  = extra_bytes / extra_time        (floor cancels)
+    floor_ms = t_small - bytes_small / bw
+Reference protocol analogue: the *_benchmark.cc sweeps
+(vector_selection_benchmark.cc, grouper_benchmark.cc,
+hash_join_benchmark.cc) which also report bytes/sec over size ranges.
+
 Writes one JSON object per line to BENCH_MICRO_r02.json and stdout.
+Run WITHOUT platform overrides (needs the real TPU). Tunnel compiles
+are slow (~1-3 min/program) — expect a full sweep to take ~30 min cold.
 
-Run WITHOUT JAX_PLATFORMS overrides (needs the real TPU). Expect the
-first run to spend minutes compiling through the tunneled compiler.
-
-Env: ARROW_TPU_BENCH_SF (default 1.0), ARROW_TPU_BENCH_ITERS (20),
-ARROW_TPU_BENCH_OUT (default BENCH_MICRO_r02.json).
+Env: ARROW_TPU_BENCH_OUT (default BENCH_MICRO_r02.json),
+ARROW_TPU_BENCH_ITERS (default 20), ARROW_TPU_BENCH_SECTION (comma list
+to restrict: roofline,agg,move,sort,group,join,q1).
 """
 
 import json
@@ -23,8 +27,12 @@ import time
 
 import numpy as np
 
-RESULTS = []
 OUT_PATH = os.environ.get("ARROW_TPU_BENCH_OUT", "BENCH_MICRO_r02.json")
+ITERS = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "20"))
+SECTIONS = os.environ.get(
+    "ARROW_TPU_BENCH_SECTION", "roofline,agg,move,sort,group,join,q1"
+).split(",")
+RESULTS = []
 
 
 def emit(rec):
@@ -37,7 +45,7 @@ def emit(rec):
 
 def _force(out):
     """Gate on a real device->host readback (block_until_ready is not a
-    barrier on the tunneled axon platform; see docs/BENCHMARKS.md)."""
+    barrier on the tunneled axon platform)."""
     import jax
     total = 0.0
     for leaf in jax.tree_util.tree_leaves(out):
@@ -48,211 +56,240 @@ def _force(out):
     return total
 
 
-def bench(name, fn, args, nbytes, iters=20, extra=None):
-    """Amortized protocol: enqueue iters executions back-to-back, read
-    back once at the end (programs execute in order)."""
+def _time_one(fn, args, iters):
+    _force(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def slope_bench(name, make, sizes, bytes_per_row, iters=ITERS,
+                extra=None):
+    """make(n) -> (fn, args). Measures at each size; reports the
+    floor-free bandwidth from the slope between the extremes."""
     try:
-        _force(fn(*args))  # compile + warm
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(*args)
-        _force(out)
-        dt = (time.perf_counter() - t0) / iters
-        rec = {"metric": name, "ms": round(dt * 1e3, 3),
-               "hbm_gb_s": round(nbytes / dt / 1e9, 1)}
+        times = []
+        for n in sizes:
+            fn, args = make(n)
+            times.append(_time_one(fn, args, iters))
+        n0, n1 = sizes[0], sizes[-1]
+        t0, t1 = times[0], times[-1]
+        bw = (n1 - n0) * bytes_per_row / max(t1 - t0, 1e-9) / 1e9
+        floor_ms = max(t0 - n0 * bytes_per_row / (bw * 1e9), 0.0) * 1e3
+        rec = {"name": name,
+               "sizes": list(sizes),
+               "ms": [round(t * 1e3, 3) for t in times],
+               "bw_gbps": round(bw, 1),
+               "floor_ms": round(floor_ms, 3),
+               "bytes_per_row": bytes_per_row}
         if extra:
             rec.update(extra)
         emit(rec)
-        return dt
-    except Exception as e:  # record failures instead of dying
-        emit({"metric": name, "error": str(e)[:200]})
+        return rec
+    except Exception as e:  # keep sweeping on per-op failure
+        emit({"name": name, "error": f"{type(e).__name__}: {e}"[:200]})
         return None
-
-
-def roofline():
-    import jax
-    import jax.numpy as jnp
-    n = 1 << 25  # 128 MB f32
-    x = jnp.asarray(np.random.default_rng(0).random(n, dtype=np.float32))
-    bench("roofline_f32_sum_1stream", jax.jit(jnp.sum), (x,), 4 * n)
-    xs = [jnp.asarray(np.random.default_rng(i).random(n // 4,
-                                                      dtype=np.float32))
-          for i in range(5)]
-    bench("roofline_f32_sum_5stream",
-          jax.jit(lambda *a: sum(jnp.sum(v) for v in a)), tuple(xs),
-          5 * 4 * (n // 4))
-    # f64 streaming: XLA's software-emulated double path
-    xd = jnp.asarray(np.random.default_rng(1).random(n // 2))
-    bench("roofline_f64_sum_1stream_xla", jax.jit(jnp.sum), (xd,),
-          8 * (n // 2))
-
-
-def micro():
-    import jax
-    import jax.numpy as jnp
-    from arrow_tpu.compute.move import (compact_by_mask, gather_rows,
-                                        segment_reduce, sort_with_payload)
-    rng = np.random.default_rng(0)
-    n = 1 << 22
-    f64 = jnp.asarray(rng.normal(size=n))
-    i64 = jnp.asarray(rng.integers(0, 1 << 40, n))
-    keys8 = jnp.asarray(rng.integers(0, 8, n).astype(np.int32))
-    keys512 = jnp.asarray(rng.integers(0, 512, n).astype(np.int32))
-    idx = jnp.asarray(rng.permutation(n).astype(np.int32))
-
-    bench("filter_compact_f64_50pct",
-          jax.jit(lambda v: compact_by_mask(v > 0, [v])), (f64,), 8 * 3 * n)
-    bench("take_gather_f64",
-          jax.jit(lambda v, i: gather_rows([v], i)), (f64, idx), 8 * 3 * n)
-    bench("sort_u64_payload_f64",
-          jax.jit(lambda k, v: sort_with_payload(
-              [k.astype(jnp.uint64)], [v])), (i64, f64), 16 * 2 * n)
-
-    from arrow_tpu.compute.grouper import group_ids
-    from arrow_tpu.compute.registry import ExecContext
-    from arrow_tpu.device.column import DeviceColumn
-    from arrow_tpu import types as T
-
-    def grouper_fn(k):
-        ctx = ExecContext(n, jnp.asarray(n, jnp.int32))
-        g = group_ids(ctx, [DeviceColumn(k, None, T.int64())])
-        return g.group_ids, g.num_groups
-    bench("grouper_512_groups", jax.jit(grouper_fn),
-          (keys512.astype(jnp.int64),), 8 * 3 * n)
-
-    # join build+probe (2M probe x 256k build, int64 keys)
-    import arrow_tpu as at
-    from arrow_tpu import acero
-    from arrow_tpu.acero import Declaration
-    left = at.table({"key": rng.integers(0, 262144, 1 << 21),
-                     "lv": rng.integers(0, 1000, 1 << 21)})
-    right = at.table({"rkey": rng.integers(0, 262144, 1 << 18),
-                      "rv": rng.integers(0, 97, 1 << 18)})
-    plan = Declaration("hashjoin", acero.HashJoinNodeOptions(
-        "inner", left_keys=["key"], right_keys=["rkey"]),
-        inputs=[Declaration("table_source",
-                            acero.TableSourceNodeOptions(left)),
-                Declaration("table_source",
-                            acero.TableSourceNodeOptions(right))])
-    try:
-        plan.to_table()  # compile + warm (uploads cached on options)
-        t0 = time.perf_counter()
-        iters = 5
-        for _ in range(iters):
-            out = plan.to_table()
-        dt = (time.perf_counter() - t0) / iters
-        emit({"metric": "join_inner_2M_probe_256k_build",
-              "ms": round(dt * 1e3, 2),
-              "probe_rows_per_s": round((1 << 21) / dt, 1)})
-    except Exception as e:
-        emit({"metric": "join_inner_2M_probe_256k_build",
-              "error": str(e)[:200]})
-
-    # grouped sums: XLA broadcast vs Pallas float-float
-    def xla_grouped(v, g, G):
-        slots = jnp.arange(G, dtype=g.dtype)[None, :]
-        return jnp.sum(jnp.where(g[:, None] == slots, v[:, None], 0),
-                       axis=0)
-    bench("grouped_sum8_f64_xla_broadcast",
-          jax.jit(lambda v, g: xla_grouped(v, g, 8)), (f64, keys8), 8 * n)
-    f32 = f64.astype(jnp.float32)
-    bench("grouped_sum8_f32_xla_broadcast",
-          jax.jit(lambda v, g: xla_grouped(v, g, 8)), (f32, keys8), 4 * n)
-    try:
-        from arrow_tpu.compute.pallas_agg import grouped_sum_pallas
-        bench("grouped_sum8_f64_pallas_ff",
-              jax.jit(lambda v, g: grouped_sum_pallas(v, g, 8)),
-              (f64, keys8), 8 * n)
-        bench("grouped_sum8_f32_pallas",
-              jax.jit(lambda v, g: grouped_sum_pallas(v, g, 8)),
-              (f32, keys8), 4 * n)
-        # accuracy cross-check on device
-        ref = np.zeros(8)
-        np.add.at(ref, np.asarray(keys8), np.asarray(f64))
-        got = np.asarray(jax.jit(
-            lambda v, g: grouped_sum_pallas(v, g, 8))(f64, keys8))
-        emit({"metric": "grouped_sum8_f64_pallas_max_rel_err",
-              "value": float(np.max(np.abs(got - ref)
-                                    / np.maximum(np.abs(ref), 1e-300)))})
-    except Exception as e:
-        emit({"metric": "grouped_sum_pallas", "error": str(e)[:200]})
-
-    bench("grouped_sum512_f64_engine_path",
-          jax.jit(lambda v, g: segment_reduce(v, g, 512, "sum", 0.0)),
-          (f64, keys512), 8 * 2 * n)
-
-
-def tpch():
-    sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
-    iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "10"))
-    import bench as B
-    from arrow_tpu.io import tpch as gen, tpch_queries as q
-
-    lineitem = gen.lineitem_table(sf)
-    n = lineitem.num_rows
-    try:
-        ours = B.bench_ours(lineitem, iters)
-        emit({"metric": f"tpch_q1_sf{sf:g}", "rows_per_s": round(ours, 1)})
-    except Exception as e:
-        emit({"metric": f"tpch_q1_sf{sf:g}", "error": str(e)[:200]})
-
-    # chunked Q1 (streaming; bounded HBM) on the same data
-    try:
-        plan = q.q1_plan(lineitem)
-        chunk = 1 << 22
-        plan.to_table(chunk_rows=chunk)  # warm
-        t0 = time.perf_counter()
-        plan.to_table(chunk_rows=chunk)
-        dt = time.perf_counter() - t0
-        emit({"metric": f"tpch_q1_sf{sf:g}_chunked_4M",
-              "rows_per_s": round(n / dt, 1), "ms": round(dt * 1e3, 1)})
-    except Exception as e:
-        emit({"metric": f"tpch_q1_sf{sf:g}_chunked_4M",
-              "error": str(e)[:200]})
-
-    # Q3: join-heavy plan (fused prepare+plan path)
-    try:
-        cust = gen.customer_table(sf)
-        orders = gen.orders_table(sf)
-        plan3 = q.q3_plan(cust, orders, lineitem)
-        plan3.to_table()  # warm/compile
-        t0 = time.perf_counter()
-        it3 = max(iters // 2, 3)
-        for _ in range(it3):
-            plan3.to_table()
-        dt = (time.perf_counter() - t0) / it3
-        emit({"metric": f"tpch_q3_sf{sf:g}",
-              "rows_per_s": round(n / dt, 1), "ms": round(dt * 1e3, 1)})
-    except Exception as e:
-        emit({"metric": f"tpch_q3_sf{sf:g}", "error": str(e)[:200]})
-
-    # Q9-style multi-join
-    try:
-        t = gen.generate(min(sf, 1.0))
-        plan9 = q.q9_style_plan(t["part"], t["supplier"], t["lineitem"],
-                                t["partsupp"], t["orders"], t["nation"])
-        plan9.to_table()
-        t0 = time.perf_counter()
-        it9 = max(iters // 4, 2)
-        for _ in range(it9):
-            plan9.to_table()
-        dt = (time.perf_counter() - t0) / it9
-        emit({"metric": f"tpch_q9_sf{min(sf, 1.0):g}",
-              "rows_per_s": round(t['lineitem'].num_rows / dt, 1),
-              "ms": round(dt * 1e3, 1)})
-    except Exception as e:
-        emit({"metric": f"tpch_q9_sf{min(sf, 1.0):g}",
-              "error": str(e)[:200]})
 
 
 def main():
     import jax
-    emit({"metric": "platform", "value": jax.devices()[0].platform,
-          "ts": time.strftime("%Y-%m-%d %H:%M:%S")})
-    roofline()
-    micro()
-    tpch()
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)
+    emit({"name": "platform", "devices": [str(d) for d in jax.devices()],
+          "iters": ITERS})
+    rng = np.random.default_rng(0)
+    S, L = 8 * 1024 * 1024, 32 * 1024 * 1024
+
+    def fvals(n):
+        return jnp.asarray(rng.standard_normal(n))
+
+    def f32vals(n):
+        return jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    def gids(n, g=4):
+        return jnp.asarray(rng.integers(0, g, n).astype(np.int32))
+
+    def keep(n):
+        return jnp.asarray(rng.random(n) < 0.5)
+
+    # -- 1. platform roofline: plain streaming sums ------------------------
+    if "roofline" in SECTIONS:
+        slope_bench("stream_sum_f32",
+                    lambda n: (jax.jit(jnp.sum), (f32vals(n),)),
+                    [S, L], 4)
+        slope_bench("stream_sum_f64",
+                    lambda n: (jax.jit(jnp.sum), (fvals(n),)),
+                    [S, L], 8)
+        slope_bench("stream_mul_add_f32",
+                    lambda n: (jax.jit(lambda a, b: jnp.sum(a * b + 1.0)),
+                               (f32vals(n), f32vals(n))),
+                    [S, L], 8)
+
+    # -- 2. grouped aggregates (Q1 core) -----------------------------------
+    if "agg" in SECTIONS:
+        def mask4_f64(n):
+            v, g = fvals(n), gids(n)
+            f = jax.jit(lambda v, g: jnp.stack(
+                [jnp.sum(jnp.where(g == s, v, 0.0)) for s in range(4)]))
+            return f, (v, g)
+
+        def mask4_f32(n):
+            v, g = f32vals(n), gids(n)
+            f = jax.jit(lambda v, g: jnp.stack(
+                [jnp.sum(jnp.where(g == s, v, 0.0)) for s in range(4)]))
+            return f, (v, g)
+
+        def engine_small_group(n):
+            from arrow_tpu.compute.move import _segment_reduce_loop
+            v, g = fvals(n), gids(n)
+            f = jax.jit(lambda v, g: _segment_reduce_loop(
+                v, g, 4, "sum", 0.0))
+            return f, (v, g)
+
+        slope_bench("grouped_sum4_masked_f64", mask4_f64, [S, L], 12)
+        slope_bench("grouped_sum4_masked_f32", mask4_f32, [S, L], 8)
+        slope_bench("grouped_sum4_engine_f64", engine_small_group,
+                    [S, L], 12)
+
+    # -- 3. movement layer: compaction / gather ----------------------------
+    if "move" in SECTIONS:
+        from arrow_tpu.compute import move
+
+        def compact_sort_f64(n):
+            k, v = keep(n), fvals(n)
+            f = jax.jit(lambda k, v: move.compact_by_mask(k, [v])[0][0])
+            return f, (k, v)
+
+        def compact_scatter_i32(n):
+            k = keep(n)
+            v = jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32))
+
+            def f(k, v):
+                pos = jnp.cumsum(k.astype(jnp.int32)) - 1
+                p = jnp.where(k, pos, n)
+                return jnp.zeros(n + 1, jnp.int32).at[p].set(
+                    v, mode="drop")[:n]
+            return jax.jit(f), (k, v)
+
+        def compact_scatter_i64split(n):
+            k = keep(n)
+            v = jnp.asarray(
+                rng.integers(-(1 << 60), 1 << 60, n).astype(np.int64))
+
+            def f(k, v):
+                pos = jnp.cumsum(k.astype(jnp.int32)) - 1
+                p = jnp.where(k, pos, n)
+                lo = (v & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
+                hi = (v >> jnp.int64(32)).astype(jnp.int32)
+                slo = jnp.zeros(n + 1, jnp.uint32).at[p].set(
+                    lo, mode="drop")
+                shi = jnp.zeros(n + 1, jnp.int32).at[p].set(
+                    hi, mode="drop")
+                return (shi[:n].astype(jnp.int64) << jnp.int64(32)) | \
+                    slo[:n].astype(jnp.int64)
+            return jax.jit(f), (k, v)
+
+        def gather_rows_f64(n):
+            v = fvals(n)
+            idx = jnp.asarray(rng.integers(0, n, n).astype(np.int32))
+            f = jax.jit(lambda v, i: move.gather_rows([v], i)[0])
+            return f, (v, idx)
+
+        slope_bench("compact_sort_f64", compact_sort_f64,
+                    [S // 4, S], 17)
+        slope_bench("compact_scatter_i32", compact_scatter_i32,
+                    [S, L], 9)
+        slope_bench("compact_scatter_i64split", compact_scatter_i64split,
+                    [S, L], 17)
+        slope_bench("gather_rows_f64_random", gather_rows_f64,
+                    [S // 4, S], 20)
+
+    # -- 4. sort -----------------------------------------------------------
+    if "sort" in SECTIONS:
+        def sort_u64_payload(n):
+            kv = jnp.asarray(rng.integers(0, 1 << 62, n).astype(np.int64))
+            pv = fvals(n)
+            f = jax.jit(lambda k, p: jax.lax.sort(
+                (k, p), dimension=0, is_stable=True, num_keys=1))
+            return f, (kv, pv)
+
+        slope_bench("sort_i64key_f64payload", sort_u64_payload,
+                    [S // 8, S // 2], 32)
+
+    # -- 5. grouper (hash path) -------------------------------------------
+    if "group" in SECTIONS:
+        def grouper_core_i64(n):
+            """The sort-based gid core (grouper.py group_ids inner): one
+            multi-operand stable sort + boundary scan + inverse perm."""
+            k = jnp.asarray(rng.integers(0, 1 << 20, n).astype(np.int64))
+
+            def f(k):
+                cap = k.shape[0]
+                iota = jnp.arange(cap, dtype=jnp.int64)
+                sk, perm = jax.lax.sort((k, iota), dimension=0,
+                                        is_stable=True, num_keys=1)
+                is_new = jnp.logical_or(iota == 0, sk != jnp.roll(sk, 1))
+                gid_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
+                # place gids back in row order (int32-safe scatter)
+                return jnp.zeros(cap, jnp.int32).at[
+                    perm.astype(jnp.int32)].set(
+                    gid_sorted.astype(jnp.int32), mode="drop")
+            return jax.jit(f), (k,)
+
+        slope_bench("grouper_core_i64_20bit", grouper_core_i64,
+                    [S // 8, S // 2], 12)
+
+    # -- 6. join probe (searchsorted core) --------------------------------
+    if "join" in SECTIONS:
+        def join_probe(n):
+            build = jnp.sort(jnp.asarray(
+                rng.integers(0, 1 << 30, n // 4).astype(np.int64)))
+            probe = jnp.asarray(
+                rng.integers(0, 1 << 30, n).astype(np.int64))
+            f = jax.jit(lambda b, p: jnp.searchsorted(b, p))
+            return f, (build, probe)
+
+        slope_bench("join_probe_searchsorted_i64", join_probe,
+                    [S // 4, S], 18)
+
+    # -- 7. Q1 end-to-end (device-resident, one fused program) ------------
+    if "q1" in SECTIONS:
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from __graft_entry__ import _q1_chain_decls
+        from arrow_tpu.acero.exec import compile_chain
+        from arrow_tpu.device.column import upload_table
+        from arrow_tpu.io import tpch
+
+        def q1(sf):
+            def make():
+                t = tpch.lineitem_table(sf)
+                batch = upload_table(t)
+                fn = compile_chain(_q1_chain_decls())
+                return fn, batch, t.num_rows
+            return make
+
+        try:
+            rows_bytes = 60  # ~7 f64 cols + keys + date per lineitem row
+            times = []
+            nrows = []
+            for sf in (0.25, 1.0):
+                fn, batch, n = q1(sf)()
+                times.append(_time_one(fn, (batch,), max(ITERS // 2, 5)))
+                nrows.append(n)
+            bw = (nrows[1] - nrows[0]) * rows_bytes / \
+                max(times[1] - times[0], 1e-9) / 1e9
+            emit({"name": "tpch_q1_device", "sf": [0.25, 1.0],
+                  "rows": nrows,
+                  "ms": [round(t * 1e3, 3) for t in times],
+                  "rows_per_s": round(nrows[1] / times[1], 0),
+                  "eff_bw_gbps": round(bw, 1),
+                  "bytes_per_row": rows_bytes})
+        except Exception as e:
+            emit({"name": "tpch_q1_device", "error": str(e)[:200]})
 
 
 if __name__ == "__main__":
