@@ -24,16 +24,23 @@ import jax.numpy as jnp
 _SMALL_SEGMENT_LOOP = 64
 
 
-def use_sort_paths() -> bool:
-    """Sort-based movement is a TPU-specific workaround (element gathers /
-    64-bit scatters lower quadratically there). CPU/GPU backends keep the
-    direct lowerings. Override with ARROW_TPU_MOVEMENT=sort|direct."""
+def movement_mode() -> str:
+    """Movement strategy: 'direct' (CPU/GPU native scatters/gathers),
+    'sort' (multi-operand stable sorts — works for every dtype), or
+    'scatter' (int32 scatters; 64-bit integers ride as two u32 planes,
+    f64 falls back to the sort). Override with ARROW_TPU_MOVEMENT."""
     import os
     force = os.environ.get("ARROW_TPU_MOVEMENT")
-    if force:
-        return force == "sort"
+    if force in ("sort", "direct", "scatter"):
+        return force
     import jax
-    return jax.default_backend() != "cpu"
+    return "direct" if jax.default_backend() == "cpu" else "sort"
+
+
+def use_sort_paths() -> bool:
+    """True when the TPU-safe (non-direct) movement lowering is active
+    (element gathers / 64-bit scatters lower quadratically there)."""
+    return movement_mode() != "direct"
 
 
 def sort_with_payload(keys: Sequence[jax.Array],
@@ -45,22 +52,67 @@ def sort_with_payload(keys: Sequence[jax.Array],
     return list(out[n_keys:])
 
 
+def _scatter32_to(positions: jax.Array, a: jax.Array,
+                  cap: int) -> Optional[jax.Array]:
+    """Place a[i] at positions[i] (out-of-range drops) using only
+    <=32-bit scatters: direct for narrow dtypes, two u32 planes for
+    64-bit integers (exact shift split/recombine). Returns None for
+    dtypes that have no 32-bit decomposition (f64 — its bit pattern is
+    unreachable here: the tunneled compiler rejects f64 bitcasts)."""
+    shape = (cap + 1,) + a.shape[1:]
+    if a.dtype.itemsize <= 4:
+        return jnp.zeros(shape, a.dtype).at[positions].set(
+            a, mode="drop")[:cap]
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        signed = jnp.issubdtype(a.dtype, jnp.signedinteger)
+        v = a.astype(jnp.int64) if signed else a.astype(jnp.uint64)
+        lo = (v & v.dtype.type(0xFFFFFFFF)).astype(jnp.uint32)
+        hi = (v >> v.dtype.type(32)).astype(
+            jnp.int32 if signed else jnp.uint32)
+        slo = jnp.zeros(shape, jnp.uint32).at[positions].set(
+            lo, mode="drop")[:cap]
+        shi = jnp.zeros(shape, hi.dtype).at[positions].set(
+            hi, mode="drop")[:cap]
+        wide = (shi.astype(v.dtype) << v.dtype.type(32)) | \
+            slo.astype(v.dtype)
+        return wide.astype(a.dtype)
+    return None
+
+
 def compact_by_mask(keep: jax.Array,
                     arrays: Sequence[jax.Array]) -> Tuple[List[jax.Array],
                                                           jax.Array]:
     """Move rows where keep is True to the front, preserving order.
     Returns (compacted arrays, count)."""
     count = jnp.sum(keep, dtype=jnp.int32)
-    if use_sort_paths():
+    mode = movement_mode()
+    cap = keep.shape[0]
+    if mode == "sort":
         drop_key = (~keep).astype(jnp.uint8)
         outs = sort_with_payload([drop_key], arrays)
         return outs, count
-    cap = keep.shape[0]
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     positions = jnp.where(keep, pos, cap)
-    outs = [jnp.zeros_like(a).at[positions].set(a, mode="drop")
-            for a in arrays]
-    return outs, count
+    if mode == "direct":
+        outs = [jnp.zeros_like(a).at[positions].set(a, mode="drop")
+                for a in arrays]
+        return outs, count
+    # 'scatter': int32 scatters per plane; dtypes with no 32-bit
+    # decomposition (f64) share ONE drop-key sort
+    outs: List[Optional[jax.Array]] = []
+    leftover = []
+    for i, a in enumerate(arrays):
+        s = _scatter32_to(positions, a, cap)
+        outs.append(s)
+        if s is None:
+            leftover.append(i)
+    if leftover:
+        drop_key = (~keep).astype(jnp.uint8)
+        sorted_left = sort_with_payload(
+            [drop_key], [arrays[i] for i in leftover])
+        for i, s in zip(leftover, sorted_left):
+            outs[i] = s
+    return list(outs), count
 
 
 def scatter_i32(dest_size: int, positions: jax.Array,

@@ -1,0 +1,58 @@
+"""Movement-layer strategy equivalence: the 'sort', 'direct' and
+'scatter' lowerings of compact_by_mask must agree on the live prefix
+for every device dtype (reference analogue: the selection kernels are
+lowering-independent, vector_selection_benchmark.cc exercises the same
+invariant across SIMD levels)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from arrow_tpu.compute import move
+
+
+def _cases(rng, n):
+    return [
+        jnp.asarray(rng.standard_normal(n)),                     # f64
+        jnp.asarray(rng.standard_normal(n).astype(np.float32)),  # f32
+        jnp.asarray(rng.integers(-(1 << 62), 1 << 62, n)),       # i64
+        jnp.asarray(rng.integers(0, 1 << 30, n).astype(np.int32)),
+        jnp.asarray(rng.integers(0, 255, n).astype(np.uint8)),
+        jnp.asarray(
+            rng.integers(0, 1 << 63, n).astype(np.uint64)),      # u64
+    ]
+
+
+@pytest.mark.parametrize("selectivity", [0.0, 0.5, 1.0])
+def test_compact_modes_agree(monkeypatch, selectivity):
+    rng = np.random.default_rng(7)
+    n = 4096
+    keep = jnp.asarray(rng.random(n) < selectivity)
+    arrays = _cases(rng, n)
+    results = {}
+    for mode in ("sort", "direct", "scatter"):
+        monkeypatch.setenv("ARROW_TPU_MOVEMENT", mode)
+        outs, count = move.compact_by_mask(keep, arrays)
+        results[mode] = ([np.asarray(o) for o in outs], int(count))
+    k = results["direct"][1]
+    assert results["sort"][1] == k == results["scatter"][1]
+    expect = [np.asarray(a)[np.asarray(keep)] for a in arrays]
+    for mode in ("sort", "direct", "scatter"):
+        outs, _ = results[mode]
+        for o, e in zip(outs, expect):
+            assert np.array_equal(o[:k], e), mode
+
+
+def test_i64_split_roundtrip_exact():
+    """The u32 shift split/recombine must be bit-exact across the whole
+    int64/uint64 range (incl. INT64_MIN and sign-bit patterns)."""
+    vals = np.array([0, 1, -1, 2**63 - 1, -(2**63), 123456789012345,
+                     -987654321098765, 2**32, -(2**32) - 1], np.int64)
+    keep = jnp.ones(len(vals), jnp.bool_)
+    pos = jnp.arange(len(vals), dtype=jnp.int32)
+    out = move._scatter32_to(pos, jnp.asarray(vals), len(vals))
+    assert np.array_equal(np.asarray(out), vals)
+    uvals = vals.view(np.uint64)
+    out_u = move._scatter32_to(pos, jnp.asarray(uvals), len(uvals))
+    assert np.array_equal(np.asarray(out_u), uvals)
