@@ -22,7 +22,7 @@ __all__ = ["BuildInfo", "RuntimeInfo", "GlobalOptions", "build_info",
 
 _ENV_KNOBS = {
     "ARROW_TPU_MOVEMENT": "sort-based vs direct data-movement paths "
-                          "(auto|sort|direct)",
+                          "(auto|sort|direct|scatter)",
     "ARROW_TPU_BLOOM": "hash-join bloom pushdown (auto|always|never)",
     "ARROW_TPU_COMPILE_CACHE": "persistent XLA compile cache (on|off)",
     "ARROW_TPU_COMPILE_CACHE_DIR": "compile cache location",
@@ -62,7 +62,7 @@ class GlobalOptions:
     io_threads: Optional[int] = None
     fragment_readahead: Optional[int] = None
     bloom_mode: Optional[str] = None       # auto|always|never
-    movement_mode: Optional[str] = None    # auto|sort|direct
+    movement_mode: Optional[str] = None    # auto|sort|direct|scatter
 
 
 _GLOBAL = GlobalOptions()

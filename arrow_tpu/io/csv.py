@@ -232,6 +232,13 @@ def _micros_to_unit(us: np.ndarray, unit: str) -> np.ndarray:
     """Epoch microseconds -> the timestamp unit, floor semantics
     (matching _temporal_to_int's `us // scale`)."""
     if unit == "ns":
+        # int64 ns saturates at ~year 2262: the python fallback raises
+        # OverflowError on such values, so the native path must too
+        # rather than silently wrapping.
+        lim = np.iinfo(np.int64).max // 1000
+        if us.size and (us.max() > lim or us.min() < -lim):
+            raise OverflowError(
+                "timestamp out of range for nanosecond unit")
         return us * 1000
     scale = {"s": 1_000_000, "ms": 1000, "us": 1}[unit]
     return us // scale if scale != 1 else us

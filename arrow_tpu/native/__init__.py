@@ -436,7 +436,10 @@ def csv_parse_ts_micros(block: CsvBlock, ids: np.ndarray,
                         skip: Optional[np.ndarray]
                         ) -> Optional[np.ndarray]:
     """Bulk ISO timestamp parse of fields `ids` -> int64 microseconds
-    since epoch (tz offsets folded to UTC), or None on any failure."""
+    since epoch, or None on any failure. Tz offsets are validated then
+    cancelled (wall-clock semantics, same as the python fallback; the
+    reference folds offsets to UTC — divergence noted in
+    docs/PARITY.md)."""
     lib = get_lib()
     if lib is None:
         return None

@@ -962,8 +962,7 @@ static inline bool parse_iso_time_part(std::string_view v, size_t p,
   if (!parse_digits(v, p, 2, &hh)) return false;
   p += 2;
   bool colons = p < v.size() && v[p] == ':';
-  if (p < v.size() && v[p] != 'Z' && v[p] != 'z' && v[p] != '+' &&
-      v[p] != '-') {
+  if (p < v.size() && v[p] != 'Z' && v[p] != '+' && v[p] != '-') {
     if (colons) ++p;
     if (!parse_digits(v, p, 2, &mm)) return false;
     p += 2;
@@ -991,7 +990,9 @@ static inline bool parse_iso_time_part(std::string_view v, size_t p,
   }
   if (p < v.size()) {
     char c = v[p];
-    if (c == 'Z' || c == 'z') {
+    // Uppercase 'Z' only: datetime.fromisoformat (the python fallback)
+    // and the reference parser both reject lowercase 'z'.
+    if (c == 'Z') {
       ++p;
       off_sign = 1;  // offset 0, but marks "aware"; value is UTC already
     } else if (c == '+' || c == '-') {
@@ -1040,9 +1041,14 @@ int64_t csv_parse_date32(const uint8_t* pool, const int64_t* offsets,
   return 0;
 }
 
-// Parse fields ids[0..n) as ISO timestamps -> microseconds since epoch
-// (tz offsets folded to UTC, matching the python path's aware-datetime
-// arithmetic). Separator between date and time may be 'T', 't' or ' '.
+// Parse fields ids[0..n) as ISO timestamps -> microseconds since epoch.
+// Tz offsets are validated then CANCELLED (wall-clock time is stored),
+// matching the python fallback, which subtracts an epoch carrying the
+// value's own tzinfo. NOTE: this diverges from the reference
+// (value_parsing.h ParseTimestampISO8601 folds [+-]HH:MM into the UTC
+// instant); both of this engine's paths agree with each other and the
+// divergence is documented in docs/PARITY.md. Separator between date
+// and time may be 'T', 't' or ' '.
 int64_t csv_parse_ts_micros(const uint8_t* pool, const int64_t* offsets,
                             const int64_t* ids, const uint8_t* skip,
                             int64_t n, int64_t* out) {

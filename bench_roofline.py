@@ -259,12 +259,16 @@ def main():
     if "q1" in SECTIONS:
         import sys
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from __graft_entry__ import _q1_chain_decls
-        from arrow_tpu.acero.exec import compile_chain
-        from arrow_tpu.device.column import upload_table
-        from arrow_tpu.io import tpch
 
         def q1(sf):
+            # imports inside the thunk so a missing/renamed module emits
+            # an error record instead of aborting the whole sweep
+            from __graft_entry__ import _q1_chain_decls
+
+            from arrow_tpu.acero.exec import compile_chain
+            from arrow_tpu.device.column import upload_table
+            from arrow_tpu.io import tpch
+
             def make():
                 t = tpch.lineitem_table(sf)
                 batch = upload_table(t)

@@ -321,6 +321,32 @@ class TestCSVNativeDifferential:
         assert t.schema.field("ts").type == at.timestamp("s")
         assert t.schema.field("d").type == at.date32()
 
+    def test_lowercase_z_suffix_not_a_timestamp(self, monkeypatch):
+        """datetime.fromisoformat rejects a lowercase 'z' suffix, so the
+        native parser must too (advisor round-2 finding: native used to
+        accept it, making the inferred schema depend on native-lib
+        availability)."""
+        data = (b"ts\n"
+                b"2020-01-01T12:30:45z\n"
+                b"2020-06-15T00:00:00z\n")
+        t = self._both(data, monkeypatch)
+        import arrow_tpu as at
+        assert t.schema.field("ts").type == at.string()
+
+    def test_ns_unit_overflow_raises(self):
+        """Years beyond ~2262 cannot be represented as int64 ns; the
+        native bulk path must raise like the python fallback instead of
+        silently wrapping (advisor round-2 finding)."""
+        import pytest
+
+        import arrow_tpu as at
+        from arrow_tpu.io import csv as acsv
+        data = b"ts\n9999-01-01T00:00:00\n"
+        co = acsv.ConvertOptions(
+            column_types={"ts": at.timestamp("ns")})
+        with pytest.raises((OverflowError, ValueError)):
+            acsv.read_csv(data, convert_options=co)
+
     def test_streaming_matches_read_csv(self):
         from arrow_tpu.io import csv as acsv
         body = "".join(f"{i},{i * 0.5},s{i % 9}\n" for i in range(5000))
