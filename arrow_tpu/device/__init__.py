@@ -12,10 +12,24 @@ jax.config.update("jax_enable_x64", True)
 # execute-bound. Opt out with ARROW_TPU_COMPILE_CACHE=off.
 import os as _os  # noqa: E402
 
+def _effective_platform_is_axon() -> bool:
+    # the env var alone is NOT the truth: conftest/scripts force cpu via
+    # jax.config.update("jax_platforms", "cpu") while the env still says
+    # axon. XLA:CPU AOT cache entries are machine-feature specific and
+    # LOAD ANYWAY on a different host ("could lead to SIGILL", observed
+    # round 3) — so the cache must engage only when the effective
+    # platform really is the tunneled TPU.
+    if "axon" not in _os.environ.get("JAX_PLATFORMS", ""):
+        return False
+    try:
+        cfg = jax.config.jax_platforms
+    except AttributeError:  # pragma: no cover
+        cfg = None
+    return cfg is None or "axon" in str(cfg)
+
+
 if _os.environ.get("ARROW_TPU_COMPILE_CACHE", "on") != "off" and \
-        "axon" in _os.environ.get("JAX_PLATFORMS", ""):
-    # (cpu runs skip the cache: XLA:CPU AOT entries are machine-feature
-    # specific and a shared cache dir can trip SIGILL across hosts)
+        _effective_platform_is_axon():
     _cache_dir = _os.environ.get(
         "ARROW_TPU_COMPILE_CACHE_DIR",
         _os.path.join(_os.path.dirname(_os.path.dirname(

@@ -140,41 +140,117 @@ def bench_q3(sf: float, iters: int):
     return ours, 0.0
 
 
+def _spawn_worker(env, timeout):
+    """Run one measurement attempt in a child process group with a hard
+    deadline. Returns (json_lines, err). The whole group is SIGKILLed on
+    timeout: the tunneled axon device wedges processes with hung RPCs
+    (round 2) and a plain child-kill can leave threads holding the
+    device."""
+    import signal
+    import subprocess
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True)
+    try:
+        out, err_txt = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        proc.wait()
+        return [], f"timeout after {timeout:g}s (device wedged?)"
+    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+    if proc.returncode == 0 and lines:
+        return lines, None
+    tail = (err_txt.strip().splitlines() or ["no output"])[-1]
+    return [], tail[:200]
+
+
 def main():
-    """Watchdog wrapper: the tunneled axon device can wedge an entire
-    process (RPCs hang forever — observed round 2), so the measurement
-    runs in a subprocess with a hard timeout and retries. The last line
-    of stdout is always ONE JSON record."""
+    """Watchdog wrapper with a TOTAL wall-clock budget and an SF
+    fallback ladder.
+
+    Round-2 failure mode (VERDICT.md weak #2): per-attempt timeouts
+    multiplied past the driver's own budget, so when the device wedged
+    the outer process was killed before the honest error record ever
+    printed. This version budgets TOTAL time (default 540 s), sizes
+    each attempt to the remaining budget, steps the scale factor down
+    (SF -> SF/10 -> SF/100) when attempts fail, and ALWAYS prints the
+    final JSON line with time to spare. Extra recorded rows (Q3, and
+    Q1 at fallback SFs) print as earlier JSON lines; the LAST line is
+    the headline record the driver parses."""
     if os.environ.get("ARROW_TPU_BENCH_WORKER") == "1":
         return _run()
-    import subprocess
-    timeout = float(os.environ.get("ARROW_TPU_BENCH_TIMEOUT", "900"))
-    retries = int(os.environ.get("ARROW_TPU_BENCH_RETRIES", "2"))
-    env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1")
-    last_err = "unknown"
-    for attempt in range(retries + 1):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=timeout, capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
-            last_err = f"timeout after {timeout:g}s (device wedged?)"
-            continue
-        lines = [ln for ln in proc.stdout.splitlines()
-                 if ln.startswith("{")]
-        if proc.returncode == 0 and lines:
-            print(lines[-1])
-            return
-        last_err = (proc.stderr.strip().splitlines() or ["no output"])[-1]
-    sf = os.environ.get("ARROW_TPU_BENCH_SF", "1.0")
-    print(json.dumps({
-        "metric": f"tpch_q1_sf{float(sf):g}_rows_per_s",
-        "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
-        "error": last_err[:200],
-    }))
+    t_start = time.perf_counter()
+    total = float(os.environ.get("ARROW_TPU_BENCH_TOTAL_BUDGET", "540"))
+    reserve = 10.0  # seconds kept back for printing/teardown
+
+    def remaining():
+        return total - (time.perf_counter() - t_start) - reserve
+
+    sf0 = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
+    ladder = [sf0]
+    while ladder[-1] / 10 >= 0.0099:
+        ladder.append(ladder[-1] / 10)
+
+    errors = []
+    headline = None
+    for i, sf in enumerate(ladder):
+        budget = remaining()
+        if budget < 60:
+            errors.append(f"budget exhausted before sf{sf:g}")
+            break
+        # Leave room for one fallback attempt when this is not the
+        # last rung; a single attempt per rung (the persistent compile
+        # cache makes retries at the same SF redundant: a second hang
+        # would hang identically).
+        cap = budget if i == len(ladder) - 1 else budget * 0.55
+        env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
+                   ARROW_TPU_BENCH_SF=f"{sf:g}")
+        if sf != sf0:  # fallback rungs: fewer iters, skip nothing else
+            env.setdefault("ARROW_TPU_BENCH_ITERS", "10")
+        lines, err = _spawn_worker(env, min(cap, 420.0))
+        if lines:
+            headline = lines[-1]
+            for extra in lines[:-1]:
+                print(extra)
+            break
+        errors.append(f"sf{sf:g}: {err}")
+
+    # Optional Q3 row when the headline succeeded and budget remains.
+    if headline is not None and remaining() > 90 and \
+            os.environ.get("ARROW_TPU_BENCH_Q3", "on") != "off":
+        env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
+                   ARROW_TPU_BENCH_QUERY="q3",
+                   ARROW_TPU_BENCH_SF=os.environ.get(
+                       "ARROW_TPU_BENCH_Q3_SF", "0.1"))
+        lines, err = _spawn_worker(env, min(remaining(), 300.0))
+        for ln in lines:
+            print(ln)
+        if not lines:
+            print(json.dumps({"metric": "tpch_q3_rows_per_s",
+                              "value": 0.0, "unit": "rows/s",
+                              "vs_baseline": 0.0,
+                              "error": (err or "")[:200]}))
+
+    if headline is not None:
+        print(headline)
+    else:
+        print(json.dumps({
+            "metric": f"tpch_q1_sf{sf0:g}_rows_per_s",
+            "value": 0.0, "unit": "rows/s", "vs_baseline": 0.0,
+            "error": "; ".join(errors)[:400],
+        }))
 
 
 def _run():
+    if os.environ.get("ARROW_TPU_BENCH_PLATFORM") == "cpu":
+        # the axon plugin overrides JAX_PLATFORMS, so force via config
+        # (same dance as tests/conftest.py) — used for harness testing
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
     iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "20"))
     query = os.environ.get("ARROW_TPU_BENCH_QUERY", "q1")
