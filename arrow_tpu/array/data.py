@@ -36,8 +36,11 @@ UNKNOWN_NULL_COUNT = -1
 
 
 class ArrayData:
+    # _device_byte_pool: lazy cache slot for the device string tier
+    # (compute/device_strings.py) — lives here so pool identity follows
+    # ArrayData identity and plan re-executions keep jit caches warm
     __slots__ = ("type", "length", "_null_count", "offset", "buffers",
-                 "children", "dictionary")
+                 "children", "dictionary", "_device_byte_pool")
 
     def __init__(self, type: DataType, length: int,
                  buffers: Sequence[Optional[Buffer]],

@@ -65,6 +65,22 @@ def _map_to_lookup(col: DeviceColumn, table: np.ndarray,
     return DeviceColumn(out, col.validity, out_type)
 
 
+def _pool_lookup(name: str, col: DeviceColumn, out_type, host_table,
+                 pattern: str = "",
+                 ignore_case: bool = False) -> DeviceColumn:
+    """Device byte-pool tier for string predicates (device_strings.py):
+    when the dictionary is large, compute the per-distinct table as 2-D
+    byte ops over the cached device byte pool instead of host Python
+    calls; `host_table` is the lazy host fallback (a thunk returning
+    the numpy table)."""
+    from .device_strings import pool_predicate
+    table = pool_predicate(name, col, pattern, ignore_case)
+    if table is not None:
+        out = table[col.values.astype(jnp.int64)]
+        return DeviceColumn(out, col.validity, out_type)
+    return _map_to_lookup(col, host_table(), out_type)
+
+
 def _str_to_str(name: str, fn: Callable[[str], str], doc: str = ""):
     @register(name, "elementwise", doc)
     def _impl(ctx, col, **options):
@@ -90,9 +106,14 @@ def _str_to_bool(name: str, fn: Callable[[str], bool], doc: str = ""):
     @register(name, "elementwise", doc)
     def _impl(ctx, col, **options):
         _require_string(name, col)
-        table = np.array([bool(fn(v if v is not None else "", **options))
-                          for v in _dict_values(col)], dtype=np.bool_)
-        return _map_to_lookup(col, table, T.bool_())
+
+        def host():
+            return np.array(
+                [bool(fn(v if v is not None else "", **options))
+                 for v in _dict_values(col)], dtype=np.bool_)
+        if name == "string_is_ascii" and not options:
+            return _pool_lookup(name, col, T.bool_(), host)
+        return _map_to_lookup(col, host(), T.bool_())
     return _impl
 
 
@@ -101,10 +122,14 @@ def _str_to_int(name: str, fn: Callable[[str], int], out_type=None,
     @register(name, "elementwise", doc)
     def _impl(ctx, col, **options):
         _require_string(name, col)
-        table = np.array([fn(v if v is not None else "", **options)
-                          for v in _dict_values(col)], dtype=np.int64)
-        return _map_to_lookup(col, table,
-                              out_type if out_type else T.int64())
+        t = out_type if out_type else T.int64()
+
+        def host():
+            return np.array([fn(v if v is not None else "", **options)
+                             for v in _dict_values(col)], dtype=np.int64)
+        if name in ("utf8_length", "binary_length") and not options:
+            return _pool_lookup(name, col, t, host)
+        return _map_to_lookup(col, host(), t)
     return _impl
 
 
@@ -251,10 +276,13 @@ def _maybe_ci(pattern, ignore_case):
 def _match_substring(ctx, col, pattern: str = "",
                      ignore_case: bool = False):
     _require_string("match_substring", col)
-    rx = _maybe_ci(pattern, ignore_case)
-    table = np.array([bool(rx.search(v)) if v is not None else False
-                      for v in _dict_values(col)], dtype=np.bool_)
-    return _map_to_lookup(col, table, T.bool_())
+
+    def host():
+        rx = _maybe_ci(pattern, ignore_case)
+        return np.array([bool(rx.search(v)) if v is not None else False
+                         for v in _dict_values(col)], dtype=np.bool_)
+    return _pool_lookup("match_substring", col, T.bool_(), host,
+                        pattern, ignore_case)
 
 
 @register("match_substring_regex", "elementwise")
@@ -270,23 +298,29 @@ def _match_substring_regex(ctx, col, pattern: str = "",
 @register("starts_with", "elementwise")
 def _starts_with(ctx, col, pattern: str = "", ignore_case: bool = False):
     _require_string("starts_with", col)
-    p = pattern.lower() if ignore_case else pattern
-    table = np.array(
-        [(v.lower() if ignore_case else v).startswith(p)
-         if v is not None else False for v in _dict_values(col)],
-        dtype=np.bool_)
-    return _map_to_lookup(col, table, T.bool_())
+
+    def host():
+        p = pattern.lower() if ignore_case else pattern
+        return np.array(
+            [(v.lower() if ignore_case else v).startswith(p)
+             if v is not None else False for v in _dict_values(col)],
+            dtype=np.bool_)
+    return _pool_lookup("starts_with", col, T.bool_(), host,
+                        pattern, ignore_case)
 
 
 @register("ends_with", "elementwise")
 def _ends_with(ctx, col, pattern: str = "", ignore_case: bool = False):
     _require_string("ends_with", col)
-    p = pattern.lower() if ignore_case else pattern
-    table = np.array(
-        [(v.lower() if ignore_case else v).endswith(p)
-         if v is not None else False for v in _dict_values(col)],
-        dtype=np.bool_)
-    return _map_to_lookup(col, table, T.bool_())
+
+    def host():
+        p = pattern.lower() if ignore_case else pattern
+        return np.array(
+            [(v.lower() if ignore_case else v).endswith(p)
+             if v is not None else False for v in _dict_values(col)],
+            dtype=np.bool_)
+    return _pool_lookup("ends_with", col, T.bool_(), host,
+                        pattern, ignore_case)
 
 
 def _like_to_regex(pattern: str) -> str:
@@ -310,8 +344,30 @@ def _like_to_regex(pattern: str) -> str:
 
 @register("match_like", "elementwise")
 def _match_like(ctx, col, pattern: str = "", ignore_case: bool = False):
-    """SQL LIKE (reference: scalar_string_ascii.cc MatchLike)."""
+    """SQL LIKE (reference: scalar_string_ascii.cc MatchLike).
+
+    Wildcard-free bodies with % only at the ends decompose onto the
+    device byte-pool predicates (the reference makes the same
+    plain-substring reduction before reaching for RE2)."""
     _require_string("match_like", col)
+    body = pattern.strip("%")
+    simple = ("_" not in body and "%" not in body and "\\" not in body
+              and len(pattern) - len(body) ==
+              pattern.startswith("%") + pattern.endswith("%"))
+    if simple:
+        lead, trail = pattern.startswith("%"), pattern.endswith("%")
+        sub = ("match_substring" if lead and trail else
+               "ends_with" if lead else
+               "starts_with" if trail else "equal_string")
+
+        def host():
+            rx = re.compile(_like_to_regex(pattern),
+                            re.IGNORECASE if ignore_case else 0)
+            return np.array([bool(rx.match(v)) if v is not None
+                             else False for v in _dict_values(col)],
+                            dtype=np.bool_)
+        return _pool_lookup(sub, col, T.bool_(), host, body,
+                            ignore_case)
     rx = re.compile(_like_to_regex(pattern),
                     re.IGNORECASE if ignore_case else 0)
     table = np.array([bool(rx.match(v)) if v is not None else False
@@ -323,24 +379,30 @@ def _match_like(ctx, col, pattern: str = "", ignore_case: bool = False):
 def _count_substring(ctx, col, pattern: str = "",
                      ignore_case: bool = False):
     _require_string("count_substring", col)
-    table = np.array(
-        [(v.lower() if ignore_case else v).count(
-            pattern.lower() if ignore_case else pattern)
-         if v is not None else 0 for v in _dict_values(col)],
-        dtype=np.int64)
-    return _map_to_lookup(col, table, T.int32())
+
+    def host():
+        return np.array(
+            [(v.lower() if ignore_case else v).count(
+                pattern.lower() if ignore_case else pattern)
+             if v is not None else 0 for v in _dict_values(col)],
+            dtype=np.int64)
+    return _pool_lookup("count_substring", col, T.int32(), host,
+                        pattern, ignore_case)
 
 
 @register("find_substring", "elementwise")
 def _find_substring(ctx, col, pattern: str = "",
                     ignore_case: bool = False):
     _require_string("find_substring", col)
-    table = np.array(
-        [(v.lower() if ignore_case else v).find(
-            pattern.lower() if ignore_case else pattern)
-         if v is not None else -1 for v in _dict_values(col)],
-        dtype=np.int64)
-    return _map_to_lookup(col, table, T.int32())
+
+    def host():
+        return np.array(
+            [(v.lower() if ignore_case else v).find(
+                pattern.lower() if ignore_case else pattern)
+             if v is not None else -1 for v in _dict_values(col)],
+            dtype=np.int64)
+    return _pool_lookup("find_substring", col, T.int32(), host,
+                        pattern, ignore_case)
 
 
 # --- replace ---------------------------------------------------------------
