@@ -33,6 +33,11 @@ def movement_mode() -> str:
     force = os.environ.get("ARROW_TPU_MOVEMENT")
     if force in ("sort", "direct", "scatter"):
         return force
+    if force and force != "auto":
+        import warnings
+        warnings.warn(f"unrecognized ARROW_TPU_MOVEMENT={force!r}; "
+                      "expected auto|sort|direct|scatter — using auto",
+                      stacklevel=2)
     import jax
     return "direct" if jax.default_backend() == "cpu" else "sort"
 
@@ -56,9 +61,9 @@ def _scatter32_to(positions: jax.Array, a: jax.Array,
                   cap: int) -> Optional[jax.Array]:
     """Place a[i] at positions[i] (out-of-range drops) using only
     <=32-bit scatters: direct for narrow dtypes, two u32 planes for
-    64-bit integers (exact shift split/recombine). Returns None for
-    dtypes that have no 32-bit decomposition (f64 — its bit pattern is
-    unreachable here: the tunneled compiler rejects f64 bitcasts)."""
+    64-bit integers (exact shift split/recombine), three planes for
+    f64 (exact frexp mantissa/exponent split — the tunneled compiler
+    rejects f64 BITCASTS, but frexp/ldexp are arithmetic)."""
     shape = (cap + 1,) + a.shape[1:]
     if a.dtype.itemsize <= 4:
         return jnp.zeros(shape, a.dtype).at[positions].set(
@@ -76,7 +81,80 @@ def _scatter32_to(positions: jax.Array, a: jax.Array,
         wide = (shi.astype(v.dtype) << v.dtype.type(32)) | \
             slo.astype(v.dtype)
         return wide.astype(a.dtype)
+    if a.dtype == jnp.float64:
+        mode = f64_planes_mode()
+        if mode == "bitcast":
+            return _scatter_f64_bitcast(positions, a, cap)
+        if mode == "frexp":
+            return _scatter_f64_frexp(positions, a, cap)
+        return None  # 'off': caller's shared drop-key sort (always exact)
     return None
+
+
+def f64_planes_mode() -> str:
+    """How f64 rides the 32-bit scatter path: 'bitcast' (u32 plane
+    views — bit-exact, but the tunneled TPU compiler rejected every
+    f64 bitcast in round 2), 'frexp' (arithmetic mantissa/exponent
+    split — exact EXCEPT subnormal inputs flush to zero, because XLA
+    itself flushes subnormal f64 products), or 'off' (sort fallback,
+    always exact). Default: bitcast where the platform supports it,
+    else off. Override with ARROW_TPU_F64_PLANES."""
+    import os
+    force = os.environ.get("ARROW_TPU_F64_PLANES")
+    if force in ("bitcast", "frexp", "off"):
+        return force
+    from ..platform_check import platform_kind
+    return "off" if platform_kind() in ("axon", "tpu") else "bitcast"
+
+
+def _scatter_f64_bitcast(positions: jax.Array, a: jax.Array,
+                         cap: int) -> jax.Array:
+    """f64 scatter as one (n, 2) u32-plane scatter via bitcast views —
+    fully bit-exact (subnormals, -0.0, NaN payloads)."""
+    planes = jax.lax.bitcast_convert_type(a, jnp.uint32)  # (..., 2)
+    out = jnp.zeros((cap + 1,) + planes.shape[1:], jnp.uint32).at[
+        positions].set(planes, mode="drop")[:cap]
+    return jax.lax.bitcast_convert_type(out, jnp.float64)
+
+
+def _scatter_f64_frexp(positions: jax.Array, a: jax.Array,
+                       cap: int) -> jax.Array:
+    """f64 scatter via arithmetic (no-bitcast) 32-bit planes.
+
+    Decomposition: v = mi * 2^(e-53) with mi a 53-bit signed integer
+    (frexp mantissa scaled up; exact), plus a packed (exponent|class)
+    i32 plane carrying specials: 0 finite, 1 +inf, 2 -inf, 3 nan,
+    4 negative zero. mi rides the two-u32 integer path; recombination
+    ldexp(mi * 2^-53, e) is a pure power-of-two scale.
+
+    Known limit: XLA flushes subnormal f64 results of ANY arithmetic
+    to zero (verified on XLA:CPU), so subnormal inputs come back as
+    +-0.0 — the same value every arithmetic kernel in the engine
+    would produce from them. Use 'bitcast' mode (or the sort path)
+    when byte-exact subnormal movement matters."""
+    finite = jnp.isfinite(a)
+    m, e = jnp.frexp(jnp.where(finite, a, 0.0))
+    mi = (m * jnp.float64(2.0 ** 53)).astype(jnp.int64)
+    is_negzero = jnp.logical_and(a == 0.0, jnp.signbit(a))
+    cls = jnp.where(jnp.isnan(a), 3,
+                    jnp.where(a == jnp.inf, 1,
+                              jnp.where(a == -jnp.inf, 2,
+                                        jnp.where(is_negzero, 4, 0))))
+    # exponent fits comfortably in 18 bits; pack class above it
+    packed = ((e.astype(jnp.int32) + 16384) |
+              (cls.astype(jnp.int32) << 18))
+    smi = _scatter32_to(positions, mi, cap)
+    sp = jnp.zeros((cap + 1,) + a.shape[1:], jnp.int32).at[
+        positions].set(packed, mode="drop")[:cap]
+    se = (sp & 0x3FFFF) - 16384
+    scls = sp >> 18
+    m2 = smi.astype(jnp.float64) * jnp.float64(2.0 ** -53)
+    v = jnp.ldexp(m2, se)
+    v = jnp.where(scls == 1, jnp.inf, v)
+    v = jnp.where(scls == 2, -jnp.inf, v)
+    v = jnp.where(scls == 3, jnp.nan, v)
+    v = jnp.where(scls == 4, jnp.float64(-0.0), v)
+    return v
 
 
 def compact_by_mask(keep: jax.Array,

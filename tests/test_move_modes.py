@@ -56,3 +56,63 @@ def test_i64_split_roundtrip_exact():
     uvals = vals.view(np.uint64)
     out_u = move._scatter32_to(pos, jnp.asarray(uvals), len(uvals))
     assert np.array_equal(np.asarray(out_u), uvals)
+
+
+_F64_EDGE = np.array([
+    0.0, -0.0, 1.0, -1.0, np.pi, -np.e,
+    np.inf, -np.inf, np.nan,
+    np.finfo(np.float64).max, np.finfo(np.float64).min,
+    np.finfo(np.float64).tiny,               # smallest normal
+    np.finfo(np.float64).smallest_subnormal,
+    -np.finfo(np.float64).smallest_subnormal,
+    5e-324 * 7,                              # mid-subnormal
+    1.0000000000000002,                      # 1 + ulp
+    9007199254740993.0,                      # 2^53 + 1 (rounds)
+], np.float64)
+
+
+def test_f64_scatter_bitcast_bit_exact():
+    """The u32-plane bitcast split is BIT-exact: subnormals, -0.0,
+    inf, nan, extreme exponents (reference bar: moving data can never
+    change it — vector_selection kernels copy bytes)."""
+    vals = _F64_EDGE
+    pos = jnp.arange(len(vals), dtype=jnp.int32)
+    out = np.asarray(move._scatter_f64_bitcast(pos, jnp.asarray(vals),
+                                               len(vals)))
+    assert np.array_equal(out.view(np.uint64), vals.view(np.uint64))
+    rng = np.random.default_rng(11)
+    bits = rng.integers(0, 2**64, 20000, dtype=np.uint64)
+    rvals = bits.view(np.float64)
+    pos = jnp.arange(len(rvals), dtype=jnp.int32)
+    out = np.asarray(move._scatter_f64_bitcast(pos, jnp.asarray(rvals),
+                                               len(rvals)))
+    assert np.array_equal(out.view(np.uint64), bits)
+
+
+def test_f64_scatter_frexp_exact_modulo_subnormals():
+    """The arithmetic (no-bitcast) split is exact for normals and
+    specials; subnormal inputs flush to +-0 (XLA flushes subnormal
+    f64 arithmetic results — documented limitation, opt-in mode)."""
+    vals = _F64_EDGE
+    pos = jnp.arange(len(vals), dtype=jnp.int32)
+    out = np.asarray(move._scatter_f64_frexp(pos, jnp.asarray(vals),
+                                             len(vals)))
+    tiny = np.finfo(np.float64).tiny
+    subnormal = np.logical_and(np.abs(vals) < tiny, vals != 0.0)
+    assert np.array_equal(out[subnormal], np.zeros(subnormal.sum()))
+    ok = ~subnormal
+    assert np.array_equal(out[ok].view(np.uint64),
+                          vals[ok].view(np.uint64))
+
+
+def test_f64_compact_scatter_mode_uses_planes(monkeypatch):
+    """compact_by_mask in scatter mode routes f64 through the bitcast
+    plane path on platforms that allow it and stays value-exact."""
+    monkeypatch.setenv("ARROW_TPU_MOVEMENT", "scatter")
+    monkeypatch.setenv("ARROW_TPU_F64_PLANES", "bitcast")
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal(4096)
+    keep = jnp.asarray(rng.random(4096) < 0.4)
+    (out,), count = move.compact_by_mask(keep, [jnp.asarray(vals)])
+    k = int(count)
+    assert np.array_equal(np.asarray(out)[:k], vals[np.asarray(keep)])
