@@ -72,10 +72,171 @@ def maybe_execute_distributed(decl, mesh: Optional[Mesh] = None
             out = _spmd_aggregate(lin, aggs, mesh, part_rows)
             if out is not None:
                 return out
-    # joins / sort terminals / passthrough: partition-sequential schedule
-    # (same contiguous partitioning, partitions run as chunks locally;
-    # exchange-partitioned variants live in parallel/distributed.py)
+    if has_join:
+        out = _distributed_join_plan(lin, mesh)
+        if out is not None:
+            return out
+    if (not has_join and term is not None
+            and term.factory_name == "order_by"):
+        out = _distributed_sort_plan(lin, mesh)
+        if out is not None:
+            return out
+    # remaining shapes: partition-sequential schedule (same contiguous
+    # partitioning, partitions run as chunks locally)
     return maybe_execute_chunked(decl, part_rows)
+
+
+_ROWID_L, _ROWID_R = "__dist_rid_l__", "__dist_rid_r__"
+
+
+def _distributed_join_plan(lin, mesh: Mesh) -> Optional[Table]:
+    """Execute a plan whose middle contains hashjoin(s) with the REAL
+    mesh exchange (parallel/distributed.py all_to_all hash
+    repartitioning — SURVEY §2.9 P4, swiss_join.cc:1103-1210 partitioned
+    build without the merge phase), preserving the single-device plan's
+    output exactly:
+
+    * probe side = source + pre-join middles (materialized locally —
+      elementwise work), build side = the join's inputs[1] subtree;
+    * both sides carry hidden row-id columns through the exchange; the
+      joined rows are restored to (probe_rowid, build_rowid) order,
+      which is the local sort-based join's emission order, so results
+      are value- AND order-identical to single-device execution;
+    * output columns follow the node's naming rules
+      (left_output/right_output + collision suffixes, exec.py
+      _join_output_schema);
+    * everything downstream of the first join re-enters
+      to_table(distributed=True), so later joins exchange again and a
+      terminal aggregate runs the SPMD spine."""
+    from .exec import Declaration
+    from .options import TableSourceNodeOptions
+    from ..parallel.distributed import distributed_join_tables
+
+    j = next(i for i, d in enumerate(lin.middle)
+             if d.factory_name == "hashjoin")
+    join_decl = lin.middle[j]
+    opts = join_decl.options
+    if opts.join_type not in ("inner", "left outer"):
+        return None
+
+    # ---- materialize both sides (probe = source + pre-join middles) --
+    probe_decl = Declaration("table_source",
+                             TableSourceNodeOptions(lin.table))
+    for d in lin.middle[:j]:
+        probe_decl = Declaration(d.factory_name, d.options,
+                                 inputs=[probe_decl])
+    probe = probe_decl.to_table()
+    build = join_decl.inputs[1].to_table()
+    if probe.num_rows == 0 or build.num_rows == 0:
+        return None  # degenerate; local path handles it
+
+    import arrow_tpu as at
+    pn, bn = probe.num_rows, build.num_rows
+    probe2 = Table.from_arrays(
+        [probe.column(i).combine_chunks()
+         for i in range(len(probe.schema.names))]
+        + [at.array(np.arange(pn, dtype=np.int64))],
+        list(probe.schema.names) + [_ROWID_L])
+    build2 = Table.from_arrays(
+        [build.column(i).combine_chunks()
+         for i in range(len(build.schema.names))]
+        + [at.array(np.arange(bn, dtype=np.int64))],
+        list(build.schema.names) + [_ROWID_R])
+
+    try:
+        joined = distributed_join_tables(
+            mesh, probe2, build2, list(opts.left_keys),
+            list(opts.right_keys), opts.join_type)
+    except NotImplementedError:
+        return None
+
+    # ---- restore probe-major order via the hidden row ids ----
+    # (distributed_join_tables suffixes collided names with _l/_r; the
+    # hidden names are unique so they survive verbatim)
+    rid_l = np.asarray(joined.column(_ROWID_L).to_pylist(),
+                       dtype=np.int64)
+    rid_r_raw = joined.column(_ROWID_R).to_pylist()
+    rid_r = np.asarray([-1 if v is None else v for v in rid_r_raw],
+                       dtype=np.int64)  # left-outer null rows
+    perm = np.lexsort((rid_r, rid_l))
+
+    # ---- output naming = _join_output_schema rules ----
+    lnames = list(opts.left_output) if opts.left_output is not None \
+        else list(probe.schema.names)
+    rnames = list(opts.right_output) if opts.right_output is not None \
+        else list(build.schema.names)
+    pick, outnames = [], []
+    for n in lnames:
+        jn = n + ("_l" if n in build2.schema.names else "")
+        pick.append(jn)
+        outnames.append(n + (opts.output_suffix_for_left
+                             if n in rnames else ""))
+    for n in rnames:
+        jn = n + ("_r" if n in probe2.schema.names else "")
+        pick.append(jn)
+        outnames.append(n + (opts.output_suffix_for_right
+                             if n in lnames else ""))
+    idx = at.array(perm.astype(np.int64))
+    cols = [joined.column(n).take(idx).combine_chunks()
+            for n in pick]
+    result = Table.from_arrays(cols, outnames)
+
+    # ---- downstream of the join: recurse distributed ----
+    rest = lin.middle[j + 1:]
+    tail: List = list(rest)
+    if lin.terminal is not None:
+        tail.append(lin.terminal)
+    tail += list(lin.post_ops)
+    cur = Declaration("table_source", TableSourceNodeOptions(result))
+    for d in tail:
+        cur = Declaration(d.factory_name, d.options, inputs=[cur])
+    if lin.post_fetch is not None:
+        cur = Declaration("fetch", lin.post_fetch, inputs=[cur])
+    if not tail and lin.post_fetch is None:
+        return result
+    return cur.to_table(distributed=True, mesh=mesh)
+
+
+def _distributed_sort_plan(lin, mesh: Mesh) -> Optional[Table]:
+    """order_by terminal: local sort + splitter sampling + range
+    exchange + merge (parallel/distributed.py, SURVEY §7 stage 5). A
+    hidden row-id ascending tiebreaker key reproduces the local stable
+    sort's tie order exactly, so output matches single-device
+    execution bit-for-bit."""
+    from .exec import Declaration
+    from .options import TableSourceNodeOptions
+    from ..parallel.distributed import distributed_sort_table
+
+    upstream = Declaration("table_source",
+                           TableSourceNodeOptions(lin.table))
+    for d in lin.middle:
+        upstream = Declaration(d.factory_name, d.options,
+                               inputs=[upstream])
+    t = upstream.to_table() if lin.middle else lin.table
+    if t.num_rows == 0:
+        return None
+
+    import arrow_tpu as at
+    opts = lin.terminal.options
+    rid = "__dist_rid__"
+    t2 = Table.from_arrays(
+        [t.column(i).combine_chunks()
+         for i in range(len(t.schema.names))]
+        + [at.array(np.arange(t.num_rows, dtype=np.int64))],
+        list(t.schema.names) + [rid])
+    try:
+        out = distributed_sort_table(
+            mesh, t2, list(opts.sort_keys) + [(rid, "ascending")],
+            null_placement=opts.null_placement)
+    except NotImplementedError:
+        return None
+    out = out.select(list(t.schema.names))
+    if lin.post_fetch is not None:
+        from .options import FetchNodeOptions
+        cur = Declaration("table_source", TableSourceNodeOptions(out))
+        cur = Declaration("fetch", lin.post_fetch, inputs=[cur])
+        out = cur.to_table()
+    return out
 
 
 def _spmd_aggregate(lin, aggs, mesh: Mesh, part_rows: int
@@ -83,17 +244,45 @@ def _spmd_aggregate(lin, aggs, mesh: Mesh, part_rows: int
     """scan+filter+project+consume as one shard_map program; per-device
     states merged in partition order; finalize + post ops on the host
     stream."""
-    from .exec import _segment_fns
-    ndev = int(mesh.devices.size)
-    axis = mesh.axis_names[0]
     try:
         source = _ChunkSource(lin.table, part_rows)
     except NotImplementedError:
         return None
     cap = source.capacity
+    n = lin.table.num_rows
+
+    from ..compute.registry import ArrowInvalid
+    from ..device.column import capacity_class
+
+    # state-capacity ladder: the common few-groups capacity first; on
+    # group-state overflow retry once with a capacity covering every
+    # row (groups <= rows, so the second rung cannot overflow). Mirrors
+    # the reference grouper's resize-on-demand (grouper.cc:555) under
+    # static-shape constraints.
+    ladder = [state_rows_env(cap)]
+    full = capacity_class(n)
+    if full > ladder[0]:
+        ladder.append(full)
+    last_exc = None
+    for S in ladder:
+        try:
+            return _spmd_aggregate_at(lin, aggs, mesh, part_rows, S)
+        except ArrowInvalid as e:
+            if "group-state capacity" not in str(e):
+                raise
+            last_exc = e
+    raise last_exc
+
+
+def _spmd_aggregate_at(lin, aggs, mesh: Mesh, part_rows: int,
+                       S: int) -> Optional[Table]:
+    from .exec import _segment_fns
+    ndev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    source = _ChunkSource(lin.table, part_rows)
+    cap = source.capacity
     ncols = len(source.hosts)
 
-    # ---- stacked (ndev, cap) host buffers, contiguous partitions ----
     counts = np.zeros(ndev, np.int32)
     vals = [np.zeros((ndev, cap), dtype=h.values.dtype)
             for h in source.hosts]
@@ -120,7 +309,6 @@ def _spmd_aggregate(lin, aggs, mesh: Mesh, part_rows: int
     dicts = [h.dictionary for h in source.hosts]
     schema = source.schema
 
-    S = state_rows_env(cap)
     gb = _ChunkedGroupBy(lin.terminal.options, aggs, S)
     step = gb._make_step()
 

@@ -1024,15 +1024,20 @@ def _join_materialize(options, plan, left, right, out_cap: int, total: int,
         def fn(plan, left, right, unmatched):
             probe_idx, build_idx, build_valid, row_live = \
                 J.join_gather_indices(plan, out_cap, jt)
-            lsub = left.select(list(lnames)) if lnames else left
-            lcols = J.gather_batch_columns(lsub, probe_idx, None, out_cap)
+            # an EMPTY output list is a valid projection (emit no
+            # columns from that side — tpch q3's inner join does this),
+            # distinct from None/unset meaning "all columns"
+            lsub = left.select(list(lnames))
+            lcols = [] if not lnames else \
+                J.gather_batch_columns(lsub, probe_idx, None, out_cap)
             out_cols = list(lcols)
             n_out = plan.total.astype(jnp.int32)
             if not probe_only:
-                rsub = right.select(list(rnames)) if rnames else right
+                rsub = right.select(list(rnames))
                 bv = build_valid if jt in ("left outer", "full outer") \
                     else None
-                rcols = J.gather_batch_columns(rsub, build_idx, bv, out_cap)
+                rcols = [] if not rnames else \
+                    J.gather_batch_columns(rsub, build_idx, bv, out_cap)
                 out_cols = out_cols + rcols
                 if jt in ("right outer", "full outer"):
                     # append unmatched build rows after the probe output

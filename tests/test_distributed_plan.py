@@ -144,8 +144,11 @@ def test_distributed_to_table_kwarg():
     assert_tables_equal(plan.to_table(distributed=True), plan.to_table())
 
 
-def test_distributed_order_by_fallback_partitioned():
-    # sort terminal: partition-chunked schedule, still partitioned
+def test_distributed_order_by_range_exchange(monkeypatch):
+    # sort terminal rides the real splitter-sampling range exchange
+    # (parallel/distributed.py distributed_sort_table) with a hidden
+    # row-id tiebreaker reproducing the local stable order exactly
+    no_fallback(monkeypatch)
     t = make_table()
     plan = Declaration.from_sequence([
         source(t),
@@ -157,7 +160,27 @@ def test_distributed_order_by_fallback_partitioned():
     assert_tables_equal(dist, plan.to_table())
 
 
-def test_distributed_join_fallback_partitioned():
+def test_distributed_order_by_null_placement(monkeypatch):
+    no_fallback(monkeypatch)
+    t = make_table()
+    for placement in ("at_start", "at_end"):
+        plan = Declaration.from_sequence([
+            source(t),
+            Declaration("filter", acero.FilterNodeOptions(
+                field("g") >= 3)),
+            Declaration("order_by", acero.OrderByNodeOptions(
+                [("f", "descending")], null_placement=placement)),
+        ])
+        dist = maybe_execute_distributed(plan)
+        assert dist is not None
+        assert_tables_equal(dist, plan.to_table())
+
+
+def test_distributed_join_exchange(monkeypatch):
+    # joins ride the real all_to_all hash-repartition exchange
+    # (parallel/distributed.py distributed_join_tables), with hidden
+    # row-id order restoration matching the local plan exactly
+    no_fallback(monkeypatch)
     rng = np.random.default_rng(5)
     n = 4000
     left = at.table({
@@ -175,6 +198,50 @@ def test_distributed_join_fallback_partitioned():
         Declaration("aggregate", acero.AggregateNodeOptions(
             [("v", "hash_sum", None, "s")], keys=["w"])),
     ])
+    dist = maybe_execute_distributed(plan)
+    assert dist is not None
+    assert_tables_equal(dist, plan.to_table())
+
+
+def test_distributed_join_multimatch_order(monkeypatch):
+    """1:N joins: distributed output must equal the local plan's row
+    order exactly (probe-major, build order within a probe row)."""
+    no_fallback(monkeypatch)
+    rng = np.random.default_rng(9)
+    n = 3000
+    left = at.table({
+        "key": [int(v) for v in rng.integers(0, 40, n)],
+        "v": list(range(n)),
+    })
+    right = at.table({
+        "key": [int(v) for v in rng.integers(0, 40, 200)],
+        "w": list(range(200)),
+    })
+    plan = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["key"], right_keys=["key"],
+        output_suffix_for_left="_l", output_suffix_for_right="_r"),
+        inputs=[source(left), source(right)])
+    dist = maybe_execute_distributed(plan)
+    assert dist is not None
+    assert_tables_equal(dist, plan.to_table())
+
+
+def test_distributed_left_outer_join(monkeypatch):
+    no_fallback(monkeypatch)
+    rng = np.random.default_rng(13)
+    n = 2500
+    left = at.table({
+        "key": [int(v) for v in rng.integers(0, 200, n)],
+        "v": list(range(n)),
+    })
+    right = at.table({
+        "key": [int(v) for v in rng.integers(0, 120, 90)],
+        "w": list(range(90)),
+    })
+    plan = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "left outer", left_keys=["key"], right_keys=["key"],
+        output_suffix_for_left="_l", output_suffix_for_right="_r"),
+        inputs=[source(left), source(right)])
     dist = maybe_execute_distributed(plan)
     assert dist is not None
     assert_tables_equal(dist, plan.to_table())
