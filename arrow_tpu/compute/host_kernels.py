@@ -78,39 +78,132 @@ def _binary_join(lists: Array, separator) -> Array:
     return make_array(out, T.string())
 
 
+def _list_layout(arr: Array):
+    """(offsets[n+1] int64 np, values Array) for offset-backed list
+    layouts, or None when the layout needs the generic pylist path.
+    Offsets are absolute child indices (array_nested.h semantics)."""
+    import numpy as np
+    tid = arr.type.id
+    if tid in (T.TypeId.LIST, T.TypeId.LARGE_LIST, T.TypeId.MAP):
+        return (np.asarray(arr.data.offsets(), dtype=np.int64),
+                Array(arr.data.children[0]))
+    if tid == T.TypeId.FIXED_SIZE_LIST:
+        k = arr.type.list_size
+        n = len(arr)
+        base = arr.data.offset * k
+        return (base + np.arange(n + 1, dtype=np.int64) * k,
+                Array(arr.data.children[0]))
+    return None
+
+
+def _masked_lens(arr: Array, offs):
+    """per-row element counts with null rows zeroed, plus the mask."""
+    import numpy as np
+    lens = np.diff(offs)
+    mask = arr.data.validity_mask()
+    if mask is not None:
+        mask = np.asarray(mask, np.bool_)
+        lens = np.where(mask, lens, 0)
+    return lens, mask
+
+
+def _with_validity(arr: Array, keep) -> Array:
+    """arr with validity AND-ed down to `keep` (np bool)."""
+    import numpy as np
+
+    from ..array.data import ArrayData
+    from ..buffer import Buffer
+    from ..utils import bits as bitutil
+    d = arr.data
+    m = d.validity_mask()
+    new = keep if m is None else np.logical_and(np.asarray(m, np.bool_),
+                                                keep)
+    if bool(new.all()):
+        return arr
+    nd = ArrayData(d.type, d.length,
+                   [Buffer(bitutil.pack_bits(new))] + list(d.buffers[1:]),
+                   children=list(d.children),
+                   null_count=int(len(new) - new.sum()),
+                   dictionary=d.dictionary)
+    return Array(nd)
+
+
 @register_host("list_value_length")
 def _list_value_length(arr: Array) -> Array:
-    return make_array([None if v is None else len(v)
-                       for v in arr.to_pylist()], T.int32())
+    """Offsets arithmetic, not a pylist loop (scalar_nested.cc
+    ListValueLength): lens = diff(offsets), nulls propagate."""
+    import numpy as np
+    lay = _list_layout(arr)
+    if lay is None:
+        return make_array([None if v is None else len(v)
+                           for v in arr.to_pylist()], T.int32())
+    offs, _ = lay
+    lens = np.diff(offs).astype(np.int32)
+    mask = arr.data.validity_mask()
+    out = make_array(lens, T.int32())
+    if mask is None:
+        return out
+    return _with_validity(out, np.asarray(mask, np.bool_))
 
 
 @register_host("list_flatten")
 def _list_flatten(arr: Array) -> Array:
-    flat = []
-    for v in arr.to_pylist():
-        if v is not None:
-            flat.extend(v)
-    return make_array(flat, arr.type.value_type)
+    """Gather of the values child at the concatenated valid ranges
+    (vector_nested.cc ListFlatten) — one take, no per-row python."""
+    import numpy as np
+    lay = _list_layout(arr)
+    if lay is None:
+        flat = []
+        for v in arr.to_pylist():
+            if v is not None:
+                flat.extend(v)
+        return make_array(flat, arr.type.value_type)
+    offs, values = lay
+    lens, mask = _masked_lens(arr, offs)
+    total = int(lens.sum())
+    if mask is None and total == offs[-1] - offs[0]:
+        # contiguous: pure slice of the child, zero copy
+        return values.slice(int(offs[0]), total)
+    starts = np.repeat(offs[:-1], lens)
+    within = np.arange(total, dtype=np.int64) - \
+        np.repeat(np.cumsum(lens) - lens, lens)
+    return values.take(make_array(starts + within, T.int64()))
 
 
 @register_host("list_parent_indices")
 def _list_parent_indices(arr: Array) -> Array:
-    out = []
-    for i, v in enumerate(arr.to_pylist()):
-        if v is not None:
-            out.extend([i] * len(v))
-    return make_array(out, T.int64())
+    import numpy as np
+    lay = _list_layout(arr)
+    if lay is None:
+        out = []
+        for i, v in enumerate(arr.to_pylist()):
+            if v is not None:
+                out.extend([i] * len(v))
+        return make_array(out, T.int64())
+    offs, _ = lay
+    lens, _ = _masked_lens(arr, offs)
+    return make_array(np.repeat(np.arange(len(lens), dtype=np.int64),
+                                lens), T.int64())
 
 
 @register_host("list_element")
 def _list_element(arr: Array, index: int = 0) -> Array:
-    out = []
-    for v in arr.to_pylist():
-        if v is None or index >= len(v):
-            out.append(None)
-        else:
-            out.append(v[index])
-    return make_array(out, arr.type.value_type)
+    import numpy as np
+    lay = _list_layout(arr)
+    if lay is None:
+        out = []
+        for v in arr.to_pylist():
+            if v is None or index >= len(v):
+                out.append(None)
+            else:
+                out.append(v[index])
+        return make_array(out, arr.type.value_type)
+    offs, values = lay
+    lens, mask = _masked_lens(arr, offs)
+    ok = lens > index
+    safe = np.where(ok, offs[:-1] + index, offs[0])
+    taken = values.take(make_array(safe, T.int64()))
+    return _with_validity(taken, ok)
 
 
 @register_host("make_struct")
@@ -158,7 +251,20 @@ def _map_lookup(arr: Array, query_key=None,
 
 @register_host("run_end_decode")
 def _run_end_decode(arr: Array) -> Array:
-    return make_array(arr.to_pylist(), arr.type.value_type)
+    """REE expansion as one searchsorted + take
+    (vector_run_end_encode.cc decode): logical row i belongs to the
+    first run whose end exceeds i."""
+    import numpy as np
+    d = arr.data
+    if arr.type.id != T.TypeId.RUN_END_ENCODED or len(d.children) < 2:
+        return make_array(arr.to_pylist(), arr.type.value_type)
+    run_ends = np.asarray(Array(d.children[0]).to_numpy(),
+                          dtype=np.int64)
+    values = Array(d.children[1])
+    n = d.length
+    logical = np.arange(d.offset, d.offset + n, dtype=np.int64)
+    idx = np.searchsorted(run_ends, logical, side="right")
+    return values.take(make_array(idx, T.int64()))
 
 
 @register_host("random")
