@@ -72,4 +72,24 @@ def test_gandiva_projector_filter():
     filt = gandiva.make_filter(
         rb.schema, gandiva.TreeExprBuilder.make_and(
             [field("a") > 1.0, field("b") < 30.0]))
-    assert filt.evaluate(rb).to_pylist() == [1]
+    sel = filt.evaluate(rb)
+    assert sel.to_array().to_pylist() == [1]
+
+    # selection-vector projection (Projector::Evaluate w/ selection)
+    out_sel = proj.evaluate(rb, selection=sel)
+    assert out_sel[0].to_pylist() == [22.0]
+
+    # projector/filter cache (gandiva/cache.h analogue): same schema +
+    # exprs -> same compiled object
+    filt2 = gandiva.make_filter(
+        rb.schema, gandiva.TreeExprBuilder.make_and(
+            [field("a") > 1.0, field("b") < 30.0]))
+    assert filt2 is filt
+
+    # compiled projector reused across many batches (the Gandiva
+    # "compile once, evaluate many" contract)
+    rb2 = at.record_batch({"a": [5.0, 6.0, 7.0], "b": [1.0, 1.0, 1.0]})
+    out2 = proj.evaluate(rb2)
+    assert out2[0].to_pylist() == [6.0, 7.0, 8.0]
+
+    assert "add" in gandiva.get_registered_function_signatures()
