@@ -19,6 +19,7 @@ through ``jax.jit`` / ``shard_map``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -445,10 +446,49 @@ def _upload_mask(mask: Optional[np.ndarray], n: int, cap: int,
     return jnp.asarray(m)
 
 
+_SYNC_UPLOADS = None
+
+
+def _sync_uploads() -> bool:
+    """Serialize host->device column transfers on the tunneled platform:
+    the relay deadlocks on deep concurrent transfer queues (observed
+    round 3: SF1 lineitem's ~16 parallel 64 MB uploads hang FOREVER
+    while strictly sequential puts stream at 75 MB/s — same failure
+    family as the per-node execution queue wedge, exec.py _sync_nodes).
+    Override with ARROW_TPU_SYNC_UPLOADS=on|off."""
+    global _SYNC_UPLOADS
+    mode = os.environ.get("ARROW_TPU_SYNC_UPLOADS", "auto")
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    if _SYNC_UPLOADS is None:
+        try:
+            from ..platform_check import platform_kind
+            _SYNC_UPLOADS = platform_kind() == "axon"
+        except Exception:
+            _SYNC_UPLOADS = False
+    return _SYNC_UPLOADS
+
+
+def _gate_column(col: DeviceColumn) -> None:
+    """Force completion of one column's transfers (readback of a single
+    element is the only reliable barrier on the tunnel)."""
+    np.asarray(col.values[:1])
+    if col.validity is not None:
+        np.asarray(col.validity[:1])
+
+
 def upload_batch(batch: RecordBatch,
                  capacity: Optional[int] = None) -> DeviceBatch:
     cap = capacity if capacity is not None else round_up(batch.num_rows)
-    cols = [upload_column(c, cap) for c in batch.columns]
+    gate = _sync_uploads()
+    cols = []
+    for c in batch.columns:
+        dc = upload_column(c, cap)
+        if gate:
+            _gate_column(dc)
+        cols.append(dc)
     return DeviceBatch(batch.schema, cols,
                        jnp.asarray(batch.num_rows, dtype=jnp.int32))
 

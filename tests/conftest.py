@@ -16,3 +16,22 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# --- suite-scale stability -------------------------------------------------
+# The full suite compiles thousands of XLA:CPU executables; at ~95% of
+# the run the accumulated executables/FFI state can segfault or abort
+# inside a later jit execution (observed round 3 at test_q15/test_q16
+# in full-suite runs only — every half-suite bisect passes). Clearing
+# jax's compilation caches between test modules bounds the accumulation
+# at a small recompile cost.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    try:
+        jax.clear_caches()
+    except Exception:
+        pass
