@@ -140,6 +140,39 @@ def bench_q3(sf: float, iters: int):
     return ours, 0.0
 
 
+_READY_PROBE_SRC = """
+import jax, numpy as np
+d = jax.device_put(np.ones(1 << 17))
+assert float(np.asarray(d[:1])[0]) == 1.0
+print("DEVICE_READY")
+"""
+
+
+def _wait_device_ready(deadline_fn, probe_timeout=45.0, gap=30.0):
+    """Poll the tunneled device with tiny put+readback probes until it
+    responds or the budget share runs out. The tunnel serializes
+    clients and holds the device for minutes after a client dies
+    mid-transfer (measured round 3) — burning ladder attempts against a
+    held device records nothing, waiting does."""
+    import subprocess
+    while True:
+        left = deadline_fn()
+        if left <= probe_timeout:
+            return False
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _READY_PROBE_SRC],
+                capture_output=True, text=True,
+                timeout=min(probe_timeout, left), start_new_session=True)
+            if "DEVICE_READY" in proc.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if deadline_fn() <= gap:
+            return False
+        time.sleep(gap)
+
+
 def _spawn_worker(env, timeout):
     """Run one measurement attempt in a child process group with a hard
     deadline. Returns (json_lines, err). The whole group is SIGKILLed on
@@ -196,28 +229,58 @@ def main():
         ladder.append(ladder[-1] / 10)
 
     errors = []
+    # phase 0: wait for the tunnel to actually serve a client (up to
+    # ~40% of budget) — a held device makes every attempt a dead loss
+    if os.environ.get("ARROW_TPU_BENCH_WAIT_DEVICE", "on") != "off":
+        share = total * 0.4
+
+        def wait_left():
+            return min(remaining(), share - (time.perf_counter()
+                                             - t_start))
+        if not _wait_device_ready(wait_left):
+            errors.append("device busy/held throughout wait window")
+    # Attempt order: SMALL first to bank a number, then the big SF with
+    # the remaining budget. Rationale (measured round 3): an attempt
+    # killed mid-transfer leaves the tunnel holding the device for
+    # minutes, so a failed big-SF attempt poisons every later rung —
+    # banking the cheap rung first guarantees a nonzero record either
+    # way. Headline = the largest SF that completed.
+    attempts = sorted(set(ladder))  # ascending
+    if len(attempts) > 2:
+        attempts = [attempts[1], attempts[-1]]  # e.g. 0.1 then 1.0
     headline = None
-    for i, sf in enumerate(ladder):
+    for i, sf in enumerate(attempts):
         budget = remaining()
         if budget < 60:
             errors.append(f"budget exhausted before sf{sf:g}")
             break
-        # Leave room for one fallback attempt when this is not the
-        # last rung; a single attempt per rung (the persistent compile
-        # cache makes retries at the same SF redundant: a second hang
-        # would hang identically).
-        cap = budget if i == len(ladder) - 1 else budget * 0.55
+        # cheap rung: cap it so the big rung keeps most of the budget
+        cap = budget if i == len(attempts) - 1 else min(budget * 0.45,
+                                                        180.0)
         env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
                    ARROW_TPU_BENCH_SF=f"{sf:g}")
-        if sf != sf0:  # fallback rungs: fewer iters, skip nothing else
+        if sf != sf0:  # smaller rungs: fewer iters, skip nothing else
             env.setdefault("ARROW_TPU_BENCH_ITERS", "10")
         lines, err = _spawn_worker(env, min(cap, 420.0))
         if lines:
+            if headline is not None:
+                print(headline)  # banked smaller-SF row prints first
             headline = lines[-1]
             for extra in lines[:-1]:
                 print(extra)
-            break
+            continue
         errors.append(f"sf{sf:g}: {err}")
+
+    if headline is None and remaining() > 90 and len(ladder) > 2:
+        # emergency rung: tiny SF (RTT-bound, but a real execution)
+        env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
+                   ARROW_TPU_BENCH_SF=f"{ladder[-1]:g}",
+                   ARROW_TPU_BENCH_ITERS="10")
+        lines, err = _spawn_worker(env, min(remaining(), 240.0))
+        if lines:
+            headline = lines[-1]
+        else:
+            errors.append(f"sf{ladder[-1]:g}: {err}")
 
     # Optional Q3 row when the headline succeeded and budget remains.
     if headline is not None and remaining() > 90 and \
