@@ -175,30 +175,39 @@ def _wait_device_ready(deadline_fn, probe_timeout=45.0, gap=30.0):
 
 def _spawn_worker(env, timeout):
     """Run one measurement attempt in a child process group with a hard
-    deadline. Returns (json_lines, err). The whole group is SIGKILLed on
-    timeout: the tunneled axon device wedges processes with hung RPCs
-    (round 2) and a plain child-kill can leave threads holding the
-    device."""
+    deadline. Returns (json_lines, err). The whole group is SIGKILLed
+    on timeout, but stdout goes through a FILE so every metric line the
+    worker printed BEFORE hanging is harvested — a final kill can no
+    longer erase banked results (round-3 lesson: the tunnel hangs
+    mid-session and holds the device for minutes after any kill, so
+    partial results are often all there is)."""
     import signal
     import subprocess
-    proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__)], env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        start_new_session=True)
-    try:
-        out, err_txt = proc.communicate(timeout=timeout)
-    except subprocess.TimeoutExpired:
+    import tempfile
+    with tempfile.TemporaryFile(mode="w+t") as out_f, \
+            tempfile.TemporaryFile(mode="w+t") as err_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__)], env=env,
+            stdout=out_f, stderr=err_f, text=True,
+            start_new_session=True)
+        err = None
         try:
-            os.killpg(proc.pid, signal.SIGKILL)
-        except OSError:
-            pass
-        proc.wait()
-        return [], f"timeout after {timeout:g}s (device wedged?)"
-    lines = [ln for ln in out.splitlines() if ln.startswith("{")]
-    if proc.returncode == 0 and lines:
-        return lines, None
-    tail = (err_txt.strip().splitlines() or ["no output"])[-1]
-    return [], tail[:200]
+            proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            err = f"timeout after {timeout:g}s (device wedged?)"
+        out_f.seek(0)
+        lines = [ln for ln in out_f.read().splitlines()
+                 if ln.startswith("{")]
+        if err is None and proc.returncode != 0:
+            err_f.seek(0)
+            tail = (err_f.read().strip().splitlines() or ["no output"])
+            err = tail[-1][:200]
+        return lines, err
 
 
 def main():
@@ -239,67 +248,26 @@ def main():
                                              - t_start))
         if not _wait_device_ready(wait_left):
             errors.append("device busy/held throughout wait window")
-    # Attempt order: SMALL first to bank a number, then the big SF with
-    # the remaining budget. Rationale (measured round 3): an attempt
-    # killed mid-transfer leaves the tunnel holding the device for
-    # minutes, so a failed big-SF attempt poisons every later rung —
-    # banking the cheap rung first guarantees a nonzero record either
-    # way. Headline = the largest SF that completed.
-    attempts = sorted(set(ladder))  # ascending
-    if len(attempts) > 2:
-        attempts = [attempts[1], attempts[-1]]  # e.g. 0.1 then 1.0
-    headline = None
-    for i, sf in enumerate(attempts):
-        budget = remaining()
-        if budget < 60:
-            errors.append(f"budget exhausted before sf{sf:g}")
-            break
-        # cheap rung: cap it so the big rung keeps most of the budget
-        cap = budget if i == len(attempts) - 1 else min(budget * 0.45,
-                                                        180.0)
-        env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
-                   ARROW_TPU_BENCH_SF=f"{sf:g}")
-        if sf != sf0:  # smaller rungs: fewer iters, skip nothing else
-            env.setdefault("ARROW_TPU_BENCH_ITERS", "10")
-        lines, err = _spawn_worker(env, min(cap, 420.0))
-        if lines:
-            if headline is not None:
-                print(headline)  # banked smaller-SF row prints first
-            headline = lines[-1]
-            for extra in lines[:-1]:
-                print(extra)
-            continue
-        errors.append(f"sf{sf:g}: {err}")
 
-    if headline is None and remaining() > 90 and len(ladder) > 2:
-        # emergency rung: tiny SF (RTT-bound, but a real execution)
-        env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
-                   ARROW_TPU_BENCH_SF=f"{ladder[-1]:g}",
-                   ARROW_TPU_BENCH_ITERS="10")
-        lines, err = _spawn_worker(env, min(remaining(), 240.0))
-        if lines:
-            headline = lines[-1]
-        else:
-            errors.append(f"sf{ladder[-1]:g}: {err}")
+    # ONE worker runs the whole suite (ascending Q1 rungs, then Q3) in
+    # a single process, printing each metric line as it completes. The
+    # outer watchdog never kills-and-retries mid-budget — measured
+    # round 3: the tunnel serializes clients and any kill leaves the
+    # device held for ~10 minutes, so retries always lose. If the
+    # worker hangs, the final kill still harvests every line it
+    # printed before hanging.
+    env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
+               ARROW_TPU_BENCH_SUITE="1")
+    lines, err = _spawn_worker(env, max(remaining(), 30.0))
+    if err:
+        errors.append(err)
 
-    # Optional Q3 row when the headline succeeded and budget remains.
-    if headline is not None and remaining() > 90 and \
-            os.environ.get("ARROW_TPU_BENCH_Q3", "on") != "off":
-        env = dict(os.environ, ARROW_TPU_BENCH_WORKER="1",
-                   ARROW_TPU_BENCH_QUERY="q3",
-                   ARROW_TPU_BENCH_SF=os.environ.get(
-                       "ARROW_TPU_BENCH_Q3_SF", "0.1"))
-        lines, err = _spawn_worker(env, min(remaining(), 300.0))
-        for ln in lines:
-            print(ln)
-        if not lines:
-            print(json.dumps({"metric": "tpch_q3_rows_per_s",
-                              "value": 0.0, "unit": "rows/s",
-                              "vs_baseline": 0.0,
-                              "error": (err or "")[:200]}))
-
-    if headline is not None:
-        print(headline)
+    q1_lines = [ln for ln in lines if '"metric": "tpch_q1' in ln]
+    other = [ln for ln in lines if ln not in q1_lines]
+    for ln in other + q1_lines[:-1]:
+        print(ln)
+    if q1_lines:
+        print(q1_lines[-1])  # largest completed SF = headline, LAST
     else:
         print(json.dumps({
             "metric": f"tpch_q1_sf{sf0:g}_rows_per_s",
@@ -308,12 +276,46 @@ def main():
         }))
 
 
+def _emit_q1(sf: float, iters: int) -> None:
+    from arrow_tpu.io import tpch
+    lineitem = tpch.lineitem_table(sf)
+    ours = bench_ours(lineitem, iters)
+    ref = bench_reference(lineitem, max(iters // 2, 1))
+    vs = (ours / ref) if ref > 0 else 0.0
+    print(json.dumps({
+        "metric": f"tpch_q1_sf{sf:g}_rows_per_s",
+        "value": round(ours, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(vs, 3),
+    }), flush=True)
+
+
+def _run_suite():
+    """Worker suite mode: ascending Q1 rungs then Q3, ONE process, one
+    metric line printed (and flushed) the moment each completes."""
+    sf0 = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
+    iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "20"))
+    rungs = [sf0 / 10, sf0] if sf0 >= 0.05 else [sf0]
+    for i, sf in enumerate(rungs):
+        _emit_q1(sf, max(iters // 2, 5) if i < len(rungs) - 1 else iters)
+    if os.environ.get("ARROW_TPU_BENCH_Q3", "on") != "off":
+        q3_sf = float(os.environ.get("ARROW_TPU_BENCH_Q3_SF", "0.1"))
+        ours, _ = bench_q3(q3_sf, max(iters // 2, 5))
+        print(json.dumps({
+            "metric": f"tpch_q3_sf{q3_sf:g}_rows_per_s",
+            "value": round(ours, 1), "unit": "rows/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+
+
 def _run():
     if os.environ.get("ARROW_TPU_BENCH_PLATFORM") == "cpu":
         # the axon plugin overrides JAX_PLATFORMS, so force via config
         # (same dance as tests/conftest.py) — used for harness testing
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("ARROW_TPU_BENCH_SUITE") == "1":
+        return _run_suite()
     sf = float(os.environ.get("ARROW_TPU_BENCH_SF", "1.0"))
     iters = int(os.environ.get("ARROW_TPU_BENCH_ITERS", "20"))
     query = os.environ.get("ARROW_TPU_BENCH_QUERY", "q1")
