@@ -432,7 +432,19 @@ class Declaration:
 
     def to_table(self, use_threads: bool = True,
                  chunk_rows: int = None, distributed: bool = False,
-                 mesh=None) -> Table:
+                 mesh=None, query_options=None) -> Table:
+        # query_options: per-query resource controls + metrics
+        # (QueryOptions, acero/query_context.py; reference
+        # exec_plan.h:510 / query_context.h:36)
+        if query_options is not None:
+            from .query_context import QueryContext, query_scope
+            qc = QueryContext(query_options)
+            with query_scope(qc):
+                out = self.to_table(use_threads=use_threads,
+                                    chunk_rows=chunk_rows,
+                                    distributed=distributed, mesh=mesh)
+            self.last_query_context = qc
+            return out
         from .host_agg import HOST_AGGS, maybe_host_aggregate
         if self.factory_name == "aggregate" and any(
                 (a[1][5:] if a[1].startswith("hash_") else a[1])
@@ -516,6 +528,15 @@ def execute_declaration(decl: Declaration,
     t0 = _time.perf_counter()
     with jax.profiler.TraceAnnotation(f"arrow_tpu::{decl.factory_name}"):
         out = _execute_node(decl)
+    # per-query resource accounting (query_context.py): capacity-based
+    # byte tracking + optional budget enforcement per node output
+    from .query_context import current_query_context
+    qc = current_query_context()
+    if qc is not None:
+        qc.stop_token.poll()
+        nbytes = qc.track_batch(decl.factory_name, out)
+        qc.record_node(decl.factory_name,
+                       _time.perf_counter() - t0, nbytes)
     if _sync_nodes():
         # On the tunneled axon TPU platform, deep queues of per-node
         # executables can deadlock the transfer relay (observed: Q3's

@@ -378,3 +378,51 @@ def test_sink_node_family():
     ).to_table()
     assert sum(x for x in seen if x != "finished") == 5
     assert seen[-1] == "finished"
+
+
+class TestQueryContext:
+    """Per-query resource management (reference: acero/query_context.h:36
+    + QueryOptions exec_plan.h:510): byte accounting, budget enforcement,
+    per-node metrics."""
+
+    def _plan(self, n=5000):
+        import numpy as np
+
+        import arrow_tpu as at
+        from arrow_tpu import acero
+        from arrow_tpu.acero import Declaration, field
+        rng = np.random.default_rng(0)
+        t = at.table({"k": [int(v) for v in rng.integers(0, 7, n)],
+                      "v": rng.standard_normal(n)})
+        return Declaration.from_sequence([
+            Declaration("table_source", acero.TableSourceNodeOptions(t)),
+            Declaration("filter", acero.FilterNodeOptions(field("v") > 0)),
+            Declaration("aggregate", acero.AggregateNodeOptions(
+                [("v", "hash_sum", None, "s")], keys=["k"])),
+        ])
+
+    def test_accounting_and_metrics(self):
+        from arrow_tpu.acero.query_context import QueryOptions
+        plan = self._plan()
+        out = plan.to_table(query_options=QueryOptions())
+        assert out.num_rows == 7
+        qc = plan.last_query_context
+        assert qc.bytes_materialized > 0
+        factories = [f for f, _, _ in qc.node_metrics]
+        # filter fuses into the aggregate's linear segment; the fused
+        # terminal and the source both report
+        assert "aggregate" in factories and len(factories) >= 2
+        assert "materialized bytes" in qc.to_string()
+
+    def test_memory_limit_enforced(self):
+        import pytest
+
+        from arrow_tpu.acero.query_context import (ArrowMemoryError,
+                                                   QueryOptions)
+        plan = self._plan()
+        with pytest.raises(ArrowMemoryError):
+            plan.to_table(query_options=QueryOptions(memory_limit=128))
+
+    def test_no_context_unaffected(self):
+        plan = self._plan()
+        assert plan.to_table().num_rows == 7
