@@ -1,6 +1,8 @@
 """Acero-style declarative query engine, TPU-native execution."""
 
 from .exec import Declaration, execute_declaration  # noqa: F401
+from .query_context import (  # noqa: F401
+    ArrowMemoryError, QueryContext, QueryOptions)
 from .expression import Expression, field, scalar  # noqa: F401
 from .options import (  # noqa: F401
     AggregateNodeOptions, AsofJoinNodeOptions, ConsumingSinkNodeOptions,
