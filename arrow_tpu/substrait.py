@@ -536,6 +536,13 @@ def _enc_rel(decl: Declaration, ext: _ExtCollector) -> Tuple[bytes, T.Schema]:
         out_schema = T.schema(list(ls) + list(rs))
         body = fm(2, left) + fm(3, right) + fm(4, cond) + fv(6, jt)
         return fm(6, body), out_schema
+    if n == "union":
+        # SetRel (Rel field 8), op UNION_ALL=6 (substrait algebra.proto;
+        # reference consumer: engine/substrait/relation_internal.cc Set)
+        parts = [_enc_rel(i, ext) for i in decl.inputs]
+        schema = parts[0][1]
+        body = b"".join(fm(2, rel) for rel, _ in parts) + fv(3, 6)
+        return fm(8, body), schema
     raise ArrowInvalid(f"substrait producer: unsupported node {n!r}")
 
 
@@ -692,6 +699,21 @@ def _dec_rel(p: PB, fn_names, table_provider) -> Tuple[Declaration, T.Schema]:
         return Declaration("hashjoin", HashJoinNodeOptions(
             join_type=jt, left_keys=lkeys, right_keys=rkeys),
             inputs=[left, right]), out_schema
+    if p.has(8):      # SetRel
+        f = p.msg(8)
+        op = f.u(3)
+        if op != 6:  # UNION_ALL (the op the reference consumer accepts)
+            raise ArrowInvalid(f"unsupported set operation {op}")
+        children = [_dec_rel(c, fn_names, table_provider)
+                    for c in f.msgs(2)]
+        # legacy single-repeated-input encoding puts inputs in field 1
+        if not children:
+            children = [_dec_rel(c, fn_names, table_provider)
+                        for c in f.msgs(1)]
+        if len(children) < 2:
+            raise ArrowInvalid("set relation needs >= 2 inputs")
+        decls = [c[0] for c in children]
+        return Declaration("union", None, inputs=decls), children[0][1]
     raise ArrowInvalid(f"unsupported rel fields {list(p.fields)}")
 
 

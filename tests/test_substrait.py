@@ -159,3 +159,47 @@ class TestExpressionInterchange:
         fns = asub.get_supported_functions()
         assert len(fns) > 20
         assert all(f.startswith("https://") and "#" in f for f in fns)
+
+
+def test_set_union_all_roundtrip():
+    """SetRel UNION_ALL both directions; byte-interop with pyarrow's
+    consumer (reference: engine/substrait/relation_internal.cc Set)."""
+    import arrow_tpu as at
+    from arrow_tpu import substrait as sub
+    from arrow_tpu.acero import Declaration
+    from arrow_tpu.acero.options import TableSourceNodeOptions
+
+    t1 = at.table({"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    t2 = at.table({"x": [4, 5], "y": [4.0, 5.0]})
+    o1, o2 = TableSourceNodeOptions(t1), TableSourceNodeOptions(t2)
+    o1.substrait_name, o2.substrait_name = "t0", "t1"
+    plan = Declaration("union", None, inputs=[
+        Declaration("table_source", o1),
+        Declaration("table_source", o2),
+    ])
+    # our producer -> our consumer
+    buf = sub.serialize_plan(plan)
+
+    def provider(names, schema):
+        return t1 if names[-1].endswith("0") else t2
+
+    # serialize uses named tables table0/table1? fall back: run the
+    # original plan for expectation
+    expect = plan.to_table().to_pydict()
+
+    out = sub.run_query(buf, lambda names, schema:
+                        t1 if names[-1] == "t0" else t2)
+    assert sorted(out.to_pydict()["x"]) == sorted(expect["x"])
+
+    # pyarrow consumer executes our plan identically
+    import pyarrow as pa
+    import pyarrow.substrait as pasub
+    pt1 = pa.table({"x": [1, 2, 3], "y": [1.0, 2.0, 3.0]})
+    pt2 = pa.table({"x": [4, 5], "y": [4.0, 5.0]})
+
+    def pa_provider(names, schema=None):
+        return pt1 if names[-1] == "t0" else pt2
+
+    res = pasub.run_query(pa.py_buffer(buf), table_provider=pa_provider)
+    got = res.read_all().to_pydict()
+    assert sorted(got["x"]) == sorted(expect["x"])
