@@ -138,9 +138,12 @@ print("F64_BITCAST_OK")
 _JIT_PROBE_SRC = """
 import time, jax, jax.numpy as jnp, numpy as np
 t0 = time.perf_counter()
-x = jnp.arange(1 << 20, dtype=jnp.float32)
+# 4096 elements: the f32 sum (8386560) is exactly representable, so the
+# equality check is valid on every backend (a 2^20 arange sum is NOT --
+# it exceeds f32's 2^24 integer range and rounds)
+x = jnp.arange(4096, dtype=jnp.float32)
 s = float(np.asarray(jax.jit(lambda v: v.sum())(x)))
-assert s == float((1 << 20) * ((1 << 20) - 1) / 2), s
+assert s == 4096 * 4095 / 2, s
 print("JIT_OK", time.perf_counter() - t0)
 """
 
