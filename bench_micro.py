@@ -77,6 +77,30 @@ def main():
         print(json.dumps({"metric": "hash32_pallas",
                           "error": str(e)[:80]}))
 
+    # device byte-pool string predicate over a 1M-UNIQUE dictionary
+    # (round-2 verdict done-criterion; compute/device_strings.py).
+    # bytes/row ~= pool row width (the 2-D byte op reads the pool once)
+    try:
+        import os
+        os.environ["ARROW_TPU_DEVICE_STRINGS"] = "on"
+        import arrow_tpu as at
+        from arrow_tpu.compute.device_strings import (dictionary_pool,
+                                                      pool_predicate)
+        from arrow_tpu.device.column import upload_column
+        d = 1 << 20
+        vals = [f"string-{i:07d}-suffix" for i in range(d)]
+        col = upload_column(at.array(vals, at.string()))
+        pool = dictionary_pool(col.dictionary)
+        assert pool is not None and pool.d == d
+
+        def pred(_):
+            return pool_predicate("match_substring", col, "7-suf")
+        bench("device_strings_match_1m_unique", pred, (None,),
+              pool.L, d, iters=10)
+    except Exception as e:
+        print(json.dumps({"metric": "device_strings_match_1m_unique",
+                          "error": str(e)[:120]}))
+
 
 if __name__ == "__main__":
     main()
