@@ -189,7 +189,10 @@ def _distributed_join_plan(lin, mesh: Mesh) -> Optional[Table]:
     tail += list(lin.post_ops)
     cur = Declaration("table_source", TableSourceNodeOptions(result))
     for d in tail:
-        cur = Declaration(d.factory_name, d.options, inputs=[cur])
+        # downstream hashjoins keep their ORIGINAL build-side subtree;
+        # only the probe side is replaced by the exchanged result
+        ins = [cur] + list((d.inputs or [])[1:])
+        cur = Declaration(d.factory_name, d.options, inputs=ins)
     if lin.post_fetch is not None:
         cur = Declaration("fetch", lin.post_fetch, inputs=[cur])
     if not tail and lin.post_fetch is None:

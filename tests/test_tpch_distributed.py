@@ -1,0 +1,89 @@
+"""Full TPC-H suite under to_table(distributed=True) on the 8-device
+mesh (round-2 verdict item 4 done-criterion): every query must produce
+results identical to single-device execution. Plans whose shapes the
+distributed layer does not cover fall back internally — the contract
+tested here is RESULT EQUALITY through the public API either way,
+with the exchange paths exercised directly wherever the shape allows
+(joins: all_to_all hash repartition; sorts: range exchange; aggregate
+spines: shard_map SPMD)."""
+
+import numpy as np
+import pytest
+
+import arrow_tpu as at
+from arrow_tpu.io import tpch, tpch_queries as q
+
+SF = 0.005
+
+
+@pytest.fixture(scope="module")
+def t():
+    return tpch.generate(SF)
+
+
+def _builders(t):
+    return {
+        "q1": lambda: q.q1_plan(t["lineitem"]),
+        "q2": lambda: q.q2_plan(t["part"], t["supplier"], t["partsupp"],
+                                t["nation"], t["region"]),
+        "q3": lambda: q.q3_plan(t["customer"], t["orders"],
+                                t["lineitem"]),
+        "q4": lambda: q.q4_plan(t["orders"], t["lineitem"]),
+        "q5": lambda: q.q5_plan(t["customer"], t["orders"],
+                                t["lineitem"], t["supplier"],
+                                t["nation"], t["region"]),
+        "q6": lambda: q.q6_plan(t["lineitem"]),
+        "q7": lambda: q.q7_plan(t["supplier"], t["lineitem"],
+                                t["orders"], t["customer"], t["nation"]),
+        "q8": lambda: q.q8_plan(t["part"], t["supplier"], t["lineitem"],
+                                t["orders"], t["customer"], t["nation"],
+                                t["region"]),
+        "q9": lambda: q.q9_style_plan(t["part"], t["supplier"],
+                                      t["lineitem"], t["partsupp"],
+                                      t["orders"], t["nation"]),
+        "q10": lambda: q.q10_style_plan(t["customer"], t["orders"],
+                                        t["lineitem"]),
+        "q11": lambda: q.q11_plan(t["partsupp"], t["supplier"],
+                                  t["nation"]),
+        "q12": lambda: q.q12_style_plan(t["orders"], t["lineitem"]),
+        "q13": lambda: q.q13_plan(t["customer"], t["orders"]),
+        "q14": lambda: q.q14_plan(t["lineitem"], t["part"]),
+        "q15": lambda: q.q15_plan(t["lineitem"], t["supplier"]),
+        "q16": lambda: q.q16_plan(t["partsupp"], t["part"],
+                                  t["supplier"]),
+        "q17": lambda: q.q17_plan(t["lineitem"], t["part"]),
+        "q18": lambda: q.q18_plan(t["customer"], t["orders"],
+                                  t["lineitem"], quantity=25.0),
+        "q19": lambda: q.q19_plan(t["lineitem"], t["part"]),
+        "q20": lambda: q.q20_plan(t["supplier"], t["nation"],
+                                  t["partsupp"], t["part"],
+                                  t["lineitem"]),
+        "q21": lambda: q.q21_plan(t["supplier"], t["lineitem"],
+                                  t["orders"], t["nation"]),
+        "q22": lambda: q.q22_plan(t["customer"], t["orders"]),
+    }
+
+
+def _assert_equal(dist: at.Table, local: at.Table, name: str):
+    assert dist.column_names == local.column_names, name
+    assert dist.num_rows == local.num_rows, name
+    dd, dl = dist.to_pydict(), local.to_pydict()
+    for col in dist.column_names:
+        a, b = dd[col], dl[col]
+        if any(isinstance(v, float) for v in a if v is not None):
+            assert [v is None for v in a] == [v is None for v in b], \
+                (name, col)
+            fa = np.array([0.0 if v is None else v for v in a])
+            fb = np.array([0.0 if v is None else v for v in b])
+            np.testing.assert_allclose(fa, fb, rtol=1e-9, atol=1e-12,
+                                       err_msg=f"{name}.{col}")
+        else:
+            assert a == b, (name, col)
+
+
+@pytest.mark.parametrize("qname", [f"q{i}" for i in range(1, 23)])
+def test_distributed_matches_local(qname, t):
+    plan = _builders(t)[qname]()
+    local = plan.to_table()
+    dist = plan.to_table(distributed=True)
+    _assert_equal(dist, local, qname)
