@@ -389,51 +389,92 @@ class ORCFile:
                     j += 1
             return out
 
+        # vectorized construction shared by the fixed-width paths:
+        # present-mask spread + validity as numpy, no per-row python
+        # (liborc's decoders are byte loops; the engine's are array ops)
+        from ..array.data import ArrayData
+        from ..buffer import Buffer
+        from ..utils import bits as bitutil
+        null_count = int(nrows - n_present)
+        vbuf = None if null_count == 0 else \
+            Buffer(bitutil.pack_bits(present))
+
+        def prim(vals_np, np_dt):
+            if null_count == 0:
+                full = np.ascontiguousarray(
+                    np.asarray(vals_np).astype(np_dt, copy=False))
+            else:
+                full = np.zeros(nrows, np_dt)
+                full[present] = np.asarray(vals_np).astype(np_dt,
+                                                           copy=False)
+            return Array(ArrayData(arrow_type, nrows,
+                                   [vbuf, Buffer(full)],
+                                   null_count=null_count))
+
         if kind == _K_BOOL:
             bits = _bool_decode(data, n_present)
-            return make_array(spread([bool(b) for b in bits]), arrow_type)
+            if null_count == 0:
+                full = np.asarray(bits, np.bool_)[:nrows]
+            else:
+                full = np.zeros(nrows, np.bool_)
+                full[present] = np.asarray(bits, np.bool_)
+            return Array(ArrayData(
+                arrow_type, nrows,
+                [vbuf, Buffer(bitutil.pack_bits(full))],
+                null_count=null_count))
         if kind == _K_BYTE:
-            vals = _byte_rle_decode(data, n_present).astype(np.int8)
-            return make_array(spread([int(v) for v in vals]), arrow_type)
+            return prim(_byte_rle_decode(data, n_present).astype(np.int8),
+                        arrow_type.to_numpy_dtype())
         if kind in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
             vals = (_rlev2_decode(data, n_present, True) if v2
                     else _rlev1_decode(data, n_present, True))
-            if kind == _K_DATE:
-                import datetime as _dt
-                epoch = _dt.date(1970, 1, 1)
-                return make_array(
-                    spread([epoch + _dt.timedelta(days=int(v))
-                            for v in vals]), arrow_type)
-            return make_array(spread([int(v) for v in vals]), arrow_type)
+            return prim(vals, arrow_type.to_numpy_dtype())
         if kind == _K_FLOAT:
-            vals = np.frombuffer(data, "<f4", count=n_present)
-            return make_array(spread([float(v) for v in vals]),
-                              arrow_type)
+            return prim(np.frombuffer(data, "<f4", count=n_present),
+                        np.float32)
         if kind == _K_DOUBLE:
-            vals = np.frombuffer(data, "<f8", count=n_present)
-            return make_array(spread([float(v) for v in vals]),
-                              arrow_type)
+            return prim(np.frombuffer(data, "<f8", count=n_present),
+                        np.float64)
         if kind in (_K_STRING, _K_BINARY, _K_VARCHAR, _K_CHAR):
             if enc in (1, 3):   # DICTIONARY(_V2)
-                lens = _rlev2_decode(stream(col_id, _S_LENGTH), dict_size,
-                                     False)
+                dlens = np.asarray(_rlev2_decode(
+                    stream(col_id, _S_LENGTH), dict_size, False),
+                    np.int64)
                 dict_data = stream(col_id, _S_DICT) or b""
-                offs = np.concatenate([[0], np.cumsum(lens)])
-                words = [dict_data[offs[i]:offs[i + 1]]
-                         for i in range(dict_size)]
-                idxs = _rlev2_decode(data, n_present, False)
-                raws = [words[int(i)] for i in idxs]
+                doffs = np.zeros(dict_size + 1, np.int64)
+                np.cumsum(dlens, out=doffs[1:])
+                idxs = np.asarray(_rlev2_decode(data, n_present, False),
+                                  np.int64)
+                lens_present = dlens[idxs]
+                total = int(lens_present.sum())
+                # gather dictionary word bytes with one fancy index
+                src = np.frombuffer(dict_data, np.uint8)
+                starts = doffs[:-1][idxs]
+                gather = np.repeat(starts, lens_present) + (
+                    np.arange(total, dtype=np.int64) -
+                    np.repeat(np.cumsum(lens_present) - lens_present,
+                              lens_present))
+                data_bytes = src[gather].tobytes() if total else b""
             else:
-                lens = _rlev2_decode(stream(col_id, _S_LENGTH), n_present,
-                                     False) if v2 else _rlev1_decode(
-                    stream(col_id, _S_LENGTH), n_present, False)
-                offs = np.concatenate([[0], np.cumsum(lens)])
-                raws = [data[offs[i]:offs[i + 1]]
-                        for i in range(n_present)]
-            if kind == _K_BINARY:
-                return make_array(spread(raws), arrow_type)
-            return make_array(spread([r.decode() for r in raws]),
-                              arrow_type)
+                lens_present = np.asarray(
+                    _rlev2_decode(stream(col_id, _S_LENGTH), n_present,
+                                  False) if v2 else _rlev1_decode(
+                        stream(col_id, _S_LENGTH), n_present, False),
+                    np.int64)
+                total = int(lens_present.sum())
+                data_bytes = bytes(data[:total])
+            if null_count == 0:
+                lens_full = lens_present
+            else:
+                lens_full = np.zeros(nrows, np.int64)
+                lens_full[present] = lens_present
+            offsets = np.zeros(nrows + 1, np.int64)
+            np.cumsum(lens_full, out=offsets[1:])
+            return Array(ArrayData(
+                arrow_type, nrows,
+                [vbuf, Buffer(offsets.astype(np.int32)),
+                 Buffer(np.frombuffer(data_bytes, np.uint8))],
+                null_count=null_count))
         if kind == _K_TIMESTAMP:
             secs = _rlev2_decode(data, n_present, True)
             nano_raw = stream(col_id, _S_SECONDARY)
