@@ -1000,6 +1000,31 @@ class _ChunkedTopK:
 
 # --- driver ------------------------------------------------------------------
 
+def stream_batches(decl, chunk_rows: int):
+    """Incremental execution for terminal-free linear plans: yields one
+    downloaded RecordBatch per chunk as it is computed (reference:
+    DeclarationToReader, exec_plan.cc:780 family — results stream while
+    the plan still runs). Returns None when the shape needs a terminal
+    (aggregate/sort) or isn't linear — callers fall back to
+    materialize-then-iterate."""
+    lin = _linearize(decl)
+    if lin is None or lin.terminal is not None or lin.post_ops:
+        return None
+    if lin.table.num_rows == 0:
+        return None
+    try:
+        source = _ChunkSource(lin.table, chunk_rows)
+    except NotImplementedError:
+        return None
+    runner = _middle_runner(lin.middle)
+
+    def gen():
+        from ..device.column import download_batch
+        for chunk in source:
+            yield download_batch(runner(chunk))
+    return gen()
+
+
 def maybe_execute_chunked(decl, chunk_rows: int) -> Optional[Table]:
     """Execute the Declaration chunked if its shape is supported; return
     None to fall back to whole-table execution."""

@@ -484,7 +484,18 @@ class Declaration:
     def to_batches(self) -> List[RecordBatch]:
         return self.to_table().to_batches()
 
-    def to_reader(self):
+    def to_reader(self, chunk_rows: int = None):
+        """Streaming results (reference: DeclarationToReader,
+        exec_plan.cc:780 family). Terminal-free linear plans yield one
+        batch per device chunk AS COMPUTED — results stream while the
+        plan still runs; terminal shapes (aggregate/sort) materialize
+        then iterate."""
+        from .chunked import chunk_rows_env, stream_batches
+        cr = chunk_rows if chunk_rows is not None \
+            else (chunk_rows_env() or 1 << 18)
+        gen = stream_batches(self, cr)
+        if gen is not None:
+            return gen
         return iter(self.to_batches())
 
     def __repr__(self):

@@ -369,3 +369,49 @@ def test_q6_chunked_matches_whole():
     whole = plan.to_table()
     assert_tables_equal(chunked, whole, float_cols=("revenue",),
                         rtol=1e-9)
+
+
+class TestStreamingReader:
+    """Declaration.to_reader streams per-chunk batches for terminal-free
+    plans (reference: DeclarationToReader — results flow before the
+    plan finishes)."""
+
+    def test_streams_incrementally(self):
+        import numpy as np
+
+        import arrow_tpu as at
+        from arrow_tpu import acero
+        from arrow_tpu.acero import Declaration, field
+        rng = np.random.default_rng(0)
+        n = 300_000
+        t = at.table({"x": [int(v) for v in rng.integers(0, 1000, n)],
+                      "y": rng.standard_normal(n)})
+        plan = Declaration.from_sequence([
+            Declaration("table_source", acero.TableSourceNodeOptions(t)),
+            Declaration("filter", acero.FilterNodeOptions(
+                field("x") < 500)),
+            Declaration("project", acero.ProjectNodeOptions(
+                [field("x"), field("y") * 2.0], ["x", "y2"])),
+        ])
+        batches = []
+        reader = plan.to_reader(chunk_rows=65536)
+        for rb in reader:
+            batches.append(rb)
+        assert len(batches) > 1  # actually chunked
+        got = at.Table.from_batches(batches, batches[0].schema)
+        want = plan.to_table()
+        assert got.num_rows == want.num_rows
+        assert got.to_pydict() == want.to_pydict()
+
+    def test_terminal_plans_fall_back(self):
+        import arrow_tpu as at
+        from arrow_tpu import acero
+        from arrow_tpu.acero import Declaration
+        t = at.table({"k": [1, 2, 1], "v": [1.0, 2.0, 3.0]})
+        plan = Declaration.from_sequence([
+            Declaration("table_source", acero.TableSourceNodeOptions(t)),
+            Declaration("aggregate", acero.AggregateNodeOptions(
+                [("v", "hash_sum", None, "s")], keys=["k"])),
+        ])
+        out = list(plan.to_reader())
+        assert sum(b.num_rows for b in out) == 2
