@@ -28,8 +28,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from .acero import (Declaration, FilterNodeOptions, ProjectNodeOptions,
-                    TableSourceNodeOptions)
+from .acero import Declaration, ProjectNodeOptions
 from .acero.expression import Expression, field, scalar
 from .table import RecordBatch
 from .types import Schema
