@@ -148,7 +148,7 @@ print("DEVICE_READY")
 """
 
 
-def _wait_device_ready(deadline_fn, probe_timeout=45.0, gap=30.0):
+def _wait_device_ready(deadline_fn, probe_timeout=90.0, gap=45.0):
     """Poll the tunneled device with tiny put+readback probes until it
     responds or the budget share runs out. The tunnel serializes
     clients and holds the device for minutes after a client dies
