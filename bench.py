@@ -2,13 +2,20 @@
 """Headline benchmark: TPC-H Q1 (filter + project + hash aggregate +
 order-by) rows/s on one chip, device-resident input.
 
-Prints ONE JSON line:
+Prints one JSON line PER RECORDED METRIC (ascending Q1 SF rungs, then
+Q3); the LAST line is the headline (largest completed Q1 SF):
   {"metric": ..., "value": N, "unit": "rows/s", "vs_baseline": R}
 
-vs_baseline = our rows/s divided by the reference engine's (pyarrow Acero,
-all CPU threads) rows/s on the SAME generated data on this host.
+vs_baseline = our rows/s divided by the reference engine's (pyarrow
+Acero, all CPU threads) rows/s on the SAME generated data on this
+host. The harness is built for a flaky tunneled device (docs/TUNNEL.md):
+total wall budget (ARROW_TPU_BENCH_TOTAL_BUDGET, default 540 s), a
+device-availability wait phase, ONE suite worker with no mid-budget
+kills, and file-harvested worker stdout so completed rungs survive a
+final budget kill.
 
-Env knobs: ARROW_TPU_BENCH_SF (default 1.0), ARROW_TPU_BENCH_ITERS (20).
+Env knobs: ARROW_TPU_BENCH_SF (default 1.0), ARROW_TPU_BENCH_ITERS
+(20), ARROW_TPU_BENCH_Q3[_SF], ARROW_TPU_BENCH_WAIT_DEVICE.
 """
 
 import json
