@@ -944,6 +944,22 @@ def _fast_format_column(col, delim: str):
             a = np.asarray(arr.data.values(), dtype=t.to_numpy_dtype())
         except (ValueError, TypeError):
             return None
+        valid = arr.is_valid_mask() if arr.null_count else None
+        if t.id == T.TypeId.DOUBLE:
+            from ..native import csv_format_f64
+            out = csv_format_f64(a, valid)
+            if out is not None:
+                # to_chars prefers scientific whenever shorter
+                # (1e-04); python repr keeps fixed down to 1e-4 —
+                # normalize the (rare) e-cells for byte-identical
+                # output vs the generic path
+                return [repr(float(x)) if "e" in x else x
+                        for x in out]
+        elif t.id == T.TypeId.INT64:
+            from ..native import csv_format_i64
+            out = csv_format_i64(a, valid)
+            if out is not None:
+                return out
         out = a.astype("U32").tolist()
         if arr.null_count:
             m = arr.is_valid_mask().tolist()

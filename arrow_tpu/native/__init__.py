@@ -160,6 +160,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.minmax_binary.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_void_p]
+        lib.csv_format_f64.restype = ctypes.c_int64
+        lib.csv_format_f64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_format_i64.restype = ctypes.c_int64
+        lib.csv_format_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -785,3 +793,47 @@ def snappy_compress(data: bytes) -> Optional[bytes]:
         src.ctypes.data_as(ctypes.c_void_p) if len(src) else None,
         len(src), out.ctypes.data_as(ctypes.c_void_p))
     return out[:n].tobytes()
+
+
+def csv_format_f64(vals: np.ndarray, valid: Optional[np.ndarray]):
+    """Shortest-round-trip decimal strings for an f64 column
+    (std::to_chars; csv/writer.cc float formatting analogue). Returns a
+    list of str (invalid rows -> ""), or None without the native lib.
+    NOTE: to_chars picks scientific whenever shorter (0.0001 ->
+    "1e-04" where python repr keeps "0.0001"); values round-trip
+    identically either way."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.float64)
+    n = len(vals)
+    pool = np.empty(n * 32, np.uint8)
+    offs = np.empty(n + 1, np.int64)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, np.uint8)
+        vptr = _ptr(valid)
+    total = lib.csv_format_f64(_ptr(vals), vptr, n, _ptr(pool),
+                               _ptr(offs))
+    text = pool[:total].tobytes().decode("ascii")
+    ol = offs.tolist()
+    return [text[ol[i]:ol[i + 1]] for i in range(n)]
+
+
+def csv_format_i64(vals: np.ndarray, valid: Optional[np.ndarray]):
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.int64)
+    n = len(vals)
+    pool = np.empty(n * 24, np.uint8)
+    offs = np.empty(n + 1, np.int64)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, np.uint8)
+        vptr = _ptr(valid)
+    total = lib.csv_format_i64(_ptr(vals), vptr, n, _ptr(pool),
+                               _ptr(offs))
+    text = pool[:total].tobytes().decode("ascii")
+    ol = offs.tolist()
+    return [text[ol[i]:ol[i + 1]] for i in range(n)]

@@ -9,6 +9,7 @@
 // Exposed as a plain C ABI consumed via ctypes (no Python headers needed).
 
 #include <charconv>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string_view>
@@ -1409,6 +1410,70 @@ int64_t minmax_binary(const uint8_t* pool, const int64_t* offsets,
   out_idx[0] = mn;
   out_idx[1] = mx;
   return count;
+}
+
+
+// Format float64/int64 values as shortest-round-trip decimal strings
+// (std::to_chars, the csv/writer.cc equivalent of the reference's
+// float formatting). Output: concatenated bytes in `pool` with
+// `offsets[n+1]` (offsets[0]=0); invalid rows emit empty cells.
+// Returns total bytes written (pool must have >= n*32 capacity).
+// Python-repr compatibility: to_chars produces "1e-07"/"1.5e+20"
+// style exponents WITHOUT the '+'/zero padding python uses, so the
+// python wrapper post-normalizes exponent spelling on the (rare)
+// cells containing 'e'.
+int64_t csv_format_f64(const double* vals, const uint8_t* valid,
+                       int64_t n, uint8_t* pool, int64_t* offsets) {
+  char* out = reinterpret_cast<char*>(pool);
+  int64_t pos = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!valid || valid[i]) {
+      double v = vals[i];
+      if (std::isnan(v)) {
+        std::memcpy(out + pos, "nan", 3);
+        pos += 3;
+      } else if (std::isinf(v)) {
+        if (v < 0) { std::memcpy(out + pos, "-inf", 4); pos += 4; }
+        else { std::memcpy(out + pos, "inf", 3); pos += 3; }
+      } else {
+        auto res = std::to_chars(out + pos, out + pos + 32, v);
+        pos = res.ptr - out;
+        // python floats always show a decimal point or exponent;
+        // to_chars writes integral doubles as "42" -> append ".0"
+        // (scan the emitted token for '.'/'e')
+        bool plain = true;
+        for (char* c = out + (offsets[i] == 0 && i == 0 ? 0 : offsets[i]);
+             c < out + pos; ++c) {
+          if (*c == '.' || *c == 'e' || *c == 'n' || *c == 'i') {
+            plain = false;
+            break;
+          }
+        }
+        if (plain) {
+          out[pos++] = '.';
+          out[pos++] = '0';
+        }
+      }
+    }
+    offsets[i + 1] = pos;
+  }
+  return pos;
+}
+
+int64_t csv_format_i64(const int64_t* vals, const uint8_t* valid,
+                       int64_t n, uint8_t* pool, int64_t* offsets) {
+  char* out = reinterpret_cast<char*>(pool);
+  int64_t pos = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!valid || valid[i]) {
+      auto res = std::to_chars(out + pos, out + pos + 24, vals[i]);
+      pos = res.ptr - out;
+    }
+    offsets[i + 1] = pos;
+  }
+  return pos;
 }
 
 }  // extern "C"
