@@ -140,7 +140,15 @@ def _read_bits(src: bytes, count: int, width: int,
 
 
 def _rlev2_decode(data: bytes, n: int, signed: bool) -> np.ndarray:
-    """ORC RLEv2: SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA."""
+    """ORC RLEv2: SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA.
+    Native C++ bulk decoder when available (liborc RleDecoderV2
+    analogue, pinned equal to this python decoder by
+    tests/test_orc.py's differential suite + the randomized check);
+    python fallback below."""
+    from ..native import orc_rlev2_decode
+    native = orc_rlev2_decode(bytes(data), n, signed)
+    if native is not None:
+        return native
     s = _Bytes(data)
     out = np.empty(n, np.int64)
     filled = 0

@@ -168,6 +168,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_format_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.orc_rlev2_decode.restype = ctypes.c_int64
+        lib.orc_rlev2_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -837,3 +841,19 @@ def csv_format_i64(vals: np.ndarray, valid: Optional[np.ndarray]):
     text = pool[:total].tobytes().decode("ascii")
     ol = offs.tolist()
     return [text[ol[i]:ol[i + 1]] for i in range(n)]
+
+
+def orc_rlev2_decode(data: bytes, n: int, signed: bool):
+    """ORC RLEv2 bulk decode (liborc RleDecoderV2 analogue); returns an
+    int64 array or None when the native lib is unavailable; raises on a
+    corrupt/overrunning stream like the python decoder."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.int64)
+    consumed = lib.orc_rlev2_decode(_ptr(buf), len(buf), n,
+                                    1 if signed else 0, _ptr(out))
+    if consumed < 0:
+        raise ValueError("ORC RLEv2 stream truncated/corrupt")
+    return out

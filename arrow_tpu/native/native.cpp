@@ -1476,4 +1476,159 @@ int64_t csv_format_i64(const int64_t* vals, const uint8_t* valid,
   return pos;
 }
 
+
+// ---------------------------------------------------------------------------
+// ORC RLEv2 decode (SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA) —
+// liborc RleDecoderV2 analogue. MSB-first bit packing, big-endian
+// bases, zigzag for signed. Returns bytes consumed or -1 on overrun.
+// ---------------------------------------------------------------------------
+
+static const int kOrcWidth[32] = {
+  1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,
+  26,28,30,32,40,48,56,64};
+
+static inline int64_t orc_varint(const uint8_t* d, int64_t len,
+                                 int64_t& pos, bool* ok) {
+  uint64_t v = 0; int shift = 0;
+  while (true) {
+    if (pos >= len) { *ok = false; return 0; }
+    uint8_t b = d[pos++];
+    v |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) return (int64_t)v;
+    shift += 7;
+  }
+}
+
+// read `count` MSB-first bit-packed values of `width` bits
+static inline bool orc_read_bits(const uint8_t* d, int64_t len,
+                                 int64_t& pos, int64_t count, int width,
+                                 uint64_t* out) {
+  int64_t nbytes = (count * width + 7) / 8;
+  if (pos + nbytes > len) return false;
+  const uint8_t* src = d + pos;
+  int64_t bit = 0;
+  for (int64_t i = 0; i < count; ++i) {
+    uint64_t v = 0;
+    for (int b = 0; b < width; ++b) {
+      int64_t idx = bit + b;
+      v = (v << 1) | ((src[idx >> 3] >> (7 - (idx & 7))) & 1);
+    }
+    out[i] = v;
+    bit += width;
+  }
+  pos += nbytes;
+  return true;
+}
+
+int64_t orc_rlev2_decode(const uint8_t* data, int64_t len, int64_t n,
+                         int32_t signed_vals, int64_t* out) {
+  int64_t pos = 0, filled = 0;
+  std::vector<uint64_t> tmp;
+  while (filled < n) {
+    if (pos >= len) return -1;
+    uint8_t h = data[pos++];
+    int enc = h >> 6;
+    if (enc == 0) {                         // SHORT_REPEAT
+      int width = ((h >> 3) & 0x7) + 1;
+      int count = (h & 0x7) + 3;
+      if (pos + width > len || filled + count > n) return -1;
+      uint64_t v = 0;
+      for (int b = 0; b < width; ++b) v = (v << 8) | data[pos + b];
+      pos += width;
+      int64_t sv = (int64_t)v;
+      if (signed_vals) sv = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+      for (int i = 0; i < count; ++i) out[filled + i] = sv;
+      filled += count;
+    } else if (enc == 1) {                  // DIRECT
+      int width = kOrcWidth[(h >> 1) & 0x1F];
+      if (pos >= len) return -1;
+      int count = (((h & 1) << 8) | data[pos++]) + 1;
+      if (filled + count > n) return -1;
+      tmp.resize(count);
+      if (!orc_read_bits(data, len, pos, count, width, tmp.data()))
+        return -1;
+      for (int i = 0; i < count; ++i) {
+        uint64_t v = tmp[i];
+        out[filled + i] = signed_vals
+            ? ((int64_t)(v >> 1) ^ -(int64_t)(v & 1))
+            : (int64_t)v;
+      }
+      filled += count;
+    } else if (enc == 3) {                  // DELTA
+      int width_code = (h >> 1) & 0x1F;
+      if (pos >= len) return -1;
+      int count = (((h & 1) << 8) | data[pos++]) + 1;
+      if (filled + count > n) return -1;
+      bool ok = true;
+      int64_t base = orc_varint(data, len, pos, &ok);
+      if (!ok) return -1;
+      if (signed_vals) base = (int64_t)((uint64_t)base >> 1) ^
+                              -(int64_t)(base & 1);
+      int64_t d0 = orc_varint(data, len, pos, &ok);
+      if (!ok) return -1;
+      d0 = (int64_t)((uint64_t)d0 >> 1) ^ -(int64_t)(d0 & 1);
+      out[filled] = base;
+      if (count > 1) out[filled + 1] = base + d0;
+      if (count > 2) {
+        if (width_code == 0) {
+          for (int i = 2; i < count; ++i)
+            out[filled + i] = out[filled + i - 1] + d0;
+        } else {
+          int width = kOrcWidth[width_code];
+          tmp.resize(count - 2);
+          if (!orc_read_bits(data, len, pos, count - 2, width,
+                             tmp.data()))
+            return -1;
+          int64_t sign = d0 >= 0 ? 1 : -1;
+          for (int i = 0; i < count - 2; ++i)
+            out[filled + 2 + i] = out[filled + 1 + i] +
+                sign * (int64_t)tmp[i];
+        }
+      }
+      filled += count;
+    } else {                                // PATCHED_BASE
+      int width = kOrcWidth[(h >> 1) & 0x1F];
+      if (pos + 2 >= len) return -1;
+      int count = (((h & 1) << 8) | data[pos]) + 1;
+      uint8_t b3 = data[pos + 1];
+      uint8_t b4 = data[pos + 2];
+      pos += 3;
+      int bw = ((b3 >> 5) & 0x7) + 1;
+      int pwidth = kOrcWidth[b3 & 0x1F];
+      int pgw = ((b4 >> 5) & 0x7) + 1;
+      int plen = b4 & 0x1F;
+      if (pos + bw > len || filled + count > n) return -1;
+      uint64_t braw = 0;
+      for (int b = 0; b < bw; ++b) braw = (braw << 8) | data[pos + b];
+      pos += bw;
+      int64_t base;
+      uint64_t sign_bit = 1ULL << (bw * 8 - 1);
+      if (braw & sign_bit) base = -(int64_t)(braw & (sign_bit - 1));
+      else base = (int64_t)braw;
+      tmp.resize(count);
+      if (!orc_read_bits(data, len, pos, count, width, tmp.data()))
+        return -1;
+      if (plen) {
+        int ew = pgw + pwidth;
+        std::vector<uint64_t> entries(plen);
+        if (!orc_read_bits(data, len, pos, plen, ew, entries.data()))
+          return -1;
+        int64_t p = 0;
+        for (int i = 0; i < plen; ++i) {
+          int64_t gap = (int64_t)(entries[i] >> pwidth);
+          uint64_t patch = entries[i] &
+              ((pwidth >= 64) ? ~0ULL : ((1ULL << pwidth) - 1));
+          p += gap;
+          if (p >= count) return -1;
+          tmp[p] |= patch << width;
+        }
+      }
+      for (int i = 0; i < count; ++i)
+        out[filled + i] = base + (int64_t)tmp[i];
+      filled += count;
+    }
+  }
+  return pos;
+}
+
 }  // extern "C"
