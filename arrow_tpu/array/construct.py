@@ -166,6 +166,25 @@ def array_data_from_sequence(values: Sequence[Any],
     if tid in (TypeId.STRING, TypeId.BINARY, TypeId.LARGE_STRING,
                TypeId.LARGE_BINARY):
         off_dt = np.int32 if tid in (TypeId.STRING, TypeId.BINARY) else np.int64
+        if tid in (TypeId.STRING, TypeId.LARGE_STRING) and n:
+            # one join + one encode instead of n per-value encodes; for
+            # ASCII (byte len == char len) offsets come from char
+            # lengths in one C pass (same trick as to_pylist's reader).
+            # join TypeErrors on any non-str -> generic loop below
+            try:
+                strs = ["" if v is None else v for v in values]
+                joined = "".join(strs)
+            except TypeError:
+                strs = None
+            if strs is not None:
+                data = joined.encode()
+                if len(data) == len(joined):
+                    offsets = np.zeros(n + 1, dtype=off_dt)
+                    np.cumsum(np.fromiter(map(len, strs), np.int64, n),
+                              out=offsets[1:])
+                    return ArrayData(type, n,
+                                     [_make_validity(mask),
+                                      Buffer(offsets), Buffer(data)])
         chunks = []
         offsets = np.zeros(n + 1, dtype=off_dt)
         pos = 0
