@@ -259,6 +259,22 @@ def array_data_from_sequence(values: Sequence[Any],
 
     if tid in (TypeId.LIST, TypeId.LARGE_LIST, TypeId.MAP):
         off_dt = np.int64 if tid == TypeId.LARGE_LIST else np.int32
+        if tid != TypeId.MAP and all(
+                v is None or isinstance(v, (list, tuple))
+                for v in values):
+            # C-level flatten: length cumsum + one chain pass instead
+            # of per-row list() + extend
+            from itertools import chain
+            offsets = np.zeros(n + 1, dtype=off_dt)
+            np.cumsum(np.fromiter(
+                (0 if v is None else len(v) for v in values),
+                np.int64, n), out=offsets[1:])
+            flat = list(chain.from_iterable(
+                v for v in values if v is not None))
+            child = array_data_from_sequence(flat, type.value_type)
+            return ArrayData(type, n,
+                             [_make_validity(mask), Buffer(offsets)],
+                             [child])
         offsets = np.zeros(n + 1, dtype=off_dt)
         flat = []
         pos = 0
