@@ -134,8 +134,14 @@ def _host_group_aggs(tbl: Table, keys: List[str],
         import pandas as pd
         key_lists = [tbl.column(k).combine().to_pylist() for k in keys]
         codes = None
+        # pandas' NA hashing folds None and float NaN into ONE code
+        # (use_na_sentinel=False treats both as "NA"); the reference
+        # group-by keys them separately, so replace None with a unique
+        # sentinel object before factorizing
+        _null = object()
         for kl in key_lists:
-            c, _ = pd.factorize(np.asarray(kl, dtype=object),
+            kl_f = [(_null if v is None else v) for v in kl]
+            c, _ = pd.factorize(np.asarray(kl_f, dtype=object),
                                 use_na_sentinel=False)
             c = c.astype(np.int64)
             if codes is None:

@@ -156,6 +156,8 @@ def _lower(x):
 @partial(jax.jit, static_argnums=(2, 3))
 def _k_starts_with(mat, lens, pat, ci):
     m = len(pat)
+    if m > mat.shape[1]:  # every len < m: all-False (host-tier parity)
+        return jnp.zeros(mat.shape[0], jnp.bool_)
     p = jnp.asarray(np.frombuffer(bytes(pat), np.uint8))
     head = mat[:, :m]
     if ci:
@@ -166,6 +168,8 @@ def _k_starts_with(mat, lens, pat, ci):
 @partial(jax.jit, static_argnums=(2, 3))
 def _k_ends_with(mat, lens, pat, ci):
     m = len(pat)
+    if m > mat.shape[1]:
+        return jnp.zeros(mat.shape[0], jnp.bool_)
     p = jnp.asarray(np.frombuffer(bytes(pat), np.uint8))
     idx = jnp.clip(lens[:, None] - m + jnp.arange(m)[None, :], 0,
                    mat.shape[1] - 1)

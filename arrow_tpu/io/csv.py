@@ -939,6 +939,10 @@ def _fast_format_column(col, delim: str):
     if tid == T.TypeId.DICTIONARY:
         t = t.value_type
         tid = t.id
+        try:
+            arr = arr.cast(t)  # decode codes -> values (honors validity)
+        except Exception:
+            return None
     if t.is_integer or t.is_floating:
         try:
             a = np.asarray(arr.data.values(), dtype=t.to_numpy_dtype())

@@ -215,11 +215,14 @@ def _rlev2_decode(data: bytes, n: int, signed: bool) -> np.ndarray:
                 base = -(base & (sign_bit - 1))
             nbytes = (count * width + 7) // 8
             vals = _read_bits(s.take(nbytes), count, width)
-            patch_bits = plen * (pgw + pwidth)
+            # liborc packs patch entries at getClosestFixedBits(pgw +
+            # pwidth) (e.g. 25 bits stored as 26) — RleDecoderV2
+            ew = _closed_width(pgw + pwidth)
+            patch_bits = plen * ew
             pbytes = (patch_bits + 7) // 8
             praw = s.take(pbytes)
             if plen:
-                entries = _read_bits(praw, plen, pgw + pwidth)
+                entries = _read_bits(praw, plen, ew)
                 pos = 0
                 for e in entries:
                     gap = int(e) >> pwidth

@@ -1487,6 +1487,15 @@ static const int kOrcWidth[32] = {
   1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,
   26,28,30,32,40,48,56,64};
 
+// liborc getClosestFixedBits: round a bit width up to the nearest
+// encodable fixed width (PATCHED_BASE patch entries are packed at
+// this rounded width, not at pgw+pwidth).
+static inline int orc_closest_fixed_bits(int w) {
+  for (int i = 0; i < 32; ++i)
+    if (kOrcWidth[i] >= w) return kOrcWidth[i];
+  return 64;
+}
+
 static inline int64_t orc_varint(const uint8_t* d, int64_t len,
                                  int64_t& pos, bool* ok) {
   uint64_t v = 0; int shift = 0;
@@ -1609,7 +1618,7 @@ int64_t orc_rlev2_decode(const uint8_t* data, int64_t len, int64_t n,
       if (!orc_read_bits(data, len, pos, count, width, tmp.data()))
         return -1;
       if (plen) {
-        int ew = pgw + pwidth;
+        int ew = orc_closest_fixed_bits(pgw + pwidth);
         std::vector<uint64_t> entries(plen);
         if (!orc_read_bits(data, len, pos, plen, ew, entries.data()))
           return -1;

@@ -398,7 +398,7 @@ class TestQueryContext:
             Declaration("table_source", acero.TableSourceNodeOptions(t)),
             Declaration("filter", acero.FilterNodeOptions(field("v") > 0)),
             Declaration("aggregate", acero.AggregateNodeOptions(
-                [("v", "hash_sum", None, "s")], keys=["k"])),
+                [("v", "hash_list", None, "s")], keys=["k"])),
         ])
 
     def test_accounting_and_metrics(self):
@@ -426,3 +426,27 @@ class TestQueryContext:
     def test_no_context_unaffected(self):
         plan = self._plan()
         assert plan.to_table().num_rows == 7
+
+
+def test_host_group_by_keeps_null_and_nan_keys_distinct():
+    """ADVICE r3: pandas factorize folds None and float NaN into one NA
+    code; reference group-by keys them separately."""
+    import math
+    import arrow_tpu as at
+    from arrow_tpu import acero
+    t = at.Table.from_arrays(
+        [at.array([None, float("nan"), None, float("nan"), 1.0]),
+         at.array([1, 2, 3, 4, 5])], names=["k", "v"])
+    decl = acero.Declaration.from_sequence([
+        acero.Declaration("table_source",
+                          acero.TableSourceNodeOptions(t)),
+        acero.Declaration("aggregate", acero.AggregateNodeOptions(
+            [("v", "hash_list", None, "s")], keys=["k"])),
+    ])
+    out = decl.to_table()
+    rows = {(("nan" if isinstance(k, float) and math.isnan(k) else k)): s
+            for k, s in zip(out.column("k").combine().to_pylist(),
+                            out.column("s").combine().to_pylist())}
+    assert rows.get(None) == [1, 3]
+    assert rows.get("nan") == [2, 4]
+    assert rows.get(1.0) == [5]

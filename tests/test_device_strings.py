@@ -42,6 +42,13 @@ PREDICATES = [
     ("match_substring", {"pattern": "zzzzzzzzzzzzzzzzzzzz"}),
     ("starts_with", {"pattern": "ab"}),
     ("starts_with", {"pattern": ""}),
+    # patterns longer than the pool width L (ADVICE r3: broadcast
+    # TypeError instead of all-False)
+    ("starts_with", {"pattern": "z" * 200}),
+    ("ends_with", {"pattern": "z" * 200}),
+    ("match_substring", {"pattern": "z" * 200}),
+    ("count_substring", {"pattern": "z" * 200}),
+    ("find_substring", {"pattern": "z" * 200}),
     ("ends_with", {"pattern": "9"}),
     ("ends_with", {"pattern": ""}),
     ("count_substring", {"pattern": "a"}),

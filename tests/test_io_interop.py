@@ -410,3 +410,15 @@ class TestJSONNativeDifferential:
         assert native.to_pydict() == fallback.to_pydict()
         assert [f.type for f in native.schema] == \
             [f.type for f in fallback.schema]
+
+
+def test_write_csv_dictionary_numeric_decodes_values():
+    """ADVICE r3 (high): the fast format path must decode dictionary
+    columns to VALUES, not emit the index codes."""
+    import arrow_tpu as at
+    darr = at.array([100, 200, 100, 300]).dictionary_encode()
+    t = at.Table.from_arrays([darr], names=["a"])
+    buf = io.BytesIO()
+    atcsv.write_csv(t, buf)
+    body = buf.getvalue().decode().strip().splitlines()
+    assert body[1:] == ["100", "200", "100", "300"]

@@ -229,3 +229,36 @@ def test_rlev2_native_matches_python():
             assert np.array_equal(np.asarray(got), np.asarray(want)), \
                 (signed, trial)
             assert np.array_equal(np.asarray(got), vals), (signed, trial)
+
+
+def test_patched_base_unaligned_patch_width_liborc():
+    """liborc packs PATCHED_BASE patch entries at
+    getClosestFixedBits(pgw + pwidth) (RleDecoderV2), not at the raw
+    combined width; mostly-small values with adjacent large outliers
+    produce unaligned combined widths (e.g. 29/43/51 bits). Both the
+    native and python decoders must round up identically."""
+    paorc = pytest.importorskip("pyarrow.orc")
+    import arrow_tpu.native as nat
+    from arrow_tpu.io import orc as orc_mod
+    rng = np.random.default_rng(7)
+    for pw_shift in (28, 29, 30, 31, 37, 45):
+        vals = rng.integers(0, 100, 512).astype(np.int64)
+        out_pos = np.arange(5, 25)  # adjacent outliers -> gap width 1
+        vals[out_pos] = (1 << pw_shift) + rng.integers(
+            0, 1000, len(out_pos))
+        buf = io.BytesIO()
+        paorc.write_table(pa.table({"x": vals}), buf)
+        buf.seek(0)
+        got = np.asarray(
+            orc.read_table(buf).column("x").combine().to_pylist())
+        assert np.array_equal(got, vals), pw_shift
+        # python fallback path decodes the same stripe identically
+        buf.seek(0)
+        real = nat.orc_rlev2_decode
+        nat.orc_rlev2_decode = lambda *a: None
+        try:
+            got_py = np.asarray(
+                orc.read_table(buf).column("x").combine().to_pylist())
+        finally:
+            nat.orc_rlev2_decode = real
+        assert np.array_equal(got_py, vals), pw_shift
