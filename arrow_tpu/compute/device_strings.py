@@ -263,6 +263,239 @@ def _k_is_ascii(mat, lens):
         jnp.logical_and(live, mat >= 0x80).any(axis=1))
 
 
+# --- str -> str transforms (2-D byte ops producing new pools) --------------
+# Reference analogue: scalar_string_ascii.cc's vectorized byte loops
+# (StringTransformExecBase). Each kernel maps (mat, lens) -> (mat', lens')
+# on device; the caller rebuilds the host dictionary from the new pool
+# bytes in one vectorized pass (native dict encoder dedupes many-to-one
+# results). All kernels are gated on pool.ascii_only: byte ops only equal
+# python str semantics when byte == codepoint.
+
+# every ASCII byte b for which chr(b).isspace() (str.strip() strips
+# the C0 separators \x1c-\x1f too)
+_WS_BYTES = tuple(b" \t\n\r\v\f\x1c\x1d\x1e\x1f")
+
+
+def _is_upper_b(mat):
+    return jnp.logical_and(mat >= 65, mat <= 90)
+
+
+def _is_lower_b(mat):
+    return jnp.logical_and(mat >= 97, mat <= 122)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _t_case(mat, lens, mode):
+    is_up, is_lo = _is_upper_b(mat), _is_lower_b(mat)
+    up = jnp.where(is_lo, mat - 32, mat)
+    low = jnp.where(is_up, mat + 32, mat)
+    if mode == "upper":
+        out = up
+    elif mode == "lower":
+        out = low
+    elif mode == "swapcase":
+        out = jnp.where(is_lo, mat - 32, jnp.where(is_up, mat + 32, mat))
+    elif mode == "capitalize":
+        first = jnp.arange(mat.shape[1])[None, :] == 0
+        out = jnp.where(first, up, low)
+    else:  # title: uppercase each alpha run head, lowercase the rest
+        is_alpha = jnp.logical_or(is_up, is_lo)
+        prev = jnp.pad(is_alpha[:, :-1], ((0, 0), (1, 0)))
+        out = jnp.where(jnp.logical_and(is_alpha, ~prev), up, low)
+    return out, lens
+
+
+@jax.jit
+def _t_reverse(mat, lens):
+    L = mat.shape[1]
+    pos = jnp.arange(L)[None, :]
+    idx = jnp.clip(lens[:, None] - 1 - pos, 0, L - 1).astype(jnp.int32)
+    out = jnp.take_along_axis(mat, idx, axis=1)
+    return jnp.where(pos < lens[:, None], out, 0), lens
+
+
+def _member(mat, chars):
+    m = jnp.zeros(mat.shape, jnp.bool_)
+    for c in chars:
+        m = jnp.logical_or(m, mat == c)
+    return m
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _t_trim(mat, lens, chars, left, right):
+    L = mat.shape[1]
+    pos = jnp.arange(L)[None, :]
+    live = pos < lens[:, None]
+    mem = jnp.logical_and(_member(mat, chars), live)
+    nlead = jnp.zeros_like(lens)
+    if left:
+        nlead = jnp.cumprod(mem.astype(jnp.int32), axis=1).sum(
+            axis=1).astype(lens.dtype)
+    ntrail = jnp.zeros_like(lens)
+    if right:
+        memr = _member(mat[:, ::-1], chars)
+        padr = pos < (L - lens[:, None])
+        run = jnp.cumprod(jnp.logical_or(memr, padr).astype(jnp.int32),
+                          axis=1).sum(axis=1).astype(lens.dtype)
+        ntrail = jnp.maximum(run - (L - lens), 0)
+    new_len = jnp.maximum(lens - nlead - ntrail, 0)
+    idx = jnp.clip(pos + nlead[:, None], 0, L - 1).astype(jnp.int32)
+    out = jnp.take_along_axis(mat, idx, axis=1)
+    return jnp.where(pos < new_len[:, None], out, 0), new_len
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _t_pad(mat, lens, width, pad_byte, side):
+    """side: 'left' (str.rjust), 'right' (str.ljust), 'center'
+    (str.center: extra pad goes right). mat must already be >= width
+    wide (caller widens)."""
+    L = mat.shape[1]
+    pos = jnp.arange(L)[None, :]
+    total_pad = jnp.maximum(width - lens, 0)
+    if side == "right":
+        s = jnp.zeros_like(lens)
+    elif side == "left":
+        s = total_pad
+    else:
+        # CPython str.center: left = marg//2 + (marg & width & 1)
+        s = total_pad // 2 + (total_pad & width & 1)
+    new_len = jnp.maximum(lens, width)
+    idx = jnp.clip(pos - s[:, None], 0, L - 1).astype(jnp.int32)
+    shifted = jnp.take_along_axis(mat, idx, axis=1)
+    in_body = jnp.logical_and(pos >= s[:, None],
+                              pos < (s + lens)[:, None])
+    out = jnp.where(in_body, shifted,
+                    jnp.where(pos < new_len[:, None],
+                              jnp.uint8(pad_byte), 0))
+    return out, new_len
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _t_slice(mat, lens, start, stop):
+    """v[start:stop] for static start >= 0, stop None or >= 0."""
+    L = mat.shape[1]
+    pos = jnp.arange(L)[None, :]
+    eff_stop = lens if stop is None else jnp.minimum(lens, stop)
+    new_len = jnp.maximum(eff_stop - jnp.minimum(lens, start), 0)
+    idx = jnp.clip(pos + start, 0, L - 1).astype(jnp.int32)
+    out = jnp.take_along_axis(mat, idx, axis=1)
+    return jnp.where(pos < new_len[:, None], out, 0), new_len
+
+
+def pool_transform(name: str, col, options: Optional[dict] = None):
+    """Device byte-pool tier for str->str transforms. Returns
+    (new_dictionary_host_Array, remap_codes_or_None) or None when
+    ineligible (caller falls back to the per-distinct host tier).
+
+    The kernel runs on device; the new dictionary is rebuilt on the
+    host in one vectorized pass through the native dictionary encoder,
+    which also dedupes many-to-one results (upper("A")==upper("a")) so
+    code order stays value-correct — the same canonicalization the host
+    tier's _map_to_new_dictionary performs per-value."""
+    options = options or {}
+    dictionary = col.dictionary
+    if dictionary is None:
+        return None
+    pool = dictionary_pool(dictionary)
+    if pool is None or not pool.ascii_only:
+        return None
+    mat, lens = pool.mat, pool.lens
+    if name in ("upper", "lower", "swapcase", "capitalize", "title"):
+        out, new_lens = _t_case(mat, lens, name)
+    elif name == "reverse":
+        out, new_lens = _t_reverse(mat, lens)
+    elif name in ("trim", "ltrim", "rtrim"):
+        if options.get("whitespace"):
+            cb = _WS_BYTES  # str.strip() with no argument
+        else:
+            chars = options.get("characters", "")
+            try:
+                # str.strip("") strips nothing; empty set is a no-op
+                cb = tuple(chars.encode("ascii"))
+            except UnicodeEncodeError:
+                return None
+        if len(cb) > 16:
+            return None
+        out, new_lens = _t_trim(mat, lens, cb,
+                                name in ("trim", "ltrim"),
+                                name in ("trim", "rtrim"))
+    elif name in ("lpad", "rpad", "center"):
+        width = int(options.get("width", 0))
+        padding = options.get("padding", " ")
+        if len(padding) != 1 or ord(padding) > 127 or width < 0:
+            return None
+        L = mat.shape[1]
+        if width > L:
+            newL = -(-width // _LANES) * _LANES
+            if pool.d * newL > (1 << 31):
+                return None
+            mat = jnp.pad(mat, ((0, 0), (0, newL - L)))
+        side = {"lpad": "left", "rpad": "right",
+                "center": "center"}[name]
+        out, new_lens = _t_pad(mat, lens, width, ord(padding), side)
+    elif name == "slice":
+        start = int(options.get("start", 0))
+        stop = options.get("stop")
+        step = options.get("step", 1)
+        if step != 1 or start < 0 or (stop is not None and
+                                      (stop < 0 or stop < start)):
+            return None
+        out, new_lens = _t_slice(mat, lens, start, stop)
+    else:
+        return None
+    return _pool_to_dictionary(out, new_lens, pool,
+                               dictionary.data.type)
+
+
+def _pool_to_dictionary(mat, lens, pool: BytePool, dict_type):
+    """(device mat, lens) -> (deduped host dictionary Array,
+    remap codes np.int32 or None). One device->host pull + vectorized
+    flatten + native dict encode; null dictionary slots stay empty."""
+    import numpy as np
+    from ..array.array import Array
+    from ..array.data import ArrayData
+    from ..buffer import Buffer
+    mat_np = np.asarray(mat)
+    lens_np = np.asarray(lens).astype(np.int64)
+    if pool.valid is not None:
+        lens_np = np.where(np.asarray(pool.valid), lens_np, 0)
+    d = pool.d
+    offs = np.zeros(d + 1, np.int64)
+    np.cumsum(lens_np, out=offs[1:])
+    total = int(offs[-1])
+    flat = np.zeros(total, np.uint8)
+    if total:
+        rows = np.repeat(np.arange(d, dtype=np.int64), lens_np)
+        pos = np.arange(total, dtype=np.int64) - \
+            np.repeat(offs[:-1], lens_np)
+        flat = mat_np[rows, pos]
+    from ..native import dict_encode_binary
+    enc = dict_encode_binary(flat, offs, None)
+    if enc is not None:
+        codes, uoffs, ubytes = enc
+        nd = len(uoffs) - 1
+        new_dict = Array(ArrayData(dict_type, nd,
+                                   [None, Buffer(uoffs), Buffer(ubytes)],
+                                   null_count=0))
+        remap = None if (nd == d and
+                         np.array_equal(codes, np.arange(d))) \
+            else codes.astype(np.int32)
+        return new_dict, remap
+    # no native lib: build without dedup (codes unchanged). Correct for
+    # group/join only when values stay unique; callers that need the
+    # canonical form fall back to the host tier when this path dedupes,
+    # so return None conservatively if duplicates are possible.
+    off32 = offs.astype(np.int32 if dict_type.id in
+                        (TypeId.STRING, TypeId.BINARY) else np.int64)
+    new_dict = Array(ArrayData(dict_type, d,
+                               [None, Buffer(off32), Buffer(flat)],
+                               null_count=0))
+    vals = new_dict.to_pylist()
+    if len(set(vals)) != d:
+        return None
+    return new_dict, None
+
+
 # --- dispatch --------------------------------------------------------------
 
 def _ascii_pat(pattern: str) -> Optional[tuple]:

@@ -80,7 +80,7 @@ class Function:
     ctx_arg: which array argument defines the execution context
     (capacity/row count) — e.g. take() keys off its indices argument."""
 
-    __slots__ = ("name", "kind", "impl", "doc", "ctx_arg")
+    __slots__ = ("name", "kind", "impl", "doc", "ctx_arg", "pre")
 
     def __init__(self, name: str, kind: str, impl: Callable, doc: str = "",
                  ctx_arg: int = 0):
@@ -89,6 +89,14 @@ class Function:
         self.impl = impl
         self.doc = doc
         self.ctx_arg = ctx_arg
+        # optional EAGER pre-hook: pre(cols, scalars, options) ->
+        # Optional[result], called by call_function OUTSIDE the jitted
+        # runner with concrete DeviceColumns. Used by kernels whose fast
+        # tier needs eager device execution + a host readback (device
+        # string transforms rebuild the host dictionary from a device
+        # byte pool — impossible inside a trace). Returning None falls
+        # through to the normal jitted impl.
+        self.pre = None
 
 
 _REGISTRY: Dict[str, Function] = {}
@@ -299,6 +307,11 @@ def call_function(name: str, args: Sequence, options=None,
     if n is None:
         n = cols[0].capacity
     row_count = jnp.asarray(n, dtype=jnp.int32)
+
+    if fn.pre is not None:
+        hit = fn.pre(cols, scalars, dict(options or {}))
+        if hit is not None:
+            return materialize(hit, n)
 
     okey = _options_key(options)
     # scalars that are arrays/tracers must be traced, not baked in; for

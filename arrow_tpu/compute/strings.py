@@ -81,13 +81,59 @@ def _pool_lookup(name: str, col: DeviceColumn, out_type, host_table,
     return _map_to_lookup(col, host_table(), out_type)
 
 
-def _str_to_str(name: str, fn: Callable[[str], str], doc: str = ""):
+def _try_pool_transform(col: DeviceColumn, kernel: str,
+                        options=None) -> Optional[DeviceColumn]:
+    """Device byte-pool str->str tier (device_strings.pool_transform):
+    for large ASCII dictionaries the transform is a jitted 2-D byte op
+    over the pool instead of O(distinct) host python calls. Returns
+    None when ineligible (small/non-ASCII dictionary, exotic options).
+
+    EAGER ONLY: the transform ends with a device->host pull that
+    rebuilds (and dedupes) the host dictionary, which cannot run under
+    a trace — it is wired in through Function.pre (registry.py), so the
+    eager pyarrow-style compute API gets the device tier while fused
+    plan programs keep the per-distinct host tier."""
+    from .device_strings import pool_transform
+    res = pool_transform(kernel, col, options)
+    if res is None:
+        return None
+    new_dict, remap = res
+    if remap is not None:
+        codes = jnp.asarray(remap)[col.values.astype(jnp.int64)]
+    else:
+        codes = col.values
+    return DeviceColumn(codes, col.validity, col.type, new_dict)
+
+
+def _set_transform_pre(name: str, kernel: str, opt_fn=None):
+    """Attach the eager device-tier pre-hook for a str->str kernel.
+    opt_fn maps the call's options dict to pool_transform options, or
+    returns None to decline (unsupported option combination)."""
+    from .registry import get_function
+
+    def pre(cols, scalars, options):
+        col = cols[0] if cols else None
+        if not isinstance(col, DeviceColumn) or col.dictionary is None:
+            return None
+        opts = opt_fn(options) if opt_fn else (
+            {} if not options else None)
+        if opts is None:
+            return None
+        return _try_pool_transform(col, kernel, opts)
+
+    get_function(name).pre = pre
+
+
+def _str_to_str(name: str, fn: Callable[[str], str], doc: str = "",
+                device_kernel: Optional[str] = None):
     @register(name, "elementwise", doc)
     def _impl(ctx, col, **options):
         _require_string(name, col)
         vals = [fn(v if v is not None else "", **options) if True else v
                 for v in _dict_values(col)]
         return _map_to_new_dictionary(col, vals)
+    if device_kernel is not None:
+        _set_transform_pre(name, device_kernel)
     return _impl
 
 
@@ -134,18 +180,21 @@ def _str_to_int(name: str, fn: Callable[[str], int], out_type=None,
 
 
 # --- case conversion -------------------------------------------------------
-_str_to_str("utf8_upper", str.upper)
-_str_to_str("utf8_lower", str.lower)
-_str_to_str("utf8_swapcase", str.swapcase)
-_str_to_str("utf8_capitalize", str.capitalize)
-_str_to_str("utf8_title", str.title)
-_str_to_str("ascii_upper", str.upper)
-_str_to_str("ascii_lower", str.lower)
-_str_to_str("ascii_swapcase", str.swapcase)
-_str_to_str("ascii_capitalize", str.capitalize)
-_str_to_str("ascii_title", str.title)
-_str_to_str("utf8_reverse", lambda s: s[::-1])
-_str_to_str("ascii_reverse", lambda s: s[::-1])
+_str_to_str("utf8_upper", str.upper, device_kernel="upper")
+_str_to_str("utf8_lower", str.lower, device_kernel="lower")
+_str_to_str("utf8_swapcase", str.swapcase, device_kernel="swapcase")
+_str_to_str("utf8_capitalize", str.capitalize,
+            device_kernel="capitalize")
+_str_to_str("utf8_title", str.title, device_kernel="title")
+_str_to_str("ascii_upper", str.upper, device_kernel="upper")
+_str_to_str("ascii_lower", str.lower, device_kernel="lower")
+_str_to_str("ascii_swapcase", str.swapcase, device_kernel="swapcase")
+_str_to_str("ascii_capitalize", str.capitalize,
+            device_kernel="capitalize")
+_str_to_str("ascii_title", str.title, device_kernel="title")
+_str_to_str("utf8_reverse", lambda s: s[::-1], device_kernel="reverse")
+_str_to_str("ascii_reverse", lambda s: s[::-1],
+            device_kernel="reverse")
 
 # --- predicates ------------------------------------------------------------
 _str_to_bool("utf8_is_alnum", str.isalnum)
@@ -175,50 +224,41 @@ _str_to_int("binary_length", lambda s: len(s.encode()
 
 # --- trim / pad ------------------------------------------------------------
 
-@register("utf8_trim_whitespace", "elementwise")
-def _trim_ws(ctx, col):
-    _require_string("utf8_trim_whitespace", col)
-    return _map_to_new_dictionary(col, [v.strip() if v else v
-                                        for v in _dict_values(col)])
+def _trim_impl(name: str, kernel: str, method: str, ws: bool):
+    @register(name, "elementwise")
+    def _impl(ctx, col, characters: str = ""):
+        _require_string(name, col)
+        arg = () if ws else (characters,)
+        return _map_to_new_dictionary(
+            col, [getattr(v, method)(*arg) if v else v
+                  for v in _dict_values(col)])
+    if ws:
+        _set_transform_pre(name, kernel,
+                           lambda o: {"whitespace": True} if not o
+                           else None)
+    else:
+        _set_transform_pre(
+            name, kernel,
+            lambda o: {"characters": o.get("characters", "")})
+    return _impl
 
 
-@register("utf8_ltrim_whitespace", "elementwise")
-def _ltrim_ws(ctx, col):
-    _require_string("utf8_ltrim_whitespace", col)
-    return _map_to_new_dictionary(col, [v.lstrip() if v else v
-                                        for v in _dict_values(col)])
+_trim_impl("utf8_trim_whitespace", "trim", "strip", ws=True)
+_trim_impl("utf8_ltrim_whitespace", "ltrim", "lstrip", ws=True)
+_trim_impl("utf8_rtrim_whitespace", "rtrim", "rstrip", ws=True)
+_trim_impl("utf8_trim", "trim", "strip", ws=False)
+_trim_impl("utf8_ltrim", "ltrim", "lstrip", ws=False)
+_trim_impl("utf8_rtrim", "rtrim", "rstrip", ws=False)
 
 
-@register("utf8_rtrim_whitespace", "elementwise")
-def _rtrim_ws(ctx, col):
-    _require_string("utf8_rtrim_whitespace", col)
-    return _map_to_new_dictionary(col, [v.rstrip() if v else v
-                                        for v in _dict_values(col)])
+def _pad_opts(o):
+    return {"width": o.get("width", 0), "padding": o.get("padding", " ")}
 
 
-@register("utf8_trim", "elementwise")
-def _trim(ctx, col, characters: str = ""):
-    _require_string("utf8_trim", col)
-    return _map_to_new_dictionary(col, [v.strip(characters) if v else v
-                                        for v in _dict_values(col)])
-
-
-@register("utf8_ltrim", "elementwise")
-def _ltrim(ctx, col, characters: str = ""):
-    _require_string("utf8_ltrim", col)
-    return _map_to_new_dictionary(col, [v.lstrip(characters) if v else v
-                                        for v in _dict_values(col)])
-
-
-@register("utf8_rtrim", "elementwise")
-def _rtrim(ctx, col, characters: str = ""):
-    _require_string("utf8_rtrim", col)
-    return _map_to_new_dictionary(col, [v.rstrip(characters) if v else v
-                                        for v in _dict_values(col)])
-
-
-for _name, _mname in [("utf8_lpad", "rjust"), ("utf8_rpad", "ljust"),
-                      ("ascii_lpad", "rjust"), ("ascii_rpad", "ljust")]:
+for _name, _mname, _kern in [("utf8_lpad", "rjust", "lpad"),
+                             ("utf8_rpad", "ljust", "rpad"),
+                             ("ascii_lpad", "rjust", "lpad"),
+                             ("ascii_rpad", "ljust", "rpad")]:
     def _mk(mname):
         def fn(ctx, col, width: int = 0, padding: str = " ",
                lean_left_on_odd_padding: bool = True):
@@ -228,6 +268,7 @@ for _name, _mname in [("utf8_lpad", "rjust"), ("utf8_rpad", "ljust"),
                       else v for v in _dict_values(col)])
         return fn
     register(_name, "elementwise")(_mk(_mname))
+    _set_transform_pre(_name, _kern, _pad_opts)
 
 
 @register("utf8_center", "elementwise")
@@ -239,6 +280,9 @@ def _center(ctx, col, width: int = 0, padding: str = " ",
               for v in _dict_values(col)])
 
 
+_set_transform_pre("utf8_center", "center", _pad_opts)
+
+
 # --- slice / repeat --------------------------------------------------------
 
 @register("utf8_slice_codeunits", "elementwise")
@@ -248,6 +292,12 @@ def _slice(ctx, col, start: int = 0, stop: Optional[int] = None,
     return _map_to_new_dictionary(
         col, [v[start:stop:step] if v is not None else v
               for v in _dict_values(col)])
+
+
+_set_transform_pre("utf8_slice_codeunits", "slice",
+                   lambda o: {"start": o.get("start", 0),
+                              "stop": o.get("stop"),
+                              "step": o.get("step", 1)})
 
 
 @register("binary_repeat", "elementwise")

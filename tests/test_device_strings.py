@@ -147,3 +147,100 @@ class TestDeviceStringTier:
         assert dictionary_pool(big.dictionary) is not None
         got = pc.starts_with(_col(bigvals), pattern="s4").to_pylist()
         assert got == [v.startswith("s4") for v in bigvals]
+
+
+TRANSFORMS = [
+    ("utf8_upper", {}),
+    ("utf8_lower", {}),
+    ("utf8_swapcase", {}),
+    ("utf8_capitalize", {}),
+    ("utf8_title", {}),
+    ("utf8_reverse", {}),
+    ("utf8_trim_whitespace", {}),
+    ("utf8_ltrim_whitespace", {}),
+    ("utf8_rtrim_whitespace", {}),
+    ("utf8_trim", {"characters": "ab "}),
+    ("utf8_trim", {"characters": ""}),   # str.strip("") strips nothing
+    ("utf8_ltrim", {"characters": "x#"}),
+    ("utf8_rtrim", {"characters": "0123456789"}),
+    ("utf8_lpad", {"width": 8, "padding": "*"}),
+    ("utf8_rpad", {"width": 8, "padding": "-"}),
+    ("utf8_center", {"width": 9, "padding": "="}),
+    ("utf8_lpad", {"width": 200, "padding": "*"}),  # widens the pool
+    ("utf8_slice_codeunits", {"start": 2}),
+    ("utf8_slice_codeunits", {"start": 1, "stop": 5}),
+    ("utf8_slice_codeunits", {"start": 0, "stop": 0}),
+    ("utf8_slice_codeunits", {"start": 2, "stop": 4, "step": 2}),  # host
+]
+
+
+def _ws_values(n, seed):
+    """ASCII values with leading/trailing whitespace + case variety so
+    trim/case transforms change something and dedupe (many-to-one)."""
+    rng = random.Random(seed)
+    pads = ["", " ", "  ", "\t", "\n", " \t "]
+    out = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            out.append(None)
+        else:
+            body = "".join(rng.choice(_string.ascii_letters + "  _%.")
+                           for _ in range(rng.randrange(0, 12)))
+            out.append(rng.choice(pads) + body + rng.choice(pads))
+    # force collisions after case-fold: both cases of the same body
+    out += ["Abc def", "ABC DEF", "abc dEF", "\x1c mixed\x1f ", ""]
+    return out
+
+
+class TestDeviceStringTransforms:
+    @pytest.mark.parametrize("name,opts", TRANSFORMS)
+    def test_matches_host_tier(self, name, opts, monkeypatch):
+        vals = _ws_values(300, seed=hash(name + str(opts)) & 0xffff)
+        col = _col(vals)
+        monkeypatch.setenv("ARROW_TPU_DEVICE_STRINGS", "off")
+        host = _run(name, col, opts)
+        monkeypatch.setenv("ARROW_TPU_DEVICE_STRINGS", "on")
+        dev = _run(name, col, opts)
+        assert dev == host
+
+    @pytest.mark.parametrize("name,opts", TRANSFORMS)
+    def test_unicode_falls_back_identically(self, name, opts,
+                                            monkeypatch):
+        vals = _mixed_values(150, seed=3, unicode_frac=0.3)
+        col = _col(vals)
+        monkeypatch.setenv("ARROW_TPU_DEVICE_STRINGS", "off")
+        host = _run(name, col, opts)
+        monkeypatch.setenv("ARROW_TPU_DEVICE_STRINGS", "on")
+        dev = _run(name, col, opts)
+        assert dev == host
+
+    def test_transform_used_device_path(self, monkeypatch):
+        """The ASCII value set must actually exercise pool_transform
+        (guard against a silent always-fallback)."""
+        from arrow_tpu.compute import device_strings as ds
+        calls = []
+        orig = ds.pool_transform
+
+        def spy(name, col, options=None):
+            r = orig(name, col, options)
+            calls.append((name, r is not None))
+            return r
+        monkeypatch.setattr(ds, "pool_transform", spy)
+        monkeypatch.setenv("ARROW_TPU_DEVICE_STRINGS", "on")
+        col = _col(_ws_values(200, seed=9))
+        pc.utf8_upper(col)
+        pc.utf8_trim_whitespace(col)
+        pc.utf8_slice_codeunits(col, start=1, stop=4)
+        assert calls and all(hit for _, hit in calls), calls
+
+    def test_transform_dedupes_codes_for_group_keys(self, monkeypatch):
+        """Case-folding is many-to-one: the new dictionary must be
+        canonical (one slot per value) so grouping on codes is exact."""
+        monkeypatch.setenv("ARROW_TPU_DEVICE_STRINGS", "on")
+        col = _col(["Aa", "AA", "aa", "aA", "bb", None] * 40)
+        up = pc.utf8_upper(col)
+        assert up.to_pylist() == (["AA"] * 4 + ["BB", None]) * 40
+        distinct = pc.unique(up).to_pylist()
+        assert sorted(v for v in distinct if v is not None) == \
+            ["AA", "BB"]
