@@ -398,7 +398,7 @@ class TestQueryContext:
             Declaration("table_source", acero.TableSourceNodeOptions(t)),
             Declaration("filter", acero.FilterNodeOptions(field("v") > 0)),
             Declaration("aggregate", acero.AggregateNodeOptions(
-                [("v", "hash_list", None, "s")], keys=["k"])),
+                [("v", "hash_sum", None, "s")], keys=["k"])),
         ])
 
     def test_accounting_and_metrics(self):
