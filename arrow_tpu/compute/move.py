@@ -26,18 +26,21 @@ _SMALL_SEGMENT_LOOP = 64
 
 def movement_mode() -> str:
     """Movement strategy: 'direct' (CPU/GPU native scatters/gathers),
-    'sort' (multi-operand stable sorts — works for every dtype), or
+    'sort' (multi-operand stable sorts — works for every dtype),
     'scatter' (int32 scatters; 64-bit integers ride as two u32 planes,
-    f64 falls back to the sort). Override with ARROW_TPU_MOVEMENT."""
+    f64 falls back to the sort), or 'gather' (ONE i32 index sort, then
+    per-column gathers with indices_are_sorted hints — replaces k
+    payload-carrying sorts with k linear sorted gathers; chip-measured
+    vs 'sort' in CHIP_SESSION_r04). Override with ARROW_TPU_MOVEMENT."""
     import os
     force = os.environ.get("ARROW_TPU_MOVEMENT")
-    if force in ("sort", "direct", "scatter"):
+    if force in ("sort", "direct", "scatter", "gather"):
         return force
     if force and force != "auto":
         import warnings
         warnings.warn(f"unrecognized ARROW_TPU_MOVEMENT={force!r}; "
-                      "expected auto|sort|direct|scatter — using auto",
-                      stacklevel=2)
+                      "expected auto|sort|direct|scatter|gather — "
+                      "using auto", stacklevel=2)
     import jax
     return "direct" if jax.default_backend() == "cpu" else "sort"
 
@@ -168,6 +171,20 @@ def compact_by_mask(keep: jax.Array,
     if mode == "sort":
         drop_key = (~keep).astype(jnp.uint8)
         outs = sort_with_payload([drop_key], arrays)
+        return outs, count
+    if mode == "gather":
+        # ONE i32 sort computes the kept-row source indices; every
+        # column then rides a gather whose indices are monotone
+        # non-decreasing (dropped tail clamped to the last row), so the
+        # indices_are_sorted hint is truthful and XLA can lower the
+        # gather without the quadratic general-gather expansion.
+        idx = jnp.arange(cap, dtype=jnp.int32)
+        drop_key = (~keep).astype(jnp.uint8)
+        (src,) = sort_with_payload([drop_key], [idx])
+        src = jnp.where(idx < count, src, cap - 1)
+        outs = [jnp.take(a, src, axis=0, indices_are_sorted=True,
+                         unique_indices=False, mode="clip")
+                for a in arrays]
         return outs, count
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     positions = jnp.where(keep, pos, cap)

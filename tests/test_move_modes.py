@@ -31,14 +31,15 @@ def test_compact_modes_agree(monkeypatch, selectivity):
     keep = jnp.asarray(rng.random(n) < selectivity)
     arrays = _cases(rng, n)
     results = {}
-    for mode in ("sort", "direct", "scatter"):
+    for mode in ("sort", "direct", "scatter", "gather"):
         monkeypatch.setenv("ARROW_TPU_MOVEMENT", mode)
         outs, count = move.compact_by_mask(keep, arrays)
         results[mode] = ([np.asarray(o) for o in outs], int(count))
     k = results["direct"][1]
-    assert results["sort"][1] == k == results["scatter"][1]
+    assert results["sort"][1] == k == results["scatter"][1] \
+        == results["gather"][1]
     expect = [np.asarray(a)[np.asarray(keep)] for a in arrays]
-    for mode in ("sort", "direct", "scatter"):
+    for mode in ("sort", "direct", "scatter", "gather"):
         outs, _ = results[mode]
         for o, e in zip(outs, expect):
             assert np.array_equal(o[:k], e), mode
