@@ -60,7 +60,13 @@ from .options import (AggregateNodeOptions, FetchNodeOptions,
                       OrderByNodeOptions)
 
 _STREAMABLE_MIDDLE = ("filter", "project", "hashjoin")
+# chunked PROBE streaming cannot carry right-side matched state across
+# chunks, so right semi/anti/outer and full outer are excluded here;
+# the distributed path hash-partitions instead and supports all 8
+# (dist_exec passes _ALL_JOIN_TYPES to _linearize).
 _STREAM_JOIN_TYPES = ("inner", "left outer", "left semi", "left anti")
+_ALL_JOIN_TYPES = _STREAM_JOIN_TYPES + (
+    "right semi", "right anti", "right outer", "full outer")
 
 
 def chunk_rows_env() -> int:
@@ -94,7 +100,7 @@ class _Linear:
         self.post_ops = list(post_ops)  # Declarations after an aggregate
 
 
-def _linearize(decl) -> Optional[_Linear]:
+def _linearize(decl, join_types=_STREAM_JOIN_TYPES) -> Optional[_Linear]:
     chain = []
     cur = decl
     while True:
@@ -111,7 +117,7 @@ def _linearize(decl) -> Optional[_Linear]:
                                             None):
                 return None
             if f == "hashjoin":
-                if cur.options.join_type not in _STREAM_JOIN_TYPES:
+                if cur.options.join_type not in join_types:
                     return None
                 if getattr(cur.options, "filter_expression", None) \
                         is not None:
@@ -135,8 +141,12 @@ def _split_chain(tbl, chain) -> Optional[_Linear]:
         f = d.factory_name
         if terminal is not None and terminal.factory_name == "aggregate":
             # tail after the aggregate runs whole-table on the small
-            # aggregate result (Q1/Q3: order_by [+ fetch] tails)
-            if f in ("filter", "project", "order_by", "fetch"):
+            # aggregate result: Q1/Q3's order_by [+ fetch] tails, Q13's
+            # second-level aggregate, Q18's joins back against the
+            # HAVING result (each re-enters to_table on the small table,
+            # keeping its own build subtree)
+            if f in ("filter", "project", "order_by", "fetch",
+                     "aggregate", "hashjoin"):
                 post_ops.append(d)
                 i += 1
                 continue
@@ -1067,7 +1077,10 @@ def maybe_execute_chunked(decl, chunk_rows: int) -> Optional[Table]:
             from .options import TableSourceNodeOptions
             cur = Declaration("table_source", TableSourceNodeOptions(out))
             for d in lin.post_ops:
-                cur = Declaration(d.factory_name, d.options, inputs=[cur])
+                # post-op hashjoins keep their ORIGINAL build subtree;
+                # only the probe side is the aggregated result
+                ins = [cur] + list((d.inputs or [])[1:])
+                cur = Declaration(d.factory_name, d.options, inputs=ins)
             out = cur.to_table()
         return out
 

@@ -43,8 +43,26 @@ except AttributeError:  # pragma: no cover
 
 from ..device.column import DeviceBatch, DeviceColumn
 from ..table import Table
-from .chunked import (_ChunkedGroupBy, _ChunkSource, _linearize,
-                      _norm_aggs, maybe_execute_chunked, state_rows_env)
+from .chunked import (_ALL_JOIN_TYPES, _ChunkedGroupBy, _ChunkSource,
+                      _linearize, _norm_aggs, maybe_execute_chunked,
+                      state_rows_env)
+
+
+# Exchange-coverage accounting (round-4 verdict item 6): which plans
+# actually exercised a mesh exchange vs fell back to chunked-local
+# execution. Tests assert on these so fallback cannot silently absorb
+# regressions; dryrun_multichip prints them.
+EXCHANGE_COUNTS = {"join_exchange": 0, "sort_exchange": 0,
+                   "spmd_aggregate": 0, "chunked_fallback": 0}
+
+
+def reset_exchange_counts() -> None:
+    for k in EXCHANGE_COUNTS:
+        EXCHANGE_COUNTS[k] = 0
+
+
+def _count(kind: str) -> None:
+    EXCHANGE_COUNTS[kind] += 1
 
 
 def maybe_execute_distributed(decl, mesh: Optional[Mesh] = None
@@ -55,7 +73,7 @@ def maybe_execute_distributed(decl, mesh: Optional[Mesh] = None
     if mesh is None:
         mesh = make_mesh()
     ndev = int(mesh.devices.size)
-    lin = _linearize(decl)
+    lin = _linearize(decl, join_types=_ALL_JOIN_TYPES)
     if lin is None:
         return None
     n = lin.table.num_rows
@@ -71,6 +89,7 @@ def maybe_execute_distributed(decl, mesh: Optional[Mesh] = None
         if aggs is not None:
             out = _spmd_aggregate(lin, aggs, mesh, part_rows)
             if out is not None:
+                _count("spmd_aggregate")
                 return out
     if has_join:
         out = _distributed_join_plan(lin, mesh)
@@ -80,13 +99,54 @@ def maybe_execute_distributed(decl, mesh: Optional[Mesh] = None
             and term.factory_name == "order_by"):
         out = _distributed_sort_plan(lin, mesh)
         if out is not None:
+            _count("sort_exchange")
             return out
     # remaining shapes: partition-sequential schedule (same contiguous
     # partitioning, partitions run as chunks locally)
+    _count("chunked_fallback")
     return maybe_execute_chunked(decl, part_rows)
 
 
 _ROWID_L, _ROWID_R = "__dist_rid_l__", "__dist_rid_r__"
+
+
+def _fused_probe_prep(lin, mids):
+    """Prepare the SPMD-fused probe side: append the hidden _ROWID_L to
+    the SOURCE, rewrite every pre-join project to pass it through, and
+    lower the middles to jittable per-shard DeviceBatch fns
+    (exec.py _segment_fns). Returns (rid-augmented source, fns,
+    post-chain probe column names), or None when fusion is disabled
+    (ARROW_TPU_DIST_FUSED_PRE=off)."""
+    import os
+    if os.environ.get("ARROW_TPU_DIST_FUSED_PRE", "on") == "off":
+        return None
+    import arrow_tpu as at
+    from .exec import Declaration, _segment_fns
+    from .expression import Expression
+    from .options import ProjectNodeOptions
+
+    n = lin.table.num_rows
+    src2 = Table.from_arrays(
+        [lin.table.column(i).combine_chunks()
+         for i in range(len(lin.table.schema.names))]
+        + [at.array(np.arange(n, dtype=np.int64))],
+        list(lin.table.schema.names) + [_ROWID_L])
+    post_names = list(lin.table.schema.names)
+    rewritten = []
+    for d in mids:
+        if d.factory_name == "project":
+            o = d.options
+            names = list(o.names) if o.names is not None else [
+                repr(e) if e.kind != Expression.KIND_FIELD else e.name
+                for e in o.expressions]
+            rewritten.append(Declaration("project", ProjectNodeOptions(
+                list(o.expressions) + [Expression.field(_ROWID_L)],
+                names + [_ROWID_L])))
+            post_names = names
+        else:
+            rewritten.append(d)
+    fns = _segment_fns(rewritten) if rewritten else []
+    return src2, fns, post_names
 
 
 def _distributed_join_plan(lin, mesh: Mesh) -> Optional[Table]:
@@ -116,66 +176,120 @@ def _distributed_join_plan(lin, mesh: Mesh) -> Optional[Table]:
              if d.factory_name == "hashjoin")
     join_decl = lin.middle[j]
     opts = join_decl.options
-    if opts.join_type not in ("inner", "left outer"):
-        return None
-
-    # ---- materialize both sides (probe = source + pre-join middles) --
-    probe_decl = Declaration("table_source",
-                             TableSourceNodeOptions(lin.table))
-    for d in lin.middle[:j]:
-        probe_decl = Declaration(d.factory_name, d.options,
-                                 inputs=[probe_decl])
-    probe = probe_decl.to_table()
-    build = join_decl.inputs[1].to_table()
-    if probe.num_rows == 0 or build.num_rows == 0:
-        return None  # degenerate; local path handles it
+    jt = opts.join_type
+    probe_only = jt in ("left semi", "left anti")
+    build_only = jt in ("right semi", "right anti")
 
     import arrow_tpu as at
-    pn, bn = probe.num_rows, build.num_rows
-    probe2 = Table.from_arrays(
-        [probe.column(i).combine_chunks()
-         for i in range(len(probe.schema.names))]
-        + [at.array(np.arange(pn, dtype=np.int64))],
-        list(probe.schema.names) + [_ROWID_L])
+    # the build subtree runs DISTRIBUTED as well: beyond sharding the
+    # work, this keeps float-sum reassociation identical on every
+    # aggregation path (q15-style plans equality-join two aggregations
+    # of the same subtree — a locally-computed build would reassociate
+    # differently and the equality would miss)
+    build = join_decl.inputs[1].to_table(distributed=True, mesh=mesh)
+    if build.num_rows == 0 or lin.table.num_rows == 0:
+        return None  # degenerate; local path handles it
+    bn = build.num_rows
     build2 = Table.from_arrays(
         [build.column(i).combine_chunks()
          for i in range(len(build.schema.names))]
         + [at.array(np.arange(bn, dtype=np.int64))],
         list(build.schema.names) + [_ROWID_R])
 
-    try:
-        joined = distributed_join_tables(
-            mesh, probe2, build2, list(opts.left_keys),
-            list(opts.right_keys), opts.join_type)
-    except NotImplementedError:
-        return None
+    mids = list(lin.middle[:j])
+    joined = None
+    # ---- fused path (round-4 verdict item 5): the pre-join middles
+    # run per-shard INSIDE the exchange program. The hidden probe row
+    # id is a SOURCE row id threaded through rewritten projects;
+    # filters preserve relative order, so source-id order equals the
+    # materialized probe's row order and the same restoration sort
+    # applies below.
+    fused = _fused_probe_prep(lin, mids)
+    if fused is not None:
+        src2, pre_fns, post_lnames = fused
+        try:
+            joined = distributed_join_tables(
+                mesh, src2, build2, list(opts.left_keys),
+                list(opts.right_keys), jt, left_pre_fns=pre_fns)
+            probe_names = post_lnames
+            sentinel = lin.table.num_rows
+        except NotImplementedError:
+            joined = None
+    if joined is None:
+        # ---- fallback: materialize the probe locally, then exchange
+        # (dictionary join keys, or fusion disabled via config) ----
+        probe_decl = Declaration("table_source",
+                                 TableSourceNodeOptions(lin.table))
+        for d in mids:
+            probe_decl = Declaration(d.factory_name, d.options,
+                                     inputs=[probe_decl])
+        probe = probe_decl.to_table()
+        if probe.num_rows == 0:
+            return None
+        pn = probe.num_rows
+        probe2 = Table.from_arrays(
+            [probe.column(i).combine_chunks()
+             for i in range(len(probe.schema.names))]
+            + [at.array(np.arange(pn, dtype=np.int64))],
+            list(probe.schema.names) + [_ROWID_L])
+        try:
+            joined = distributed_join_tables(
+                mesh, probe2, build2, list(opts.left_keys),
+                list(opts.right_keys), jt)
+        except NotImplementedError:
+            return None
+        probe_names = list(probe.schema.names)
+        sentinel = pn
+    _count("join_exchange")
 
-    # ---- restore probe-major order via the hidden row ids ----
+    # ---- restore the local join's emission order via hidden row ids --
     # (distributed_join_tables suffixes collided names with _l/_r; the
-    # hidden names are unique so they survive verbatim)
-    rid_l = np.asarray(joined.column(_ROWID_L).to_pylist(),
-                       dtype=np.int64)
-    rid_r_raw = joined.column(_ROWID_R).to_pylist()
-    rid_r = np.asarray([-1 if v is None else v for v in rid_r_raw],
-                       dtype=np.int64)  # left-outer null rows
-    perm = np.lexsort((rid_r, rid_l))
+    # hidden names are unique so they survive verbatim). Local emission
+    # order (exec.py _join_materialize): probe-major (probe_rowid,
+    # build_rowid); right/full outer append unmatched build rows AFTER,
+    # in build-row order; right semi/anti emit build rows in build-row
+    # order; left semi/anti emit probe rows in probe-row order.
+    if build_only:
+        rid_r = np.asarray(joined.column(_ROWID_R).to_pylist(),
+                           dtype=np.int64)
+        perm = np.argsort(rid_r, kind="stable")
+        pick = [n for n in build.schema.names]
+        outnames = list(pick)
+    elif probe_only:
+        rid_l = np.asarray(joined.column(_ROWID_L).to_pylist(),
+                           dtype=np.int64)
+        perm = np.argsort(rid_l, kind="stable")
+        lnames = list(opts.left_output) if opts.left_output is not None \
+            else list(probe_names)
+        pick = list(lnames)
+        outnames = list(lnames)
+    else:
+        rid_l_raw = joined.column(_ROWID_L).to_pylist()
+        rid_l = np.asarray(
+            [sentinel if v is None else v for v in rid_l_raw],
+            dtype=np.int64)  # right/full-outer null rows
+        rid_r_raw = joined.column(_ROWID_R).to_pylist()
+        rid_r = np.asarray([-1 if v is None else v for v in rid_r_raw],
+                           dtype=np.int64)  # left-outer null rows
+        perm = np.lexsort((rid_r, rid_l))
 
-    # ---- output naming = _join_output_schema rules ----
-    lnames = list(opts.left_output) if opts.left_output is not None \
-        else list(probe.schema.names)
-    rnames = list(opts.right_output) if opts.right_output is not None \
-        else list(build.schema.names)
-    pick, outnames = [], []
-    for n in lnames:
-        jn = n + ("_l" if n in build2.schema.names else "")
-        pick.append(jn)
-        outnames.append(n + (opts.output_suffix_for_left
-                             if n in rnames else ""))
-    for n in rnames:
-        jn = n + ("_r" if n in probe2.schema.names else "")
-        pick.append(jn)
-        outnames.append(n + (opts.output_suffix_for_right
-                             if n in lnames else ""))
+        # ---- output naming = _join_output_schema rules ----
+        lnames = list(opts.left_output) if opts.left_output is not None \
+            else list(probe_names)
+        rnames = list(opts.right_output) if opts.right_output is not None \
+            else list(build.schema.names)
+        probe_all = set(probe_names) | {_ROWID_L}
+        pick, outnames = [], []
+        for n in lnames:
+            jn = n + ("_l" if n in build2.schema.names else "")
+            pick.append(jn)
+            outnames.append(n + (opts.output_suffix_for_left
+                                 if n in rnames else ""))
+        for n in rnames:
+            jn = n + ("_r" if n in probe_all else "")
+            pick.append(jn)
+            outnames.append(n + (opts.output_suffix_for_right
+                                 if n in lnames else ""))
     idx = at.array(perm.astype(np.int64))
     cols = [joined.column(n).take(idx).combine_chunks()
             for n in pick]
@@ -361,6 +475,10 @@ def _spmd_aggregate_at(lin, aggs, mesh: Mesh, part_rows: int,
         from .options import TableSourceNodeOptions
         cur = Declaration("table_source", TableSourceNodeOptions(out))
         for d in lin.post_ops:
-            cur = Declaration(d.factory_name, d.options, inputs=[cur])
-        out = cur.to_table()
+            # post-op hashjoins keep their ORIGINAL build subtree
+            ins = [cur] + list((d.inputs or [])[1:])
+            cur = Declaration(d.factory_name, d.options, inputs=ins)
+        # distributed recursion keeps aggregation reassociation
+        # consistent across every subtree (see _distributed_join_plan)
+        out = cur.to_table(distributed=True, mesh=mesh)
     return out

@@ -370,10 +370,16 @@ def _node_order_by(options: OrderByNodeOptions, schema: Schema):
 
 def _rank_col(c: DeviceColumn) -> DeviceColumn:
     vals = c.dictionary.to_pylist()
+    if not vals:
+        # empty dictionary (0-row batch): every slot is padding — any
+        # constant key sorts it correctly
+        return DeviceColumn(jnp.zeros(c.capacity, jnp.int64),
+                            c.validity, T.int64())
     order = np.argsort(np.array(vals, dtype=object), kind="stable")
     ranks = np.empty(len(vals), dtype=np.int64)
     ranks[order] = np.arange(len(vals))
-    new_vals = jnp.asarray(ranks)[c.values.astype(jnp.int64)]
+    safe = jnp.clip(c.values.astype(jnp.int64), 0, len(vals) - 1)
+    new_vals = jnp.asarray(ranks)[safe]
     return DeviceColumn(new_vals, c.validity, T.int64())
 
 

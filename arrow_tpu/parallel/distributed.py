@@ -360,43 +360,110 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
                             right_keys: Sequence[str],
                             join_type: str = "inner",
                             out_cap_per_device: Optional[int] = None,
-                            axis: str = "d") -> Table:
+                            axis: str = "d",
+                            left_pre_fns: Sequence = ()) -> Table:
     """Distributed equi-join: hash-partition both sides' rows across the
     mesh by key, exchange via all_to_all, then run independent local joins
     per device (SURVEY §2.9 P4: partitioning replaces the reference's
     RowArrayMerge/SwissTableMerge phase).
 
     out_cap_per_device bounds each device's output (static shape); defaults
-    to the received probe capacity (sufficient for unique build keys)."""
+    to the received probe capacity (sufficient for unique build keys).
+
+    All 8 Acero join types are supported (hash_join_node.cc:707 matrix):
+    hash partitioning puts every row of a key on ONE device, so each
+    device's local semi/anti/outer decision is globally correct.
+    Output sides mirror the local node: probe columns only for left
+    semi/anti, build columns only for right semi/anti, probe-major rows
+    plus appended unmatched build rows for right/full outer.
+
+    left_pre_fns: jittable DeviceBatch -> DeviceBatch functions
+    (filter/project middles, exec.py _segment_fns) applied to each
+    device's PROBE partition inside the SPMD program, BEFORE the
+    all_to_all — the pre-join work itself is sharded, not just the
+    exchange (round-4 verdict item 5; reference contrast:
+    swiss_join.cc:1103-1210 partitions the build work)."""
     from ..compute import join as J
     from ..acero.exec import unify_dictionaries
     from ..device.column import download_column
 
-    if join_type not in ("inner", "left outer"):
+    if join_type not in ("inner", "left outer", "left semi", "left anti",
+                         "right semi", "right anti", "right outer",
+                         "full outer"):
         raise NotImplementedError(
             f"distributed join type {join_type!r} (use single-device plan)")
+    probe_only = join_type in ("left semi", "left anti")
+    build_only = join_type in ("right semi", "right anti")
+    append_unmatched = join_type in ("right outer", "full outer")
+    pre = tuple(left_pre_fns or ())
 
     ndev = mesh.devices.size
     lb = shard_table(mesh, left, axis)
     rb = shard_table(mesh, right, axis)
-    # unify key dictionaries ACROSS sides (host metadata step)
-    for lk, rk in zip(left_keys, right_keys):
-        lc, rc = lb.column(lk), rb.column(rk)
-        if lc.dictionary is not None or rc.dictionary is not None:
-            lc2, rc2 = unify_dictionaries([lc, rc])
-            lb.columns[lb.schema.get_field_index(lk)] = lc2
-            rb.columns[rb.schema.get_field_index(rk)] = rc2
-
     l_cap = lb.capacity // ndev
     r_cap = rb.capacity // ndev
-    out_cap = out_cap_per_device or (ndev * l_cap)
-    l_types = [c.type for c in lb.columns]
+
+    in_l_types = [c.type for c in lb.columns]
+    in_l_dicts = [c.dictionary for c in lb.columns]
+    n_in_l = len(lb.columns)
+    in_l_schema = lb.schema
+
+    def local_probe_batch(data, cnt):
+        cols = [DeviceColumn(data[f"l{i}"], data[f"lv{i}"],
+                             in_l_types[i], in_l_dicts[i])
+                for i in range(n_in_l)]
+        b = DeviceBatch(in_l_schema, cols, cnt[0])
+        for f in pre:
+            b = f(b)
+        return b
+
+    if pre:
+        # probe-side metadata AFTER the fused pre-chain (abstract trace;
+        # DeviceColumn type/dictionary aux rides through eval_shape)
+        spec_data = {}
+        for i, c in enumerate(lb.columns):
+            spec_data[f"l{i}"] = jax.ShapeDtypeStruct(
+                (l_cap,) + c.values.shape[1:], c.values.dtype)
+            spec_data[f"lv{i}"] = jax.ShapeDtypeStruct((l_cap,),
+                                                       jnp.bool_)
+        lmeta = jax.eval_shape(local_probe_batch, spec_data,
+                               jax.ShapeDtypeStruct((1,), jnp.int32))
+        if lmeta.capacity != l_cap:
+            raise NotImplementedError(
+                "probe pre-chain changed the partition capacity")
+        l_fields = list(lmeta.schema.fields)
+        l_types = [c.type for c in lmeta.columns]
+        l_dicts = [c.dictionary for c in lmeta.columns]
+        lk_idx = [lmeta.schema.get_field_index(k) for k in left_keys]
+    else:
+        l_fields = list(left.schema.fields)
+        l_types = [c.type for c in lb.columns]
+        l_dicts = [c.dictionary for c in lb.columns]
+        lk_idx = [lb.schema.get_field_index(k) for k in left_keys]
+    r_fields = list(right.schema.fields)
     r_types = [c.type for c in rb.columns]
-    l_dicts = [c.dictionary for c in lb.columns]
     r_dicts = [c.dictionary for c in rb.columns]
-    lk_idx = [lb.schema.get_field_index(k) for k in left_keys]
     rk_idx = [rb.schema.get_field_index(k) for k in right_keys]
     nl, nr = len(l_types), len(r_types)
+
+    # unify key dictionaries ACROSS sides (host metadata step). With a
+    # fused pre-chain the post-chain key columns exist only inside the
+    # trace, so dictionary keys fall back to the unfused path.
+    for i, (lk, rk) in enumerate(zip(left_keys, right_keys)):
+        ld, rd = l_dicts[lk_idx[i]], r_dicts[rk_idx[i]]
+        if ld is None and rd is None:
+            continue
+        if pre:
+            raise NotImplementedError(
+                "dictionary join keys with a fused probe pre-chain")
+        lc, rc = lb.column(lk), rb.column(rk)
+        lc2, rc2 = unify_dictionaries([lc, rc])
+        lb.columns[lb.schema.get_field_index(lk)] = lc2
+        rb.columns[rb.schema.get_field_index(rk)] = rc2
+        l_dicts[lk_idx[i]] = lc2.dictionary
+        r_dicts[rk_idx[i]] = rc2.dictionary
+
+    out_cap = out_cap_per_device or (ndev * l_cap)
 
     def pack(batch, prefix, cap):
         d = {}
@@ -408,50 +475,71 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
 
     data = {**pack(lb, "l", l_cap), **pack(rb, "r", r_cap)}
 
-    def exchange_side(data, prefix, n_cols, cap, key_idx, cnt, types):
-        rows_valid = jnp.arange(cap, dtype=jnp.int32) < cnt[0]
+    def exchange_cols(cols, cap, key_idx, count):
+        """Hash-partition one side's shard-local columns and all_to_all
+        them; returns (received columns compacted to the front, count)."""
+        rows_valid = jnp.arange(cap, dtype=jnp.int32) < count
         kwords = []
         for ki in key_idx:
-            col = DeviceColumn(data[f"{prefix}{ki}"],
-                               data[f"{prefix}v{ki}"], types[ki])
-            w = equality_word(col)
-            kwords.append(jnp.where(data[f"{prefix}v{ki}"], w,
+            c = cols[ki]
+            valid = (c.validity if c.validity is not None
+                     else jnp.ones(cap, jnp.bool_))
+            w = equality_word(c)
+            kwords.append(jnp.where(valid, w,
                                     jnp.uint64(0x9E3779B97F4A7C15)))
         pid = partition_ids(kwords, ndev)
-        payload = [data[f"{prefix}{i}"] for i in range(n_cols)] + \
-            [data[f"{prefix}v{i}"].astype(jnp.uint8)
-             for i in range(n_cols)]
+        payload = [c.values for c in cols] + \
+            [(c.validity if c.validity is not None
+              else jnp.ones(cap, jnp.bool_)).astype(jnp.uint8)
+             for c in cols]
         bufs, slot_valid = _partition_scatter(rows_valid, pid, ndev,
                                               payload)
         ex = [jax.lax.all_to_all(b, axis, 0, 0, tiled=False) for b in bufs]
         sv = jax.lax.all_to_all(slot_valid, axis, 0, 0, tiled=False)
         rcap = ndev * cap
+        n_cols = len(cols)
         flat = [e.reshape((rcap,) + e.shape[2:]) for e in ex]
         fvalid = sv.reshape(rcap)
-        cols = []
+        out = []
         for i in range(n_cols):
             validity = jnp.logical_and(flat[n_cols + i].astype(jnp.bool_),
                                        fvalid)
-            cols.append(DeviceColumn(flat[i], validity, types[i]))
-        count = jnp.sum(fvalid, dtype=jnp.int32)
+            out.append(DeviceColumn(flat[i], validity, cols[i].type,
+                                    cols[i].dictionary))
         # received rows are scattered (not compacted); row_mask must come
         # from fvalid, so compact them to the front
         from ..compute.selection import compact_column, compaction_indices
         positions, count = compaction_indices(fvalid)
-        cols = [compact_column(c, positions) for c in cols]
-        return cols, count
+        out = [compact_column(c, positions) for c in out]
+        return out, count
 
     def spmd(data, lcnt, rcnt):
-        lcols, lcount = exchange_side(data, "l", nl, l_cap, lk_idx, lcnt,
-                                      l_types)
-        rcols, rcount = exchange_side(data, "r", nr, r_cap, rk_idx, rcnt,
-                                      r_types)
+        pb = local_probe_batch(data, lcnt)  # applies the fused pre-chain
+        lcols, lcount = exchange_cols(pb.columns, l_cap, lk_idx,
+                                      pb.row_count)
+        rcols_in = [DeviceColumn(data[f"r{i}"], data[f"rv{i}"],
+                                 r_types[i], r_dicts[i])
+                    for i in range(nr)]
+        rcols, rcount = exchange_cols(rcols_in, r_cap, rk_idx, rcnt[0])
         plan = J.build_join_plan([rcols[i] for i in rk_idx],
                                  [lcols[i] for i in lk_idx],
                                  rcount, lcount, join_type)
+        out = {}
+        if build_only:
+            # pure build-row filter (exec.py right semi/anti): emit the
+            # received build rows with a per-row keep mask
+            unmatched, matched = J.unmatched_build_plan(plan, rcount)
+            keep = matched if join_type == "right semi" else unmatched
+            for i in range(nr):
+                out[f"r{i}"] = rcols[i].values
+                out[f"rv{i}"] = (rcols[i].validity
+                                 if rcols[i].validity is not None
+                                 else jnp.ones(ndev * r_cap, jnp.bool_))
+            out["live"] = keep
+            out["n"] = jnp.sum(keep, dtype=jnp.int32)[None]
+            return out
         probe_idx, build_idx, build_valid, row_live = \
             J.join_gather_indices(plan, out_cap, join_type)
-        out = {}
         safe_p = jnp.clip(probe_idx, 0, ndev * l_cap - 1)
         safe_b = jnp.clip(build_idx, 0, ndev * r_cap - 1)
         for i in range(nl):
@@ -460,23 +548,40 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
                   if lcols[i].validity is not None
                   else jnp.ones(out_cap, jnp.bool_))
             out[f"lv{i}"] = jnp.logical_and(lv, row_live)
-        for i in range(nr):
-            out[f"r{i}"] = rcols[i].values[safe_b]
-            rv = (rcols[i].validity[safe_b]
-                  if rcols[i].validity is not None
-                  else jnp.ones(out_cap, jnp.bool_))
-            if join_type == "left outer":
-                rv = jnp.logical_and(rv, build_valid)
-            out[f"rv{i}"] = jnp.logical_and(rv, row_live)
+        if not probe_only:
+            for i in range(nr):
+                out[f"r{i}"] = rcols[i].values[safe_b]
+                rv = (rcols[i].validity[safe_b]
+                      if rcols[i].validity is not None
+                      else jnp.ones(out_cap, jnp.bool_))
+                if join_type in ("left outer", "full outer"):
+                    rv = jnp.logical_and(rv, build_valid)
+                out[f"rv{i}"] = jnp.logical_and(rv, row_live)
+        if append_unmatched:
+            unmatched, _ = J.unmatched_build_plan(plan, rcount)
+            for i in range(nr):
+                out[f"u{i}"] = rcols[i].values
+                out[f"uv{i}"] = (rcols[i].validity
+                                 if rcols[i].validity is not None
+                                 else jnp.ones(ndev * r_cap, jnp.bool_))
+            out["ulive"] = unmatched
         out["n"] = plan.total.astype(jnp.int32)[None]
         out["live"] = row_live
         return out
 
     in_specs = ({k: P(axis) for k in data}, P(axis), P(axis))
-    out_names = [f"l{i}" for i in range(nl)] + \
-        [f"lv{i}" for i in range(nl)] + \
-        [f"r{i}" for i in range(nr)] + [f"rv{i}" for i in range(nr)] + \
-        ["n", "live"]
+    if build_only:
+        out_names = [f"r{i}" for i in range(nr)] + \
+            [f"rv{i}" for i in range(nr)] + ["n", "live"]
+    else:
+        out_names = [f"l{i}" for i in range(nl)] + \
+            [f"lv{i}" for i in range(nl)] + ["n", "live"]
+        if not probe_only:
+            out_names += [f"r{i}" for i in range(nr)] + \
+                [f"rv{i}" for i in range(nr)]
+        if append_unmatched:
+            out_names += [f"u{i}" for i in range(nr)] + \
+                [f"uv{i}" for i in range(nr)] + ["ulive"]
     out_specs = {k: P(axis) for k in out_names}
     fn = jax.jit(shard_map(spmd, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs))
@@ -486,22 +591,48 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
     from ..device.column import download_column
     live = gather_host(res["live"])
     idx = np.nonzero(live)[0]
+
+    def collect(prefix, i, idx, typ, dic):
+        col = DeviceColumn(
+            jnp.asarray(np.asarray(res[f"{prefix}{i}"])[idx]),
+            jnp.asarray(np.asarray(res[f"{prefix}v{i}"])[idx]),
+            typ, dic)
+        return download_column(col, len(idx))
+
+    if build_only:
+        # right semi/anti: build-side schema verbatim (exec.py parity)
+        cols = [collect("r", i, idx, r_types[i], r_dicts[i])
+                for i in range(nr)]
+        return Table.from_arrays(cols, list(right.schema.names))
     cols, names = [], []
-    rnames = set(right.schema.names)
-    for i, f in enumerate(left.schema.fields):
-        col = DeviceColumn(jnp.asarray(np.asarray(res[f"l{i}"])[idx]),
-                           jnp.asarray(np.asarray(res[f"lv{i}"])[idx]),
-                           l_types[i], l_dicts[i])
-        cols.append(download_column(col, len(idx)))
-        names.append(f.name + ("_l" if f.name in rnames else ""))
-    lnames = set(left.schema.names)
-    for i, f in enumerate(right.schema.fields):
-        col = DeviceColumn(jnp.asarray(np.asarray(res[f"r{i}"])[idx]),
-                           jnp.asarray(np.asarray(res[f"rv{i}"])[idx]),
-                           r_types[i], r_dicts[i])
-        cols.append(download_column(col, len(idx)))
+    rnames = set(f.name for f in r_fields)
+    for i, f in enumerate(l_fields):
+        cols.append(collect("l", i, idx, l_types[i], l_dicts[i]))
+        names.append(f.name + ("_l" if not probe_only
+                               and f.name in rnames else ""))
+    if probe_only:
+        # left semi/anti: probe-side schema verbatim, no suffixes
+        return Table.from_arrays(cols, names)
+    lnames = set(f.name for f in l_fields)
+    for i, f in enumerate(r_fields):
+        cols.append(collect("r", i, idx, r_types[i], r_dicts[i]))
         names.append(f.name + ("_r" if f.name in lnames else ""))
-    return Table.from_arrays(cols, names)
+    main = Table.from_arrays(cols, names)
+    if not append_unmatched:
+        return main
+    # right/full outer: append unmatched build rows with a null probe
+    # side (exec.py _join_materialize appends them after the probe-major
+    # block, in build-row order — here: shard-major received order; the
+    # caller restores exact order via hidden row ids)
+    uidx = np.nonzero(gather_host(res["ulive"]))[0]
+    ucols = []
+    for i, f in enumerate(r_fields):
+        ucols.append(collect("u", i, uidx, r_types[i], r_dicts[i]))
+    nu = len(uidx)
+    import arrow_tpu as at
+    null_left = [at.nulls(nu, f.type) for f in l_fields]
+    extra = Table.from_arrays(null_left + ucols, names)
+    return at.concat_tables([main, extra]).combine_chunks()
 
 
 def distributed_sort_table(mesh: Mesh, table: Table,

@@ -82,7 +82,7 @@ def main():
             return _timed(name, fn, args, bytes_moved, rows, iters,
                           extra)
         except Exception as e:  # noqa: BLE001
-            bank({"metric": name, "error": repr(e)[:200]})
+            bank({"metric": name, "error": repr(e)[:600]})
             return None
 
     def _timed(name, fn, args, bytes_moved, rows, iters, extra):
@@ -141,17 +141,48 @@ def main():
                 del os.environ["ARROW_TPU_F64_PLANES"]
         return jax.jit(f)
 
-    # A/B: current default (sort) vs linear 32-bit scatter planes
+    # A/B: current default (sort) vs 'gather' (one i32 index sort +
+    # hinted per-column gathers) vs linear 32-bit scatter planes
     timed("filter_compact_f64_sort", compact_in("sort", "off"),
           (f64,), 3 * 8 * nm, nm)
-    timed("filter_compact_f64_scatter_frexp",
-          compact_in("scatter", "frexp"), (f64,), 3 * 8 * nm, nm)
+    timed("filter_compact_f64_gather", compact_in("gather", "off"),
+          (f64,), 3 * 8 * nm, nm)
     timed("filter_compact_f32_scatter", compact_in("scatter", "off"),
           (f32,), 3 * 4 * nm, nm)
     timed("filter_compact_i32_scatter", compact_in("scatter", "off"),
           (i32,), 3 * 4 * nm, nm)
-    timed("filter_compact_i64_scatter", compact_in("scatter", "off"),
+    timed("filter_compact_i64_gather", compact_in("gather", "off"),
           (i64,), 3 * 8 * nm, nm)
+
+    # multi-column amortization: 4 f64 columns share one mask; 'gather'
+    # pays the index sort once, 'sort' carries all 4 payloads
+    c2 = jax.device_put(rng.normal(size=nm))
+    c3 = jax.device_put(rng.normal(size=nm))
+    c4 = jax.device_put(rng.normal(size=nm))
+
+    def compact4_in(mode):
+        def f(a, b, c, d):
+            os.environ["ARROW_TPU_MOVEMENT"] = mode
+            try:
+                return move.compact_by_mask(a > 0, [a, b, c, d])
+            finally:
+                del os.environ["ARROW_TPU_MOVEMENT"]
+        return jax.jit(f)
+
+    timed("filter_compact_4xf64_sort", compact4_in("sort"),
+          (f64, c2, c3, c4), 3 * 8 * nm * 4, nm)
+    timed("filter_compact_4xf64_gather", compact4_in("gather"),
+          (f64, c2, c3, c4), 3 * 8 * nm * 4, nm)
+    del c2, c3, c4
+
+    # isolate the hinted-gather lowering itself: monotone random indices
+    # with a truthful indices_are_sorted hint (the gather-mode workhorse)
+    sidx = jax.device_put(np.sort(rng.integers(0, nm, nm)
+                                  .astype(np.int32)))
+    timed("take_sorted_hint_f64", jax.jit(
+        lambda v, i: jnp.take(v, i, axis=0, indices_are_sorted=True,
+                              mode="clip")), (f64, sidx), 2 * 8 * nm, nm)
+    del sidx
 
     timed("take_gather_f64", jax.jit(
         lambda v, i: move.gather_rows([v], i)), (f64, idx), 3 * 8 * nm,
@@ -186,7 +217,7 @@ def main():
                   (), pool.L * dct, dct)
         except Exception as e:  # noqa: BLE001 - bank the error, move on
             bank({"metric": "device_strings_match_1m_unique",
-                  "error": str(e)[:160]})
+                  "error": str(e)[:400]})
 
     del f64, f32, i32, i64, keys512, u32a, idx
 
@@ -255,7 +286,7 @@ def main():
         try:
             fn(*a, **kw)
         except Exception as e:  # noqa: BLE001 - bank it, keep going
-            bank({"metric": label, "error": repr(e)[:200]})
+            bank({"metric": label, "error": repr(e)[:600]})
 
     if remaining() > 900:
         guarded(f"tpch_q1_sf{SF_TOP:g}", q1_rung, SF_TOP, iters=20,

@@ -81,9 +81,43 @@ def _assert_equal(dist: at.Table, local: at.Table, name: str):
             assert a == b, (name, col)
 
 
+# Exchange-coverage expectations (round-4 verdict item 6): which
+# queries MUST exercise a real mesh exchange (join all_to_all, sort
+# range exchange, or the shard_map SPMD aggregate spine) so an internal
+# fallback can't silently absorb a regression. Queries whose outermost
+# plan shape is not linearizable (correlated/self-join rewrites built
+# from intermediate tables) run their SUB-plans distributed instead and
+# are exempt from the outer-plan assertion.
+_EXCHANGE_EXPECTED = {
+    "q1": {"spmd_aggregate"},
+    "q3": {"join_exchange"}, "q4": {"join_exchange"},
+    "q5": {"join_exchange"}, "q6": {"spmd_aggregate"},
+    "q7": {"join_exchange"}, "q8": {"join_exchange"},
+    "q9": {"join_exchange"}, "q10": {"join_exchange"},
+    "q12": {"join_exchange"}, "q13": {"join_exchange"},
+    "q14": {"join_exchange"},
+    # q17's build side (part filtered by brand+container) is EMPTY at
+    # this SF, so the degenerate-input fallback is legitimate; the
+    # shape is covered by q14/q19
+    "q18": {"spmd_aggregate"},  # HAVING aggregate first, joins post
+    "q19": {"join_exchange"},
+}
+
+_seen_counts = {}
+
+
 @pytest.mark.parametrize("qname", [f"q{i}" for i in range(1, 23)])
 def test_distributed_matches_local(qname, t):
+    from arrow_tpu.acero import dist_exec
     plan = _builders(t)[qname]()
     local = plan.to_table()
+    dist_exec.reset_exchange_counts()
     dist = plan.to_table(distributed=True)
+    _seen_counts[qname] = dict(dist_exec.EXCHANGE_COUNTS)
+    expected = _EXCHANGE_EXPECTED.get(qname)
+    if expected:
+        for kind in expected:
+            assert dist_exec.EXCHANGE_COUNTS[kind] >= 1, (
+                f"{qname}: expected {kind} exchange, got "
+                f"{dist_exec.EXCHANGE_COUNTS}")
     _assert_equal(dist, local, qname)
