@@ -77,7 +77,9 @@ def maybe_execute_distributed(decl, mesh: Optional[Mesh] = None
     if lin is None:
         return None
     n = lin.table.num_rows
-    if n == 0 or ndev <= 1:
+    if n == 0 or ndev <= 1 or n < ndev:
+        # fewer rows than devices (e.g. post-aggregate tails re-entering
+        # distributed): empty shards buy nothing — run locally
         return None
     part_rows = -(-n // ndev)
 
@@ -149,6 +151,12 @@ def _fused_probe_prep(lin, mids):
     return src2, fns, post_names
 
 
+def _contains_aggregate(decl) -> bool:
+    if decl.factory_name == "aggregate":
+        return True
+    return any(_contains_aggregate(d) for d in (decl.inputs or []))
+
+
 def _distributed_join_plan(lin, mesh: Mesh) -> Optional[Table]:
     """Execute a plan whose middle contains hashjoin(s) with the REAL
     mesh exchange (parallel/distributed.py all_to_all hash
@@ -181,12 +189,16 @@ def _distributed_join_plan(lin, mesh: Mesh) -> Optional[Table]:
     build_only = jt in ("right semi", "right anti")
 
     import arrow_tpu as at
-    # the build subtree runs DISTRIBUTED as well: beyond sharding the
-    # work, this keeps float-sum reassociation identical on every
-    # aggregation path (q15-style plans equality-join two aggregations
-    # of the same subtree — a locally-computed build would reassociate
-    # differently and the equality would miss)
-    build = join_decl.inputs[1].to_table(distributed=True, mesh=mesh)
+    # A build subtree CONTAINING AGGREGATION runs distributed: beyond
+    # sharding the work, this keeps float-sum reassociation identical
+    # on every aggregation path (q15-style plans equality-join two
+    # aggregations of the same subtree — a locally-computed build would
+    # reassociate differently and the equality would miss). Plain
+    # builds (table sources, filters) run locally — nothing to shard.
+    if _contains_aggregate(join_decl.inputs[1]):
+        build = join_decl.inputs[1].to_table(distributed=True, mesh=mesh)
+    else:
+        build = join_decl.inputs[1].to_table()
     if build.num_rows == 0 or lin.table.num_rows == 0:
         return None  # degenerate; local path handles it
     bn = build.num_rows
@@ -462,10 +474,15 @@ def _spmd_aggregate_at(lin, aggs, mesh: Mesh, part_rows: int,
     stacked = fn(dev_vals, dev_masks, dev_counts)
 
     # ---- merge per-device states in partition order ----
+    # gather to host first: in jax.distributed runs other processes'
+    # state shards are not locally addressable
+    from ..parallel.distributed import gather_host
+    stacked = jax.tree.map(gather_host, stacked)
     merge = jax.jit(step.merge_states)
-    state = jax.tree.map(lambda a: a[0], stacked)
+    state = jax.tree.map(lambda a: jnp.asarray(a[0]), stacked)
     for p in range(1, source.n_chunks):
-        state = merge(state, jax.tree.map(lambda a, p=p: a[p], stacked))
+        state = merge(state, jax.tree.map(
+            lambda a, p=p: jnp.asarray(a[p]), stacked))
     gb.state = state
 
     from ..device.column import download_table

@@ -6,10 +6,11 @@ combiner ``prev ^ (hash + 0x9e3779b9 + (prev<<6) + (prev>>2))`` (SURVEY
 A.3). Deterministic and platform-independent; used for partitioning and
 bucketing.
 
-Two implementations of the same math:
-* jnp (all backends, used on CPU and inside shard_map programs)
-* a Pallas TPU kernel (u32 VPU ops, gridded over row blocks) — the hot-op
-  form per the TPU kernel playbook.
+Implementation: jnp u32 ops (all backends, used on CPU and inside
+shard_map programs). A Pallas TPU kernel form of the same math lives in
+``arrow_tpu.experimental.pallas_hash`` — quarantined because the only
+available TPU path (the tunneled Mosaic compiler) rejects or hangs on
+these kernels (see experimental/__init__.py).
 """
 
 from __future__ import annotations
@@ -90,56 +91,12 @@ def column_words(values: jax.Array) -> List[jax.Array]:
     return [_u32(v & 0xFFFFFFFF), _u32((v >> 32) & 0xFFFFFFFF)]
 
 
-def _pallas_hash_kernel(n_words):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def kernel(*refs):
-        word_refs, out_ref = refs[:-1], refs[-1]
-        h = _hash_u32_word(word_refs[0][:])
-        for r in word_refs[1:]:
-            h = _combine(h, _hash_u32_word(r[:]))
-        out_ref[:] = h
-
-    return kernel
-
-
-def hash32_pallas(words: Sequence[jax.Array]) -> jax.Array:
-    """Pallas TPU kernel over (rows/BLOCK) grid, 8x128 u32 tiles."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = words[0].shape[0]
-    if n % _BLOCK_ROWS != 0:
-        return hash32_words(words)  # shapes must tile; fall back
-    rows = _BLOCK_ROWS // 128
-    shaped = [_u32(w).reshape(n // 128, 128) for w in words]
-    grid = (n // _BLOCK_ROWS,)
-    kernel = _pallas_hash_kernel(len(words))
-    # index maps return (i, i*0) not (i, 0): under jax_enable_x64 a
-    # literal 0 turns the map's return into mixed (i32, i64), which
-    # Mosaic cannot legalize
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec((rows, 128), lambda i: (i, i * 0),
-                               memory_space=pltpu.VMEM)
-                  for _ in shaped],
-        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, i * 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.uint32),
-    )(*shaped)
-    return out.reshape(n)
-
-
-def hash_columns(cols, use_pallas: bool = False) -> jax.Array:
+def hash_columns(cols) -> jax.Array:
     """Hash one-or-more DeviceColumns to u32 (null rows hash the zero
     word; callers mask)."""
     words: List[jax.Array] = []
     for c in cols:
         words.extend(column_words(c.values))
-    if use_pallas:
-        return hash32_pallas(words)
     return hash32_words(words)
 
 
@@ -151,6 +108,6 @@ from .registry import register  # noqa: E402
 
 @register("hash32", "elementwise",
           "xxhash32-style hash of one column (SURVEY A.3 Hashing32)")
-def _hash32_fn(ctx, col, use_pallas: bool = False):
-    out = hash_columns([col], use_pallas=use_pallas)
+def _hash32_fn(ctx, col):
+    out = hash_columns([col])
     return DeviceColumn(out, col.validity, T.uint32())

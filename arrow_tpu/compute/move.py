@@ -235,24 +235,7 @@ def segment_reduce(values: jax.Array, gids: jax.Array, num_segments: int,
     return _segment_reduce_sorted(values, gids, num_segments, op, identity)
 
 
-def use_pallas_agg() -> bool:
-    """Pallas grouped-sum kernel gate: real TPU platform only (the
-    kernel streams f64 bits as float-float f32 pairs, beating XLA's
-    software-emulated f64 reduce — see compute/pallas_agg.py).
-    Override with ARROW_TPU_PALLAS_AGG=on|off."""
-    import os
-    force = os.environ.get("ARROW_TPU_PALLAS_AGG")
-    if force:
-        return force == "on"
-    from .pallas_agg import pallas_available
-    return pallas_available()
-
-
 def _segment_reduce_loop(values, gids, num_segments, op, identity):
-    if (op == "sum" and values.dtype in (jnp.float64, jnp.float32)
-            and values.ndim == 1 and use_pallas_agg()):
-        from .pallas_agg import grouped_sum_pallas
-        return grouped_sum_pallas(values, gids, num_segments)
     # one broadcasted (rows, num_segments) masked reduce: a single fused
     # HLO instead of num_segments unrolled reductions (compile time)
     fns = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}

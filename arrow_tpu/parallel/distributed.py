@@ -593,9 +593,11 @@ def distributed_join_tables(mesh: Mesh, left: Table, right: Table,
     idx = np.nonzero(live)[0]
 
     def collect(prefix, i, idx, typ, dic):
+        # gather_host (not np.asarray): shards on other PROCESSES are
+        # not addressable locally in jax.distributed runs
         col = DeviceColumn(
-            jnp.asarray(np.asarray(res[f"{prefix}{i}"])[idx]),
-            jnp.asarray(np.asarray(res[f"{prefix}v{i}"])[idx]),
+            jnp.asarray(gather_host(res[f"{prefix}{i}"])[idx]),
+            jnp.asarray(gather_host(res[f"{prefix}v{i}"])[idx]),
             typ, dic)
         return download_column(col, len(idx))
 
@@ -735,8 +737,8 @@ def distributed_sort_table(mesh: Mesh, table: Table,
     idx = np.nonzero(live)[0]  # device-major order == global sort order
     cols, names = [], []
     for i, f in enumerate(table.schema.fields):
-        col = DeviceColumn(jnp.asarray(np.asarray(res[f"c{i}"])[idx]),
-                           jnp.asarray(np.asarray(res[f"v{i}"])[idx]),
+        col = DeviceColumn(jnp.asarray(gather_host(res[f"c{i}"])[idx]),
+                           jnp.asarray(gather_host(res[f"v{i}"])[idx]),
                            table.schema.fields[i].type, dicts[i])
         cols.append(download_column(col, len(idx)))
         names.append(f.name)

@@ -52,7 +52,8 @@ def main():
     from arrow_tpu.compute.move import (compact_by_mask, gather_rows,
                                         segment_reduce,
                                         sort_with_payload)
-    from arrow_tpu.compute.hashing import hash32_words, hash32_pallas
+    from arrow_tpu.compute.hashing import hash32_words
+    from arrow_tpu.experimental.pallas_hash import hash32_pallas
 
     bench("filter_compact_f64",
           jax.jit(lambda v: compact_by_mask(v > 0, [v])),

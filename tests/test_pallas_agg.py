@@ -1,4 +1,5 @@
-"""Pallas grouped-sum kernel (compute/pallas_agg.py) in interpreter
+"""Pallas grouped-sum kernel (experimental/pallas_agg.py, quarantined
+— see experimental/__init__.py PARITY note) in interpreter
 mode: the float-float f64 decode + compensated accumulation must match
 numpy's f64 sums to ~2^-48 relative across value regimes. Interpret-mode
 compiles cost ~2 min each, so all regimes share ONE kernel invocation
@@ -9,7 +10,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from arrow_tpu.compute.pallas_agg import grouped_sum_pallas
+from arrow_tpu.experimental.pallas_agg import grouped_sum_pallas
 
 
 def test_f64_all_regimes_one_call():
