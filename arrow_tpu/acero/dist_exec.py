@@ -346,16 +346,43 @@ def _distributed_sort_plan(lin, mesh: Mesh) -> Optional[Table]:
         return None
 
     import arrow_tpu as at
+    from .. import types as T
     opts = lin.terminal.options
     rid = "__dist_rid__"
+    cols = [t.column(i).combine_chunks()
+            for i in range(len(t.schema.names))]
+    names = list(t.schema.names)
+    # dictionary-typed sort keys order by VALUE rank, not code (local
+    # order_by routes them through exec._rank_col); pre-rank them into
+    # hidden int64 key columns before the range exchange
+    sort_keys = []
+    _RANKED = (T.TypeId.DICTIONARY, T.TypeId.STRING,
+               T.TypeId.LARGE_STRING, T.TypeId.BINARY,
+               T.TypeId.LARGE_BINARY)
+    for k, (name, order) in enumerate(opts.sort_keys):
+        arr = t.column(name).combine()
+        if arr.type.id in _RANKED:
+            vals = arr.to_pylist()
+            nulls = [v is None for v in vals]
+            fill = b"" if isinstance(
+                next((v for v in vals if v is not None), ""), bytes) \
+                else ""
+            filled = np.array([fill if v is None else v for v in vals],
+                              dtype=object)
+            _, inv = np.unique(filled, return_inverse=True)
+            pl = [None if m else int(r) for m, r in zip(nulls, inv)]
+            hidden = f"__dist_rank_{k}__"
+            cols.append(at.array(pl, T.int64()))
+            names.append(hidden)
+            sort_keys.append((hidden, order))
+        else:
+            sort_keys.append((name, order))
     t2 = Table.from_arrays(
-        [t.column(i).combine_chunks()
-         for i in range(len(t.schema.names))]
-        + [at.array(np.arange(t.num_rows, dtype=np.int64))],
-        list(t.schema.names) + [rid])
+        cols + [at.array(np.arange(t.num_rows, dtype=np.int64))],
+        names + [rid])
     try:
         out = distributed_sort_table(
-            mesh, t2, list(opts.sort_keys) + [(rid, "ascending")],
+            mesh, t2, sort_keys + [(rid, "ascending")],
             null_placement=opts.null_placement)
     except NotImplementedError:
         return None

@@ -110,6 +110,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_parse_nq.restype = ctypes.c_void_p
         lib.csv_parse_nq.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                      ctypes.c_uint8]
+        lib.csv_parse_zc.restype = ctypes.c_void_p
+        lib.csv_parse_zc.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_uint8, ctypes.c_uint8,
+                                     ctypes.c_int32, ctypes.c_int32]
         lib.csv_parse_n_offsets.restype = ctypes.c_int64
         lib.csv_parse_n_offsets.argtypes = [ctypes.c_void_p]
         lib.csv_parse_int64.restype = ctypes.c_int64
@@ -220,9 +224,7 @@ def csv_parse(data: bytes, delimiter: str, quote_char,
         np.empty(0, np.uint8)
     if needs_copy is None:
         needs_copy = _block_needs_copy(data, quote_char, escape_char)
-    if not needs_copy:
-        handle = lib.csv_parse_nq(_ptr(src) if len(src) else None,
-                                  len(src), ord(delimiter))
+    def pairs_block(handle):
         try:
             n_offs = lib.csv_parse_n_offsets(handle)
             n_fields = ctypes.c_int64()
@@ -242,6 +244,19 @@ def csv_parse(data: bytes, delimiter: str, quote_char,
                             row_counts[:n_rows.value], id_scale=2)
         finally:
             lib.csv_parse_free(handle)
+
+    if not needs_copy:
+        return pairs_block(lib.csv_parse_nq(
+            _ptr(src) if len(src) else None, len(src), ord(delimiter)))
+    # quote bytes present: optimistic ZERO-COPY quoted tokenize (quotes
+    # stripped by offset arithmetic); nullptr = a field needs byte
+    # rewriting (doubled quote / escape) -> copying tokenizer below
+    if quote_char and not isinstance(escape_char, str):
+        handle = lib.csv_parse_zc(
+            _ptr(src) if len(src) else None, len(src), ord(delimiter),
+            ord(quote_char), 1 if doublequote else 0, -1)
+        if handle:
+            return pairs_block(handle)
     use_quote = 1 if quote_char else 0
     handle = lib.csv_parse(
         _ptr(src) if len(src) else None, len(src),
@@ -297,7 +312,11 @@ def csv_parse_parallel(data: bytes, delimiter: str, quote_char,
     if n < (1 << 26):
         return csv_parse(data, delimiter, quote_char, doublequote,
                          escape_char)
-    nchunks = min(max_workers, max(1, n >> 20))
+    ncpu = os.cpu_count() or 1
+    nchunks = min(max_workers, ncpu, max(1, n >> 20))
+    if nchunks <= 1:
+        return csv_parse(data, delimiter, quote_char, doublequote,
+                         escape_char)
     bounds = [0]
     for k in range(1, nchunks):
         target = n * k // nchunks

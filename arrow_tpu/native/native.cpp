@@ -690,6 +690,84 @@ void* csv_parse_nq(const uint8_t* data, int64_t len, uint8_t delim) {
   return res;
 }
 
+// Zero-copy tokenizer for QUOTED blocks whose fields need no byte
+// rewriting: offsets are (start, end) pairs into the caller's buffer,
+// with quoted fields spanning (open+1, close) — stripping the quotes
+// is pure offset arithmetic. Returns nullptr (caller falls back to the
+// copying csv_parse) on the rewriting cases: a doubled quote inside a
+// field, an escape char configured, or bytes between a closing quote
+// and the field terminator ("ab"cd).
+void* csv_parse_zc(const uint8_t* data, int64_t len, uint8_t delim,
+                   uint8_t quote, int32_t doublequote, int32_t escape) {
+  if (escape >= 0) return nullptr;
+  auto* res = new CsvParseResult();
+  res->offsets.reserve((size_t)(len / 4 + 16));
+  uint64_t pats[3] = {swar_broadcast(delim), swar_broadcast('\n'),
+                      swar_broadcast('\r')};
+  bool table[256] = {false};
+  table[delim] = table['\n'] = table['\r'] = true;
+  uint64_t qpats[1] = {swar_broadcast(quote)};
+  bool qtable[256] = {false};
+  qtable[quote] = true;
+  int64_t i = 0;
+  while (i < len) {
+    int64_t row_fields = 0;
+    bool saw_any = false;
+    while (true) {
+      bool was_quoted = false;
+      int64_t start = i, end;
+      if (i < len && data[i] == quote) {
+        was_quoted = true;
+        saw_any = true;
+        start = ++i;
+        i = scan_special(data, i, len, qpats, 1, qtable);
+        end = i;
+        if (i < len) {
+          if (doublequote && i + 1 < len && data[i + 1] == quote) {
+            delete res;
+            return nullptr;  // escaped quote needs pool rewriting
+          }
+          ++i;  // closing quote
+          if (i < len && data[i] != delim && data[i] != '\n' &&
+              data[i] != '\r') {
+            delete res;
+            return nullptr;  // trailing bytes after closing quote
+          }
+        }
+      } else {
+        i = scan_special(data, i, len, pats, 3, table);
+        end = i;
+        if (i > start) saw_any = true;
+      }
+      if (i < len && data[i] == delim) {
+        res->offsets.push_back(start);
+        res->offsets.push_back(end);
+        res->quoted.push_back(was_quoted ? 1 : 0);
+        ++row_fields;
+        ++i;
+        saw_any = true;
+        continue;
+      }
+      if (i < len && data[i] == '\r') {
+        ++i;
+        if (i < len && data[i] == '\n') ++i;
+      } else if (i < len) {
+        ++i;
+      }
+      if (row_fields == 0 && !saw_any && !was_quoted) {
+        res->row_counts.push_back(0);
+      } else {
+        res->offsets.push_back(start);
+        res->offsets.push_back(end);
+        res->quoted.push_back(was_quoted ? 1 : 0);
+        res->row_counts.push_back(row_fields + 1);
+      }
+      break;
+    }
+  }
+  return res;
+}
+
 int64_t csv_parse_n_offsets(void* handle) {
   return (int64_t)static_cast<CsvParseResult*>(handle)->offsets.size();
 }
