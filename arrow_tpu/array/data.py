@@ -40,7 +40,8 @@ class ArrayData:
     # (compute/device_strings.py) — lives here so pool identity follows
     # ArrayData identity and plan re-executions keep jit caches warm
     __slots__ = ("type", "length", "_null_count", "offset", "buffers",
-                 "children", "dictionary", "_device_byte_pool")
+                 "children", "dictionary", "_device_byte_pool",
+                 "_device_list_repr")
 
     def __init__(self, type: DataType, length: int,
                  buffers: Sequence[Optional[Buffer]],

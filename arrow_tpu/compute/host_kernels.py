@@ -343,8 +343,13 @@ def _with_validity(arr: Array, keep) -> Array:
 @register_host("list_value_length")
 def _list_value_length(arr: Array) -> Array:
     """Offsets arithmetic, not a pylist loop (scalar_nested.cc
-    ListValueLength): lens = diff(offsets), nulls propagate."""
+    ListValueLength): lens = diff(offsets), nulls propagate. A device
+    tier (device_nested.py) runs first when enabled."""
     import numpy as np
+    from .device_nested import list_value_length as _dev
+    hit = _dev(arr)
+    if hit is not None:
+        return hit
     lay = _list_layout(arr)
     if lay is None:
         return make_array([None if v is None else len(v)
@@ -361,8 +366,13 @@ def _list_value_length(arr: Array) -> Array:
 @register_host("list_flatten")
 def _list_flatten(arr: Array) -> Array:
     """Gather of the values child at the concatenated valid ranges
-    (vector_nested.cc ListFlatten) — one take, no per-row python."""
+    (vector_nested.cc ListFlatten) — one take, no per-row python.
+    Device tier first when enabled (device_nested.py)."""
     import numpy as np
+    from .device_nested import list_flatten as _dev
+    hit = _dev(arr)
+    if hit is not None:
+        return hit
     lay = _list_layout(arr)
     if lay is None:
         flat = []
@@ -385,6 +395,14 @@ def _list_flatten(arr: Array) -> Array:
 @register_host("list_parent_indices")
 def _list_parent_indices(arr: Array) -> Array:
     import numpy as np
+    if arr.data.validity_mask() is None:
+        # device tier only for the null-free case: with null parents the
+        # host semantics EXCLUDE their slots (masked lens), which the
+        # device searchsorted form does not express
+        from .device_nested import list_parent_indices as _dev
+        hit = _dev(arr)
+        if hit is not None:
+            return hit
     lay = _list_layout(arr)
     if lay is None:
         out = []
@@ -401,6 +419,10 @@ def _list_parent_indices(arr: Array) -> Array:
 @register_host("list_element")
 def _list_element(arr: Array, index: int = 0) -> Array:
     import numpy as np
+    from .device_nested import list_element as _dev
+    hit = _dev(arr, index)
+    if hit is not None:
+        return hit
     lay = _list_layout(arr)
     if lay is None:
         out = []
@@ -465,8 +487,12 @@ def _map_lookup(arr: Array, query_key=None,
 def _run_end_decode(arr: Array) -> Array:
     """REE expansion as one searchsorted + take
     (vector_run_end_encode.cc decode): logical row i belongs to the
-    first run whose end exceeds i."""
+    first run whose end exceeds i. Device tier first when enabled."""
     import numpy as np
+    from .device_nested import run_end_decode_device as _dev
+    hit = _dev(arr)
+    if hit is not None:
+        return hit
     d = arr.data
     if arr.type.id != T.TypeId.RUN_END_ENCODED or len(d.children) < 2:
         return make_array(arr.to_pylist(), arr.type.value_type)
