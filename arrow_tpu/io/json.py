@@ -209,6 +209,81 @@ def _native_json_table(data: bytes, ro: ReadOptions) -> Optional[Table]:
     return Table.from_pydict(dict(zip(names, arrays)), schema)
 
 
+def _split_newline_blocks(data: bytes, n_blocks: int):
+    """Newline-aligned block bounds (json/chunker.cc newline-delimited
+    assumption: records never contain raw newlines in ndjson)."""
+    n = len(data)
+    bounds = [0]
+    for k in range(1, n_blocks):
+        target = n * k // n_blocks
+        cut = data.find(b"\n", max(target, bounds[-1]))
+        bounds.append(n if cut < 0 else cut + 1)
+    bounds.append(n)
+    return [(bounds[k], bounds[k + 1]) for k in range(n_blocks)
+            if bounds[k + 1] > bounds[k]]
+
+
+def _unify_chunk_tables(parts):
+    """Concatenate per-block tables: union schema in first-appearance
+    order, missing columns null-filled, int64/float64 promoted. None
+    when types conflict beyond that (caller reparses whole)."""
+    import arrow_tpu as at
+    names: List[str] = []
+    types = {}
+    for p in parts:
+        for f in p.schema.fields:
+            if f.name not in types:
+                names.append(f.name)
+                types[f.name] = f.type
+            else:
+                cur = types[f.name]
+                if cur.equals(f.type) or f.type.id == T.TypeId.NA:
+                    continue
+                if cur.id == T.TypeId.NA:
+                    types[f.name] = f.type
+                elif {cur.id, f.type.id} == {T.TypeId.INT64,
+                                             T.TypeId.DOUBLE}:
+                    types[f.name] = T.float64()
+                else:
+                    return None
+    fixed = []
+    for p in parts:
+        cols = []
+        for nm in names:
+            idx = p.schema.get_field_index(nm)
+            if idx < 0:
+                cols.append(at.nulls(p.num_rows, types[nm]))
+            else:
+                c = p.column(idx).combine()
+                if not c.type.equals(types[nm]):
+                    c = c.cast(types[nm])
+                cols.append(c)
+        fixed.append(Table.from_arrays(cols, names))
+    return at.concat_tables(fixed).combine_chunks()
+
+
+def _read_json_parallel(data: bytes, ro: ReadOptions) -> Optional[Table]:
+    """Chunked parallel pipeline (json/reader.h TableReader analogue):
+    newline-aligned blocks tokenize concurrently (the native tokenizer
+    releases the GIL through ctypes), per-block tables unify+concat."""
+    import os as _os
+    ncpu = _os.cpu_count() or 1
+    if not getattr(ro, "use_threads", True) or ncpu < 2 \
+            or len(data) < (1 << 22):
+        return None
+    n_blocks = min(ncpu, max(2, len(data) >> 21))
+    spans = _split_newline_blocks(data, n_blocks)
+    if len(spans) <= 1:
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=len(spans)) as ex:
+        parts = list(ex.map(
+            lambda s: _native_json_table(data[s[0]:s[1]], ro), spans))
+    if any(p is None for p in parts):
+        return None
+    return _unify_chunk_tables(parts)
+
+
 def read_json(source, read_options: Optional[ReadOptions] = None,
               parse_options: Optional[ParseOptions] = None) -> Table:
     po = parse_options or ParseOptions()
@@ -222,6 +297,9 @@ def read_json(source, read_options: Optional[ReadOptions] = None,
         data = source.read()
 
     if isinstance(data, bytes) and po.explicit_schema is None:
+        out = _read_json_parallel(data, ro)
+        if out is not None:
+            return out
         out = _native_json_table(data, ro)
         if out is not None:
             return out
@@ -267,9 +345,50 @@ def read_json(source, read_options: Optional[ReadOptions] = None,
 
 def open_json(source, read_options=None, parse_options=None):
     """Streaming newline-delimited JSON reader (pyarrow.json.open_json):
-    yields RecordBatches of block_size rows."""
-    tbl = read_json(source, read_options, parse_options)
-    block = getattr(read_options, "block_size", 1 << 20) if read_options \
-        else 1 << 20
-    rows_per = max(1, block // 64)  # ~64B/row working estimate
-    return iter(tbl.to_batches(max_chunksize=rows_per))
+    parses block_size-aligned blocks LAZILY — one block of bytes is
+    tokenized per step (json/reader.h StreamingReader), so memory is
+    bounded by the block, not the file."""
+    po = parse_options or ParseOptions()
+    ro = read_options or ReadOptions()
+    block = getattr(ro, "block_size", 1 << 20) or (1 << 20)
+    if isinstance(source, str):
+        with open(source, "rb") as f:
+            data = f.read()
+    elif isinstance(source, (bytes, bytearray)):
+        data = bytes(source)
+    else:
+        data = source.read()
+    if not isinstance(data, bytes) or po.explicit_schema is not None:
+        tbl = read_json(data, read_options, parse_options)
+        rows_per = max(1, block // 64)
+        return iter(tbl.to_batches(max_chunksize=rows_per))
+
+    n_blocks = max(1, -(-len(data) // block))
+    spans = _split_newline_blocks(data, n_blocks)
+
+    def gen():
+        schema = None
+        for s in spans:
+            part = read_json(data[s[0]:s[1]], read_options,
+                             parse_options)
+            if schema is None:
+                schema = part.schema
+            elif not part.schema.equals(schema):
+                # reindex to the first block's schema: missing columns
+                # null-filled, unifiable types cast
+                import arrow_tpu as at
+                cols = []
+                for f in schema.fields:
+                    idx = part.schema.get_field_index(f.name)
+                    if idx < 0:
+                        cols.append(at.nulls(part.num_rows, f.type))
+                    else:
+                        c = part.column(idx).combine()
+                        if not c.type.equals(f.type):
+                            c = c.cast(f.type)
+                        cols.append(c)
+                part = Table.from_arrays(cols, schema.names)
+            for b in part.to_batches():
+                yield b
+
+    return gen()
