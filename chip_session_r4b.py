@@ -157,6 +157,49 @@ def main():
         name = f"tpch_q1_sf{sf:g}_rows_per_s"
         if name in _DONE:
             return
+        if sf >= 0.5:
+            # SF1's ~770 MB upload is the tunnel's chronic wedge point
+            # (it has stalled EVERY session across rounds 1-4, incl.
+            # 75+ min in this round's sessions 2-3): generate the batch
+            # directly in HBM instead (io/tpch_device.py) — only the
+            # program and a 3k-row template cross the tunnel. The
+            # pyarrow baseline is measured on an SF0.1 host table
+            # (rows/s is scale-invariant for pyarrow here) and marked.
+            from arrow_tpu.io.tpch_device import q1_device_batch
+            t0 = time.time()
+            batch, nrows = q1_device_batch(sf)
+            float(np.asarray(batch.columns[0].values[:1])[0])  # force
+            gen_s = time.time() - t0
+            fn = compile_chain(_q1_chain_decls())
+            t0 = time.time()
+            out = fn(batch)
+            compile_s = time.time() - t0
+            ref = 0.0
+            try:
+                ref_tbl = tpch.lineitem_table(sf / 10)
+                ref = benchmod.bench_reference(ref_tbl, 3)
+            except Exception as e:  # noqa: BLE001
+                bank({"note": "pyarrow ref failed", "error": str(e)[:120]})
+            t0 = time.time()
+            float(np.asarray(out.columns[-1].values[:1])[0])
+            first_exec_s = time.time() - t0
+            t0 = time.time()
+            for _ in range(iters):
+                out = fn(batch)
+            float(np.asarray(out.columns[-1].values[:1])[0])
+            dt = (time.time() - t0) / iters
+            ours = nrows / dt
+            bank({"metric": name, "value": round(ours, 1),
+                  "unit": "rows/s", "gen": "device",
+                  "vs_baseline": round(ours / ref, 3) if ref else 0.0,
+                  "ref_sf": sf / 10,
+                  "ms_per_iter": round(dt * 1e3, 2), "iters": iters,
+                  "devgen_s": round(gen_s, 1),
+                  "compile_s": round(compile_s, 1),
+                  "first_exec_wait_s": round(first_exec_s, 1),
+                  "rows": nrows})
+            del batch
+            return
         t0 = time.time()
         lineitem = tpch.lineitem_table(sf)
         gen_s = time.time() - t0
