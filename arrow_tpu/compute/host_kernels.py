@@ -442,23 +442,48 @@ def _list_element(arr: Array, index: int = 0) -> Array:
 
 @register_host("make_struct")
 def _make_struct(*arrays, field_names=None) -> Array:
+    """Pure metadata assembly (scalar_nested.cc MakeStruct): the child
+    arrays BECOME the struct children — no per-row dict construction.
+    Top-level validity is all-set (Acero semantics: make_struct rows
+    are never null; field nulls live in the children)."""
+    from ..array.data import ArrayData
     arrays = [a if isinstance(a, Array) else make_array(a)
               for a in arrays]
     names = list(field_names) if field_names else \
         [str(i) for i in range(len(arrays))]
-    st = T.struct([(n, a.type) for n, a in zip(names, arrays)])
-    cols = [a.to_pylist() for a in arrays]
-    rows = [{n: c[i] for n, c in zip(names, cols)}
-            for i in range(len(arrays[0]))]
-    return make_array(rows, st)
+    n = len(arrays[0])
+    for a in arrays[1:]:
+        if len(a) != n:
+            raise ArrowInvalid("make_struct arrays must share length")
+    st = T.struct([(nm, a.type) for nm, a in zip(names, arrays)])
+    children = []
+    for a in arrays:
+        d = a.data
+        if d.offset != 0:  # rare: rebase sliced children
+            d = make_array(a.to_pylist(), a.type).data
+        children.append(d)
+    return Array(ArrayData(st, n, [None], children=children,
+                           null_count=0))
 
 
 @register_host("struct_field")
 def _struct_field(arr: Array, indices=None, field=None) -> Array:
+    """Child extraction + parent-validity AND — no pylist round-trip."""
+    import numpy as np
     sel = field if field is not None else indices
     if isinstance(sel, int):
         sel = arr.type.fields[sel].name
     ft = arr.type.field(sel).type
+    d = arr.data
+    if d.children and d.offset == 0:
+        idx = next((i for i, f in enumerate(arr.type.fields)
+                    if f.name == sel), None)
+        if idx is not None and d.children[idx].length == d.length:
+            child = Array(d.children[idx])
+            m = d.validity_mask()
+            if m is None:
+                return child
+            return _with_validity(child, np.asarray(m, np.bool_))
     return make_array([None if v is None else v.get(sel)
                        for v in arr.to_pylist()], ft)
 
@@ -466,12 +491,43 @@ def _struct_field(arr: Array, indices=None, field=None) -> Array:
 @register_host("map_lookup")
 def _map_lookup(arr: Array, query_key=None,
                 occurrence: str = "first") -> Array:
+    """first/last occurrences vectorize over the FLAT entries child
+    (scalar_nested.cc MapLookup): one key-compare pass + one take, no
+    per-row entry lists; "all" keeps the row loop (ragged output)."""
+    import numpy as np
+    lay = _list_layout(arr)
+    if lay is not None and occurrence in ("first", "last"):
+        offs, entries = lay
+        ed = entries.data
+        if len(ed.children) >= 2:
+            keys = Array(ed.children[0])
+            items = Array(ed.children[1])
+            kl = keys.to_pylist()
+            match = np.fromiter((k == query_key for k in kl),
+                                np.bool_, len(kl))
+            n = len(arr)
+            lens = np.diff(offs)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            m_idx = np.nonzero(match[offs[0]:offs[-1]])[0]
+            rows = row_of[m_idx]
+            sel = np.full(n, -1, np.int64)
+            if occurrence == "first":
+                sel[rows[::-1]] = m_idx[::-1]
+            else:
+                sel[rows] = m_idx
+            got = sel >= 0
+            mask = arr.data.validity_mask()
+            if mask is not None:
+                got &= np.asarray(mask, np.bool_)
+            taken = items.take(make_array(
+                np.where(got, sel + offs[0], offs[0]), T.int64()))
+            return _with_validity(taken, got)
     out = []
-    for entries in arr.to_pylist():
-        if entries is None:
+    for entries_row in arr.to_pylist():
+        if entries_row is None:
             out.append(None)
             continue
-        hits = [v for k, v in entries if k == query_key]
+        hits = [v for k, v in entries_row if k == query_key]
         if not hits:
             out.append(None)
         elif occurrence == "first":
@@ -480,6 +536,8 @@ def _map_lookup(arr: Array, query_key=None,
             out.append(hits[-1])
         else:
             out.append(hits)
+    if occurrence not in ("first", "last"):
+        return make_array(out, T.list_(arr.type.item_type))
     return make_array(out, arr.type.item_type)
 
 
