@@ -24,7 +24,7 @@ import sys
 import time
 
 
-def bench_ours(lineitem, iters: int) -> float:
+def bench_ours(lineitem, iters: int, device_gen_sf: float = 0.0) -> float:
     import jax
 
     from arrow_tpu.acero.exec import compile_chain
@@ -32,7 +32,14 @@ def bench_ours(lineitem, iters: int) -> float:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _q1_chain_decls
 
-    batch = upload_table(lineitem)
+    if device_gen_sf > 0:
+        # at-scale rungs generate the batch in HBM (io/tpch_device.py):
+        # the SF1 ~770 MB upload has wedged the tunnel in every session
+        # across rounds 1-4 (docs/TUNNEL.md)
+        from arrow_tpu.io.tpch_device import q1_device_batch
+        batch, _ = q1_device_batch(device_gen_sf)
+    else:
+        batch = upload_table(lineitem)
     fn = compile_chain(_q1_chain_decls())
 
     def checksum(out):
@@ -62,7 +69,10 @@ def bench_ours(lineitem, iters: int) -> float:
         out = fn(batch)
     checksum(out)
     dt = (time.perf_counter() - t0) / iters
-    return lineitem.num_rows / dt
+    import numpy as _np
+    n_rows = int(_np.asarray(batch.row_count)) if device_gen_sf > 0 \
+        else lineitem.num_rows
+    return n_rows / dt
 
 
 def bench_reference(lineitem, iters: int) -> float:
@@ -285,6 +295,21 @@ def main():
 
 def _emit_q1(sf: float, iters: int) -> None:
     from arrow_tpu.io import tpch
+    if sf >= 0.5:
+        # device-generated batch; pyarrow baseline on an SF/10 host
+        # table (pyarrow rows/s is scale-invariant here), marked ref_sf
+        ref_tbl = tpch.lineitem_table(sf / 10)
+        ours = bench_ours(None, iters, device_gen_sf=sf)
+        ref = bench_reference(ref_tbl, max(iters // 4, 1))
+        vs = (ours / ref) if ref > 0 else 0.0
+        print(json.dumps({
+            "metric": f"tpch_q1_sf{sf:g}_rows_per_s",
+            "value": round(ours, 1),
+            "unit": "rows/s",
+            "vs_baseline": round(vs, 3),
+            "gen": "device", "ref_sf": sf / 10,
+        }), flush=True)
+        return
     lineitem = tpch.lineitem_table(sf)
     ours = bench_ours(lineitem, iters)
     ref = bench_reference(lineitem, max(iters // 2, 1))
