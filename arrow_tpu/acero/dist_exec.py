@@ -440,24 +440,31 @@ def _spmd_aggregate_at(lin, aggs, mesh: Mesh, part_rows: int,
     ncols = len(source.hosts)
 
     counts = np.zeros(ndev, np.int32)
-    vals = [np.zeros((ndev, cap), dtype=h.values.dtype)
-            for h in source.hosts]
-    masks: Dict[int, np.ndarray] = {
-        i: np.zeros((ndev, cap), np.bool_)
-        for i, h in enumerate(source.hosts) if h.mask is not None}
     for p in range(source.n_chunks):
-        start = p * part_rows
-        ln = min(part_rows, source.n - start)
-        counts[p] = ln
-        for i, h in enumerate(source.hosts):
-            vals[i][p, :ln] = h.values[start:start + ln]
-            if i in masks:
-                masks[i][p, :ln] = h.mask[start:start + ln]
+        counts[p] = min(part_rows, source.n - p * part_rows)
 
-    from ..parallel.distributed import put_sharded
+    # Per-SHARD staging (round-4 verdict item 5): each device's padded
+    # partition is built inside the sharding callback — no (ndev, cap)
+    # whole-dataset host copy, and in jax.distributed runs each process
+    # materializes ONLY its own addressable shards.
     sharding = NamedSharding(mesh, P(axis))
-    dev_vals = [put_sharded(v, sharding) for v in vals]
-    dev_masks = {i: put_sharded(m, sharding) for i, m in masks.items()}
+
+    def stage(host, dtype):
+        def cb(idx):
+            d = idx[0].start or 0
+            start = d * part_rows
+            ln = min(max(source.n - start, 0), part_rows)
+            shard = np.zeros((1, cap), dtype=dtype)
+            if ln > 0:
+                shard[0, :ln] = host[start:start + ln]
+            return shard
+        return jax.make_array_from_callback((ndev, cap), sharding, cb)
+
+    dev_vals = [stage(h.values, h.values.dtype) for h in source.hosts]
+    dev_masks = {i: stage(h.mask, np.bool_)
+                 for i, h in enumerate(source.hosts)
+                 if h.mask is not None}
+    from ..parallel.distributed import put_sharded
     dev_counts = put_sharded(counts, sharding)
 
     mid_fns = _segment_fns(lin.middle) if lin.middle else []
