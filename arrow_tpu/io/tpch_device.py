@@ -39,52 +39,54 @@ def q1_device_batch(scale_factor: float, seed: int = 0,
     n = int(6_001_215 * scale_factor)
     cap = round_up(n)
     sf = scale_factor
-    keys = jax.random.split(jax.random.PRNGKey(seed), 16)
-    kmap = {name: keys[i] for i, name in enumerate(tb.schema.names)}
-
-    def ints(name, lo, hi, dtype):
-        v = jax.random.randint(kmap[name], (cap,), lo, hi,
-                               dtype=jnp.int32)
-        return v if dtype is None else v.astype(dtype)
-
-    def cents(name, lo_cents, hi_cents):
-        c = jax.random.randint(kmap[name], (cap,), lo_cents, hi_cents,
-                               dtype=jnp.int32)
-        return c.astype(jnp.float64) * 0.01
-
     n_orders = max(int(1_500_000 * sf), 2)
-    span = _EPOCH_1998 - _EPOCH_1992
-    gen = {
-        "l_orderkey": lambda nm: ints(nm, 1, n_orders + 1, jnp.int64),
-        "l_partkey": lambda nm: ints(
-            nm, 1, max(int(200_000 * sf), 2), jnp.int64),
-        "l_suppkey": lambda nm: ints(
-            nm, 1, max(int(10_000 * sf), 2), jnp.int64),
-        "l_linenumber": lambda nm: ints(nm, 1, 8, jnp.int64),
-        "l_quantity": lambda nm: ints(nm, 1, 51, jnp.float64),
-        "l_extendedprice": lambda nm: cents(nm, 90_000, 10_500_000),
-        "l_discount": lambda nm: cents(nm, 0, 11),
-        "l_tax": lambda nm: cents(nm, 0, 9),
-        "l_shipdate": lambda nm: ints(nm, _EPOCH_1992, _EPOCH_1998,
-                                      None),
-        "l_commitdate": lambda nm: ints(nm, _EPOCH_1992 - 30,
-                                        _EPOCH_1998 + 30, None),
-        "l_receiptdate": lambda nm: ints(nm, _EPOCH_1992 + 1,
-                                         _EPOCH_1998 + 31, None),
-    }
-    cols = []
-    for name, tcol in zip(tb.schema.names, tb.columns):
-        tmpl_dtype = tcol.values.dtype
-        if tcol.dictionary is not None:
-            d = len(tcol.dictionary)
-            vals = jax.random.randint(kmap[name], (cap,), 0, d,
-                                      dtype=jnp.int32).astype(tmpl_dtype)
-        else:
-            maker = gen[name]
-            vals = maker(name)
-            if vals.dtype != tmpl_dtype:
-                vals = vals.astype(tmpl_dtype)
-        cols.append(DeviceColumn(vals, None, tcol.type,
-                                 tcol.dictionary))
+
+    # ONE fused generator program (remote compiles on the tunnel can
+    # cost 100+ s each when the service is degraded — 16 separate
+    # randint dispatches would each pay it)
+    names = list(tb.schema.names)
+    tmpl_dtypes = [c.values.dtype for c in tb.columns]
+    dict_sizes = [len(c.dictionary) if c.dictionary is not None
+                  else 0 for c in tb.columns]
+
+    def gen_all(key):
+        keys = jax.random.split(key, len(names))
+
+        def ints(k, lo, hi):
+            return jax.random.randint(k, (cap,), lo, hi,
+                                      dtype=jnp.int32)
+
+        bounds = {
+            "l_orderkey": (1, n_orders + 1),
+            "l_partkey": (1, max(int(200_000 * sf), 2)),
+            "l_suppkey": (1, max(int(10_000 * sf), 2)),
+            "l_linenumber": (1, 8),
+            "l_quantity": (1, 51),
+            "l_extendedprice": (90_000, 10_500_000),
+            "l_discount": (0, 11),
+            "l_tax": (0, 9),
+            "l_shipdate": (_EPOCH_1992, _EPOCH_1998),
+            "l_commitdate": (_EPOCH_1992 - 30, _EPOCH_1998 + 30),
+            "l_receiptdate": (_EPOCH_1992 + 1, _EPOCH_1998 + 31),
+        }
+        cents = ("l_extendedprice", "l_discount", "l_tax")
+        out = []
+        for i, nm in enumerate(names):
+            k = keys[i]
+            if dict_sizes[i]:
+                v = ints(k, 0, dict_sizes[i])
+            else:
+                lo, hi = bounds[nm]
+                v = ints(k, lo, hi)
+                if nm in cents:
+                    v = v.astype(jnp.float64) * 0.01
+            if v.dtype != tmpl_dtypes[i]:
+                v = v.astype(tmpl_dtypes[i])
+            out.append(v)
+        return tuple(out)
+
+    arrays = jax.jit(gen_all)(jax.random.PRNGKey(seed))
+    cols = [DeviceColumn(v, None, tcol.type, tcol.dictionary)
+            for v, tcol in zip(arrays, tb.columns)]
     return DeviceBatch(tb.schema, cols,
                        jnp.asarray(n, dtype=jnp.int32)), n
