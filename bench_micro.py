@@ -58,9 +58,11 @@ def main():
     bench("filter_compact_f64",
           jax.jit(lambda v: compact_by_mask(v > 0, [v])),
           (f64,), 8 * 3, n)
-    bench("take_gather_f64",
+    # 1M rows, not 4M: the 4M merge-sort-gather COMPILE wedged the
+    # tunnel for 75+ min in round-4 session 2 (CHIP_SESSION_r04.jsonl)
+    bench("take_gather_f64_1m",
           jax.jit(lambda v, i: gather_rows([v], i)),
-          (f64, idx), 8 * 3, n)
+          (f64[:n // 4], idx[:n // 4] % (n // 4)), 8 * 3, n // 4)
     bench("sort_i64_payload_f64",
           jax.jit(lambda k, v: sort_with_payload(
               [k.astype(jnp.uint64)], [v])),
