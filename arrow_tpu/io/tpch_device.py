@@ -1,92 +1,111 @@
 """Device-side TPC-H lineitem generation for at-scale benchmarking.
 
-The tunnel's chronic wedge point is the SF1 host->device upload
-(~770 MB over a flaky link; docs/TUNNEL.md — every SF1 attempt across
-rounds 1-4 stalled there). The reference's tpch_benchmark generates
-data in-process too (acero/tpch_node.cc); the TPU-native equivalent
-generates the batch DIRECTLY IN HBM with jax.random, so the only bytes
-crossing the tunnel are the compiled program and a tiny template
-(schema + dictionaries learned from a 3k-row host sample).
+The tunnel's chronic wedge points are (a) the SF1 host->device upload
+(~770 MB; stalled every SF1 attempt across rounds 1-4) and (b) heavy
+first compiles when the compile service degrades (docs/TUNNEL.md
+round-4 findings). This generator avoids BOTH: columns are produced by
+a splitmix64 hash of iota — pure elementwise u64 arithmetic, the same
+program class as a streaming copy — in ONE small fused program, with
+NO host->device transfer at all (dictionaries are host-side
+DeviceColumn aux; schema/types are built directly).
 
-Distributions mirror io/tpch.py lineitem_table column-for-column; the
-values differ (threefry vs PCG streams) but the statistics the Q1 plan
-sees — selectivity of the shipdate filter, 6 group keys, uniform
-quantities/prices — are identical, so rows/s is comparable.
-Correctness of the Q1 plan itself is pinned separately by the
-SF0.01/SF0.1 differential tests against pyarrow Acero (test_tpch.py).
-"""
+The reference's tpch_benchmark generates data in-process too
+(acero/tpch_node.cc). Distributions mirror io/tpch.py lineitem_table
+column-for-column (uniform ints/cents over identical ranges), so the
+Q1 plan sees the same filter selectivity, the same 6 group keys and
+the same bytes-per-row; rows/s is comparable. Q1 plan correctness is
+pinned separately by the SF0.01/SF0.1 differential tests against
+pyarrow Acero (tests/test_tpch.py)."""
 
 from __future__ import annotations
 
-from .tpch import _EPOCH_1992, _EPOCH_1998, lineitem_table
+import numpy as np
+
+from .. import types as T
+from ..array.array import array as make_array
+from .tpch import (_EPOCH_1992, _EPOCH_1998, LINESTATUS, RETURNFLAGS,
+                   SHIPINSTRUCT, SHIPMODES)
 
 
-def q1_device_batch(scale_factor: float, seed: int = 0,
-                    template_sf: float = 0.0005):
+def q1_device_batch(scale_factor: float, seed: int = 0):
     """A full 16-column lineitem DeviceBatch of SF rows generated on
-    the device. Schema/types/dictionaries come from a tiny uploaded
-    host template so the Q1 program compiled against this batch is
-    IDENTICAL to one compiled against an uploaded table."""
+    the device by ONE fused elementwise program. Returns (batch, n)."""
     import jax
     import jax.numpy as jnp
 
-    from ..device.column import (DeviceBatch, DeviceColumn, round_up,
-                                 upload_table)
-
-    template = lineitem_table(template_sf, seed=seed)
-    tb = upload_table(template)
+    from ..device.column import DeviceBatch, DeviceColumn, round_up
+    from ..table import Schema
 
     n = int(6_001_215 * scale_factor)
     cap = round_up(n)
     sf = scale_factor
     n_orders = max(int(1_500_000 * sf), 2)
 
-    # ONE fused generator program (remote compiles on the tunnel can
-    # cost 100+ s each when the service is degraded — 16 separate
-    # randint dispatches would each pay it)
-    names = list(tb.schema.names)
-    tmpl_dtypes = [c.values.dtype for c in tb.columns]
-    dict_sizes = [len(c.dictionary) if c.dictionary is not None
-                  else 0 for c in tb.columns]
+    dicts = {
+        "l_returnflag": make_array(RETURNFLAGS, T.string()),
+        "l_linestatus": make_array(LINESTATUS, T.string()),
+        "l_shipinstruct": make_array(SHIPINSTRUCT, T.string()),
+        "l_shipmode": make_array(SHIPMODES, T.string()),
+    }
+    dict_t = T.dictionary(T.int32(), T.string())
+    spec = [
+        # (name, kind, lo, hi, type, device dtype)
+        ("l_orderkey", "int", 1, n_orders + 1, T.int64(), jnp.int64),
+        ("l_partkey", "int", 1, max(int(200_000 * sf), 2), T.int64(),
+         jnp.int64),
+        ("l_suppkey", "int", 1, max(int(10_000 * sf), 2), T.int64(),
+         jnp.int64),
+        ("l_linenumber", "int", 1, 8, T.int64(), jnp.int64),
+        ("l_quantity", "float_int", 1, 51, T.float64(), jnp.float64),
+        ("l_extendedprice", "cents", 90_000, 10_500_000, T.float64(),
+         jnp.float64),
+        ("l_discount", "cents", 0, 11, T.float64(), jnp.float64),
+        ("l_tax", "cents", 0, 9, T.float64(), jnp.float64),
+        ("l_returnflag", "dict", 0, len(RETURNFLAGS), dict_t,
+         jnp.int32),
+        ("l_linestatus", "dict", 0, len(LINESTATUS), dict_t, jnp.int32),
+        ("l_shipdate", "int", _EPOCH_1992, _EPOCH_1998, T.date32(),
+         jnp.int32),
+        ("l_commitdate", "int", _EPOCH_1992 - 30, _EPOCH_1998 + 30,
+         T.date32(), jnp.int32),
+        ("l_receiptdate", "int", _EPOCH_1992 + 1, _EPOCH_1998 + 31,
+         T.date32(), jnp.int32),
+        ("l_shipinstruct", "dict", 0, len(SHIPINSTRUCT), dict_t,
+         jnp.int32),
+        ("l_shipmode", "dict", 0, len(SHIPMODES), dict_t, jnp.int32),
+    ]
 
-    def gen_all(key):
-        keys = jax.random.split(key, len(names))
+    def gen_all(seed_v):
+        # splitmix64 per (stream, position): pure VPU arithmetic
+        iota = jnp.arange(cap, dtype=jnp.uint64)
 
-        def ints(k, lo, hi):
-            return jax.random.randint(k, (cap,), lo, hi,
-                                      dtype=jnp.int32)
+        def mix(h):
+            h = (h ^ (h >> jnp.uint64(30))) * \
+                jnp.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> jnp.uint64(27))) * \
+                jnp.uint64(0x94D049BB133111EB)
+            return h ^ (h >> jnp.uint64(31))
 
-        bounds = {
-            "l_orderkey": (1, n_orders + 1),
-            "l_partkey": (1, max(int(200_000 * sf), 2)),
-            "l_suppkey": (1, max(int(10_000 * sf), 2)),
-            "l_linenumber": (1, 8),
-            "l_quantity": (1, 51),
-            "l_extendedprice": (90_000, 10_500_000),
-            "l_discount": (0, 11),
-            "l_tax": (0, 9),
-            "l_shipdate": (_EPOCH_1992, _EPOCH_1998),
-            "l_commitdate": (_EPOCH_1992 - 30, _EPOCH_1998 + 30),
-            "l_receiptdate": (_EPOCH_1992 + 1, _EPOCH_1998 + 31),
-        }
-        cents = ("l_extendedprice", "l_discount", "l_tax")
         out = []
-        for i, nm in enumerate(names):
-            k = keys[i]
-            if dict_sizes[i]:
-                v = ints(k, 0, dict_sizes[i])
+        for i, (name, kind, lo, hi, _t, dd) in enumerate(spec):
+            h = mix(iota ^ mix(jnp.uint64(i + 1) * jnp.uint64(
+                0x9E3779B97F4A7C15) + seed_v.astype(jnp.uint64)))
+            u = (h % jnp.uint64(hi - lo)).astype(jnp.int64) + lo
+            if kind == "cents":
+                v = u.astype(jnp.float64) * 0.01
+            elif kind == "float_int":
+                v = u.astype(jnp.float64)
             else:
-                lo, hi = bounds[nm]
-                v = ints(k, lo, hi)
-                if nm in cents:
-                    v = v.astype(jnp.float64) * 0.01
-            if v.dtype != tmpl_dtypes[i]:
-                v = v.astype(tmpl_dtypes[i])
+                v = u.astype(dd)
             out.append(v)
         return tuple(out)
 
-    arrays = jax.jit(gen_all)(jax.random.PRNGKey(seed))
-    cols = [DeviceColumn(v, None, tcol.type, tcol.dictionary)
-            for v, tcol in zip(arrays, tb.columns)]
-    return DeviceBatch(tb.schema, cols,
-                       jnp.asarray(n, dtype=jnp.int32)), n
+    import jax
+    arrays = jax.jit(gen_all)(jnp.asarray(seed, jnp.uint64))
+    fields = [T.field(name, t) for (name, _k, _lo, _hi, t, _d) in spec]
+    schema = Schema(fields)
+    cols = [DeviceColumn(v, None, s[4], dicts.get(s[0]))
+            for v, s in zip(arrays, spec)]
+    import jax.numpy as _jnp
+    return DeviceBatch(schema, cols,
+                       _jnp.asarray(n, dtype=_jnp.int32)), n
