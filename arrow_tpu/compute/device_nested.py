@@ -68,9 +68,9 @@ def device_nested_enabled() -> bool:
         return False
 
 
-# memoized on a dedicated ArrayData slot (same pattern as
-# device_strings pools): repr identity follows data identity
-_reprs = None  # retained name for tests; slot-based cache below
+# The device list repr is memoized on a dedicated ArrayData slot
+# (_device_list_repr — same pattern as device_strings pools): repr
+# identity follows data identity.
 
 
 def _child_device_repr(child: Array):
