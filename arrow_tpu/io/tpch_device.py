@@ -90,7 +90,14 @@ def q1_device_batch(scale_factor: float, seed: int = 0):
         for i, (name, kind, lo, hi, _t, dd) in enumerate(spec):
             h = mix(iota ^ mix(jnp.uint64(i + 1) * jnp.uint64(
                 0x9E3779B97F4A7C15) + seed_v.astype(jnp.uint64)))
-            u = (h % jnp.uint64(hi - lo)).astype(jnp.int64) + lo
+            # multiply-shift range mapping, NOT modulo: u64 division
+            # is software-expanded by XLA on TPU into a program large
+            # enough to wedge a degraded compile service (range sizes
+            # here all fit u32, so (h32 * R) >> 32 is exact-uniform
+            # to within 2^-32 bias)
+            h32 = h >> jnp.uint64(32)
+            u = ((h32 * jnp.uint64(hi - lo)) >> jnp.uint64(32)) \
+                .astype(jnp.int64) + lo
             if kind == "cents":
                 v = u.astype(jnp.float64) * 0.01
             elif kind == "float_int":
