@@ -235,27 +235,56 @@ def _strptime_vectorized(arr: Array, format: str, unit: str,
                            null_count=int((~m).sum())))
 
 
+def _build_string_list(rows, n):
+    """list<string> Array from per-row lists (None = null row) via
+    direct offsets+flat-child assembly — skips the generic nested
+    builder (scalar_string_ascii.cc split emits offsets directly)."""
+    import numpy as np
+
+    from itertools import chain
+
+    from ..array.data import ArrayData
+    from ..buffer import Buffer
+    from ..utils import bits as bitutil
+    lens = np.fromiter((0 if r is None else len(r) for r in rows),
+                       np.int64, n)
+    offsets = np.zeros(n + 1, np.int32)
+    np.cumsum(lens, out=offsets[1:].astype(np.int64, copy=False))         if False else None
+    offsets[1:] = np.cumsum(lens)
+    flat = list(chain.from_iterable(r for r in rows if r is not None))
+    child = make_array(flat, T.string())
+    nulls = np.fromiter((r is None for r in rows), np.bool_, n)
+    validity = None
+    null_count = int(nulls.sum())
+    if null_count:
+        validity = Buffer(bitutil.pack_bits(~nulls))
+    return Array(ArrayData(T.list_(T.string()), n,
+                           [validity, Buffer(offsets)],
+                           children=[child.data],
+                           null_count=null_count))
+
+
 @register_host("split_pattern")
 def _split_pattern(arr: Array, pattern: str = " ",
                    max_splits: Optional[int] = None,
                    reverse: bool = False) -> Array:
     n = -1 if max_splits is None else max_splits
-    out = []
-    for v in arr.to_pylist():
-        if v is None:
-            out.append(None)
-        elif reverse and n > 0:
-            out.append(v.rsplit(pattern, n))
-        else:
-            out.append(v.split(pattern, n))
-    return make_array(out, T.list_(T.string()))
+    vals = arr.to_pylist()
+    if reverse and n > 0:
+        rows = [None if v is None else v.rsplit(pattern, n)
+                for v in vals]
+    else:
+        rows = [None if v is None else v.split(pattern, n)
+                for v in vals]
+    return _build_string_list(rows, len(vals))
 
 
 @register_host("utf8_split_whitespace")
 def _split_ws(arr: Array, max_splits: Optional[int] = None) -> Array:
     n = -1 if max_splits is None else max_splits
-    return make_array([None if v is None else v.split(None, n)
-                       for v in arr.to_pylist()], T.list_(T.string()))
+    vals = arr.to_pylist()
+    rows = [None if v is None else v.split(None, n) for v in vals]
+    return _build_string_list(rows, len(vals))
 
 
 @register_host("binary_join")
