@@ -75,8 +75,12 @@ def q1_device_batch(scale_factor: float, seed: int = 0):
         ("l_shipmode", "dict", 0, len(SHIPMODES), dict_t, jnp.int32),
     ]
 
-    def gen_all(seed_v):
-        # splitmix64 per (stream, position): pure VPU arithmetic
+    # ONE jitted program PER COLUMN (not one fused 15-output program):
+    # TUNNEL.md's measured behavior is that small programs execute
+    # instantly even while a big program sits in the once-per-session
+    # stall — a ~740 MB-output fused generator is exactly the
+    # stall-prone shape; sixteen ~64 MB single-output programs are not.
+    def gen_column(i, kind, lo, hi, dd, seed_v):
         iota = jnp.arange(cap, dtype=jnp.uint64)
 
         def mix(h):
@@ -86,29 +90,26 @@ def q1_device_batch(scale_factor: float, seed: int = 0):
                 jnp.uint64(0x94D049BB133111EB)
             return h ^ (h >> jnp.uint64(31))
 
-        out = []
-        for i, (name, kind, lo, hi, _t, dd) in enumerate(spec):
-            h = mix(iota ^ mix(jnp.uint64(i + 1) * jnp.uint64(
-                0x9E3779B97F4A7C15) + seed_v.astype(jnp.uint64)))
-            # multiply-shift range mapping, NOT modulo: u64 division
-            # is software-expanded by XLA on TPU into a program large
-            # enough to wedge a degraded compile service (range sizes
-            # here all fit u32, so (h32 * R) >> 32 is exact-uniform
-            # to within 2^-32 bias)
-            h32 = h >> jnp.uint64(32)
-            u = ((h32 * jnp.uint64(hi - lo)) >> jnp.uint64(32)) \
-                .astype(jnp.int64) + lo
-            if kind == "cents":
-                v = u.astype(jnp.float64) * 0.01
-            elif kind == "float_int":
-                v = u.astype(jnp.float64)
-            else:
-                v = u.astype(dd)
-            out.append(v)
-        return tuple(out)
+        h = mix(iota ^ mix(jnp.uint64(i + 1) * jnp.uint64(
+            0x9E3779B97F4A7C15) + seed_v.astype(jnp.uint64)))
+        # multiply-shift range mapping, NOT modulo: u64 division is
+        # software-expanded by XLA on TPU into a program large enough
+        # to wedge a degraded compile service (ranges fit u32, so
+        # (h32 * R) >> 32 is uniform to within 2^-32 bias)
+        h32 = h >> jnp.uint64(32)
+        u = ((h32 * jnp.uint64(hi - lo)) >> jnp.uint64(32)) \
+            .astype(jnp.int64) + lo
+        if kind == "cents":
+            return u.astype(jnp.float64) * 0.01
+        if kind == "float_int":
+            return u.astype(jnp.float64)
+        return u.astype(dd)
 
     import jax
-    arrays = jax.jit(gen_all)(jnp.asarray(seed, jnp.uint64))
+    gen_jit = jax.jit(gen_column, static_argnums=(0, 1, 2, 3, 4))
+    seed_dev = jnp.asarray(seed, jnp.uint64)
+    arrays = [gen_jit(i, kind, lo, hi, dd, seed_dev)
+              for i, (name, kind, lo, hi, _t, dd) in enumerate(spec)]
     fields = [T.field(name, t) for (name, _k, _lo, _hi, t, _d) in spec]
     schema = Schema(fields)
     cols = [DeviceColumn(v, None, s[4], dicts.get(s[0]))
