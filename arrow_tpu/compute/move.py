@@ -1,10 +1,26 @@
 """TPU-safe bulk data movement.
 
-Measured on v5e (see docs/ARCHITECTURE.md): XLA lowers 1-D element gathers
-(any dtype) and 64-bit scatters QUADRATICALLY; int32 1-D scatter,
-multi-operand sort (any payload dtype), and scans are linear. Every bulk
-reordering in the engine therefore routes through lax.sort payload carries
-or int32 scatters:
+Measured on v5e (rounds 1-4; docs/ARCHITECTURE.md + round-4 A/B in
+CHIP_SESSION_r04.jsonl at 4M rows):
+
+* multi-operand stable sort: the ONLY linear bulk mover. u8-key sort
+  with one f64 payload 16.9 ms; payload count amortizes inside one
+  sort (4 f64 payloads cost 2.6x one, not 4x) -> multi-column
+  compaction shares ONE sort (9.25 GB/s effective vs 6.0 single).
+* element gathers: QUADRATIC-ish for any dtype; the
+  indices_are_sorted hint does NOT improve the lowering (sorted-hint
+  take of 4M f64: 68.9 ms = 4x the full sort-compact). The round-4
+  'gather' movement mode (index sort + hinted column gathers) lost
+  its A/B 9-30x and exists only for measurement.
+* int32 1-D scatters: ~2x SLOWER than the drop-key sort on the
+  current tunnel build (30.5 ms vs 16.9 at 4M) — the round-2 "linear
+  scatter" reading did not reproduce; 'scatter' mode is measurement-
+  only as well.
+* 64-bit division: software-expanded to a program large enough to
+  wedge a degraded remote compiler — use multiply-shift range maps.
+
+Every bulk reordering in the engine therefore routes through lax.sort
+payload carries:
 
 * compaction (filter)      -> ONE stable sort keyed on the drop-flag,
                               all columns riding as payload operands
