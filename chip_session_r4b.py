@@ -362,6 +362,10 @@ def main():
                   lambda: pool_predicate("match_substring", col,
                                          "7-suf"),
                   (), pool.L * dct, dct)
+            from arrow_tpu.compute.device_strings import pool_transform
+            timed("device_strings_upper_1m_unique",
+                  lambda: pool_transform("utf8_upper", col),
+                  (), 2 * pool.L * dct, dct)
         except Exception as e:  # noqa: BLE001
             bank({"metric": "device_strings_match_1m_unique",
                   "error": str(e)[:400]})
