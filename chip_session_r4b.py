@@ -364,7 +364,7 @@ def main():
                   (), pool.L * dct, dct)
             from arrow_tpu.compute.device_strings import pool_transform
             timed("device_strings_upper_1m_unique",
-                  lambda: pool_transform("utf8_upper", col),
+                  lambda: pool_transform("upper", col),
                   (), 2 * pool.L * dct, dct)
         except Exception as e:  # noqa: BLE001
             bank({"metric": "device_strings_match_1m_unique",
