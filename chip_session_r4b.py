@@ -282,6 +282,49 @@ def main():
     if remaining() > 1800:
         guarded(f"tpch_q3_sf{SF_TOP:g}", 3000, q3_rung, SF_TOP, 5)
 
+    # ---- 2b. BASELINE config 3: multi-key ORDER BY + top-k at scale
+    # (device-resident lineitem, one multi-payload sort program) ------
+    def sort_rung(sf, iters):
+        name = f"tpch_sort_topk_sf{sf:g}_rows_per_s"
+        if name in _DONE:
+            return
+        from arrow_tpu import acero
+        from arrow_tpu.acero import Declaration
+        from arrow_tpu.io.tpch_device import q1_device_batch
+        t0 = time.time()
+        batch, nrows = q1_device_batch(sf, seed=7)
+        float(np.asarray(batch.columns[0].values[:1])[0])
+        gen_s = time.time() - t0
+        fn = compile_chain([
+            Declaration("order_by", acero.OrderByNodeOptions(
+                [("l_shipdate", "ascending"),
+                 ("l_extendedprice", "descending")])),
+            Declaration("fetch", acero.FetchNodeOptions(0, 100)),
+        ])
+        t0 = time.time()
+        out = fn(batch)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        float(np.asarray(out.columns[-1].values[:1])[0])
+        first_exec_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(batch)
+        float(np.asarray(out.columns[-1].values[:1])[0])
+        dt = (time.time() - t0) / iters
+        bank({"metric": name, "value": round(nrows / dt, 1),
+              "unit": "rows/s", "gen": "device",
+              "ms_per_iter": round(dt * 1e3, 2), "iters": iters,
+              "devgen_s": round(gen_s, 1),
+              "compile_s": round(compile_s, 1),
+              "first_exec_wait_s": round(first_exec_s, 1),
+              "rows": nrows})
+        del batch
+
+    if remaining() > 900:
+        guarded(f"tpch_sort_topk_sf{SF_TOP:g}", 2400, sort_rung,
+                SF_TOP, 10)
+
     # ---- 3. micro leftovers (session 2 banked the compaction A/B) ---
     from arrow_tpu.compute import move
     from arrow_tpu.compute.hashing import hash32_words
