@@ -52,8 +52,9 @@ from .chunked import (_ALL_JOIN_TYPES, _ChunkedGroupBy, _ChunkSource,
 # actually exercised a mesh exchange vs fell back to chunked-local
 # execution. Tests assert on these so fallback cannot silently absorb
 # regressions; dryrun_multichip prints them.
-EXCHANGE_COUNTS = {"join_exchange": 0, "sort_exchange": 0,
-                   "spmd_aggregate": 0, "chunked_fallback": 0}
+EXCHANGE_COUNTS = {"join_exchange": 0, "join_fused_pre": 0,
+                   "sort_exchange": 0, "spmd_aggregate": 0,
+                   "chunked_fallback": 0}
 
 
 def reset_exchange_counts() -> None:
@@ -225,6 +226,8 @@ def _distributed_join_plan(lin, mesh: Mesh) -> Optional[Table]:
                 list(opts.right_keys), jt, left_pre_fns=pre_fns)
             probe_names = post_lnames
             sentinel = lin.table.num_rows
+            if pre_fns:
+                _count("join_fused_pre")
         except NotImplementedError:
             joined = None
     if joined is None:

@@ -71,6 +71,27 @@ def test_distributed_join_type_matches_local(jt):
     _assert_equal(dist, local, jt)
 
 
+def test_fused_pre_chain_engages():
+    """A filter before the join must run INSIDE the exchange program
+    (join_fused_pre counter), not via a local probe materialization."""
+    from arrow_tpu.acero.options import FilterNodeOptions
+    from arrow_tpu.acero.expression import field
+    left, right = _tables(seed=9)
+    lsrc = Declaration("table_source", TableSourceNodeOptions(left))
+    rsrc = Declaration("table_source", TableSourceNodeOptions(right))
+    decl = Declaration("hashjoin", HashJoinNodeOptions(
+        join_type="inner", left_keys=["k"], right_keys=["k"]),
+        inputs=[Declaration("filter",
+                            FilterNodeOptions(field("lx") > 0.0),
+                            inputs=[lsrc]), rsrc])
+    local = decl.to_table()
+    dist_exec.reset_exchange_counts()
+    dist = decl.to_table(distributed=True)
+    assert dist_exec.EXCHANGE_COUNTS["join_fused_pre"] >= 1, \
+        dist_exec.EXCHANGE_COUNTS
+    _assert_equal(dist, local, "fused-pre")
+
+
 @pytest.mark.parametrize("jt", ["inner", "right outer", "full outer"])
 def test_distributed_join_then_aggregate(jt):
     """Join feeding a terminal aggregate: the downstream re-entry must
