@@ -239,6 +239,15 @@ def call_function(name: str, args: Sequence, options=None,
 
     if isinstance(options, FunctionOptions):
         options = options.to_kwargs()
+    if options:
+        # Array-valued options (is_in/index_in value_set à la pyarrow)
+        # become plain lists: hashable for the jit cache key, and the
+        # kernels' list paths already handle them
+        options = {k: (v.combine().to_pylist()
+                       if isinstance(v, ChunkedArray)
+                       else v.to_pylist() if isinstance(v, Array)
+                       else v)
+                   for k, v in options.items()}
     fn = get_function(name)
     from .decimal_host import maybe_wide_decimal_call
     hit = maybe_wide_decimal_call(name, args, options)
