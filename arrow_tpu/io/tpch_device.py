@@ -27,6 +27,50 @@ from .tpch import (_EPOCH_1992, _EPOCH_1998, LINESTATUS, RETURNFLAGS,
                    SHIPINSTRUCT, SHIPMODES)
 
 
+# ONE jitted program PER COLUMN (not one fused 15-output program):
+# TUNNEL.md's measured behavior is that small programs execute
+# instantly even while a big program sits in the once-per-session
+# stall — a ~740 MB-output fused generator is exactly the stall-prone
+# shape; sixteen ~64 MB single-output programs are not. Module-level
+# with static (cap, column) so every q1_device_batch call at the same
+# scale (Q1 rung, sort rung) reuses the compiled programs.
+def _gen_column_impl(cap, i, kind, lo, hi, dtype_name, seed_v):
+    import jax.numpy as jnp
+    iota = jnp.arange(cap, dtype=jnp.uint64)
+
+    def mix(h):
+        h = (h ^ (h >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+        return h ^ (h >> jnp.uint64(31))
+
+    h = mix(iota ^ mix(jnp.uint64(i + 1) * jnp.uint64(
+        0x9E3779B97F4A7C15) + seed_v.astype(jnp.uint64)))
+    # multiply-shift range mapping, NOT modulo: u64 division is
+    # software-expanded by XLA on TPU into a program large enough to
+    # wedge a degraded compile service (ranges fit u32, so
+    # (h32 * R) >> 32 is uniform to within 2^-32 bias)
+    h32 = h >> jnp.uint64(32)
+    u = ((h32 * jnp.uint64(hi - lo)) >> jnp.uint64(32)) \
+        .astype(jnp.int64) + lo
+    if kind == "cents":
+        return u.astype(jnp.float64) * 0.01
+    if kind == "float_int":
+        return u.astype(jnp.float64)
+    return u.astype(dtype_name)
+
+
+_gen_column = None
+
+
+def _ensure_gen():
+    global _gen_column
+    if _gen_column is None:
+        import jax
+        _gen_column = jax.jit(_gen_column_impl,
+                              static_argnums=(0, 1, 2, 3, 4, 5))
+    return _gen_column
+
+
 def q1_device_batch(scale_factor: float, seed: int = 0):
     """A full 16-column lineitem DeviceBatch of SF rows generated on
     the device by ONE fused elementwise program. Returns (batch, n)."""
@@ -75,40 +119,10 @@ def q1_device_batch(scale_factor: float, seed: int = 0):
         ("l_shipmode", "dict", 0, len(SHIPMODES), dict_t, jnp.int32),
     ]
 
-    # ONE jitted program PER COLUMN (not one fused 15-output program):
-    # TUNNEL.md's measured behavior is that small programs execute
-    # instantly even while a big program sits in the once-per-session
-    # stall — a ~740 MB-output fused generator is exactly the
-    # stall-prone shape; sixteen ~64 MB single-output programs are not.
-    def gen_column(i, kind, lo, hi, dd, seed_v):
-        iota = jnp.arange(cap, dtype=jnp.uint64)
-
-        def mix(h):
-            h = (h ^ (h >> jnp.uint64(30))) * \
-                jnp.uint64(0xBF58476D1CE4E5B9)
-            h = (h ^ (h >> jnp.uint64(27))) * \
-                jnp.uint64(0x94D049BB133111EB)
-            return h ^ (h >> jnp.uint64(31))
-
-        h = mix(iota ^ mix(jnp.uint64(i + 1) * jnp.uint64(
-            0x9E3779B97F4A7C15) + seed_v.astype(jnp.uint64)))
-        # multiply-shift range mapping, NOT modulo: u64 division is
-        # software-expanded by XLA on TPU into a program large enough
-        # to wedge a degraded compile service (ranges fit u32, so
-        # (h32 * R) >> 32 is uniform to within 2^-32 bias)
-        h32 = h >> jnp.uint64(32)
-        u = ((h32 * jnp.uint64(hi - lo)) >> jnp.uint64(32)) \
-            .astype(jnp.int64) + lo
-        if kind == "cents":
-            return u.astype(jnp.float64) * 0.01
-        if kind == "float_int":
-            return u.astype(jnp.float64)
-        return u.astype(dd)
-
-    import jax
-    gen_jit = jax.jit(gen_column, static_argnums=(0, 1, 2, 3, 4))
+    gen = _ensure_gen()
     seed_dev = jnp.asarray(seed, jnp.uint64)
-    arrays = [gen_jit(i, kind, lo, hi, dd, seed_dev)
+    arrays = [gen(cap, i, kind, lo, hi, np.dtype(dd).name,
+                  seed_dev)
               for i, (name, kind, lo, hi, _t, dd) in enumerate(spec)]
     fields = [T.field(name, t) for (name, _k, _lo, _hi, t, _d) in spec]
     schema = Schema(fields)
