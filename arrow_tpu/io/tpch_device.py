@@ -73,7 +73,8 @@ def _ensure_gen():
 
 def q1_device_batch(scale_factor: float, seed: int = 0):
     """A full 16-column lineitem DeviceBatch of SF rows generated on
-    the device by ONE fused elementwise program. Returns (batch, n)."""
+    the device, one small elementwise program per column. Returns
+    (batch, n)."""
     import jax
     import jax.numpy as jnp
 
