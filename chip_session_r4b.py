@@ -91,6 +91,9 @@ WD = Watchdog()
 
 
 def main():
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     import numpy as np
     bank({"phase": "start", "budget_s": BUDGET, "pid": os.getpid(),
           "rev": "b", "skipping": sorted(_DONE)})
