@@ -160,7 +160,7 @@ def main():
         name = f"tpch_q1_sf{sf:g}_rows_per_s"
         if name in _DONE:
             return
-        if sf >= 0.5:
+        if sf >= 0.2:
             # SF1's ~770 MB upload is the tunnel's chronic wedge point
             # (it has stalled EVERY session across rounds 1-4, incl.
             # 75+ min in this round's sessions 2-3): generate the batch
@@ -250,6 +250,11 @@ def main():
 
     if remaining() > 600:
         guarded(f"tpch_q1_sf{SF_TOP:g}", 4200, q1_rung, SF_TOP, 20)
+    # devgen fallback rung: a quarter-scale program may compile where
+    # the SF1-shaped one hangs the degraded remote compiler
+    if remaining() > 600:
+        guarded(f"tpch_q1_sf{SF_TOP / 4:g}", 2400, q1_rung,
+                SF_TOP / 4, 15)
     for sf in (SF_TOP / 10, SF_TOP / 100):
         if remaining() > 240:
             guarded(f"tpch_q1_sf{sf:g}", 1200, q1_rung, sf, 10)
