@@ -308,8 +308,15 @@ def csv_parse_parallel(data: bytes, delimiter: str, quote_char,
         return None
     n = len(data)
     # below ~64 MB the chunk merge (numpy concats of per-chunk offsets)
-    # costs more than the parallel tokenize saves (measured round 2)
-    if n < (1 << 26):
+    # costs more than the parallel tokenize saves (measured round 2).
+    # ARROW_TPU_CSV_PARALLEL_MIN overrides (tests exercise the merge
+    # without building 64 MB fixtures).
+    try:
+        min_bytes = int(os.environ.get("ARROW_TPU_CSV_PARALLEL_MIN",
+                                       str(1 << 26)))
+    except ValueError:
+        min_bytes = 1 << 26
+    if n < min_bytes:
         return csv_parse(data, delimiter, quote_char, doublequote,
                          escape_char)
     ncpu = os.cpu_count() or 1

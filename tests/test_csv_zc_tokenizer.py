@@ -79,3 +79,29 @@ def test_zc_quoted_flags_ride_through():
     block = csv_parse(data[4:], ",", '"', True, None)
     assert block.id_scale == 2
     assert block.quoted.tolist() == [1, 0, 0, 0]
+
+
+def test_parallel_chunk_merge_matches_single(monkeypatch):
+    """csv_parse_parallel with a forced low threshold: zero-copy chunk
+    rebase and mixed-form merges must equal the single-block parse."""
+    monkeypatch.setenv("ARROW_TPU_CSV_PARALLEL_MIN", "1024")
+    import numpy as np
+
+    from arrow_tpu.native import csv_parse_parallel
+    rows = ["h1,h2,h3"]
+    for i in range(3000):
+        if i % 17 == 0:
+            rows.append(f'{i},"q{i}",')
+        elif i % 29 == 0:
+            rows.append(f'{i},"has ""dq"" here",{i * 2}')  # copy chunk
+        else:
+            rows.append(f"{i},plain{i},{i * 2}")
+    data = ("\n".join(rows) + "\n").encode()
+    par = csv_parse_parallel(data, ",", '"', True, None)
+    single = csv_parse(data, ",", '"', True, None)
+    assert par is not None and single is not None
+    assert par.row_counts.tolist() == single.row_counts.tolist()
+    nf = len(single.quoted)
+    assert len(par.quoted) == nf
+    for fid in range(nf):
+        assert par.field_bytes(fid) == single.field_bytes(fid), fid
