@@ -101,6 +101,17 @@ def main():
     WD.arm(240, "acquire")
     import arrow_tpu.device  # noqa: F401 - enables jax_enable_x64
     import jax
+    # persistent compile cache: once ANY session gets a program through
+    # the (degraded) remote compiler, later sessions load the
+    # executable instead of recompiling
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - older jax knob names
+        pass
     import jax.numpy as jnp
     t0 = time.time()
     d = jax.device_put(np.ones(1 << 17))
