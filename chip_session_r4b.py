@@ -259,16 +259,20 @@ def main():
         finally:
             WD.disarm()
 
-    if remaining() > 600:
-        guarded(f"tpch_q1_sf{SF_TOP:g}", 4200, q1_rung, SF_TOP, 20)
-    # devgen fallback rung: a quarter-scale program may compile where
-    # the SF1-shaped one hangs the degraded remote compiler
-    if remaining() > 600:
-        guarded(f"tpch_q1_sf{SF_TOP / 4:g}", 2400, q1_rung,
-                SF_TOP / 4, 15)
-    for sf in (SF_TOP / 10, SF_TOP / 100):
-        if remaining() > 240:
-            guarded(f"tpch_q1_sf{sf:g}", 1200, q1_rung, sf, 10)
+    def q1_phase():
+        if remaining() > 600:
+            guarded(f"tpch_q1_sf{SF_TOP:g}", 4200, q1_rung, SF_TOP, 20)
+        # devgen fallback rung: a quarter-scale program may compile
+        # where the SF1-shaped one hangs the degraded remote compiler
+        if remaining() > 600:
+            guarded(f"tpch_q1_sf{SF_TOP / 4:g}", 2400, q1_rung,
+                    SF_TOP / 4, 15)
+        for sf in (SF_TOP / 10, SF_TOP / 100):
+            if remaining() > 240:
+                guarded(f"tpch_q1_sf{sf:g}", 1200, q1_rung, sf, 10)
+
+    if os.environ.get("CHIP_PHASE_ORDER", "q1_first") == "q1_first":
+        q1_phase()
 
     # ---- 2. Q3 ------------------------------------------------------
     def q3_rung(sf, iters):
@@ -433,6 +437,11 @@ def main():
                   "error": str(e)[:400]})
         finally:
             WD.disarm()
+
+    if os.environ.get("CHIP_PHASE_ORDER", "q1_first") != "q1_first":
+        # micros banked first (CHIP_PHASE_ORDER=micros_first): now the
+        # stall-prone at-scale macros
+        q1_phase()
 
     # LAST: the hang-prone merge-sort gather (wedged session 2 at 4M;
     # try 1M with a hard deadline)
