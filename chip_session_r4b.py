@@ -299,11 +299,15 @@ def main():
               "iters": iters, "gen_s": round(gen_s, 1),
               "warmup_s": round(warm_s, 1), "rows": n})
 
-    if remaining() > 900:
-        guarded(f"tpch_q3_sf{SF_TOP / 10:g}", 2400, q3_rung,
-                SF_TOP / 10, 8)
-    if remaining() > 1800:
-        guarded(f"tpch_q3_sf{SF_TOP:g}", 3000, q3_rung, SF_TOP, 5)
+    def q3_phase():
+        if remaining() > 900:
+            guarded(f"tpch_q3_sf{SF_TOP / 10:g}", 2400, q3_rung,
+                    SF_TOP / 10, 8)
+        if remaining() > 1800:
+            guarded(f"tpch_q3_sf{SF_TOP:g}", 3000, q3_rung, SF_TOP, 5)
+
+    if os.environ.get("CHIP_PHASE_ORDER", "q1_first") == "q1_first":
+        q3_phase()
 
     # ---- 2b. BASELINE config 3: multi-key ORDER BY + top-k at scale
     # (device-resident lineitem, one multi-payload sort program) ------
@@ -344,9 +348,13 @@ def main():
               "rows": nrows})
         del batch
 
-    if remaining() > 900:
-        guarded(f"tpch_sort_topk_sf{SF_TOP:g}", 2400, sort_rung,
-                SF_TOP, 10)
+    def sort_phase():
+        if remaining() > 900:
+            guarded(f"tpch_sort_topk_sf{SF_TOP:g}", 2400, sort_rung,
+                    SF_TOP, 10)
+
+    if os.environ.get("CHIP_PHASE_ORDER", "q1_first") == "q1_first":
+        sort_phase()
 
     # ---- 3. micro leftovers (session 2 banked the compaction A/B) ---
     from arrow_tpu.compute import move
@@ -442,6 +450,8 @@ def main():
         # micros banked first (CHIP_PHASE_ORDER=micros_first): now the
         # stall-prone at-scale macros
         q1_phase()
+        q3_phase()
+        sort_phase()
 
     # LAST: the hang-prone merge-sort gather (wedged session 2 at 4M;
     # try 1M with a hard deadline)
