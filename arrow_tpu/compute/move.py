@@ -67,13 +67,71 @@ def use_sort_paths() -> bool:
     return movement_mode() != "direct"
 
 
+def sort_planes_mode() -> str:
+    """64-bit INTEGER payloads ride multi-operand sorts as two u32
+    planes: XLA software-emulates 64-bit moves on v5e, and the round-4
+    chip A/B measured the planes form 1.75x faster (11.6 vs 20.4 ms
+    compacting 4M i64, CHIP_SESSION_r04.jsonl). 'auto' = on for
+    non-direct (TPU-safe) movement; override ARROW_TPU_SORT_PLANES."""
+    import os
+    v = os.environ.get("ARROW_TPU_SORT_PLANES", "auto")
+    return v if v in ("on", "off", "auto") else "auto"
+
+
+def _use_sort_planes() -> bool:
+    mode = sort_planes_mode()
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    return use_sort_paths()
+
+
 def sort_with_payload(keys: Sequence[jax.Array],
                       payloads: Sequence[jax.Array]) -> List[jax.Array]:
-    """Stable multi-operand sort; returns sorted payloads."""
+    """Stable multi-operand sort; returns sorted payloads. 64-bit
+    integer payloads are decomposed into two u32 planes around the sort
+    where that lowering is faster (sort_planes_mode)."""
     n_keys = len(keys)
-    out = jax.lax.sort(tuple(keys) + tuple(payloads), dimension=0,
+    payloads = list(payloads)
+    split = _use_sort_planes() and any(
+        jnp.issubdtype(p.dtype, jnp.integer) and p.dtype.itemsize == 8
+        and p.ndim == 1 for p in payloads)
+    if not split:
+        out = jax.lax.sort(tuple(keys) + tuple(payloads), dimension=0,
+                           is_stable=True, num_keys=n_keys)
+        return list(out[n_keys:])
+    ops: List[jax.Array] = []
+    spec = []  # per payload: None (verbatim) or signedness for planes
+    for p in payloads:
+        if jnp.issubdtype(p.dtype, jnp.integer) and \
+                p.dtype.itemsize == 8 and p.ndim == 1:
+            signed = jnp.issubdtype(p.dtype, jnp.signedinteger)
+            v = p.astype(jnp.int64) if signed else p.astype(jnp.uint64)
+            ops.append((v & v.dtype.type(0xFFFFFFFF)).astype(jnp.uint32))
+            ops.append((v >> v.dtype.type(32)).astype(
+                jnp.int32 if signed else jnp.uint32))
+            spec.append((signed, p.dtype))
+        else:
+            ops.append(p)
+            spec.append(None)
+    out = jax.lax.sort(tuple(keys) + tuple(ops), dimension=0,
                        is_stable=True, num_keys=n_keys)
-    return list(out[n_keys:])
+    flat = list(out[n_keys:])
+    res: List[jax.Array] = []
+    i = 0
+    for sp in spec:
+        if sp is None:
+            res.append(flat[i])
+            i += 1
+        else:
+            signed, dtype = sp
+            lo, hi = flat[i], flat[i + 1]
+            i += 2
+            wide_t = jnp.int64 if signed else jnp.uint64
+            wide = (hi.astype(wide_t) << wide_t(32)) | lo.astype(wide_t)
+            res.append(wide.astype(dtype))
+    return res
 
 
 def _scatter32_to(positions: jax.Array, a: jax.Array,

@@ -117,3 +117,31 @@ def test_f64_compact_scatter_mode_uses_planes(monkeypatch):
     (out,), count = move.compact_by_mask(keep, [jnp.asarray(vals)])
     k = int(count)
     assert np.array_equal(np.asarray(out)[:k], vals[np.asarray(keep)])
+
+
+def test_sort_planes_payloads_exact(monkeypatch):
+    """64-bit integer payloads through the u32-plane sort lowering
+    (round-4 chip A/B: 1.75x) must be bit-exact vs the direct sort,
+    including sign extremes and mixed payload dtypes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from arrow_tpu.compute.move import sort_with_payload
+    monkeypatch.setenv("ARROW_TPU_MOVEMENT", "sort")
+    rng = np.random.default_rng(3)
+    n = 4096
+    keys = jnp.asarray(rng.integers(0, 7, n).astype(np.uint8))
+    i64 = jnp.asarray(np.concatenate([
+        rng.integers(-(1 << 62), 1 << 62, n - 4),
+        [np.iinfo(np.int64).min, np.iinfo(np.int64).max, -1, 0]]))
+    u64 = jnp.asarray(np.concatenate([
+        rng.integers(0, 1 << 63, n - 2),
+        [0, (1 << 64) - 1]]).astype(np.uint64))
+    f64 = jnp.asarray(rng.normal(size=n))
+    monkeypatch.setenv("ARROW_TPU_SORT_PLANES", "on")
+    got = sort_with_payload([keys], [i64, f64, u64])
+    monkeypatch.setenv("ARROW_TPU_SORT_PLANES", "off")
+    want = sort_with_payload([keys], [i64, f64, u64])
+    for g, w in zip(got, want):
+        assert g.dtype == w.dtype
+        assert np.array_equal(np.asarray(g), np.asarray(w))
