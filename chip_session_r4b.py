@@ -261,7 +261,9 @@ def main():
 
     def q1_phase():
         if remaining() > 600:
-            guarded(f"tpch_q1_sf{SF_TOP:g}", 4200, q1_rung, SF_TOP, 20)
+            # 1500 s, not 4200: a hung SF1 compile must not eat the
+            # whole session before the SF/4 fallback rung runs
+            guarded(f"tpch_q1_sf{SF_TOP:g}", 1500, q1_rung, SF_TOP, 20)
         # devgen fallback rung: a quarter-scale program may compile
         # where the SF1-shaped one hangs the degraded remote compiler
         if remaining() > 600:
