@@ -42,6 +42,7 @@ def remaining():
 
 
 _DONE = set()
+_HUNG: dict = {}  # watchdog_exit label -> count across sessions
 if os.path.exists(OUT_PATH):
     for line in open(OUT_PATH):
         try:
@@ -50,6 +51,9 @@ if os.path.exists(OUT_PATH):
             continue
         if "metric" in rec and ("ms" in rec or "value" in rec):
             _DONE.add(rec["metric"])
+        if rec.get("phase") == "watchdog_exit":
+            lbl = rec.get("label", "")
+            _HUNG[lbl] = _HUNG.get(lbl, 0) + 1
 
 
 def bank(rec):
@@ -251,6 +255,12 @@ def main():
         del batch
 
     def guarded(label, deadline, fn, *a, **kw):
+        if _HUNG.get(label, 0) >= 2:
+            # this phase wedged (watchdog_exit) in two earlier
+            # sessions: a third attempt would burn the budget again
+            bank({"phase": "skip_hung", "label": label,
+                  "hangs": _HUNG[label]})
+            return
         try:
             WD.arm(min(deadline, max(remaining(), 60)), label)
             fn(*a, **kw)
