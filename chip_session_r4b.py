@@ -136,6 +136,10 @@ def main():
               deadline=900.0):
         if name in _DONE:
             return None
+        if _HUNG.get(name, 0) >= int(os.environ.get(
+                "CHIP_SKIP_HUNG_AFTER", "2")):
+            bank({"phase": "skip_hung", "label": name})
+            return None
         if remaining() < 60:
             return None
         try:
@@ -254,8 +258,10 @@ def main():
               "rows": lineitem.num_rows})
         del batch
 
+    _HUNG_MAX = int(os.environ.get("CHIP_SKIP_HUNG_AFTER", "2"))
+
     def guarded(label, deadline, fn, *a, **kw):
-        if _HUNG.get(label, 0) >= 2:
+        if _HUNG.get(label, 0) >= _HUNG_MAX:
             # this phase wedged (watchdog_exit) in two earlier
             # sessions: a third attempt would burn the budget again
             bank({"phase": "skip_hung", "label": label,
