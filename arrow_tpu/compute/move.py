@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 _SMALL_SEGMENT_LOOP = 64
+_SMALL_GATHER_REQ = 1024
 
 
 def movement_mode() -> str:
@@ -411,7 +412,15 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array,
     n_src = arrays[0].shape[0] if n_src is None else n_src
     n_req = idx.shape[0]
     idx32 = jnp.clip(idx, 0, n_src - 1).astype(jnp.int32)
-    if not use_sort_paths():
+    # SMALL request sets index directly: k dynamic-slices compile and
+    # run fine for tiny k — the quadratic-gather pathology (and the
+    # merge-sort workaround's TWO full sorts) only pays off when the
+    # request count is large. Group-by key finalization gathers
+    # B=n_slots (often ~12) representatives out of millions of rows;
+    # riding the merge path there put two 6M-row sorts into every
+    # aggregate program (round-4: the Q1 SF1 program the degraded
+    # remote compiler wedged on).
+    if not use_sort_paths() or n_req <= _SMALL_GATHER_REQ:
         return [a[idx32] for a in arrays]
 
     keys = jnp.concatenate([jnp.arange(n_src, dtype=jnp.int32), idx32])
