@@ -471,6 +471,20 @@ def main():
         q3_phase()
         sort_phase()
 
+    # re-measures under round-4 engine fixes (new metric names so the
+    # banked-row skip doesn't hide them): ONE-sort segment reduce
+    # (was 4 sorts, 77.8 ms at 512 segments) and a mid-cardinality
+    # point; planes-assisted i64 compaction is covered above
+    timed("group_sum_512_v2", jax.jit(
+        lambda v, g: move.segment_reduce(v, g.astype(jnp.int32), 512,
+                                         "sum", 0.0)),
+        (f64, keys512), 2 * 8 * nm, nm)
+    keys4k = jax.device_put(rng.integers(0, 4096, nm))
+    timed("group_sum_4096_v2", jax.jit(
+        lambda v, g: move.segment_reduce(v, g.astype(jnp.int32), 4096,
+                                         "sum", 0.0)),
+        (f64, keys4k), 2 * 8 * nm, nm)
+
     # LAST: the hang-prone merge-sort gather (wedged session 2 at 4M;
     # try 1M with a hard deadline)
     idx = jax.device_put(rng.permutation(nm // 4).astype(np.int32))
