@@ -423,6 +423,19 @@ def gather_rows(arrays: Sequence[jax.Array], idx: jax.Array,
     if not use_sort_paths() or n_req <= _SMALL_GATHER_REQ:
         return [a[idx32] for a in arrays]
 
+    import os
+    if os.environ.get("ARROW_TPU_GATHER_IMPL") == "hinted":
+        # index-sort + per-column HINTED gathers + unsort: a smaller,
+        # scan-free program (two n_req sorts + monotone takes) for
+        # shapes where the merge form's HLO wedges the remote compiler;
+        # runtime is slower per column (hinted take ~69 ms/4M measured)
+        # but it COMPILES. Same values/clip semantics.
+        jpos = jnp.arange(n_req, dtype=jnp.int32)
+        sidx, jorder = sort_with_payload([idx32], [idx32, jpos])
+        outs = [jnp.take(a, sidx, axis=0, indices_are_sorted=True,
+                         mode="clip") for a in arrays]
+        return sort_with_payload([jorder], outs)
+
     keys = jnp.concatenate([jnp.arange(n_src, dtype=jnp.int32), idx32])
     pref = jnp.concatenate([jnp.zeros(n_src, jnp.uint8),
                             jnp.ones(n_req, jnp.uint8)])
