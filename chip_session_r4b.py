@@ -293,8 +293,11 @@ def main():
         q1_phase()
 
     # ---- 2. Q3 ------------------------------------------------------
+    _GSUF = "_hg" if os.environ.get(
+        "ARROW_TPU_GATHER_IMPL") == "hinted" else ""
+
     def q3_rung(sf, iters):
-        name = f"tpch_q3_sf{sf:g}_rows_per_s"
+        name = f"tpch_q3_sf{sf:g}{_GSUF}_rows_per_s"
         if name in _DONE:
             return
         from arrow_tpu.io import tpch_queries
@@ -319,10 +322,11 @@ def main():
 
     def q3_phase():
         if remaining() > 900:
-            guarded(f"tpch_q3_sf{SF_TOP / 10:g}", 2400, q3_rung,
+            guarded(f"tpch_q3_sf{SF_TOP / 10:g}{_GSUF}", 2400, q3_rung,
                     SF_TOP / 10, 8)
         if remaining() > 1800:
-            guarded(f"tpch_q3_sf{SF_TOP:g}", 3000, q3_rung, SF_TOP, 5)
+            guarded(f"tpch_q3_sf{SF_TOP:g}{_GSUF}", 3000, q3_rung,
+                    SF_TOP, 5)
 
     if os.environ.get("CHIP_PHASE_ORDER", "q1_first") == "q1_first":
         q3_phase()
