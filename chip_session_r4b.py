@@ -328,6 +328,10 @@ def main():
             guarded(f"tpch_q3_sf{SF_TOP:g}{_GSUF}", 3000, q3_rung,
                     SF_TOP, 5)
 
+    if os.environ.get("CHIP_SKIP_Q3") == "1":
+        def q3_phase():  # noqa: F811 - env-disabled
+            bank({"phase": "skip", "label": "q3", "reason": "CHIP_SKIP_Q3"})
+
     if os.environ.get("CHIP_PHASE_ORDER", "q1_first") == "q1_first":
         q3_phase()
 
