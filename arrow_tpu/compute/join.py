@@ -41,6 +41,17 @@ class JoinPlan(NamedTuple):
     build_matched: jax.Array  # per build row: participated in a match
 
 
+def _searchsorted_method() -> str:
+    """Join searchsorted lowering: 'sort' (concat + ONE sort — the
+    TPU-linear default) or 'scan' (binary search — log n gather steps;
+    slower at runtime but a much smaller program for remote compilers
+    that wedge on the concat-sort form at large shapes; round-4
+    diagnosis, docs/TUNNEL.md). ARROW_TPU_SEARCHSORTED overrides."""
+    import os
+    v = os.environ.get("ARROW_TPU_SEARCHSORTED", "sort")
+    return v if v in ("sort", "scan", "compare_all") else "sort"
+
+
 def _side_gids(build_cols: Sequence[DeviceColumn],
                probe_cols: Sequence[DeviceColumn],
                build_mask: jax.Array, probe_mask: jax.Array):
@@ -109,10 +120,11 @@ def build_join_plan(build_cols: Sequence[DeviceColumn],
 
     probe_valid_key = gp >= 0
     gp_search = jnp.where(probe_valid_key, gp, -1)
+    m = _searchsorted_method()
     left = jnp.searchsorted(sorted_gb, gp_search, side="left",
-                            method="sort")
+                            method=m)
     right = jnp.searchsorted(sorted_gb, gp_search, side="right",
-                             method="sort")
+                             method=m)
     counts = jnp.where(probe_valid_key, right - left, 0).astype(jnp.int64)
 
     if join_type in ("left outer", "full outer"):
@@ -159,7 +171,8 @@ def join_gather_indices(plan: JoinPlan, out_capacity: int,
     row_live = out_i < plan.total
     # which probe row produced output row i: offsets are sorted
     probe_idx = jnp.searchsorted(plan.offsets + _counts_of(plan, join_type),
-                                 out_i, side="right", method="sort")
+                                 out_i, side="right",
+                                 method=_searchsorted_method())
     probe_idx = jnp.minimum(probe_idx, plan.offsets.shape[0] - 1)
     # per-output-row probe state in ONE multi-payload TPU-linear gather
     g_offsets, g_counts, g_left = gather_rows(
