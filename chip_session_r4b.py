@@ -295,6 +295,8 @@ def main():
     # ---- 2. Q3 ------------------------------------------------------
     _GSUF = "_hg" if os.environ.get(
         "ARROW_TPU_GATHER_IMPL") == "hinted" else ""
+    if os.environ.get("ARROW_TPU_SEARCHSORTED", "sort") != "sort":
+        _GSUF += "_ss" + os.environ["ARROW_TPU_SEARCHSORTED"]
 
     def q3_rung(sf, iters):
         name = f"tpch_q3_sf{sf:g}{_GSUF}_rows_per_s"
