@@ -329,6 +329,46 @@ def _node_aggregate_inner(options: AggregateNodeOptions, schema: Schema,
     return fn, None
 
 
+_TOPK_MAX = 1024
+
+
+def _make_topk_fn(options: OrderByNodeOptions, offset: int, count: int):
+    """Fused order_by+fetch(k) as a TOP-K program (reference:
+    vector_select_k.cc): ONE sort carrying ONLY the row index, a static
+    k-slice, then direct k-row gathers of every column. The naive
+    order_by carries ALL columns as sort payloads — at 16 columns x 6M
+    rows that multi-operand sort is exactly the program shape the
+    tunneled remote compiler wedges on (docs/TUNNEL.md), and it moves
+    the whole table to keep k rows."""
+    names = [k for k, _ in options.sort_keys]
+    orders = [o for _, o in options.sort_keys]
+    placement = options.null_placement
+
+    def fn(batch: DeviceBatch) -> DeviceBatch:
+        from ..compute.keys import sort_key_arrays
+        from ..compute.move import sort_with_payload
+        ctx = ExecContext(batch.capacity, batch.row_count)
+        cols = []
+        for n in names:
+            c = batch.column(n)
+            if c.dictionary is not None:
+                c = _rank_col(c)
+            cols.append(c)
+        keys = sort_key_arrays(cols, orders, placement, ctx.row_mask())
+        idx = jnp.arange(batch.capacity, dtype=jnp.int32)
+        (sidx,) = sort_with_payload(keys, [idx])
+        take = sidx[offset:offset + count]
+        out_cols = []
+        for c in batch.columns:
+            v = c.values[take]
+            val = c.validity[take] if c.validity is not None else None
+            out_cols.append(DeviceColumn(v, val, c.type, c.dictionary))
+        new_count = jnp.clip(batch.row_count - offset, 0, count)
+        return DeviceBatch(batch.schema, out_cols,
+                           new_count.astype(jnp.int32))
+    return fn
+
+
 def _node_order_by(options: OrderByNodeOptions, schema: Schema):
     names = [k for k, _ in options.sort_keys]
     orders = [o for _, o in options.sort_keys]
@@ -771,6 +811,16 @@ def _segment_fns(decls: Sequence[Declaration]) -> List[Callable]:
 
                 node_fns.append(fused)
                 i = j + 1
+                continue
+        if (d.factory_name == "order_by" and i + 1 < len(decls)
+                and decls[i + 1].factory_name == "fetch"):
+            fo = decls[i + 1].options
+            if (fo.count is not None and fo.count >= 0
+                    and fo.offset >= 0
+                    and fo.offset + fo.count <= _TOPK_MAX):
+                node_fns.append(_make_topk_fn(d.options, fo.offset,
+                                              fo.count))
+                i += 2
                 continue
         fn, _ = _CHAINABLE[d.factory_name](d.options, None)
         node_fns.append(fn)

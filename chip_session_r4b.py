@@ -340,7 +340,7 @@ def main():
     # ---- 2b. BASELINE config 3: multi-key ORDER BY + top-k at scale
     # (device-resident lineitem, one multi-payload sort program) ------
     def sort_rung(sf, iters):
-        name = f"tpch_sort_topk_sf{sf:g}_rows_per_s"
+        name = f"tpch_sort_topk_sf{sf:g}_v2_rows_per_s"
         if name in _DONE:
             return
         from arrow_tpu import acero
@@ -378,7 +378,7 @@ def main():
 
     def sort_phase():
         if remaining() > 900:
-            guarded(f"tpch_sort_topk_sf{SF_TOP:g}", 2400, sort_rung,
+            guarded(f"tpch_sort_topk_sf{SF_TOP:g}_v2", 2400, sort_rung,
                     SF_TOP, 10)
 
     if os.environ.get("CHIP_PHASE_ORDER", "q1_first") == "q1_first":
@@ -478,8 +478,8 @@ def main():
         # micros banked first (CHIP_PHASE_ORDER=micros_first): now the
         # stall-prone at-scale macros
         q1_phase()
-        q3_phase()
         sort_phase()
+        q3_phase()
 
     # re-measures under round-4 engine fixes (new metric names so the
     # banked-row skip doesn't hide them): ONE-sort segment reduce

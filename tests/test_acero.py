@@ -450,3 +450,36 @@ def test_host_group_by_keeps_null_and_nan_keys_distinct():
     assert rows.get(None) == [1, 3]
     assert rows.get("nan") == [2, 4]
     assert rows.get(1.0) == [5]
+
+
+def test_order_by_fetch_topk_rewrite():
+    """order_by + fetch(k<=1024) fuses into the TOP-K program (one
+    index-payload sort + k-row direct gathers) and must match the
+    full-sort path exactly, including offsets and ties."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = at.table({
+        "a": at.array([int(v) for v in rng.integers(0, 40, n)]),
+        "b": at.array([float(v) for v in rng.normal(size=n)]),
+        "s": at.array([f"x{int(v)}" for v in rng.integers(0, 9, n)]),
+    })
+    for offset, k in ((0, 50), (7, 25), (0, 1)):
+        decl = Declaration.from_sequence([
+            Declaration("table_source", acero.TableSourceNodeOptions(t)),
+            Declaration("order_by", acero.OrderByNodeOptions(
+                [("a", "ascending"), ("b", "descending")])),
+            Declaration("fetch", acero.FetchNodeOptions(offset, k)),
+        ])
+        got = decl.to_table()
+        order = np.lexsort((-np.asarray(t.column("b").to_pylist()),
+                            np.asarray(t.column("a").to_pylist())))
+        sel = order[offset:offset + k]
+        assert got.num_rows == k
+        assert got.column("a").to_pylist() == \
+            [t.column("a").to_pylist()[i] for i in sel]
+        np.testing.assert_allclose(
+            got.column("b").to_pylist(),
+            [t.column("b").to_pylist()[i] for i in sel], rtol=0)
+        assert got.column("s").to_pylist() == \
+            [t.column("s").to_pylist()[i] for i in sel]
