@@ -335,7 +335,12 @@ def _run_suite():
         rungs = [sf0]
     for i, sf in enumerate(rungs):
         _emit_q1(sf, max(iters // 2, 5) if i < len(rungs) - 1 else iters)
-    if os.environ.get("ARROW_TPU_BENCH_Q3", "on") != "off":
+    # Q3 defaults OFF on the chip: the hash-join PREP program wedges
+    # the tunneled remote compiler at >=SF0.01 shapes regardless of
+    # bloom/planes/searchsorted/gather lowering (round-4 diagnosis,
+    # docs/TUNNEL.md); a wedged Q3 would eat the budget after the Q1
+    # rows print. Re-enable with ARROW_TPU_BENCH_Q3=on.
+    if os.environ.get("ARROW_TPU_BENCH_Q3", "off") == "on":
         q3_sf = float(os.environ.get("ARROW_TPU_BENCH_Q3_SF", "0.1"))
         ours, _ = bench_q3(q3_sf, max(iters // 2, 5))
         print(json.dumps({
