@@ -88,13 +88,58 @@ def _use_sort_planes() -> bool:
     return use_sort_paths()
 
 
+def _max_sort_payloads() -> int:
+    """Operand-count cap per lax.sort. The tunneled remote compiler
+    WEDGES on multi-operand sorts beyond ~6-8 operands at multi-M
+    shapes (round-4 op-level bisect: every hung program — Q1's old
+    aggregate, the 16-column order_by, the join pre-chain compaction —
+    contained one; every piece compiled once narrowed). Wide payload
+    sets are split into chunks that re-sort the SAME keys: each chunk
+    pays the key sort again (measured 2.6x for 4 payloads vs 4x naive),
+    but the program compiles. 0 disables splitting.
+    Override ARROW_TPU_MAX_SORT_PAYLOADS."""
+    import os
+    try:
+        return int(os.environ.get("ARROW_TPU_MAX_SORT_PAYLOADS", "5"))
+    except ValueError:
+        return 5
+
+
 def sort_with_payload(keys: Sequence[jax.Array],
                       payloads: Sequence[jax.Array]) -> List[jax.Array]:
     """Stable multi-operand sort; returns sorted payloads. 64-bit
     integer payloads are decomposed into two u32 planes around the sort
-    where that lowering is faster (sort_planes_mode)."""
+    where that lowering is faster (sort_planes_mode), and wide payload
+    sets are split across several same-key sorts (_max_sort_payloads)."""
     n_keys = len(keys)
     payloads = list(payloads)
+    cap = _max_sort_payloads()
+    if use_sort_paths() and cap > 0:
+        # weight by POST-plane-expansion operand count (a 64-bit int
+        # payload becomes two u32 operands under sort_planes_mode)
+        planes_on = _use_sort_planes()
+
+        def weight(p):
+            return 2 if (planes_on and p.ndim == 1
+                         and jnp.issubdtype(p.dtype, jnp.integer)
+                         and p.dtype.itemsize == 8) else 1
+        total = sum(weight(p) for p in payloads)
+        if total > cap:
+            out: List[jax.Array] = []
+            chunk: List[jax.Array] = []
+            w = 0
+            for p in payloads:
+                pw = weight(p)
+                if chunk and w + pw > cap:
+                    out.extend(sort_with_payload(keys, chunk))
+                    chunk, w = [], 0
+                chunk.append(p)
+                w += pw
+            if chunk:
+                out.extend(sort_with_payload(keys, chunk))
+            if len(out) > len(payloads):  # pragma: no cover - safety
+                raise AssertionError("payload split mismatch")
+            return out
     split = _use_sort_planes() and any(
         jnp.issubdtype(p.dtype, jnp.integer) and p.dtype.itemsize == 8
         and p.ndim == 1 for p in payloads)
