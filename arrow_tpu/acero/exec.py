@@ -491,6 +491,22 @@ class Declaration:
                                     distributed=distributed, mesh=mesh)
             self.last_query_context = qc
             return out
+        # column-pruning rewrite (prune.py): narrows hashjoin output
+        # projections / sources / projects to what the plan above needs.
+        # Cached on the root so repeated to_table() calls reuse the same
+        # pruned options objects (keeps upload + jit caches warm).
+        from .prune import prune_enabled, prune_plan
+        if prune_enabled() and getattr(self, "_pruned_plan", None) is None \
+                and any(d.factory_name == "hashjoin"
+                        for d in _walk_decls(self)):
+            p = prune_plan(self)
+            p._pruned_plan = p  # sentinel: already pruned
+            self._pruned_plan = p
+        pruned = getattr(self, "_pruned_plan", None)
+        if pruned is not None and pruned is not self:
+            return pruned.to_table(use_threads=use_threads,
+                                   chunk_rows=chunk_rows,
+                                   distributed=distributed, mesh=mesh)
         from .host_agg import HOST_AGGS, maybe_host_aggregate
         if self.factory_name == "aggregate" and any(
                 (a[1][5:] if a[1].startswith("hash_") else a[1])
@@ -505,6 +521,7 @@ class Declaration:
                 return out
         # chunked (streaming) execution bounds device memory at
         # O(chunk + carry state) — the morsel analogue (acero/chunked.py)
+        from . import chunked as _chunked
         from .chunked import chunk_rows_env, maybe_execute_chunked
         cr = chunk_rows if chunk_rows is not None else chunk_rows_env()
         if cr:
@@ -516,6 +533,19 @@ class Declaration:
                 out = None
             if out is not None:
                 return out
+            reason = _chunked.LAST_FALLBACK_REASON
+            if reason is not None:
+                # chunking was requested but this plan shape can't
+                # stream: the memory-boundedness guarantee is gone for
+                # this query — say so (or refuse, with the knob)
+                rows = _plan_source_rows(self)
+                msg = (f"chunked execution unavailable ({reason}); "
+                       f"falling back to whole-table upload"
+                       + (f" of {rows} rows" if rows else ""))
+                if os.environ.get("ARROW_TPU_REQUIRE_CHUNKED") == "1":
+                    raise ArrowInvalid(msg)
+                import warnings
+                warnings.warn(msg, stacklevel=2)
         try:
             batch = execute_declaration(self)
         except ArrowInvalid as e:
@@ -546,6 +576,24 @@ class Declaration:
 
     def __repr__(self):
         return f"Declaration({self.factory_name})"
+
+
+def _walk_decls(decl: Declaration):
+    yield decl
+    for i in decl.inputs:
+        yield from _walk_decls(i)
+
+
+def _plan_source_rows(decl: Declaration) -> int:
+    rows = 0
+    for d in _walk_decls(decl):
+        tbl = getattr(d.options, "table", None)
+        if tbl is not None:
+            try:
+                rows += tbl.num_rows
+            except Exception:  # noqa: BLE001
+                pass
+    return rows
 
 
 def _config_key(decl: Declaration) -> str:

@@ -73,7 +73,8 @@ PartitionNthOptions = _options(
     "PartitionNthOptions", ["pivot", "null_placement"],
     {"pivot": 0, "null_placement": "at_end"})
 CastOptions = _options(
-    "CastOptions", ["to_type", "safe"], {"to_type": None, "safe": True})
+    "CastOptions", ["to_type", "target_type", "safe"],
+    {"to_type": None, "target_type": None, "safe": True})
 RoundOptions = _options(
     "RoundOptions", ["ndigits", "round_mode"],
     {"ndigits": 0, "round_mode": "half_to_even"})

@@ -248,6 +248,34 @@ def call_function(name: str, args: Sequence, options=None,
                        else v.to_pylist() if isinstance(v, Array)
                        else v)
                    for k, v in options.items()}
+    # Positional DataType / FunctionOptions arguments route to options
+    # and never into the jitted kernel (a DataType fed to jit as an
+    # operand crashes tracing). pyarrow's wrappers do the same mapping
+    # (python/pyarrow/compute.py:298): pc.cast(arr, pa.string()) and
+    # pc.cast(arr, "string") are its most common cast forms.
+    from ..types import DataType
+    norm_args: List = []
+    for a in args:
+        if isinstance(a, FunctionOptions):
+            options = {**(options or {}), **a.to_kwargs()}
+            continue
+        norm_args.append(a)
+    args = norm_args
+    if name == "cast" and len(args) >= 2 and \
+            isinstance(args[1], (DataType, str)):
+        t = args[1]
+        if isinstance(t, str):  # alias, e.g. "string" / "float64"
+            from ..api import type_for_alias
+            t = type_for_alias(t)
+        options = dict(options or {})
+        options.setdefault("to_type", t)
+        args = list(args[:1]) + list(args[2:])
+    else:
+        for a in args:
+            if isinstance(a, DataType):
+                raise ArrowInvalid(
+                    f"{name}: pass DataType arguments via options, "
+                    "not positionally")
     fn = get_function(name)
     from .decimal_host import maybe_wide_decimal_call
     hit = maybe_wide_decimal_call(name, args, options)

@@ -118,11 +118,14 @@ def bench_reference(lineitem, iters: int) -> float:
                  "l_extendedprice", "disc_price", "charge",
                  "l_discount"])),
             pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+                # full 8-aggregate Q1 (reference acero/tpch_benchmark.cc:39)
                 [("l_quantity", "hash_sum", None, "sum_qty"),
                  ("l_extendedprice", "hash_sum", None, "sum_base_price"),
                  ("disc_price", "hash_sum", None, "sum_disc_price"),
                  ("charge", "hash_sum", None, "sum_charge"),
                  ("l_quantity", "hash_mean", None, "avg_qty"),
+                 ("l_extendedprice", "hash_mean", None, "avg_price"),
+                 ("l_discount", "hash_mean", None, "avg_disc"),
                  ("l_quantity", "hash_count", None, "count_order")],
                 keys=["l_returnflag", "l_linestatus"])),
             pacero.Declaration("order_by", pacero.OrderByNodeOptions(
