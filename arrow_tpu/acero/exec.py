@@ -962,6 +962,17 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
     jt = options.join_type
     left_pre = tuple(left_pre or ())
     right_pre = tuple(right_pre or ())
+    if getattr(options, "filter_expression", None) is not None:
+        # residual (non-equi) filter: pairs are materialized inner-style,
+        # filtered, THEN join-type semantics apply (post-filter match
+        # counts — swiss_join_internal.h:882 JoinResidualFilter)
+        if left_pre:
+            left = jax.jit(lambda b: _apply_fns(
+                _segment_fns(left_pre), b))(left)
+        if right_pre:
+            right = jax.jit(lambda b: _apply_fns(
+                _segment_fns(right_pre), b))(right)
+        return _execute_hashjoin_residual(options, left, right)
     # key metadata (schema + dictionaries) AFTER the fused pre-chains —
     # abstract trace only, DeviceColumn aux (type/dictionary) rides
     # through eval_shape untouched
@@ -1228,6 +1239,212 @@ def _join_materialize(options, plan, left, right, out_cap: int, total: int,
 
     fn = _cached_jit(key, make)
     out_cols, n_out = fn(plan, left, right, unmatched)
+    return DeviceBatch(out_schema, out_cols, n_out)
+
+
+def _null_like(c: DeviceColumn, cap: int) -> tuple:
+    """(values, validity) planes of an all-null column shaped like c."""
+    return (jnp.zeros((cap,) + c.values.shape[1:], c.values.dtype),
+            jnp.zeros(cap, jnp.bool_))
+
+
+def _execute_hashjoin_residual(options: HashJoinNodeOptions,
+                               left: DeviceBatch,
+                               right: DeviceBatch) -> DeviceBatch:
+    """Hash join with a residual (non-equi) filter.
+
+    Reference: JoinResidualFilter (swiss_join_internal.h:882) evaluates
+    the filter on each equi-matched row pair between match expansion and
+    materialization, and outer/semi/anti decisions use POST-filter match
+    counts. TPU shape: program A builds the inner equi-plan, expands all
+    pairs, evaluates the filter, and reduces pass counts per probe/build
+    row; the host reads the counts to pick an output capacity; program B
+    assembles the requested join type by compacting [passing pairs ||
+    unmatched-probe rows || unmatched-build rows] in one shared sort."""
+    jt = options.join_type
+    expr = options.filter_expression
+    lkeys = [left.column(k) for k in options.left_keys]
+    rkeys = [right.column(k) for k in options.right_keys]
+    for lk, rk in zip(lkeys, rkeys):
+        if (lk.dictionary is None) != (rk.dictionary is None):
+            raise ArrowInvalid(
+                "hashjoin key mixes dictionary-coded and plain columns")
+        if lk.dictionary is not None and lk.dictionary is not rk.dictionary:
+            raise ArrowInvalid(
+                "residual-filter join requires shared key dictionaries; "
+                "cast dictionary keys to values first")
+
+    plan_key = ("join_res_plan", tuple(options.left_keys),
+                tuple(options.right_keys), tuple(left.schema.names),
+                tuple(right.schema.names), _dict_ids(left),
+                _dict_ids(right))
+
+    def make_plan(key_names_l=tuple(options.left_keys),
+                  key_names_r=tuple(options.right_keys)):
+        def fn(left_b, right_b):
+            lks = [left_b.column(k) for k in key_names_l]
+            rks = [right_b.column(k) for k in key_names_r]
+            return J.build_join_plan(rks, lks, right_b.row_count,
+                                     left_b.row_count, "inner")
+        return fn
+
+    plan = _cached_jit(plan_key, make_plan)(left, right)
+    total = int(plan.total)
+    pair_cap = capacity_class(max(total, 1))
+
+    # --- program A: expand pairs, evaluate filter, count passes --------
+    a_key = ("join_res_pairs", pair_cap, repr(expr),
+             tuple(left.schema.names), tuple(right.schema.names),
+             _dict_ids(left), _dict_ids(right))
+
+    def make_pairs():
+        def fn(plan, left_b, right_b):
+            probe_idx, build_idx, _bv, row_live = \
+                J.join_gather_indices(plan, pair_cap, "inner")
+            lcols = J.gather_batch_columns(left_b, probe_idx, None,
+                                           pair_cap)
+            rcols = J.gather_batch_columns(right_b, build_idx, None,
+                                           pair_cap)
+            pair_schema = Schema(
+                list(left_b.schema.fields) + list(right_b.schema.fields))
+            n_pairs = jnp.minimum(plan.total,
+                                  jnp.asarray(pair_cap, jnp.int64))
+            pairs = DeviceBatch(pair_schema, lcols + rcols,
+                                n_pairs.astype(jnp.int32))
+            ctx = ExecContext(pair_cap, pairs.row_count)
+            mask_col = expr.evaluate(pairs, ctx)
+            passed = mask_col.values.astype(jnp.bool_)
+            if mask_col.validity is not None:  # null -> reject
+                passed = jnp.logical_and(passed, mask_col.validity)
+            passed = jnp.logical_and(passed, row_live)
+            # post-filter match counts per probe / build row
+            from ..compute.move import segment_count
+            p_cap = left_b.capacity
+            b_cap = right_b.capacity
+            probe_hits = segment_count(passed, probe_idx, p_cap)
+            build_hits = segment_count(
+                passed, jnp.where(passed, build_idx,
+                                  jnp.asarray(b_cap, build_idx.dtype)),
+                b_cap)
+            probe_live = left_b.row_mask()
+            build_live = jnp.arange(b_cap, dtype=jnp.int32) < \
+                right_b.row_count
+            probe_unmatched = jnp.logical_and(probe_live, probe_hits == 0)
+            build_unmatched = jnp.logical_and(build_live, build_hits == 0)
+            return {"pairs": pairs, "passed": passed,
+                    "probe_matched": jnp.logical_and(probe_live,
+                                                     probe_hits > 0),
+                    "build_matched": jnp.logical_and(build_live,
+                                                     build_hits > 0),
+                    "probe_unmatched": probe_unmatched,
+                    "build_unmatched": build_unmatched,
+                    "n_pass": jnp.sum(passed, dtype=jnp.int64),
+                    "n_probe_unm": jnp.sum(probe_unmatched,
+                                           dtype=jnp.int64),
+                    "n_build_unm": jnp.sum(build_unmatched,
+                                           dtype=jnp.int64)}
+        return fn
+
+    res = _cached_jit(a_key, make_pairs)(plan, left, right)
+
+    # --- semi/anti: pure one-side filters on post-filter counts --------
+    if jt in ("left semi", "left anti"):
+        mask = res["probe_matched"] if jt == "left semi" \
+            else res["probe_unmatched"]
+        out = filter_batch(left, DeviceColumn(mask, None, T.bool_()))
+        lnames, _, out_schema = _join_output_schema(options, left, right,
+                                                    probe_only=True)
+        sel = out.select(list(lnames))
+        return sel.with_columns(out_schema, sel.columns)
+    if jt in ("right semi", "right anti"):
+        mask = res["build_matched"] if jt == "right semi" \
+            else res["build_unmatched"]
+        return filter_batch(right, DeviceColumn(mask, None, T.bool_()))
+
+    n_pass = int(res["n_pass"])
+    extra_p = int(res["n_probe_unm"]) if jt in ("left outer",
+                                                "full outer") else 0
+    extra_b = int(res["n_build_unm"]) if jt in ("right outer",
+                                                "full outer") else 0
+    out_cap = capacity_class(max(n_pass + extra_p + extra_b, 1))
+    lnames, rnames, out_schema = _join_output_schema(options, left, right,
+                                                     probe_only=False)
+
+    b_key = ("join_res_mat", jt, pair_cap, out_cap, tuple(lnames),
+             tuple(rnames), _dict_ids(left), _dict_ids(right))
+
+    def make_mat():
+        include_p = jt in ("left outer", "full outer")
+        include_b = jt in ("right outer", "full outer")
+
+        def fn(res, left_b, right_b):
+            pairs = res["pairs"]
+            keep = [res["passed"]]
+            n_l = len(left_b.schema.names)
+            cols_v, cols_m = [], []
+            for name in list(lnames) + list(rnames):
+                is_left = len(cols_v) < len(lnames)
+                src_b = left_b if is_left else right_b
+                idx = src_b.schema.get_field_index(name)
+                pc_ = pairs.columns[idx if is_left else n_l + idx]
+                segs_v = [pc_.values]
+                segs_m = [pc_.validity if pc_.validity is not None
+                          else jnp.ones(pair_cap, jnp.bool_)]
+                if include_p:  # probe-unmatched rows: left vals, right null
+                    src = src_b.columns[idx]
+                    if is_left:
+                        segs_v.append(src.values)
+                        segs_m.append(src.validity if src.validity
+                                      is not None
+                                      else jnp.ones(src.capacity,
+                                                    jnp.bool_))
+                    else:
+                        v, m = _null_like(src, left_b.capacity)
+                        segs_v.append(v)
+                        segs_m.append(m)
+                if include_b:  # build-unmatched rows: right vals, left null
+                    src = src_b.columns[idx]
+                    if is_left:
+                        v, m = _null_like(src, right_b.capacity)
+                        segs_v.append(v)
+                        segs_m.append(m)
+                    else:
+                        segs_v.append(src.values)
+                        segs_m.append(src.validity if src.validity
+                                      is not None
+                                      else jnp.ones(src.capacity,
+                                                    jnp.bool_))
+                cols_v.append(jnp.concatenate(segs_v))
+                cols_m.append(jnp.concatenate(segs_m))
+            if include_p:
+                keep.append(res["probe_unmatched"])
+            if include_b:
+                keep.append(res["build_unmatched"])
+            keep_all = jnp.concatenate(keep)
+            from ..compute.move import compact_by_mask
+            outs, count = compact_by_mask(keep_all, cols_v + cols_m)
+            n_cols = len(cols_v)
+
+            def fit(a, fill):
+                if a.shape[0] >= out_cap:
+                    return a[:out_cap]
+                pad = jnp.full((out_cap - a.shape[0],) + a.shape[1:],
+                               fill, a.dtype)
+                return jnp.concatenate([a, pad])
+
+            out_cols = []
+            for i, f in enumerate(out_schema.fields):
+                src_b = left_b if i < len(lnames) else right_b
+                idx = src_b.schema.get_field_index(
+                    (list(lnames) + list(rnames))[i])
+                dic = src_b.columns[idx].dictionary
+                out_cols.append(DeviceColumn(fit(outs[i], 0),
+                                             fit(outs[n_cols + i], False),
+                                             f.type, dic))
+            return out_cols, count.astype(jnp.int32)
+        return fn
+
+    out_cols, n_out = _cached_jit(b_key, make_mat)(res, left, right)
     return DeviceBatch(out_schema, out_cols, n_out)
 
 

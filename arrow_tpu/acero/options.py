@@ -108,7 +108,8 @@ class HashJoinNodeOptions(ExecNodeOptions):
                  right_output: Optional[Sequence[str]] = None,
                  output_suffix_for_left: str = "",
                  output_suffix_for_right: str = "",
-                 disable_bloom_filter: bool = False):
+                 disable_bloom_filter: bool = False,
+                 filter: Optional[Expression] = None):
         valid = {"inner", "left outer", "right outer", "full outer",
                  "left semi", "right semi", "left anti", "right anti"}
         if join_type not in valid:
@@ -127,6 +128,15 @@ class HashJoinNodeOptions(ExecNodeOptions):
             else None
         self.output_suffix_for_left = output_suffix_for_left
         self.output_suffix_for_right = output_suffix_for_right
+        # residual (non-equi) filter evaluated on each equi-matched row
+        # pair BEFORE join-type semantics apply (reference:
+        # acero/options.h HashJoinNodeOptions::filter,
+        # swiss_join_internal.h:882 JoinResidualFilter). Bound against
+        # the concatenated [left fields..., right fields...] schema
+        # with UNSUFFIXED names (left wins name lookups on collision,
+        # like the reference's field-path binding). Null evaluations
+        # reject the pair (Kleene false).
+        self.filter_expression = filter
 
 
 class UnionNodeOptions(ExecNodeOptions):

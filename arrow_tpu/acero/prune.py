@@ -222,20 +222,25 @@ def _prune(decl, required: Optional[Set[str]]):
                 new_o.left_output = lkeep
                 if not probe_only:
                     new_o.right_output = rkeep
+        # residual filter fields may live on either side
+        res_fields: Set[str] = set()
+        fexpr = getattr(o, "filter_expression", None)
+        if fexpr is not None:
+            res_fields = set(_expr_fields(fexpr))
         l_need = None
         r_need = None
         if ln_all is not None:
             sel = new_o.left_output if new_o.left_output is not None \
                 else ln_all
-            l_need = set(sel) | set(o.left_keys)
+            l_need = set(sel) | set(o.left_keys) | res_fields
         if build_only:
             r_need = None
         elif rn_all is not None:
             sel = new_o.right_output if new_o.right_output is not None \
                 else rn_all
-            r_need = set(sel) | set(o.right_keys)
+            r_need = set(sel) | set(o.right_keys) | res_fields
         elif probe_only:
-            r_need = set(o.right_keys)
+            r_need = set(o.right_keys) | res_fields
         return _clone(decl, new_o, [_prune(decl.inputs[0], l_need),
                                     _prune(decl.inputs[1], r_need)])
 

@@ -132,3 +132,131 @@ def q1_device_batch(scale_factor: float, seed: int = 0):
     import jax.numpy as _jnp
     return DeviceBatch(schema, cols,
                        _jnp.asarray(n, dtype=_jnp.int32)), n
+
+
+def _device_batch(spec, n, dicts, seed):
+    """Build a DeviceBatch from a column spec, one small program per
+    column (same program discipline as q1_device_batch). Spec rows:
+    (name, kind, lo, hi, arrow type, device dtype); kind 'iota' emits
+    1..n sequential keys (o_orderkey / c_custkey)."""
+    import jax.numpy as jnp
+
+    from ..device.column import DeviceBatch, DeviceColumn, round_up
+    from ..table import Schema
+
+    cap = round_up(n)
+    gen = _ensure_gen()
+    seed_dev = jnp.asarray(seed, jnp.uint64)
+    cols = []
+    for i, (name, kind, lo, hi, t, dd) in enumerate(spec):
+        if kind == "iota":
+            v = (jnp.arange(cap, dtype=jnp.int64) + 1)
+        elif kind == "zeros":
+            v = jnp.zeros(cap, dd)
+        else:
+            v = gen(cap, i, kind, lo, hi, np.dtype(dd).name, seed_dev)
+        cols.append(DeviceColumn(v, None, t, dicts.get(name)))
+    schema = Schema([T.field(name, t) for (name, _k, _lo, _hi, t, _d)
+                     in spec])
+    return DeviceBatch(schema, cols, jnp.asarray(n, jnp.int32)), n
+
+
+def q3_device_plan(scale_factor: float, seed: int = 0, limit: int = 10):
+    """TPC-H Q3 Declaration whose three sources are DEVICE-GENERATED
+    batches (planted via the table_source upload cache), pre-narrowed to
+    the columns Q3 consumes, so no at-scale host->device upload crosses
+    the tunnel. Distributions mirror io/tpch.py column-for-column
+    (same selectivities and key ranges); Q3 value-correctness is pinned
+    separately by the host-table differential tests (tests/test_tpch.py
+    vs pyarrow Acero). Returns (plan, lineitem_rows)."""
+    import jax.numpy as jnp
+
+    from .. import acero
+    from ..acero import Declaration
+    from ..acero.expression import field
+    from ..table import Table
+    from .tpch import MKTSEGMENTS
+    from .tpch_queries import DATE_1995_03_15
+
+    sf = scale_factor
+    n_li = int(6_001_215 * sf)
+    n_ord = max(int(1_500_000 * sf), 2)
+    n_cust = max(int(150_000 * sf), 2)
+    dict_t = T.dictionary(T.int32(), T.string())
+    seg_dict = make_array(MKTSEGMENTS, T.string())
+
+    cust, _ = _device_batch([
+        ("c_custkey", "iota", 0, 0, T.int64(), jnp.int64),
+        ("c_mktsegment", "int", 0, len(MKTSEGMENTS), dict_t, jnp.int32),
+    ], n_cust, {"c_mktsegment": seg_dict}, seed + 11)
+    orders, _ = _device_batch([
+        ("o_orderkey", "iota", 0, 0, T.int64(), jnp.int64),
+        ("o_custkey", "int", 1, n_cust, T.int64(), jnp.int64),
+        ("o_orderdate", "int", _EPOCH_1992,
+         _EPOCH_1998 - 151, T.date32(), jnp.int32),
+        ("o_shippriority", "zeros", 0, 0, T.int64(), jnp.int64),
+    ], n_ord, {}, seed + 23)
+    lineitem, _ = _device_batch([
+        ("l_orderkey", "int", 1, n_ord + 1, T.int64(), jnp.int64),
+        ("l_extendedprice", "cents", 90_000, 10_500_000, T.float64(),
+         jnp.float64),
+        ("l_discount", "cents", 0, 11, T.float64(), jnp.float64),
+        ("l_shipdate", "int", _EPOCH_1992, _EPOCH_1998, T.date32(),
+         jnp.int32),
+    ], n_li, {}, seed + 37)
+
+    def _source(batch):
+        # 8-row host template supplies schema/names; the device batch is
+        # planted in the table_source upload cache so _execute_node
+        # returns it directly (no host->device transfer)
+        tmpl = {}
+        for f, c in zip(batch.schema.fields, batch.columns):
+            if c.dictionary is not None:
+                vals = c.dictionary.to_pylist()
+                tmpl[f.name] = make_array([vals[0]] * 8, T.string())
+            elif f.type.id == T.TypeId.DATE32:
+                import datetime
+                tmpl[f.name] = make_array(
+                    [datetime.date(1995, 1, 1)] * 8, f.type)
+            elif f.type.id == T.TypeId.DOUBLE:
+                tmpl[f.name] = make_array([0.0] * 8, f.type)
+            else:
+                tmpl[f.name] = make_array([0] * 8, f.type)
+        opts = acero.TableSourceNodeOptions(Table.from_pydict(tmpl))
+        opts._device_batch = batch
+        return Declaration("table_source", opts)
+
+    co = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["o_custkey"], right_keys=["c_custkey"],
+        right_output=[]), inputs=[
+            Declaration.from_sequence([
+                _source(orders),
+                Declaration("filter", acero.FilterNodeOptions(
+                    field("o_orderdate") < DATE_1995_03_15))]),
+            Declaration.from_sequence([
+                _source(cust),
+                Declaration("filter", acero.FilterNodeOptions(
+                    field("c_mktsegment") == "BUILDING"))])])
+    col = Declaration("hashjoin", acero.HashJoinNodeOptions(
+        "inner", left_keys=["l_orderkey"], right_keys=["o_orderkey"],
+        right_output=["o_orderdate", "o_shippriority"]), inputs=[
+            Declaration.from_sequence([
+                _source(lineitem),
+                Declaration("filter", acero.FilterNodeOptions(
+                    field("l_shipdate") > DATE_1995_03_15))]),
+            co])
+    plan = Declaration.from_sequence([
+        col,
+        Declaration("project", acero.ProjectNodeOptions(
+            [field("l_orderkey"),
+             field("l_extendedprice") * (1.0 - field("l_discount")),
+             field("o_orderdate"), field("o_shippriority")],
+            ["l_orderkey", "volume", "o_orderdate", "o_shippriority"])),
+        Declaration("aggregate", acero.AggregateNodeOptions(
+            [("volume", "sum", None, "revenue")],
+            keys=["l_orderkey", "o_orderdate", "o_shippriority"])),
+        Declaration("order_by", acero.OrderByNodeOptions(
+            [("revenue", "descending"), ("o_orderdate", "ascending")])),
+        Declaration("fetch", acero.FetchNodeOptions(0, limit)),
+    ])
+    return plan, n_li

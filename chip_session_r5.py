@@ -1,0 +1,343 @@
+#!/usr/bin/env python
+"""Round-5 chip session (docs/TUNNEL.md discipline).
+
+Round-5 deliverables, in bank-priority order:
+
+1. Q3 ON CHIP (4 rounds overdue): the pruned join plans (acero/prune.py
+   narrows the lineitem side 16 payload columns -> 3) plus device-side
+   generation of all three Q3 tables (io/tpch_device.q3_device_plan)
+   make both the prep AND materialize programs small; SF0.1 first, then
+   SF1.
+2. Q1 SF1 with the REAL 8-aggregate chain (tpch_benchmark.cc:39).
+3. BASELINE config-3 sort/top-k at SF10 (fused top-k program carries
+   only the row index through the sort).
+4. Micro re-measures under the current engine.
+
+Inherits the round-4 defenses verbatim: per-phase watchdog that banks a
+line and os._exit(3)s on a hung compile RPC, banked-metric skipping on
+re-entry, cross-session hang memory, persistent compile cache, one
+process at a time. Rows append (flush+fsync) to CHIP_SESSION_r05.jsonl.
+"""
+
+import json
+import os
+import threading
+import time
+
+OUT_PATH = os.environ.get(
+    "CHIP_OUT", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "CHIP_SESSION_r05.jsonl"))
+T_START = time.time()
+BUDGET = float(os.environ.get("CHIP_BUDGET", "5400"))
+SF_TOP = float(os.environ.get("CHIP_SF", "1.0"))
+MICRO_N = int(os.environ.get("CHIP_MICRO_N", str(1 << 22)))
+
+
+def remaining():
+    return BUDGET - (time.time() - T_START)
+
+
+_DONE = set()
+_HUNG: dict = {}
+if os.path.exists(OUT_PATH):
+    for line in open(OUT_PATH):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "metric" in rec and ("ms" in rec or "value" in rec) \
+                and "error" not in rec:
+            _DONE.add(rec["metric"])
+        if rec.get("phase") == "watchdog_exit":
+            lbl = rec.get("label", "")
+            _HUNG[lbl] = _HUNG.get(lbl, 0) + 1
+
+
+def bank(rec):
+    rec = dict(rec)
+    rec["t_rel_s"] = round(time.time() - T_START, 1)
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(OUT_PATH, "a") as f:
+        f.write(line + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+class Watchdog:
+    def __init__(self):
+        self.timer = None
+
+    def arm(self, seconds, label):
+        self.disarm()
+
+        def fire():
+            bank({"phase": "watchdog_exit", "label": label,
+                  "after_s": seconds})
+            os._exit(3)
+        self.timer = threading.Timer(seconds, fire)
+        self.timer.daemon = True
+        self.timer.start()
+
+    def disarm(self):
+        if self.timer is not None:
+            self.timer.cancel()
+            self.timer = None
+
+
+WD = Watchdog()
+_HUNG_MAX = int(os.environ.get("CHIP_SKIP_HUNG_AFTER", "2"))
+
+
+def guarded(label, deadline, fn, *a, **kw):
+    if _HUNG.get(label, 0) >= _HUNG_MAX:
+        bank({"phase": "skip_hung", "label": label,
+              "hangs": _HUNG[label]})
+        return
+    try:
+        WD.arm(min(deadline, max(remaining(), 60)), label)
+        fn(*a, **kw)
+    except Exception as e:  # noqa: BLE001 - bank, keep the session
+        bank({"metric": label, "error": repr(e)[:600]})
+    finally:
+        WD.disarm()
+
+
+def main():
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    import numpy as np
+    bank({"phase": "start", "budget_s": BUDGET, "pid": os.getpid(),
+          "rev": "r5", "skipping": sorted(_DONE)})
+
+    WD.arm(240, "acquire")
+    import arrow_tpu.device  # noqa: F401 - enables jax_enable_x64
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001
+        pass
+    import jax.numpy as jnp
+    t0 = time.time()
+    d = jax.device_put(np.ones(1 << 17))
+    v = float(np.asarray(d[:1])[0])
+    bank({"phase": "acquire", "acquire_s": round(time.time() - t0, 1),
+          "ok": v == 1.0, "backend": jax.default_backend()})
+    WD.disarm()
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from arrow_tpu.acero.exec import compile_chain
+    from arrow_tpu.io import tpch
+    import bench as benchmod
+    from __graft_entry__ import _q1_chain_decls
+
+    # ---- 1. Q3 device-gen ladder (the round's #1 deliverable) -------
+    def q3_rung(sf, iters):
+        name = f"tpch_q3_sf{sf:g}_rows_per_s"
+        if name in _DONE:
+            return
+        from arrow_tpu.io.tpch_device import q3_device_plan
+        t0 = time.time()
+        plan, n = q3_device_plan(sf)
+        gen_s = time.time() - t0
+        t0 = time.time()
+        out = plan.to_table()          # compiles + first exec, all stages
+        warm_s = time.time() - t0
+        bank({"phase": "q3_warm", "sf": sf, "warm_s": round(warm_s, 1),
+              "rows_out": out.num_rows})
+        t0 = time.time()
+        for _ in range(iters):
+            out = plan.to_table()
+        dt = (time.time() - t0) / iters
+        bank({"metric": name, "value": round(n / dt, 1),
+              "unit": "rows/s", "gen": "device",
+              "ms_per_iter": round(dt * 1e3, 2), "iters": iters,
+              "devgen_s": round(gen_s, 1), "warmup_s": round(warm_s, 1),
+              "rows": n, "out_rows": out.num_rows})
+
+    def q3_phase():
+        if remaining() > 600:
+            guarded("tpch_q3_sf0.01", 900, q3_rung, 0.01, 5)
+        if remaining() > 600:
+            guarded(f"tpch_q3_sf{SF_TOP / 10:g}", 1800, q3_rung,
+                    SF_TOP / 10, 8)
+        if remaining() > 900:
+            guarded(f"tpch_q3_sf{SF_TOP:g}", 2400, q3_rung, SF_TOP, 5)
+
+    q3_phase()
+
+    # ---- 2. Q1 8-aggregate ladder ------------------------------------
+    def q1_rung(sf, iters):
+        name = f"tpch_q1_sf{sf:g}_8agg_rows_per_s"
+        if name in _DONE:
+            return
+        from arrow_tpu.io.tpch_device import q1_device_batch
+        t0 = time.time()
+        batch, nrows = q1_device_batch(sf)
+        float(np.asarray(batch.columns[0].values[:1])[0])
+        gen_s = time.time() - t0
+        fn = compile_chain(_q1_chain_decls())
+        t0 = time.time()
+        out = fn(batch)
+        compile_s = time.time() - t0
+        ref = 0.0
+        try:
+            ref_tbl = tpch.lineitem_table(min(sf / 10, 0.1))
+            ref = benchmod.bench_reference(ref_tbl, 3)
+        except Exception as e:  # noqa: BLE001
+            bank({"note": "pyarrow ref failed", "error": str(e)[:120]})
+        t0 = time.time()
+        float(np.asarray(out.columns[-1].values[:1])[0])
+        first_exec_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(batch)
+        float(np.asarray(out.columns[-1].values[:1])[0])
+        dt = (time.time() - t0) / iters
+        ours = nrows / dt
+        bank({"metric": name, "value": round(ours, 1), "unit": "rows/s",
+              "gen": "device", "aggs": 8,
+              "vs_baseline": round(ours / ref, 3) if ref else 0.0,
+              "ref_sf": min(sf / 10, 0.1),
+              "ms_per_iter": round(dt * 1e3, 2), "iters": iters,
+              "devgen_s": round(gen_s, 1),
+              "compile_s": round(compile_s, 1),
+              "first_exec_wait_s": round(first_exec_s, 1),
+              "rows": nrows})
+        del batch
+
+    def q1_phase():
+        if remaining() > 420:
+            guarded("tpch_q1_sf0.1_8agg", 1200, q1_rung, SF_TOP / 10, 10)
+        if remaining() > 600:
+            guarded(f"tpch_q1_sf{SF_TOP:g}_8agg", 1500, q1_rung,
+                    SF_TOP, 20)
+
+    q1_phase()
+
+    # ---- 3. sort/top-k at SF10 (BASELINE config 3) --------------------
+    def sort_rung(sf, iters):
+        name = f"tpch_sort_topk_sf{sf:g}_rows_per_s"
+        if name in _DONE:
+            return
+        from arrow_tpu import acero
+        from arrow_tpu.acero import Declaration
+        from arrow_tpu.io.tpch_device import q1_device_batch
+        t0 = time.time()
+        batch, nrows = q1_device_batch(sf, seed=7)
+        float(np.asarray(batch.columns[0].values[:1])[0])
+        gen_s = time.time() - t0
+        fn = compile_chain([
+            Declaration("order_by", acero.OrderByNodeOptions(
+                [("l_shipdate", "ascending"),
+                 ("l_extendedprice", "descending")])),
+            Declaration("fetch", acero.FetchNodeOptions(0, 100)),
+        ])
+        t0 = time.time()
+        out = fn(batch)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        float(np.asarray(out.columns[-1].values[:1])[0])
+        first_exec_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(batch)
+        float(np.asarray(out.columns[-1].values[:1])[0])
+        dt = (time.time() - t0) / iters
+        bank({"metric": name, "value": round(nrows / dt, 1),
+              "unit": "rows/s", "gen": "device",
+              "ms_per_iter": round(dt * 1e3, 2), "iters": iters,
+              "devgen_s": round(gen_s, 1),
+              "compile_s": round(compile_s, 1),
+              "first_exec_wait_s": round(first_exec_s, 1),
+              "rows": nrows})
+        del batch, out
+
+    def sort_phase():
+        # SF1 first (cache-warm from round 4's v2 rung shape), then the
+        # SF10 target; SF4 as the fallback if SF10 OOMs (7.7 GB of
+        # lineitem columns + sort workspace on a 16 GB chip)
+        if remaining() > 600:
+            guarded("tpch_sort_topk_sf1", 1500, sort_rung, 1.0, 10)
+        if remaining() > 900:
+            guarded("tpch_sort_topk_sf10", 2400, sort_rung, 10.0, 5)
+        if f"tpch_sort_topk_sf10_rows_per_s" not in _DONE \
+                and remaining() > 900:
+            guarded("tpch_sort_topk_sf4", 1500, sort_rung, 4.0, 5)
+
+    sort_phase()
+
+    # ---- 4. micro re-measures ----------------------------------------
+    from arrow_tpu.compute import move
+
+    def force(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        tot = 0.0
+        for leaf in leaves:
+            x = leaf if getattr(leaf, "ndim", 0) == 0 else leaf[:1]
+            tot += float(np.asarray(x, dtype=np.float64).sum())
+        return tot
+
+    def timed(name, fn, args, bytes_moved, rows, iters=10,
+              deadline=900.0):
+        if name in _DONE:
+            return None
+        if _HUNG.get(name, 0) >= _HUNG_MAX:
+            bank({"phase": "skip_hung", "label": name})
+            return None
+        if remaining() < 60:
+            return None
+        try:
+            WD.arm(min(deadline, max(remaining(), 60)), name)
+            t0 = time.time()
+            out = fn(*args)
+            t1 = time.time()
+            force(out)
+            t2 = time.time()
+            t3 = time.time()
+            for _ in range(iters):
+                out = fn(*args)
+            force(out)
+            dt = (time.time() - t3) / iters
+            bank({"metric": name, "ms": round(dt * 1e3, 3),
+                  "rows_per_s": round(rows / dt, 1),
+                  "hbm_gb_s": round(bytes_moved / dt / 1e9, 2),
+                  "compile_s": round(t1 - t0, 1),
+                  "first_exec_s": round(t2 - t1, 1), "iters": iters})
+            return dt
+        except Exception as e:  # noqa: BLE001
+            bank({"metric": name, "error": repr(e)[:600]})
+            return None
+        finally:
+            WD.disarm()
+
+    nm = MICRO_N
+    rng = np.random.default_rng(0)
+    f64 = jax.device_put(rng.normal(size=nm))
+    keys512 = jax.device_put(rng.integers(0, 512, nm))
+
+    timed("roofline_copy_f64_r5", jax.jit(lambda v: v + 1.0), (f64,),
+          2 * 8 * nm, nm)
+    timed("group_sum_512_r5", jax.jit(
+        lambda v, g: move.segment_reduce(v, g.astype(jnp.int32), 512,
+                                         "sum", 0.0)),
+        (f64, keys512), 2 * 8 * nm, nm)
+
+    def compact4(v):
+        keep = v > 0
+        outs, cnt = move.compact_by_mask(keep, [v, v * 2, v * 3, v * 4])
+        return outs[0], cnt
+    timed("filter_compact_4xf64_r5", jax.jit(compact4), (f64,),
+          2 * 4 * 8 * nm, nm)
+
+    bank({"phase": "done", "total_s": round(time.time() - T_START, 1)})
+
+
+if __name__ == "__main__":
+    main()
