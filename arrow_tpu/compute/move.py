@@ -45,13 +45,18 @@ def movement_mode() -> str:
     """Movement strategy: 'direct' (CPU/GPU native scatters/gathers),
     'sort' (multi-operand stable sorts — works for every dtype),
     'scatter' (int32 scatters; 64-bit integers ride as two u32 planes,
-    f64 falls back to the sort), or 'gather' (ONE i32 index sort, then
+    f64 falls back to the sort), 'gather' (ONE i32 index sort, then
     per-column gathers with indices_are_sorted hints — replaces k
     payload-carrying sorts with k linear sorted gathers; chip-measured
-    vs 'sort' in CHIP_SESSION_r04). Override with ARROW_TPU_MOVEMENT."""
+    vs 'sort' in CHIP_SESSION_r04), or 'pallas' (compaction via the
+    pallas_move butterfly kernel — streams each block once instead of
+    paying the sort network; other movers fall back to 'sort'). 'pallas'
+    is NEVER auto-selected: Mosaic compile RPCs can wedge the tunneled
+    device (docs/TUNNEL.md), so it requires the explicit env override.
+    Override with ARROW_TPU_MOVEMENT."""
     import os
     force = os.environ.get("ARROW_TPU_MOVEMENT")
-    if force in ("sort", "direct", "scatter", "gather"):
+    if force in ("sort", "direct", "scatter", "gather", "pallas"):
         return force
     if force and force != "auto":
         import warnings
@@ -288,6 +293,12 @@ def compact_by_mask(keep: jax.Array,
     count = jnp.sum(keep, dtype=jnp.int32)
     mode = movement_mode()
     cap = keep.shape[0]
+    if mode == "pallas" and all(a.ndim == 1 for a in arrays):
+        import jax as _jax
+        from .pallas_move import compact_arrays_pallas
+        interp = _jax.default_backend() == "cpu"  # CPU tests interpret
+        return compact_arrays_pallas(keep, list(arrays),
+                                     interpret=interp), count
     if mode == "sort":
         drop_key = (~keep).astype(jnp.uint8)
         outs = sort_with_payload([drop_key], arrays)
