@@ -662,12 +662,181 @@ def _open_csv_native(source, ro, po, co) -> Optional["_NativeStreamer"]:
         return None
 
 
+def _parallel_block_bytes() -> int:
+    import os
+    try:
+        return int(os.environ.get("ARROW_TPU_CSV_BLOCK_BYTES",
+                                  str(4 << 20)))
+    except ValueError:
+        return 4 << 20
+
+
+def _read_csv_parallel(source, ro: ReadOptions, po: ParseOptions,
+                       co: ConvertOptions) -> Optional[Table]:
+    """Block-parallel read (reference: csv/reader.h:65 StreamingReader +
+    parallel chunker): split the file at newline boundaries into ~4 MB
+    blocks, tokenize+transpose+convert each block on its own thread
+    (the native calls release the GIL), and return the per-block tables
+    as ONE chunked table (no merge copies — pyarrow's reader returns
+    chunked columns the same way). Per-block type inference is unified
+    by promoting int64 -> float64 and null -> anything; any other
+    disagreement falls back to the sequential whole-file path (which
+    infers globally)."""
+    from .. import native as nat
+    if nat.get_lib() is None or not ro.use_threads:
+        return None
+    if po.newlines_in_values or po.invalid_row_handler is not None:
+        return None
+    if not _single_ascii(po.delimiter):
+        return None
+    qc = po.quote_char if po.quote_char not in (False, None) else None
+    if (qc is not None and not _single_ascii(qc)) or \
+            co.decimal_point != ".":
+        return None
+    esc = po.escape_char if isinstance(po.escape_char, str) else None
+    if esc is not None and not _single_ascii(esc):
+        return None
+    data = _read_source_bytes(source, ro.encoding)
+    blk = _parallel_block_bytes()
+    if data is None or len(data) < 2 * blk:
+        return None
+
+    # --- resolve header rows on the raw bytes --------------------------
+    def next_line(p):
+        i = data.find(b"\n", p)
+        return len(data) if i < 0 else i + 1
+
+    pos = 0
+    for _ in range(ro.skip_rows):
+        pos = next_line(pos)
+
+    def parse_one_line(p):
+        eol = data.find(b"\n", p)
+        line = data[p:(eol if eol >= 0 else len(data))]
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        import io as _io
+        txt = line.decode("utf-8", "replace")
+        r = _csv.reader(_io.StringIO(txt), delimiter=po.delimiter,
+                        quotechar=(qc or '"'),
+                        doublequote=po.double_quote,
+                        escapechar=esc)
+        return next(r, [])
+
+    if ro.column_names is not None:
+        names = list(ro.column_names)
+    elif ro.autogenerate_column_names:
+        names = [f"f{i}" for i in range(len(parse_one_line(pos)))]
+    else:
+        hdr = parse_one_line(pos)
+        if b'"' in data[pos:data.find(b"\n", pos) + 1 or len(data)] \
+                and qc is None:
+            pass
+        names = [str(v) for v in hdr]
+        pos = next_line(pos)
+    for _ in range(ro.skip_rows_after_names):
+        pos = next_line(pos)
+    if pos >= len(data) or not names:
+        return None
+
+    # --- split the body at newline boundaries --------------------------
+    n = len(data)
+    nchunks = max(1, min(32, (n - pos) // blk))
+    if nchunks <= 1:
+        return None
+    bounds = [pos]
+    for k in range(1, nchunks):
+        target = pos + (n - pos) * k // nchunks
+        cut = data.find(b"\n", max(target, bounds[-1]))
+        if cut < 0:
+            break
+        if cut + 1 > bounds[-1]:
+            bounds.append(cut + 1)
+    bounds.append(n)
+    views = [memoryview(data)[a:b] for a, b in zip(bounds, bounds[1:])
+             if b > a]
+    if len(views) <= 1:
+        return None
+
+    ro_blk = ReadOptions(use_threads=False, encoding=ro.encoding)
+
+    def work(view):
+        block = nat.csv_parse(view, po.delimiter, qc, po.double_quote,
+                              esc)
+        if block is None:
+            return None
+        rc = block.row_counts
+        starts = np.zeros(len(rc), np.int64)
+        if len(rc) > 1:
+            np.cumsum(rc[:-1], out=starts[1:])
+        sel = np.ones(len(rc), np.bool_)
+        if po.ignore_empty_lines:
+            sel &= rc != 0
+        return _convert_rows_native(block, names, rc[sel], starts[sel],
+                                    ro_blk, co, co.column_types)
+
+    from concurrent.futures import ThreadPoolExecutor
+    import os as _os
+    with ThreadPoolExecutor(max_workers=min(len(views),
+                                            _os.cpu_count() or 4)) as ex:
+        tables = list(ex.map(work, views))
+    if any(t is None for t in tables):
+        return None
+
+    # --- unify per-block inferred schemas ------------------------------
+    from .. import types as _T
+    out_names = tables[0].schema.names
+    want = []
+    for ci, nm in enumerate(out_names):
+        ts = [t.schema.fields[ci].type for t in tables]
+        tset = {repr(t) for t in ts}
+        if len(tset) == 1:
+            want.append(ts[0])
+            continue
+        non_null = [t for t in ts if t.id != _T.TypeId.NA]
+        nn_set = {repr(t) for t in non_null}
+        if len(nn_set) == 1:
+            want.append(non_null[0])
+        elif nn_set <= {repr(_T.int64()), repr(_T.float64())}:
+            want.append(_T.float64())
+        else:
+            return None  # inference disagrees: sequential path decides
+    casted = []
+    for t in tables:
+        cols, changed = [], False
+        for ci, nm in enumerate(out_names):
+            col = t.column(ci)
+            if repr(t.schema.fields[ci].type) != repr(want[ci]):
+                col = col.cast(want[ci])
+                changed = True
+            cols.append(col)
+        casted.append(Table.from_arrays(cols, out_names)
+                      if changed else t)
+    from ..api import concat_tables
+    return concat_tables(casted)
+
+
 def read_csv(source, read_options: Optional[ReadOptions] = None,
              parse_options: Optional[ParseOptions] = None,
              convert_options: Optional[ConvertOptions] = None) -> Table:
     ro = read_options or ReadOptions()
     po = parse_options or ParseOptions()
     co = convert_options or ConvertOptions()
+
+    # materialize byte streams once so an optimization path that
+    # declines after peeking cannot leave the stream half-consumed for
+    # the next path (text streams keep the legacy single-read flow)
+    if hasattr(source, "read") and not isinstance(source, (str, bytes)):
+        peek = source.read(0)
+        if isinstance(peek, bytes):
+            source = source.read()
+
+    try:
+        out = _read_csv_parallel(source, ro, po, co)
+    except Exception:  # noqa: BLE001 - block path is an optimization
+        out = None
+    if out is not None:
+        return out
 
     out = _read_csv_native(source, ro, po, co)
     if out is not None:
