@@ -225,3 +225,78 @@ class TestDatasetCompat:
         assert fsd.to_table().num_rows == 2
         e = (field("p") == 1) & (field("q") == "x")
         assert ds.get_partition_keys(e) == {"p": 1, "q": "x"}
+
+
+# --- emulated S3 (native client, arrow_tpu/fs_s3.py) ------------------------
+
+def _s3_fs():
+    from s3_emulator import S3Emulator
+    from arrow_tpu.fs_s3 import S3FileSystem
+    em = S3Emulator()
+    em.__enter__()
+    s3 = S3FileSystem(access_key="test", secret_key="secret",
+                      endpoint_override=em.endpoint,
+                      allow_bucket_creation=True)
+    return em, s3
+
+
+def test_s3_file_roundtrip():
+    em, s3 = _s3_fs()
+    with em:
+        s3.create_dir("bkt")
+        with s3.open_output_stream("bkt/dir/a.bin") as f:
+            f.write(b"hello s3")
+        info = s3.get_file_info("bkt/dir/a.bin")
+        assert info.is_file and info.size == 8
+        with s3.open_input_stream("bkt/dir/a.bin") as f:
+            assert f.read() == b"hello s3"
+        # selector: file + synthesized directory entries
+        infos = s3.get_file_info(FileSelector("bkt", recursive=True))
+        assert any(i.path == "bkt/dir/a.bin" and i.is_file
+                   for i in infos)
+        assert any(i.path == "bkt/dir"
+                   and i.type == FileType.Directory for i in infos)
+        s3.move("bkt/dir/a.bin", "bkt/dir/b.bin")
+        assert s3.get_file_info("bkt/dir/a.bin").type == \
+            FileType.NotFound
+        assert s3.get_file_info("bkt/dir/b.bin").size == 8
+        s3.delete_file("bkt/dir/b.bin")
+        assert s3.get_file_info("bkt/dir/b.bin").type == \
+            FileType.NotFound
+
+
+def test_s3_partitioned_dataset_scan_and_prune(sample_table):
+    em, s3 = _s3_fs()
+    with em:
+        s3.create_dir("lake")
+        ds.write_dataset(sample_table, "lake/t", partitioning=["year"],
+                         partitioning_flavor="hive", filesystem=s3)
+        data = ds.dataset("lake/t",
+                          partitioning=ds.partitioning(flavor="hive"),
+                          filesystem=s3)
+        t = data.to_table()
+        assert t.num_rows == 5
+        assert sorted(t.to_pydict()["year"]) == \
+            [2020, 2020, 2021, 2021, 2022]
+        # partition pruning: only matching years survive
+        pruned = data.to_table(filter=field("year") == 2021)
+        assert pruned.num_rows == 2
+        assert set(pruned.to_pydict()["year"]) == {2021}
+
+
+def test_s3_dataset_matches_local(tmp_path, sample_table):
+    em, s3 = _s3_fs()
+    with em:
+        s3.create_dir("lake")
+        ds.write_dataset(sample_table, "lake/t2", format="ipc",
+                         filesystem=s3)
+        local_dir = str(tmp_path / "local_t2")
+        ds.write_dataset(sample_table, local_dir, format="ipc")
+        via_s3 = ds.dataset("lake/t2", format="ipc",
+                            filesystem=s3).to_table()
+        via_local = ds.dataset(local_dir, format="ipc").to_table()
+        a = {k: sorted(map(repr, v))
+             for k, v in via_s3.to_pydict().items()}
+        b = {k: sorted(map(repr, v))
+             for k, v in via_local.to_pydict().items()}
+        assert a == b
