@@ -142,22 +142,124 @@ def bench_reference(lineitem, iters: int) -> float:
 
 
 def bench_q3(sf: float, iters: int):
-    """Join+groupby (Q3-style): ours on device vs pyarrow Acero."""
+    """Join+groupby (TPC-H Q3): ours on device vs pyarrow Acero."""
     import time as _t
 
-    from arrow_tpu.io import tpch, tpch_queries
-    cust = tpch.customer_table(sf)
-    orders = tpch.orders_table(sf)
-    lineitem = tpch.lineitem_table(sf)
-    n = lineitem.num_rows
-
-    plan = tpch_queries.q3_plan(cust, orders, lineitem)
+    if sf >= 0.05:
+        # device-side generation (no at-scale upload over the tunnel;
+        # docs/TUNNEL.md) with sources pre-narrowed to Q3's columns
+        from arrow_tpu.io.tpch_device import q3_device_plan
+        plan, n = q3_device_plan(sf)
+    else:
+        from arrow_tpu.io import tpch, tpch_queries
+        cust = tpch.customer_table(sf)
+        orders = tpch.orders_table(sf)
+        lineitem = tpch.lineitem_table(sf)
+        n = lineitem.num_rows
+        plan = tpch_queries.q3_plan(cust, orders, lineitem)
     plan.to_table()  # warmup/compile (joins re-plan per capacity bucket)
     t0 = _t.perf_counter()
     for _ in range(iters):
-        out = plan.to_table()
+        plan.to_table()
     ours = n / ((_t.perf_counter() - t0) / iters)
     return ours, 0.0
+
+
+def bench_q3_reference(sf: float, iters: int) -> float:
+    """pyarrow Acero Q3 (joins + group-by + sort + top-10) on host-
+    generated tables at the same SF distributions; returns rows/s of
+    the lineitem side (scale-invariant comparison metric)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.acero as pacero
+        import pyarrow.compute as ppc
+    except ImportError:
+        return 0.0
+    import datetime
+    import time as _t
+
+    from arrow_tpu import ipc
+    from arrow_tpu.io import tpch
+
+    def to_pa(tbl):
+        out = pa.ipc.open_stream(ipc.serialize_table(tbl)).read_all()
+        cols = []
+        for nm in out.column_names:
+            c = out.column(nm)
+            if pa.types.is_dictionary(c.type):
+                c = c.cast(pa.string())
+            cols.append(c)
+        return pa.table(cols, names=out.column_names).combine_chunks()
+
+    cust = to_pa(tpch.customer_table(sf))
+    orders = to_pa(tpch.orders_table(sf))
+    lineitem = to_pa(tpch.lineitem_table(sf))
+    n = lineitem.num_rows
+    f = ppc.field
+    cutoff = ppc.scalar(datetime.date(1995, 3, 15))
+
+    def plan():
+        co = pacero.Declaration(
+            "hashjoin", pacero.HashJoinNodeOptions(
+                "inner", left_keys=["o_custkey"],
+                right_keys=["c_custkey"], right_output=[]),
+            inputs=[
+                pacero.Declaration.from_sequence([
+                    pacero.Declaration("table_source",
+                                       pacero.TableSourceNodeOptions(
+                                           orders)),
+                    pacero.Declaration("filter",
+                                       pacero.FilterNodeOptions(
+                                           ppc.less(f("o_orderdate"),
+                                                    cutoff)))]),
+                pacero.Declaration.from_sequence([
+                    pacero.Declaration("table_source",
+                                       pacero.TableSourceNodeOptions(
+                                           cust)),
+                    pacero.Declaration("filter",
+                                       pacero.FilterNodeOptions(
+                                           ppc.equal(f("c_mktsegment"),
+                                                     ppc.scalar(
+                                                         "BUILDING"))))])])
+        col = pacero.Declaration(
+            "hashjoin", pacero.HashJoinNodeOptions(
+                "inner", left_keys=["l_orderkey"],
+                right_keys=["o_orderkey"],
+                right_output=["o_orderdate", "o_shippriority"]),
+            inputs=[
+                pacero.Declaration.from_sequence([
+                    pacero.Declaration("table_source",
+                                       pacero.TableSourceNodeOptions(
+                                           lineitem)),
+                    pacero.Declaration("filter",
+                                       pacero.FilterNodeOptions(
+                                           ppc.greater(f("l_shipdate"),
+                                                       cutoff)))]),
+                co])
+        out = pacero.Declaration.from_sequence([
+            col,
+            pacero.Declaration("project", pacero.ProjectNodeOptions(
+                [f("l_orderkey"),
+                 ppc.multiply(f("l_extendedprice"),
+                              ppc.subtract(ppc.scalar(1.0),
+                                           f("l_discount"))),
+                 f("o_orderdate"), f("o_shippriority")],
+                ["l_orderkey", "volume", "o_orderdate",
+                 "o_shippriority"])),
+            pacero.Declaration("aggregate", pacero.AggregateNodeOptions(
+                [("volume", "hash_sum", None, "revenue")],
+                keys=["l_orderkey", "o_orderdate", "o_shippriority"])),
+            pacero.Declaration("order_by", pacero.OrderByNodeOptions(
+                [("revenue", "descending"),
+                 ("o_orderdate", "ascending")])),
+        ]).to_table()
+        return out.slice(0, 10)
+
+    plan()  # warmup
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        plan()
+    return n / ((_t.perf_counter() - t0) / iters)
 
 
 _READY_PROBE_SRC = """
@@ -338,18 +440,24 @@ def _run_suite():
         rungs = [sf0]
     for i, sf in enumerate(rungs):
         _emit_q1(sf, max(iters // 2, 5) if i < len(rungs) - 1 else iters)
-    # Q3 defaults OFF on the chip: the hash-join PREP program wedges
-    # the tunneled remote compiler at >=SF0.01 shapes regardless of
-    # bloom/planes/searchsorted/gather lowering (round-4 diagnosis,
-    # docs/TUNNEL.md); a wedged Q3 would eat the budget after the Q1
-    # rows print. Re-enable with ARROW_TPU_BENCH_Q3=on.
-    if os.environ.get("ARROW_TPU_BENCH_Q3", "off") == "on":
+    # Q3 rung: ON by default since round 5 — the column-pruned join
+    # plans plus device-side table generation compile and run on the
+    # tunneled chip (CHIP_SESSION_r05.jsonl; the round-4 wedge was the
+    # >6-operand sorts in the 16-column materialize program, removed by
+    # acero/prune.py). Disable with ARROW_TPU_BENCH_Q3=off.
+    if os.environ.get("ARROW_TPU_BENCH_Q3", "on") == "on":
         q3_sf = float(os.environ.get("ARROW_TPU_BENCH_Q3_SF", "0.1"))
         ours, _ = bench_q3(q3_sf, max(iters // 2, 5))
+        ref_sf = min(q3_sf, 0.1)
+        try:
+            ref = bench_q3_reference(ref_sf, 3)
+        except Exception:  # noqa: BLE001 - baseline is best-effort
+            ref = 0.0
         print(json.dumps({
             "metric": f"tpch_q3_sf{q3_sf:g}_rows_per_s",
             "value": round(ours, 1), "unit": "rows/s",
-            "vs_baseline": 0.0,
+            "vs_baseline": round(ours / ref, 3) if ref else 0.0,
+            "ref_sf": ref_sf,
         }), flush=True)
 
 
