@@ -32,6 +32,11 @@ from .acero import (AggregateNodeOptions, Declaration, Expression,
 from .compute.registry import ArrowInvalid
 from .table import Table
 
+def _alias_type(name: str) -> T.DataType:
+    from .api import type_for_alias
+    return type_for_alias(name)
+
+
 # --- minimal protobuf wire codec -------------------------------------------
 
 
@@ -192,64 +197,133 @@ def _dec_named_struct(p: PB) -> T.Schema:
 # --- function name registry ------------------------------------------------
 
 _URI = "https://github.com/substrait-io/substrait/blob/main/extensions/"
-# substrait name -> engine name (scalar)
+
+# Function-registry mapping breadth mirrors the reference's default
+# extension-id registry (engine/substrait/extension_set.cc:1066-1258):
+# overflowable arithmetic with the "overflow" option selecting _checked
+# variants, trig/log/rounding families, Kleene booleans, bitwise,
+# temporal extract via enum argument, concat, variance/std_dev with the
+# "distribution" option — plus the substrait string yaml
+# (substring/starts_with/.../char_length), which the engine can serve
+# natively.
+
+_Y_AR = "functions_arithmetic.yaml"
+_Y_LOG = "functions_logarithmic.yaml"
+_Y_RND = "functions_rounding.yaml"
+_Y_CMP = "functions_comparison.yaml"
+_Y_BOOL = "functions_boolean.yaml"
+_Y_STR = "functions_string.yaml"
+_Y_DT = "functions_datetime.yaml"
+_Y_AGG = "functions_aggregate_generic.yaml"
+_Y_ARROW = ("https://github.com/apache/arrow/blob/main/format/substrait/"
+            "extension_types.yaml")
+
+# substrait arithmetic names that take the "overflow" option and have a
+# _checked engine variant (reference DecodeOptionlessOverflowableArithmetic)
+_OVERFLOWABLE = {"add", "subtract", "multiply", "divide", "negate",
+                 "power", "sqrt", "abs"}
+
+# substrait name -> engine name (direct 1:1 decode)
 _SUB_FN = {
     "add": "add", "subtract": "subtract", "multiply": "multiply",
-    "divide": "divide", "modulus": "mod", "power": "power", "abs": "abs",
-    "negate": "negate", "sqrt": "sqrt", "exp": "exp", "ln": "ln",
+    "divide": "divide", "power": "power", "abs": "abs",
+    "negate": "negate", "sqrt": "sqrt",
+    # optionless arithmetic
+    "exp": "exp", "sign": "sign",
+    "cos": "cos", "sin": "sin", "tan": "tan",
+    "acos": "acos", "asin": "asin", "atan": "atan", "atan2": "atan2",
+    "cosh": "cosh", "sinh": "sinh", "tanh": "tanh",
+    "acosh": "acosh", "asinh": "asinh", "atanh": "atanh",
+    # logarithmic
+    "ln": "ln", "log10": "log10", "log2": "log2", "logb": "logb",
+    "log1p": "log1p",
+    # rounding (round itself carries the "rounding" option -> round_binary)
+    "ceil": "ceil", "floor": "floor",
+    # comparison
     "gt": "greater", "lt": "less", "gte": "greater_equal",
     "lte": "less_equal", "equal": "equal", "not_equal": "not_equal",
-    "and": "and", "or": "or", "not": "invert", "xor": "xor",
     "is_null": "is_null", "is_not_null": "is_valid",
+    "is_nan": "is_nan", "is_finite": "is_finite",
+    "is_not_distinct_from": "is_not_distinct_from",
+    "coalesce": "coalesce", "between": "between",
+    # boolean — substrait and/or are three-valued (reference maps _kleene)
+    "and": "and_kleene", "or": "or_kleene", "not": "invert", "xor": "xor",
+    # bitwise
+    "bitwise_and": "bit_wise_and", "bitwise_or": "bit_wise_or",
+    "bitwise_xor": "bit_wise_xor", "bitwise_not": "bit_wise_not",
+    # string
     "like": "match_like", "concat": "binary_join_element_wise",
+    "lower": "utf8_lower", "upper": "utf8_upper",
+    "char_length": "utf8_length", "reverse": "utf8_reverse",
+    "string_split": None, "substring": None, "starts_with": None,
+    "ends_with": None, "contains": None, "replace": None,
+    "ltrim": None, "rtrim": None, "trim": None,
+    # datetime
+    "extract": None,
+    "round": None,
 }
-_ENGINE_TO_SUB = {v: k for k, v in _SUB_FN.items()}
+# engine name -> substrait name (producer); checked variants fold onto the
+# same substrait name with overflow=ERROR (reference
+# EncodeOptionlessOverflowableArithmetic<true>)
+_ENGINE_TO_SUB = {v: k for k, v in _SUB_FN.items() if v}
+_ENGINE_TO_SUB.update({
+    "and": "and", "or": "or",       # binary non-Kleene still encode
+    "utf8_ltrim_whitespace": "ltrim", "utf8_rtrim_whitespace": "rtrim",
+    "utf8_trim_whitespace": "trim",
+})
+for _nm in _OVERFLOWABLE:
+    if _SUB_FN.get(_nm):
+        _ENGINE_TO_SUB[_SUB_FN[_nm] + "_checked"] = _nm
+# temporal component kernels encode as extract + enum argument
+_EXTRACT_COMPONENTS = {
+    "YEAR": "year", "ISO_YEAR": "iso_year", "QUARTER": "quarter",
+    "MONTH": "month", "DAY": "day", "DAY_OF_WEEK": "day_of_week",
+    "DAY_OF_YEAR": "day_of_year", "HOUR": "hour", "MINUTE": "minute",
+    "SECOND": "second", "MILLISECOND": "millisecond",
+    "MICROSECOND": "microsecond",
+}
+_ENGINE_TO_EXTRACT = {v: k for k, v in _EXTRACT_COMPONENTS.items()}
+
 # substrait aggregate name -> engine name
 _SUB_AGG = {
-    "sum": "sum", "min": "min", "max": "max", "avg": "mean",
-    "count": "count", "count_all": "count_all", "any_value": "first",
+    "sum": "sum", "sum0": "sum", "min": "min", "max": "max",
+    "avg": "mean", "count": "count", "count_all": "count_all",
+    "any_value": "first", "first": "first", "last": "last",
     "string_agg": None, "approx_count_distinct": "count_distinct",
+    "median": "approximate_median", "product": "product",
     "variance": "variance", "std_dev": "stddev",
 }
 _ENGINE_TO_SUB_AGG = {v: k for k, v in _SUB_AGG.items() if v}
+_ENGINE_TO_SUB_AGG["first"] = "first"   # prefer over any_value
+_ENGINE_TO_SUB_AGG["sum"] = "sum"
 
-
-_FN_YAML = {
-    "add": "functions_arithmetic.yaml",
-    "subtract": "functions_arithmetic.yaml",
-    "multiply": "functions_arithmetic.yaml",
-    "divide": "functions_arithmetic.yaml",
-    "modulus": "functions_arithmetic.yaml",
-    "power": "functions_arithmetic.yaml",
-    "abs": "functions_arithmetic.yaml",
-    "negate": "functions_arithmetic.yaml",
-    "sqrt": "functions_arithmetic.yaml",
-    "exp": "functions_arithmetic.yaml",
-    "ln": "functions_logarithmic.yaml",
-    "sum": "functions_arithmetic.yaml",
-    "min": "functions_arithmetic.yaml",
-    "max": "functions_arithmetic.yaml",
-    "avg": "functions_arithmetic.yaml",
-    "variance": "functions_arithmetic.yaml",
-    "std_dev": "functions_arithmetic.yaml",
-    "gt": "functions_comparison.yaml",
-    "lt": "functions_comparison.yaml",
-    "gte": "functions_comparison.yaml",
-    "lte": "functions_comparison.yaml",
-    "equal": "functions_comparison.yaml",
-    "not_equal": "functions_comparison.yaml",
-    "is_null": "functions_comparison.yaml",
-    "is_not_null": "functions_comparison.yaml",
-    "and": "functions_boolean.yaml",
-    "or": "functions_boolean.yaml",
-    "not": "functions_boolean.yaml",
-    "xor": "functions_boolean.yaml",
-    "like": "functions_string.yaml",
-    "concat": "functions_string.yaml",
-    "count": "functions_aggregate_generic.yaml",
-    "count_all": "functions_aggregate_generic.yaml",
-    "any_value": "functions_aggregate_generic.yaml",
-}
+_FN_YAML = {}
+for _nm in ("add subtract multiply divide modulus power abs negate sqrt "
+            "exp sign cos sin tan acos asin atan atan2 cosh sinh tanh "
+            "acosh asinh atanh sum sum0 min max avg variance std_dev "
+            "median product").split():
+    _FN_YAML[_nm] = _Y_AR
+for _nm in "ln log10 log2 logb log1p".split():
+    _FN_YAML[_nm] = _Y_LOG
+for _nm in "ceil floor round".split():
+    _FN_YAML[_nm] = _Y_RND
+for _nm in ("gt lt gte lte equal not_equal is_null is_not_null is_nan "
+            "is_finite is_not_distinct_from coalesce between").split():
+    _FN_YAML[_nm] = _Y_CMP
+for _nm in "and or not xor".split():
+    _FN_YAML[_nm] = _Y_BOOL
+for _nm in ("like concat lower upper char_length reverse substring "
+            "starts_with ends_with contains replace ltrim rtrim trim "
+            "string_split string_agg").split():
+    _FN_YAML[_nm] = _Y_STR
+for _nm in "extract".split():
+    _FN_YAML[_nm] = _Y_DT
+for _nm in "count count_all any_value approx_count_distinct".split():
+    _FN_YAML[_nm] = _Y_AGG
+for _nm in "bitwise_and bitwise_or bitwise_xor bitwise_not".split():
+    _FN_YAML[_nm] = _Y_AR
+for _nm in "first last".split():
+    _FN_YAML[_nm] = _Y_ARROW
 
 
 class _ExtCollector:
@@ -314,22 +388,55 @@ def _enc_expr(expr: Expression, schema: T.Schema,
     if expr.kind == Expression.KIND_LITERAL:
         return _enc_literal(expr.value)
     if expr.kind == Expression.KIND_CALL:
-        sub = _ENGINE_TO_SUB.get(expr.fn)
-        if sub is None:
+        if expr.fn == "cast":
+            to = expr.options.get("target_type")
+            if to is None:
+                raise ArrowInvalid("cast without target_type")
+            if isinstance(to, str):
+                to = _alias_type(to)
+            # Expression.Cast{1: type, 2: input, 3: failure_behavior}
+            body = fm(1, fm(_TYPE_TO_SUB[to.id], fv(2, _NULLABLE))) + \
+                fm(2, _enc_expr(expr.args[0], schema, ext)) + fv(3, 2)
+            return fm(11, body)
+        enum_args: List[str] = []
+        options: List[Tuple[str, str]] = []
+        fn = expr.fn
+        if fn in _ENGINE_TO_EXTRACT:      # year(x) -> extract ENUM x
+            sub = "extract"
+            enum_args.append(_ENGINE_TO_EXTRACT[fn])
+        elif fn in _ENGINE_TO_SUB:
+            sub = _ENGINE_TO_SUB[fn]
+            if sub in _OVERFLOWABLE:
+                options.append(("overflow", "ERROR" if
+                                fn.endswith("_checked") else "SILENT"))
+            if fn == "is_null" and expr.options.get("nan_is_null"):
+                raise ArrowInvalid(
+                    "substrait has no is_null(nan_is_null=True); "
+                    "use is_null || is_nan")
+        else:
             raise ArrowInvalid(
                 f"no substrait name for function {expr.fn!r}")
         anchor = ext.anchor(sub)
-        args = b"".join(fm(4, fm(3, _enc_expr(a, schema, ext)))
-                        for a in expr.args)
+        args = b"".join(fm(4, fs(1, e)) for e in enum_args)
+        args += b"".join(fm(4, fm(3, _enc_expr(a, schema, ext)))
+                         for a in expr.args)
+        opts = b"".join(fm(5, fs(1, nm) + fs(2, pref))
+                        for nm, pref in options)
         out_t = _expr_type(expr, schema)
-        body = fv(1, anchor) + fm(3, _enc_type_inner_payload(out_t)) + args
+        body = fv(1, anchor) + fm(3, _enc_type_inner_payload(out_t)) + \
+            args + opts
         return fm(3, body)
     raise ArrowInvalid(f"cannot encode expression kind {expr.kind}")
 
 
 _BOOL_FNS = {"greater", "less", "greater_equal", "less_equal", "equal",
              "not_equal", "and", "or", "invert", "xor", "is_null",
-             "is_valid", "match_like"}
+             "is_valid", "match_like", "and_kleene", "or_kleene",
+             "is_nan", "is_finite", "is_not_distinct_from", "between",
+             "starts_with", "ends_with", "match_substring"}
+_INT_FNS = {"year", "iso_year", "quarter", "month", "day", "day_of_week",
+            "day_of_year", "hour", "minute", "second", "millisecond",
+            "microsecond", "utf8_length", "sign"}
 
 
 def _expr_type(expr: Expression, schema: T.Schema) -> T.DataType:
@@ -349,8 +456,13 @@ def _expr_type(expr: Expression, schema: T.Schema) -> T.DataType:
         return T.binary()
     if expr.fn in _BOOL_FNS:
         return T.bool_()
+    if expr.fn in _INT_FNS:
+        return T.int64()
     if expr.fn == "divide":
         return T.float64()
+    if expr.fn == "cast":
+        to = expr.options.get("target_type")
+        return _alias_type(to) if isinstance(to, str) else to
     for a in expr.args:
         if a.kind != Expression.KIND_LITERAL:
             return _expr_type(a, schema)
@@ -362,6 +474,89 @@ def _enc_type_inner_payload(t: T.DataType) -> bytes:
     if f is None:
         raise ArrowInvalid(f"no substrait mapping for {t!r}")
     return fm(f, fv(2, _NULLABLE))
+
+
+_ROUND_MODES = {
+    "FLOOR": "down", "CEILING": "up", "TRUNCATE": "towards_zero",
+    "AWAY_FROM_ZERO": "towards_infinity", "TIE_DOWN": "half_down",
+    "TIE_UP": "half_up", "TIE_TOWARDS_ZERO": "half_towards_zero",
+    "TIE_AWAY_FROM_ZERO": "half_towards_infinity",
+    "TIE_TO_EVEN": "half_to_even", "TIE_TO_ODD": "half_to_odd",
+}
+
+
+def _lit_or_raise(e: Expression, what: str):
+    if e.kind != Expression.KIND_LITERAL:
+        raise ArrowInvalid(f"substrait {what} must be a literal")
+    return e.value
+
+
+def _decode_scalar_call(base: str, args: List[Expression],
+                        enum_args: List[str],
+                        options: Dict[str, List[str]]) -> Expression:
+    """Resolve a substrait call to an engine expression, applying the
+    reference's variant logic (extension_set.cc): the "overflow" option
+    selects _checked arithmetic, "rounding" selects the round mode,
+    extract's enum argument selects the temporal kernel, and the string
+    functions whose arrow forms take FunctionOptions (pattern,
+    replacement, slice bounds) lift literal arguments into options."""
+    if base in _OVERFLOWABLE:
+        pref = options.get("overflow", ["SILENT"])
+        eng = _SUB_FN[base]
+        if pref and pref[0] == "ERROR":
+            eng += "_checked"
+        elif pref and pref[0] == "SATURATE":
+            raise ArrowInvalid("SATURATE overflow is not implemented")
+        return Expression.call(eng, *args)
+    if base == "extract":
+        if not enum_args:
+            raise ArrowInvalid("extract requires a component enum")
+        comp = enum_args[0].upper()
+        eng = _EXTRACT_COMPONENTS.get(comp)
+        if eng is None:
+            raise ArrowInvalid(f"unsupported extract component {comp!r}")
+        return Expression.call(eng, *args)
+    if base == "round":
+        pref = options.get("rounding", ["TIE_TO_EVEN"])
+        mode = _ROUND_MODES.get(pref[0] if pref else "TIE_TO_EVEN",
+                                "half_to_even")
+        if len(args) == 2:
+            nd = _lit_or_raise(args[1], "round ndigits")
+            return Expression.call("round", args[0], ndigits=int(nd),
+                                   round_mode=mode)
+        return Expression.call("round", args[0], round_mode=mode)
+    if base == "concat":
+        return Expression.call("binary_join_element_wise", *args,
+                               Expression.literal(""))
+    if base == "substring":
+        # substrait substring(input, start, length): 1-based start
+        start = int(_lit_or_raise(args[1], "substring start")) - 1
+        kw = {"start": start}
+        if len(args) > 2:
+            kw["stop"] = start + int(_lit_or_raise(args[2],
+                                                   "substring length"))
+        return Expression.call("utf8_slice_codeunits", args[0], **kw)
+    if base in ("starts_with", "ends_with", "contains"):
+        eng = {"starts_with": "starts_with", "ends_with": "ends_with",
+               "contains": "match_substring"}[base]
+        pat = _lit_or_raise(args[1], f"{base} pattern")
+        return Expression.call(eng, args[0], pattern=pat)
+    if base == "replace":
+        pat = _lit_or_raise(args[1], "replace search")
+        rep = _lit_or_raise(args[2], "replace replacement")
+        return Expression.call("replace_substring", args[0], pattern=pat,
+                               replacement=rep)
+    if base in ("ltrim", "rtrim", "trim"):
+        eng = {"ltrim": "utf8_ltrim", "rtrim": "utf8_rtrim",
+               "trim": "utf8_trim"}[base]
+        if len(args) > 1:
+            chars = _lit_or_raise(args[1], "trim characters")
+            return Expression.call(eng, args[0], characters=chars)
+        return Expression.call(eng + "_whitespace", args[0])
+    eng = _SUB_FN.get(base)
+    if eng is None:
+        raise ArrowInvalid(f"unmapped substrait function {base!r}")
+    return Expression.call(eng, *args)
 
 
 def _dec_expr(p: PB, schema: T.Schema, fn_names: Dict[int, str]):
@@ -397,22 +592,47 @@ def _dec_expr(p: PB, schema: T.Schema, fn_names: Dict[int, str]):
         if sub_name is None:
             raise ArrowInvalid(f"unknown function anchor {anchor}")
         base = sub_name.split(":")[0]
-        eng = _SUB_FN.get(base)
-        if eng is None:
-            raise ArrowInvalid(f"unmapped substrait function {base!r}")
-        args = []
+        args: List[Expression] = []
+        enum_args: List[str] = []
         for fa in sf.msgs(4):
             v = fa.msg(3)
-            if v is None:
-                raise ArrowInvalid("non-value function argument")
-            args.append(_dec_expr(v, schema, fn_names))
-        return Expression.call(eng, *args)
+            if v is not None:
+                args.append(_dec_expr(v, schema, fn_names))
+            elif fa.s(1) is not None:
+                enum_args.append(fa.s(1))
+            else:
+                raise ArrowInvalid("type-valued function argument")
+        options: Dict[str, List[str]] = {}
+        for op_ in sf.msgs(5):
+            nm = op_.s(1)
+            if nm:
+                options[nm] = op_.strs(2)
+        return _decode_scalar_call(base, args, enum_args, options)
     if p.has(11):     # cast {1: type, 2: input}
         c = p.msg(11)
         inner = _dec_expr(c.msg(2), schema, fn_names)
         to = _dec_type(c.msg(1))
         return Expression.call("cast", inner,
                                target_type=to)
+    if p.has(4):      # if_then {1: ifs{1: if, 2: then}, 2: else}
+        f = p.msg(4)
+        clauses = [( _dec_expr(c.msg(1), schema, fn_names),
+                     _dec_expr(c.msg(2), schema, fn_names))
+                   for c in f.msgs(1)]
+        out = _dec_expr(f.msg(2), schema, fn_names) if f.msg(2) \
+            else Expression.literal(None)
+        for cond, then in reversed(clauses):   # right-fold to if_else
+            out = Expression.call("if_else", cond, then, out)
+        return out
+    if p.has(7):      # singular_or_list {1: value, 2: options}
+        f = p.msg(7)
+        val = _dec_expr(f.msg(1), schema, fn_names)
+        alts = [_dec_expr(o, schema, fn_names) for o in f.msgs(2)]
+        out = None
+        for alt in alts:              # OR of equalities (IN semantics)
+            eq = Expression.call("equal", val, alt)
+            out = eq if out is None else Expression.call("or", out, eq)
+        return out if out is not None else Expression.literal(False)
     raise ArrowInvalid(f"unsupported expression fields {list(p.fields)}")
 
 
@@ -504,6 +724,10 @@ def _enc_rel(decl: Declaration, ext: _ExtCollector) -> Tuple[bytes, T.Schema]:
                     schema.get_field_index(tgt))))
             body += fm(5, _enc_type_inner_payload(out_t))
             body += fv(4, 3)  # phase AGGREGATION_PHASE_INITIAL_TO_RESULT
+            if fname in ("variance", "stddev"):
+                ddof = (_opts or {}).get("ddof", 0)
+                body += fm(8, fs(1, "distribution") +
+                           fs(2, "SAMPLE" if ddof else "POPULATION"))
             measures += fm(4, fm(1, body))
             out_fields.append(T.field(out_name, out_t))
         out_schema = T.schema(out_fields)
@@ -648,10 +872,20 @@ def _dec_rel(p: PB, fn_names, table_provider) -> Tuple[Declaration, T.Schema]:
             if eng is None:
                 raise ArrowInvalid(f"unmapped aggregate {sub!r}")
             targets = [_dec_expr(fa.msg(3), schema, fn_names).name
-                       for fa in (mf.msgs(7) + mf.msgs(8))
-                       if fa.msg(3) is not None]
+                       for fa in mf.msgs(7) if fa.msg(3) is not None]
+            if sub == "count" and not targets:
+                eng = "count_all"
+            opts = None
+            if eng in ("variance", "stddev"):
+                # "distribution" option (functions_arithmetic.yaml#L1240):
+                # SAMPLE -> ddof=1, POPULATION -> ddof=0
+                dist = ["SAMPLE"]
+                for op_ in mf.msgs(8):
+                    if op_.s(1) == "distribution":
+                        dist = op_.strs(2) or dist
+                opts = {"ddof": 1 if dist[0] == "SAMPLE" else 0}
             target = targets[0] if targets else schema.names[0]
-            aggs.append((target, eng, None, f"{eng}_{i}"))
+            aggs.append((target, eng, opts, f"{eng}_{i}"))
         agg_fields = [T.field(k, schema.field(k).type) for k in keys]
         out_schema = T.schema(agg_fields)  # agg output types resolved later
         return Declaration(
@@ -836,8 +1070,13 @@ def deserialize_expressions(buf) -> BoundExpressions:
 def get_supported_functions() -> List[str]:
     """Full substrait function ids this consumer understands
     (pyarrow.substrait.get_supported_functions analogue)."""
+    special = {"extract", "round", "substring", "starts_with",
+               "ends_with", "contains", "replace", "ltrim", "rtrim",
+               "trim", "concat"}
+    names = ({k for k, v in _SUB_FN.items() if v} | special |
+             {k for k, v in _SUB_AGG.items() if v})
     out = []
-    for sub_name in sorted(set(_SUB_FN) | set(k for k in _SUB_AGG)):
+    for sub_name in sorted(names):
         yaml = _FN_YAML.get(sub_name, "functions_arithmetic.yaml")
         out.append(f"{_URI}{yaml}#{sub_name}")
     return out

@@ -336,6 +336,33 @@ def main():
     timed("filter_compact_4xf64_r5", jax.jit(compact4), (f64,),
           2 * 4 * 8 * nm, nm)
 
+    # ---- 5. Pallas A/B (last: Mosaic compile RPCs can wedge the tunnel;
+    # the watchdog banks a line and the retry loop skips on re-entry) ---
+    from arrow_tpu.compute import pallas_move
+
+    def compact4_pallas(v):
+        keep = v > 0
+        outs = pallas_move.compact_arrays_pallas(
+            keep, [v, v * 2, v * 3, v * 4])
+        return outs[0]
+    timed("filter_compact_4xf64_pallas_r5", jax.jit(compact4_pallas),
+          (f64,), 2 * 4 * 8 * nm, nm, deadline=600.0)
+
+    timed("group_sum_512_pallas_r5", jax.jit(
+        lambda v, g: pallas_move.grouped_sum_pallas(
+            v, g.astype(jnp.int32), 512)),
+        (f64, keys512), 2 * 8 * nm, nm, deadline=600.0)
+
+    keys8 = jax.device_put(rng.integers(0, 8, nm))
+    timed("group_sum_8_pallas_r5", jax.jit(
+        lambda v, g: pallas_move.grouped_sum_pallas(
+            v, g.astype(jnp.int32), 8)),
+        (f64, keys8), 2 * 8 * nm, nm, deadline=600.0)
+    timed("group_sum_8_xla_r5", jax.jit(
+        lambda v, g: move.segment_reduce(v, g.astype(jnp.int32), 8,
+                                         "sum", 0.0)),
+        (f64, keys8), 2 * 8 * nm, nm, deadline=600.0)
+
     bank({"phase": "done", "total_s": round(time.time() - T_START, 1)})
 
 

@@ -203,3 +203,173 @@ def test_set_union_all_roundtrip():
     res = pasub.run_query(pa.py_buffer(buf), table_provider=pa_provider)
     got = res.read_all().to_pydict()
     assert sorted(got["x"]) == sorted(expect["x"])
+
+
+class TestFunctionMappingBreadth:
+    """Round-5 registry breadth (reference extension_set.cc:1066-1258):
+    overflow option, trig/log families, kleene booleans, extract enum,
+    round mode, string option-lifting, variance distribution."""
+
+    def test_checked_arith_overflow_option(self):
+        import arrow_tpu as at
+        import arrow_tpu.substrait as asub
+        from arrow_tpu.acero import Expression
+        sch = at.schema([at.field("a", at.int64())])
+        buf = asub.serialize_expressions(
+            [Expression.call("add_checked", Expression.field("a"),
+                             Expression.literal(1))], ["x"], sch)
+        got = asub.deserialize_expressions(buf).expressions["x"]
+        assert got.fn == "add_checked"
+        # pyarrow's consumer also maps overflow=ERROR -> add_checked
+        import pyarrow.substrait as psub
+        be = psub.deserialize_expressions(buf)
+        assert "checked" in str(be.expressions["x"])
+
+    def test_pyarrow_overflow_option_decodes(self):
+        """pyarrow's `+` operator is add_checked -> overflow=ERROR on the
+        wire; our consumer must map it back to the checked variant."""
+        import pyarrow as pa
+        import pyarrow.compute as ppc
+        import pyarrow.substrait as psub
+
+        import arrow_tpu.substrait as asub
+        pbuf = psub.serialize_expressions(
+            [ppc.field("a") + ppc.field("a")], ["x"],
+            pa.schema([("a", pa.int64())]))
+        ours = asub.deserialize_expressions(bytes(pbuf))
+        assert ours.expressions["x"].fn == "add_checked"
+
+    def test_trig_log_plan_pyarrow_interop(self):
+        t, pt = _tables()
+        decl = acero.Declaration(
+            "project", acero.ProjectNodeOptions(
+                [acero.Expression.call("sin", acero.field("b")),
+                 acero.Expression.call("ln", acero.field("b"))],
+                ["sin_b", "ln_b"]), inputs=[_src(t)])
+        ours, theirs = _run_both(decl, t, pt)
+        import numpy as np
+        np.testing.assert_allclose(ours["sin_b"], theirs["sin_b"])
+        np.testing.assert_allclose(ours["ln_b"], theirs["ln_b"])
+
+    def test_kleene_and_plan_pyarrow_interop(self):
+        t, pt = _tables()
+        cond = acero.Expression.call(
+            "and_kleene", acero.field("a") > 1, acero.field("b") < 5.0)
+        decl = acero.Declaration("filter", acero.FilterNodeOptions(cond),
+                                 inputs=[_src(t)])
+        ours, theirs = _run_both(decl, t, pt)
+        assert ours == theirs
+
+    def test_extract_year_roundtrip(self):
+        import arrow_tpu as at
+        import arrow_tpu.substrait as asub
+        from arrow_tpu.acero import Expression
+        sch = at.schema([at.field("ts", at.timestamp("us"))])
+        buf = asub.serialize_expressions(
+            [Expression.call("year", Expression.field("ts"))], ["y"], sch)
+        got = asub.deserialize_expressions(buf).expressions["y"]
+        assert got.fn == "year"
+
+    def test_round_mode_decode(self):
+        import arrow_tpu.substrait as asub
+        from arrow_tpu.acero import Expression
+        e = asub._decode_scalar_call(
+            "round", [Expression.field("a")], [], {"rounding": ["FLOOR"]})
+        assert e.fn == "round" and e.options["round_mode"] == "down"
+        e2 = asub._decode_scalar_call(
+            "round", [Expression.field("a"), Expression.literal(2)],
+            [], {})
+        assert e2.options["ndigits"] == 2
+
+    def test_string_option_lifting(self):
+        import arrow_tpu.substrait as asub
+        from arrow_tpu.acero import Expression
+        f = Expression.field("s")
+        e = asub._decode_scalar_call(
+            "substring", [f, Expression.literal(2),
+                          Expression.literal(3)], [], {})
+        assert e.fn == "utf8_slice_codeunits"
+        assert e.options == {"start": 1, "stop": 4}
+        e = asub._decode_scalar_call(
+            "contains", [f, Expression.literal("ab")], [], {})
+        assert e.fn == "match_substring" and e.options["pattern"] == "ab"
+        e = asub._decode_scalar_call(
+            "replace", [f, Expression.literal("a"),
+                        Expression.literal("b")], [], {})
+        assert e.fn == "replace_substring"
+        e = asub._decode_scalar_call("trim", [f], [], {})
+        assert e.fn == "utf8_trim_whitespace"
+        e = asub._decode_scalar_call(
+            "trim", [f, Expression.literal("xy")], [], {})
+        assert e.fn == "utf8_trim" and e.options["characters"] == "xy"
+
+    def test_string_plan_self_roundtrip(self):
+        """lower/upper/char_length through serialize -> run_query."""
+        t, _ = _tables()
+        decl = acero.Declaration(
+            "project", acero.ProjectNodeOptions(
+                [acero.Expression.call("utf8_upper", acero.field("s"))],
+                ["u"]), inputs=[_src(t)])
+        blob = sub.serialize_plan(decl)
+        ours = sub.run_query(blob, lambda n, s: t).to_pydict()
+        assert ours["u"] == ["X", "Y", "X", "Z", "Y"]
+
+    def test_if_then_decode(self):
+        """Hand-built IfThen message (algebra.proto field 4) decodes to
+        nested if_else and evaluates."""
+        import arrow_tpu as at
+        from arrow_tpu.substrait import PB, fm, fv, _dec_expr
+        from arrow_tpu.substrait import _enc_field_ref, _enc_literal
+        sch = at.schema([at.field("a", at.int64())])
+        cond = fm(3, fv(1, 1) +
+                  fm(4, fm(3, _enc_field_ref(0))) +
+                  fm(4, fm(3, _enc_literal(2))))
+        clause = fm(1, cond) + fm(2, _enc_literal(10))
+        ifthen = fm(4, fm(1, clause) + fm(2, _enc_literal(20)))
+        expr = _dec_expr(PB(ifthen), sch, {1: "gt"})
+        assert expr.fn == "if_else"
+        t = at.table({"a": [1, 5]})
+        from arrow_tpu.acero import Declaration, ProjectNodeOptions
+        out = Declaration(
+            "project", ProjectNodeOptions([expr], ["r"]),
+            inputs=[Declaration(
+                "table_source",
+                acero.TableSourceNodeOptions(t))]).to_table()
+        assert out.column("r").to_pylist() == [20, 10]
+
+    def test_singular_or_list_decode(self):
+        import arrow_tpu as at
+        from arrow_tpu.substrait import PB, fm, _dec_expr
+        from arrow_tpu.substrait import _enc_field_ref, _enc_literal
+        sch = at.schema([at.field("a", at.int64())])
+        sol = fm(7, fm(1, _enc_field_ref(0)) +
+                 fm(2, _enc_literal(2)) + fm(2, _enc_literal(4)))
+        expr = _dec_expr(PB(sol), sch, {})
+        t = at.table({"a": [1, 2, 3, 4]})
+        out = t.filter(expr)
+        assert out.column("a").to_pylist() == [2, 4]
+
+    def test_variance_distribution_interop(self):
+        """distribution option rides the wire per the substrait spec
+        (SAMPLE -> ddof=1). NOTE: the reference's consumer inverts the
+        mapping (extension_set.cc DecodeBasicAggregate maps
+        POPULATION->ddof=1), so only wire acceptance — not the value —
+        is compared against pyarrow."""
+        t, pt = _tables()
+        decl = acero.Declaration(
+            "aggregate", acero.AggregateNodeOptions(
+                [("b", "variance", {"ddof": 1}, "v")], keys=[]),
+            inputs=[_src(t)])
+        ours, theirs = _run_both(decl, t, pt)
+        import numpy as np
+        np.testing.assert_allclose(ours["v"], [2.5])   # sample variance
+        assert len(theirs["v"]) == 1   # pyarrow consumed our option
+
+    def test_supported_functions_breadth(self):
+        fns = sub.get_supported_functions()
+        names = {f.split("#")[1] for f in fns}
+        for want in ("sin", "atan2", "log2", "extract", "round",
+                     "substring", "bitwise_and", "coalesce", "is_nan",
+                     "variance", "first", "last"):
+            assert want in names, want
+        assert len(fns) > 70
