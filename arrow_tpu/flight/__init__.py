@@ -424,50 +424,60 @@ class FlightServerBase:
 
     def __init__(self, location: str = "grpc://0.0.0.0:0",
                  auth_handler: Optional[ServerAuthHandler] = None,
-                 tls_certificates=None):
+                 tls_certificates=None, middleware=None):
         """``tls_certificates``: list of (cert_chain_pem, private_key_pem)
         pairs enables TLS (reference: flight/server.h FlightServerOptions
-        tls_certificates); use a grpc+tls:// location with it."""
+        tls_certificates); use a grpc+tls:// location with it.
+        ``middleware``: dict name -> ServerMiddlewareFactory; handlers
+        reach per-call instances via context.get_middleware(name)
+        (server_middleware.h)."""
         self._location = location
         self.auth_handler = auth_handler
+        self._middleware = dict(middleware or {})
         self._server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=8),
             options=_GRPC_PERF_OPTIONS)
+
+        def stream(fn, method):
+            return self._mw_wrap_stream(fn, method)
+
         handlers = {
             "Handshake": grpc.stream_stream_rpc_method_handler(
-                self._handshake,
+                stream(self._handshake, FlightMethod.HANDSHAKE),
                 request_deserializer=fp.HandshakeRequest.FromString,
                 response_serializer=fp.HandshakeResponse.SerializeToString),
             "DoExchange": grpc.stream_stream_rpc_method_handler(
-                self._do_exchange,
+                stream(self._do_exchange, FlightMethod.DO_EXCHANGE),
                 request_deserializer=_fd_parse,
                 response_serializer=_fd_serialize),
             "ListFlights": grpc.unary_stream_rpc_method_handler(
-                self._list_flights,
+                stream(self._list_flights, FlightMethod.LIST_FLIGHTS),
                 request_deserializer=fp.Criteria.FromString,
                 response_serializer=fp.FlightInfo.SerializeToString),
             "GetFlightInfo": grpc.unary_unary_rpc_method_handler(
-                self._get_flight_info,
+                self._mw_wrap_unary(self._get_flight_info,
+                                    FlightMethod.GET_FLIGHT_INFO),
                 request_deserializer=fp.FlightDescriptor.FromString,
                 response_serializer=fp.FlightInfo.SerializeToString),
             "GetSchema": grpc.unary_unary_rpc_method_handler(
-                self._get_schema,
+                self._mw_wrap_unary(self._get_schema,
+                                    FlightMethod.GET_SCHEMA),
                 request_deserializer=fp.FlightDescriptor.FromString,
                 response_serializer=fp.SchemaResult.SerializeToString),
             "DoGet": grpc.unary_stream_rpc_method_handler(
-                self._do_get,
+                stream(self._do_get, FlightMethod.DO_GET),
                 request_deserializer=fp.Ticket.FromString,
                 response_serializer=_fd_serialize),
             "DoPut": grpc.stream_stream_rpc_method_handler(
-                self._do_put,
+                stream(self._do_put, FlightMethod.DO_PUT),
                 request_deserializer=_fd_parse,
                 response_serializer=fp.PutResult.SerializeToString),
             "DoAction": grpc.unary_stream_rpc_method_handler(
-                self._do_action,
+                stream(self._do_action, FlightMethod.DO_ACTION),
                 request_deserializer=fp.Action.FromString,
                 response_serializer=fp.Result.SerializeToString),
             "ListActions": grpc.unary_stream_rpc_method_handler(
-                self._list_actions,
+                stream(self._list_actions, FlightMethod.LIST_ACTIONS),
                 request_deserializer=fp.Empty.FromString,
                 response_serializer=fp.ActionType.SerializeToString),
         }
@@ -518,6 +528,68 @@ class FlightServerBase:
     def list_actions(self) -> List[Tuple[str, str]]:
         return []
 
+    # -- middleware lifecycle --
+    def _mw_start(self, method: int, context):
+        """Start one instance per registered factory; send their headers
+        as initial metadata (deferred for Handshake, whose auth path
+        sends its own — merged there)."""
+        if not self._middleware:
+            return {}
+        try:
+            headers = {k: v for k, v in context.invocation_metadata()}
+        except Exception:
+            headers = {}
+        info = CallInfo(method)
+        insts = {}
+        send = []
+        for name, fac in self._middleware.items():
+            inst = fac.start_call(info, headers)
+            if inst is not None:
+                insts[name] = inst
+                for k, v in _headers_items(inst.sending_headers()):
+                    send.append((str(k).lower(), v))
+        context._at_middleware = insts
+        if send:
+            if method == FlightMethod.HANDSHAKE:
+                context._at_pending_headers = send
+            else:
+                try:
+                    context.send_initial_metadata(tuple(send))
+                except Exception:
+                    pass
+        return insts
+
+    @staticmethod
+    def _mw_end(context, exc: Optional[BaseException]):
+        for inst in getattr(context, "_at_middleware", {}).values():
+            try:
+                inst.call_completed(exc)
+            except Exception:
+                pass
+
+    def _mw_wrap_stream(self, fn, method: int):
+        def handler(request, context):
+            self._mw_start(method, context)
+            try:
+                yield from fn(request, context)
+            except BaseException as e:
+                self._mw_end(context, e)
+                raise
+            self._mw_end(context, None)
+        return handler
+
+    def _mw_wrap_unary(self, fn, method: int):
+        def handler(request, context):
+            self._mw_start(method, context)
+            try:
+                out = fn(request, context)
+            except BaseException as e:
+                self._mw_end(context, e)
+                raise
+            self._mw_end(context, None)
+            return out
+        return handler
+
     # -- grpc glue --
     def _make_ctx(self, context) -> "ServerCallContext":
         headers = {}
@@ -525,7 +597,9 @@ class FlightServerBase:
             headers = {k: v for k, v in context.invocation_metadata()}
         except Exception:
             pass
-        return ServerCallContext(peer=context.peer(), headers=headers)
+        return ServerCallContext(
+            peer=context.peer(), headers=headers,
+            middleware=getattr(context, "_at_middleware", None))
 
     def _check_auth(self, context):
         if self.auth_handler is None:
@@ -562,8 +636,15 @@ class FlightServerBase:
                     ba.SerializeToString())
             except PermissionError as e:
                 context.abort(grpc.StatusCode.UNAUTHENTICATED, str(e))
-            context.send_initial_metadata(
-                (("authorization", "Bearer " + token.decode()),))
+            pending = list(getattr(context, "_at_pending_headers", []))
+            context.send_initial_metadata(tuple(
+                pending + [("authorization", "Bearer " + token.decode())]))
+        elif getattr(context, "_at_pending_headers", None):
+            try:
+                context.send_initial_metadata(
+                    tuple(context._at_pending_headers))
+            except Exception:
+                pass
         got_any = False
         for req in request_iterator:
             got_any = True
@@ -731,10 +812,134 @@ class FlightServerBase:
         self.shutdown()
 
 
+# --- middleware -------------------------------------------------------------
+# Reference: flight/middleware.h, flight/server_middleware.h,
+# flight/client_middleware.h, client_tracing_middleware.cc /
+# server_tracing_middleware.cc. Factories start one middleware instance
+# per call; instances see outgoing/incoming headers and call completion.
+
+
+class FlightMethod:
+    """RPC method ids (flight/types.h FlightMethod)."""
+    INVALID = 0
+    HANDSHAKE = 1
+    LIST_FLIGHTS = 2
+    GET_FLIGHT_INFO = 3
+    GET_SCHEMA = 4
+    DO_GET = 5
+    DO_PUT = 6
+    DO_ACTION = 7
+    LIST_ACTIONS = 8
+    DO_EXCHANGE = 9
+
+
+class CallInfo:
+    """Information about an in-flight RPC (middleware.h CallInfo)."""
+
+    def __init__(self, method: int):
+        self.method = method
+
+
+class ServerMiddlewareFactory:
+    """Per-server hook: start_call returns a ServerMiddleware instance
+    (or None to skip this call). Raising FlightError rejects the call
+    (server_middleware.h ServerMiddlewareFactory::StartCall)."""
+
+    def start_call(self, info: CallInfo, headers: dict):
+        return None
+
+
+class ServerMiddleware:
+    """Per-call server middleware (server_middleware.h)."""
+
+    def sending_headers(self) -> dict:
+        return {}
+
+    def call_completed(self, exception: Optional[BaseException]):
+        pass
+
+
+class ClientMiddlewareFactory:
+    """Per-client hook (client_middleware.h)."""
+
+    def start_call(self, info: CallInfo):
+        return None
+
+
+class ClientMiddleware:
+    """Per-call client middleware (client_middleware.h)."""
+
+    def sending_headers(self) -> dict:
+        return {}
+
+    def received_headers(self, headers: dict):
+        pass
+
+    def call_completed(self, exception: Optional[BaseException]):
+        pass
+
+
+class TracingServerMiddleware(ServerMiddleware):
+    """Exposes the caller's W3C trace context to handlers
+    (server_tracing_middleware.cc: context propagated from the
+    `traceparent` header)."""
+
+    def __init__(self, trace_context: dict):
+        self.trace_context = dict(trace_context)
+
+
+class TracingServerMiddlewareFactory(ServerMiddlewareFactory):
+    trace_key = "traceparent"
+
+    def start_call(self, info, headers):
+        ctx = {}
+        for k, v in headers.items():
+            if k.lower() in (self.trace_key, "tracestate"):
+                ctx[k.lower()] = v
+        return TracingServerMiddleware(ctx)
+
+
+class ClientTracingMiddleware(ClientMiddleware):
+    def __init__(self, traceparent: str):
+        self._traceparent = traceparent
+
+    def sending_headers(self):
+        return {"traceparent": self._traceparent}
+
+
+class ClientTracingMiddlewareFactory(ClientMiddlewareFactory):
+    """Propagates a W3C `traceparent` on every call
+    (client_tracing_middleware.cc). Pass ``current_context`` returning
+    the active traceparent string, or omit for a fresh random trace id
+    per call."""
+
+    def __init__(self, current_context=None):
+        self._current = current_context
+
+    def start_call(self, info):
+        if self._current is not None:
+            tp = self._current()
+            if not tp:
+                return None
+        else:
+            import secrets
+            tp = (f"00-{secrets.token_hex(16)}-"
+                  f"{secrets.token_hex(8)}-01")
+        return ClientTracingMiddleware(tp)
+
+
+def _headers_items(h):
+    return h.items() if isinstance(h, dict) else (h or ())
+
+
 # --- client ----------------------------------------------------------------
 
 class FlightClient:
-    def __init__(self, location: str, tls_root_certs: bytes = None):
+    def __init__(self, location: str, tls_root_certs: bytes = None,
+                 middleware=None):
+        """``middleware``: list of ClientMiddlewareFactory — one
+        instance starts per RPC and sees outgoing/received headers
+        (client_middleware.h)."""
         host_port = location.replace("grpc://", "").replace(
             "grpc+tcp://", "").replace("grpc+tls://", "")
         opts = list(_GRPC_PERF_OPTIONS)
@@ -747,12 +952,48 @@ class FlightClient:
             self._channel = grpc.insecure_channel(host_port,
                                                   options=opts)
         self._metadata: List[Tuple[str, str]] = []
+        self._mw_factories = list(middleware or [])
 
     def _method(self, name):
         return f"/{_SERVICE}/{name}"
 
     def _md(self):
         return self._metadata or None
+
+    def _mw_begin(self, method: int):
+        """(metadata, instances) for one RPC: session metadata plus each
+        started middleware's sending_headers."""
+        if not self._mw_factories:
+            return self._md(), []
+        insts = []
+        md = list(self._metadata)
+        info = CallInfo(method)
+        for fac in self._mw_factories:
+            inst = fac.start_call(info)
+            if inst is not None:
+                insts.append(inst)
+                for k, v in _headers_items(inst.sending_headers()):
+                    md.append((str(k).lower(), v))
+        return (md or None), insts
+
+    @staticmethod
+    def _mw_finish(insts, call, exc: Optional[BaseException] = None):
+        """Feed received headers (initial+trailing metadata) to each
+        instance, then signal completion."""
+        for inst in insts:
+            if call is not None and exc is None:
+                try:
+                    hdrs = {}
+                    for k, v in tuple(call.initial_metadata() or ()) + \
+                            tuple(call.trailing_metadata() or ()):
+                        hdrs[k] = v
+                    inst.received_headers(hdrs)
+                except Exception:
+                    pass
+            try:
+                inst.call_completed(exc)
+            except Exception:
+                pass
 
     @classmethod
     def connect(cls, location, **kwargs) -> "FlightClient":
@@ -816,7 +1057,13 @@ class FlightClient:
             self._method("GetSchema"),
             request_serializer=fp.FlightDescriptor.SerializeToString,
             response_deserializer=fp.SchemaResult.FromString)
-        res = stub(descriptor.to_pb(), metadata=self._md())
+        md, insts = self._mw_begin(FlightMethod.GET_SCHEMA)
+        try:
+            res, call = stub.with_call(descriptor.to_pb(), metadata=md)
+        except BaseException as e:
+            self._mw_finish(insts, None, e)
+            raise
+        self._mw_finish(insts, call)
         rdr = RecordBatchStreamReader(res.schema)
         return SchemaResult(rdr.schema)
 
@@ -861,10 +1108,17 @@ class FlightClient:
 
         asm = _FlightStreamAssembler()
         batches = []
-        for fd in stub(gen(), metadata=self._md()):
-            rb = asm.feed(fd)
-            if rb is not None:
-                batches.append(rb)
+        md, insts = self._mw_begin(FlightMethod.DO_EXCHANGE)
+        try:
+            resp = stub(gen(), metadata=md)
+            for fd in resp:
+                rb = asm.feed(fd)
+                if rb is not None:
+                    batches.append(rb)
+        except BaseException as e:
+            self._mw_finish(insts, None, e)
+            raise
+        self._mw_finish(insts, resp)
         return Table.from_batches(batches, asm.schema)
 
     def get_flight_info(self, descriptor: FlightDescriptor):
@@ -872,7 +1126,13 @@ class FlightClient:
             self._method("GetFlightInfo"),
             request_serializer=fp.FlightDescriptor.SerializeToString,
             response_deserializer=fp.FlightInfo.FromString)
-        info = stub(descriptor.to_pb(), metadata=self._md())
+        md, insts = self._mw_begin(FlightMethod.GET_FLIGHT_INFO)
+        try:
+            info, call = stub.with_call(descriptor.to_pb(), metadata=md)
+        except BaseException as e:
+            self._mw_finish(insts, None, e)
+            raise
+        self._mw_finish(insts, call)
         mapper = DictionaryFieldMapper()
         rdr = RecordBatchStreamReader(info.schema)
         endpoints = [FlightEndpoint(Ticket(e.ticket.ticket))
@@ -887,7 +1147,9 @@ class FlightClient:
             response_deserializer=fp.FlightInfo.FromString)
         req = fp.Criteria()
         req.expression = criteria
-        for info in stub(req, metadata=self._md()):
+        md, insts = self._mw_begin(FlightMethod.LIST_FLIGHTS)
+        resp = stub(req, metadata=md)
+        for info in resp:
             rdr = RecordBatchStreamReader(info.schema)
             yield FlightInfo(
                 rdr.schema, FlightDescriptor.from_pb(
@@ -895,6 +1157,7 @@ class FlightClient:
                 [FlightEndpoint(Ticket(e.ticket.ticket))
                  for e in info.endpoint],
                 info.total_records, info.total_bytes)
+        self._mw_finish(insts, resp)
 
     def do_get(self, ticket: Ticket) -> "FlightStreamReader":
         """Returns a FlightStreamReader (client.h DoGet): use
@@ -908,10 +1171,17 @@ class FlightClient:
         req.ticket = ticket.ticket
         asm = _FlightStreamAssembler()
         batches = []
-        for fd in stub(req, metadata=self._md()):
-            rb = asm.feed(fd)
-            if rb is not None:
-                batches.append(rb)
+        md, insts = self._mw_begin(FlightMethod.DO_GET)
+        try:
+            resp = stub(req, metadata=md)
+            for fd in resp:
+                rb = asm.feed(fd)
+                if rb is not None:
+                    batches.append(rb)
+        except BaseException as e:
+            self._mw_finish(insts, None, e)
+            raise
+        self._mw_finish(insts, resp)
         tbl = Table.from_batches(batches, asm.schema)
         return _DoGetResult([FlightStreamChunk(b, None) for b in batches],
                             tbl)
@@ -942,7 +1212,14 @@ class FlightClient:
                     fd.descriptor = desc_bytes
                     first = False
                 yield fd
-        list(stub(gen(), metadata=self._md()))
+        md, insts = self._mw_begin(FlightMethod.DO_PUT)
+        try:
+            resp = stub(gen(), metadata=md)
+            list(resp)
+        except BaseException as e:
+            self._mw_finish(insts, None, e)
+            raise
+        self._mw_finish(insts, resp)
 
     def do_action(self, action_type: str, body: bytes = b""):
         stub = self._channel.unary_stream(
@@ -952,15 +1229,22 @@ class FlightClient:
         a = fp.Action()
         a.type = action_type
         a.body = body
-        return [r.body for r in stub(a, metadata=self._md())]
+        md, insts = self._mw_begin(FlightMethod.DO_ACTION)
+        resp = stub(a, metadata=md)
+        out = [r.body for r in resp]
+        self._mw_finish(insts, resp)
+        return out
 
     def list_actions(self):
         stub = self._channel.unary_stream(
             self._method("ListActions"),
             request_serializer=fp.Empty.SerializeToString,
             response_deserializer=fp.ActionType.FromString)
-        return [(a.type, a.description)
-                for a in stub(fp.Empty(), metadata=self._md())]
+        md, insts = self._mw_begin(FlightMethod.LIST_ACTIONS)
+        resp = stub(fp.Empty(), metadata=md)
+        out = [(a.type, a.description) for a in resp]
+        self._mw_finish(insts, resp)
+        return out
 
     def close(self):
         self._channel.close()
@@ -1073,50 +1357,11 @@ class DescriptorType:
     UNKNOWN, PATH, CMD = 0, 1, 2
 
 
-class FlightMethod:
-    (INVALID, HANDSHAKE, LIST_FLIGHTS, GET_FLIGHT_INFO, GET_SCHEMA,
-     DO_GET, DO_PUT, DO_ACTION, LIST_ACTIONS, DO_EXCHANGE) = range(10)
-
-
-class CallInfo:
-    def __init__(self, method):
-        self.method = method
-
-
 class FlightCallOptions:
     def __init__(self, timeout=None, write_options=None, headers=None):
         self.timeout = timeout
         self.write_options = write_options
         self.headers = headers or []
-
-
-class ClientMiddlewareFactory:
-    def start_call(self, info: CallInfo):
-        return None
-
-
-class ClientMiddleware:
-    def sending_headers(self):
-        return {}
-
-    def received_headers(self, headers):
-        pass
-
-    def call_completed(self, exception):
-        pass
-
-
-class ServerMiddlewareFactory:
-    def start_call(self, info, headers):
-        return None
-
-
-class ServerMiddleware:
-    def sending_headers(self):
-        return {}
-
-    def call_completed(self, exception):
-        pass
 
 
 class FlightStreamChunk:
@@ -1178,10 +1423,11 @@ class ServerCallContext:
     """Per-call server context (flight/server.h ServerCallContext)."""
 
     def __init__(self, peer: str = "", peer_identity: bytes = b"",
-                 headers=None):
+                 headers=None, middleware=None):
         self._peer = peer
         self._peer_identity = peer_identity
         self._headers = dict(headers or {})
+        self._middleware = dict(middleware or {})
 
     def peer(self) -> str:
         return self._peer
@@ -1193,7 +1439,9 @@ class ServerCallContext:
         return False
 
     def get_middleware(self, key):
-        return None
+        """Per-call middleware instance registered under ``key``
+        (server_middleware.h ServerCallContext::GetMiddleware)."""
+        return self._middleware.get(key)
 
 
 class ClientAuthHandler:
@@ -1370,11 +1618,3 @@ class FlightMetadataWriter:
 
     def write(self, message):
         self.messages.append(message)
-
-
-class TracingServerMiddlewareFactory(ServerMiddlewareFactory):
-    """OpenTelemetry-style trace propagation middleware
-    (flight/middleware.h TracingServerMiddleware)."""
-
-    def start_call(self, info, headers):
-        return None

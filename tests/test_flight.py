@@ -369,3 +369,112 @@ def test_pyarrow_style_handlers():
         cli.close()
     finally:
         srv.shutdown()
+
+
+class TestMiddleware:
+    """Client/server middleware chains incl. tracing propagation
+    (reference: flight/middleware.h, server_middleware.h,
+    client_tracing_middleware.cc)."""
+
+    def _make_server(self):
+        events = []
+
+        class RecordingMW(flight.ServerMiddleware):
+            def __init__(self, method, headers):
+                self.method = method
+                self.headers = headers
+
+            def sending_headers(self):
+                return {"x-served-by": "arrow-tpu"}
+
+            def call_completed(self, exc):
+                events.append(("done", self.method, exc))
+
+        class RecordingFactory(flight.ServerMiddlewareFactory):
+            def start_call(self, info, headers):
+                events.append(("start", info.method))
+                return RecordingMW(info.method, headers)
+
+        class Srv(flight.FlightServerBase):
+            def __init__(self):
+                super().__init__(
+                    "grpc://127.0.0.1:0",
+                    middleware={"recorder": RecordingFactory(),
+                                "tracing":
+                                flight.TracingServerMiddlewareFactory()})
+                self.seen_trace = []
+
+            def do_get(self, context, ticket):
+                mw = context.get_middleware("tracing")
+                self.seen_trace.append(dict(mw.trace_context))
+                rec = context.get_middleware("recorder")
+                assert rec is not None and rec.method == \
+                    flight.FlightMethod.DO_GET
+                return at.table({"x": [1, 2, 3]})
+
+        return Srv, events
+
+    def test_server_middleware_lifecycle_and_context(self):
+        Srv, events = self._make_server()
+        with Srv() as srv:
+            cli = flight.connect(f"grpc://127.0.0.1:{srv.port}")
+            t = cli.do_get(flight.Ticket(b"t")).read_all()
+            assert t.num_rows == 3
+            starts = [e for e in events if e[0] == "start"]
+            dones = [e for e in events if e[0] == "done"]
+            assert (("start", flight.FlightMethod.DO_GET) in starts)
+            assert any(d[1] == flight.FlightMethod.DO_GET and
+                       d[2] is None for d in dones)
+
+    def test_client_middleware_headers_and_tracing(self):
+        Srv, _ = self._make_server()
+        sent, got = [], []
+
+        class CliMW(flight.ClientMiddleware):
+            def sending_headers(self):
+                sent.append(True)
+                return {"x-my-header": "v1"}
+
+            def received_headers(self, headers):
+                got.append(dict(headers))
+
+            def call_completed(self, exc):
+                got.append(("completed", exc))
+
+        class CliFactory(flight.ClientMiddlewareFactory):
+            def start_call(self, info):
+                return CliMW()
+
+        with Srv() as srv:
+            cli = flight.FlightClient(
+                f"grpc://127.0.0.1:{srv.port}",
+                middleware=[CliFactory(),
+                            flight.ClientTracingMiddlewareFactory()])
+            cli.do_get(flight.Ticket(b"t")).read_all()
+            assert sent, "client middleware never started"
+            hdr_dicts = [g for g in got if isinstance(g, dict)]
+            assert any("x-served-by" in h for h in hdr_dicts), hdr_dicts
+            assert ("completed", None) in got
+            # the server's tracing middleware saw the client traceparent
+            assert srv.seen_trace and "traceparent" in srv.seen_trace[0]
+
+    def test_pyarrow_client_sees_server_middleware_headers(self):
+        """pyarrow's client middleware receives headers sent by OUR
+        server middleware — cross-implementation hook interop."""
+        import pyarrow.flight as pafl
+        Srv, _ = self._make_server()
+        got = []
+
+        class PaMW(pafl.ClientMiddleware):
+            def received_headers(self, headers):
+                got.append({k.lower(): v for k, v in headers.items()})
+
+        class PaFactory(pafl.ClientMiddlewareFactory):
+            def start_call(self, info):
+                return PaMW()
+
+        with Srv() as srv:
+            cli = pafl.FlightClient(f"grpc://127.0.0.1:{srv.port}",
+                                    middleware=[PaFactory()])
+            cli.do_get(pafl.Ticket(b"t")).read_all()
+            assert any("x-served-by" in h for h in got), got
