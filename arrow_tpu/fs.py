@@ -327,10 +327,28 @@ def _fsspec_backed(protocol: str, doc_name: str):
     return _Cloud
 
 
-S3FileSystem = _fsspec_backed("s3", "S3FileSystem")
-GcsFileSystem = _fsspec_backed("gcs", "GcsFileSystem")
-AzureFileSystem = _fsspec_backed("abfs", "AzureFileSystem")
-HadoopFileSystem = _fsspec_backed("hdfs", "HadoopFileSystem")
+# fsspec-backed variants remain available for drivers this package does
+# not speak natively (http, ftp, ...)
+FsspecS3FileSystem = _fsspec_backed("s3", "FsspecS3FileSystem")
+FsspecGcsFileSystem = _fsspec_backed("gcs", "FsspecGcsFileSystem")
+FsspecAzureFileSystem = _fsspec_backed("abfs", "FsspecAzureFileSystem")
+FsspecHadoopFileSystem = _fsspec_backed("hdfs", "FsspecHadoopFileSystem")
+
+# native REST clients are the default cloud filesystems (reference:
+# filesystem/s3fs.h, gcsfs.h, azurefs.h, hdfs.h). Resolved lazily
+# (PEP 562) because those modules import this one for the base classes.
+_NATIVE_FS = {"S3FileSystem": "fs_s3", "GcsFileSystem": "fs_gcs",
+              "AzureFileSystem": "fs_azure",
+              "HadoopFileSystem": "fs_hdfs"}
+
+
+def __getattr__(name):
+    mod = _NATIVE_FS.get(name)
+    if mod is None:
+        raise AttributeError(name)
+    import importlib
+    return getattr(importlib.import_module(f".{mod}", __package__),
+                   name)
 
 
 # --- pyarrow.fs name parity --------------------------------------------------

@@ -181,14 +181,15 @@ class TestFsspecFileSystem:
 
     def test_cloud_classes(self):
         pytest.importorskip("fsspec")
-        # drivers absent in this env -> clean ImportError at construction
-        for cls in (fs.S3FileSystem, fs.AzureFileSystem):
+        # fsspec-backed variants: drivers absent in this env -> clean
+        # ImportError at construction
+        for cls in (fs.FsspecS3FileSystem, fs.FsspecAzureFileSystem):
             with pytest.raises(ImportError):
                 cls()
         # gcsfs is installed: construction works (network calls would
         # need egress, which tests never do)
         pytest.importorskip("gcsfs")
-        assert fs.GcsFileSystem(token="anon") is not None
+        assert fs.FsspecGcsFileSystem(token="anon") is not None
 
 
 # --- dataset compat classes (dataset/dataset.h variants) --------------------
@@ -300,3 +301,120 @@ def test_s3_dataset_matches_local(tmp_path, sample_table):
         b = {k: sorted(map(repr, v))
              for k, v in via_local.to_pydict().items()}
         assert a == b
+
+
+# --- emulated GCS / Azure / WebHDFS (native clients) ------------------------
+# Reference analogues: gcsfs_test.cc (fake-gcs-server), azurefs_test.cc
+# (Azurite), libhdfs minicluster tests. One shared battery runs each
+# native client through object ops + a partitioned dataset round trip.
+
+def _gcs_fs():
+    from cloud_emulators import GcsEmulator
+    from arrow_tpu.fs_gcs import GcsFileSystem
+    em = GcsEmulator()
+    em.__enter__()
+    return em, GcsFileSystem(access_token="tok",
+                             endpoint_override=em.endpoint,
+                             project_id="p", scheme="http")
+
+
+def _azure_fs():
+    import base64
+    from cloud_emulators import AzureEmulator
+    from arrow_tpu.fs_azure import AzureFileSystem
+    em = AzureEmulator()
+    em.__enter__()
+    key = base64.b64encode(b"secretsecretsecret").decode()
+    return em, AzureFileSystem(
+        "acct", account_key=key,
+        blob_storage_authority=em.endpoint, scheme="http")
+
+
+def _hdfs_fs():
+    from cloud_emulators import WebHdfsEmulator
+    from arrow_tpu.fs_hdfs import HadoopFileSystem
+    em = WebHdfsEmulator()
+    em.__enter__()
+    host, port = em.host_port
+    return em, HadoopFileSystem(host, port, user="u")
+
+
+def _file_battery(fs, base):
+    fs.create_dir(base)
+    with fs.open_output_stream(f"{base}/dir/a.bin") as f:
+        f.write(b"hello cloud")
+    info = fs.get_file_info(f"{base}/dir/a.bin")
+    assert info.is_file and info.size == 11
+    with fs.open_input_stream(f"{base}/dir/a.bin") as f:
+        assert f.read() == b"hello cloud"
+    infos = fs.get_file_info(FileSelector(base, recursive=True))
+    assert any(i.path.endswith("dir/a.bin") and i.is_file
+               for i in infos)
+    assert any(i.path.endswith("dir") and
+               i.type == FileType.Directory for i in infos)
+    fs.move(f"{base}/dir/a.bin", f"{base}/dir/b.bin")
+    assert fs.get_file_info(f"{base}/dir/a.bin").type == \
+        FileType.NotFound
+    assert fs.get_file_info(f"{base}/dir/b.bin").size == 11
+    fs.delete_file(f"{base}/dir/b.bin")
+    assert fs.get_file_info(f"{base}/dir/b.bin").type == \
+        FileType.NotFound
+
+
+def _dataset_battery(fs, base, sample_table):
+    fs.create_dir(base)
+    ds.write_dataset(sample_table, f"{base}/t", partitioning=["year"],
+                     partitioning_flavor="hive", filesystem=fs)
+    data = ds.dataset(f"{base}/t",
+                      partitioning=ds.partitioning(flavor="hive"),
+                      filesystem=fs)
+    t = data.to_table()
+    assert t.num_rows == 5
+    pruned = data.to_table(filter=field("year") == 2021)
+    assert pruned.num_rows == 2
+
+
+def test_gcs_file_roundtrip():
+    em, fs = _gcs_fs()
+    with em:
+        _file_battery(fs, "bkt")
+
+
+def test_gcs_partitioned_dataset(sample_table):
+    em, fs = _gcs_fs()
+    with em:
+        _dataset_battery(fs, "lake", sample_table)
+
+
+def test_azure_file_roundtrip():
+    em, fs = _azure_fs()
+    with em:
+        _file_battery(fs, "ctr")
+
+
+def test_azure_partitioned_dataset(sample_table):
+    em, fs = _azure_fs()
+    with em:
+        _dataset_battery(fs, "lake", sample_table)
+
+
+def test_hdfs_file_roundtrip():
+    em, fs = _hdfs_fs()
+    with em:
+        _file_battery(fs, "/data")
+
+
+def test_hdfs_partitioned_dataset(sample_table):
+    em, fs = _hdfs_fs()
+    with em:
+        _dataset_battery(fs, "/lake", sample_table)
+
+
+def test_native_clients_are_default_names():
+    """arrow_tpu.fs exposes the native REST clients under the pyarrow
+    names (filesystem/s3fs.h, gcsfs.h, azurefs.h, hdfs.h)."""
+    from arrow_tpu import fs as afs
+    assert afs.S3FileSystem.__module__ == "arrow_tpu.fs_s3"
+    assert afs.GcsFileSystem.__module__ == "arrow_tpu.fs_gcs"
+    assert afs.AzureFileSystem.__module__ == "arrow_tpu.fs_azure"
+    assert afs.HadoopFileSystem.__module__ == "arrow_tpu.fs_hdfs"
