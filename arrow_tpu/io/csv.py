@@ -321,20 +321,25 @@ def _native_convert_column(block, ids, missing, co: ConvertOptions,
     from ..utils import bits as bitutil
 
     n = len(ids)
-    null_match = nat.csv_match_tokens(block, ids, co.null_values)
-    if null_match is None:
-        return None
-    null_match = null_match.astype(np.bool_)
-    if not co.quoted_strings_can_be_null:
-        null_match &= block.quoted[ids] == 0
-    nulls = null_match | missing
-    valid = ~nulls
 
-    def prim(t, values):
+    def match_nulls(sub_ids):
+        """null-token mask over sub_ids (converter.cc IsNull)."""
+        m = nat.csv_match_tokens(block, sub_ids, co.null_values)
+        if m is None:
+            return None
+        m = m.astype(np.bool_)
+        if not co.quoted_strings_can_be_null:
+            m &= block.quoted[sub_ids] == 0
+        return m
+
+    valid = None   # set before prim/boolean run
+
+    def prim(t, values, validity=None):
         dt = t.to_numpy_dtype()
         if values.dtype != dt:
             values = values.astype(dt)
-        return Array(ArrayData(t, n, [_make_validity(valid),
+        v = valid if validity is None else validity
+        return Array(ArrayData(t, n, [_make_validity(v),
                                       Buffer(values)]))
 
     def boolean(values):
@@ -352,6 +357,11 @@ def _native_convert_column(block, ids, missing, co: ConvertOptions,
                    Buffer(data)]))
 
     if explicit is not None:
+        nm = match_nulls(ids)
+        if nm is None:
+            return None
+        nulls = nm | missing
+        valid = ~nulls
         t = explicit
         if t.id == T.TypeId.NA:
             if not nulls.all():
@@ -403,25 +413,82 @@ def _native_convert_column(block, ids, missing, co: ConvertOptions,
                                       _replace_default(co),
                                       co.default_column_type)
 
-    # inference (reference resolution order, csv/inference_internal.h)
-    if nulls.all():
+    # inference (reference resolution order, csv/inference_internal.h),
+    # parse-first: numeric candidates are probed on a short prefix, then
+    # parsed WITHOUT a null-token prescan — parse failures are resolved
+    # against null tokens afterwards (usually a tiny subset), so a clean
+    # numeric column costs exactly one pass and a string column five
+    # 64-token probes instead of five full scans.
+    live = np.flatnonzero(~missing)
+    if len(live) == 0:
         return make_array([None] * n, T.null())
-    r = nat.csv_parse_int64(block, ids, nulls)
-    if r is not None:
-        return prim(T.int64(), r[0])
-    r = nat.csv_parse_float64(block, ids, nulls)
-    if r is not None:
-        return prim(T.float64(), r[0])
-    bv = nat.csv_parse_bool(block, ids, nulls, DEFAULT_TRUE, DEFAULT_FALSE)
+    pb_ids = ids[live[:64]]
+    pb_m = match_nulls(pb_ids)
+    if pb_m is None:
+        return None
+    pb_skip = pb_m.astype(np.uint8)
+    nulls = valid = None
+    if pb_m.all():
+        nm = match_nulls(ids)
+        nulls, valid = nm | missing, ~(nm | missing)
+        if nulls.all():
+            return make_array([None] * n, T.null())
+    miss8 = missing.astype(np.uint8)
+
+    def parse_first(parse, t):
+        if parse(block, pb_ids, pb_skip) is None:
+            return None
+        vals, ok, fails = parse(block, ids, miss8, strict=False)
+        okb = ok.astype(np.bool_)
+        if fails:
+            bad = np.flatnonzero(~okb & ~missing)
+            bm = match_nulls(ids[bad])
+            if bm is None or not bm.all():
+                return None          # genuine failure -> not this type
+        validity = okb & ~missing
+        if t.id == T.TypeId.DOUBLE:
+            # a parseable null token ("nan"/"NaN") must stay null
+            nan_idx = np.flatnonzero(np.isnan(vals) & validity)
+            if len(nan_idx):
+                nanm = match_nulls(ids[nan_idx])
+                if nanm is not None and nanm.any():
+                    validity[nan_idx[nanm]] = False
+        return prim(t, vals, validity)
+
+    out = parse_first(nat.csv_parse_int64, T.int64())
+    if out is not None:
+        return out
+    out = parse_first(nat.csv_parse_float64, T.float64())
+    if out is not None:
+        return out
+    # non-numeric candidates need the full null mask
+    if nulls is None:
+        nm = match_nulls(ids)
+        if nm is None:
+            return None
+        nulls, valid = nm | missing, ~(nm | missing)
+        if nulls.all():
+            return make_array([None] * n, T.null())
+    pb_live = pb_ids[~pb_m]
+    pb_zeros = np.zeros(len(pb_live), dtype=np.uint8)
+    bv = (nat.csv_parse_bool(block, ids, nulls, DEFAULT_TRUE,
+                             DEFAULT_FALSE)
+          if nat.csv_parse_bool(block, pb_live, pb_zeros, DEFAULT_TRUE,
+                                DEFAULT_FALSE) is not None else None)
     if bv is not None:
         return boolean(bv.astype(np.bool_))
     # date/timestamp: native bulk ISO parse first (value_parsing.h
     # ParseTimestampISO8601 analogue); a native abort falls through to
     # the python probe so exotic-but-valid ISO forms keep inferring.
-    d = nat.csv_parse_date32(block, ids, nulls)
+
+    def full_if(parse):
+        return (parse(block, ids, nulls)
+                if parse(block, pb_live, pb_zeros) is not None else None)
+
+    d = full_if(nat.csv_parse_date32)
     if d is not None:
         return prim(T.date32(), d)
-    us = nat.csv_parse_ts_micros(block, ids, nulls)
+    us = full_if(nat.csv_parse_ts_micros)
     if us is not None:
         return prim(T.timestamp("s"), _micros_to_unit(us, "s"))
     # probe the first non-null value before paying the python-loop

@@ -122,6 +122,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_parse_float64.restype = ctypes.c_int64
         lib.csv_parse_float64.argtypes = [ctypes.c_void_p] * 4 + \
             [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_parse_int64p.restype = ctypes.c_int64
+        lib.csv_parse_int64p.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_parse_float64p.restype = ctypes.c_int64
+        lib.csv_parse_float64p.argtypes = [ctypes.c_void_p] * 4 + \
+            [ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
         lib.csv_transpose_columns.restype = None
         lib.csv_transpose_columns.argtypes = [ctypes.c_void_p] * 4 + \
             [ctypes.c_int64] * 3 + [ctypes.c_void_p, ctypes.c_void_p]
@@ -377,10 +383,12 @@ def csv_parse_parallel(data: bytes, delimiter: str, quote_char,
 
 
 def csv_parse_int64(block: CsvBlock, ids: np.ndarray,
-                    skip: Optional[np.ndarray]
-                    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+                    skip: Optional[np.ndarray], strict: bool = True):
     """Bulk int64 parse of fields `ids`; returns (values, ok_mask) or
-    None when any field fails to parse (or no native lib)."""
+    None when any field fails to parse (or no native lib). With
+    strict=False, returns (values, ok_mask, failures) regardless —
+    callers resolve failures against null tokens themselves (the
+    parse-first inference path)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -394,6 +402,11 @@ def csv_parse_int64(block: CsvBlock, ids: np.ndarray,
         sptr = _ptr(skip)
     out = np.empty(n, np.int64)
     ok = np.empty(n, np.uint8)
+    if not strict:
+        failures = lib.csv_parse_int64p(
+            _ptr(block.pool), _ptr(block.offsets), _ptr(ids), sptr, n,
+            _ptr(out), _ptr(ok))
+        return out, ok, failures
     failures = lib.csv_parse_int64(_ptr(block.pool), _ptr(block.offsets),
                                    _ptr(ids), sptr, n, _ptr(out), _ptr(ok))
     if failures:
@@ -402,8 +415,7 @@ def csv_parse_int64(block: CsvBlock, ids: np.ndarray,
 
 
 def csv_parse_float64(block: CsvBlock, ids: np.ndarray,
-                      skip: Optional[np.ndarray]
-                      ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+                      skip: Optional[np.ndarray], strict: bool = True):
     lib = get_lib()
     if lib is None:
         return None
@@ -417,6 +429,11 @@ def csv_parse_float64(block: CsvBlock, ids: np.ndarray,
         sptr = _ptr(skip)
     out = np.empty(n, np.float64)
     ok = np.empty(n, np.uint8)
+    if not strict:
+        failures = lib.csv_parse_float64p(
+            _ptr(block.pool), _ptr(block.offsets), _ptr(ids), sptr, n,
+            _ptr(out), _ptr(ok))
+        return out, ok, failures
     failures = lib.csv_parse_float64(_ptr(block.pool), _ptr(block.offsets),
                                      _ptr(ids), sptr, n, _ptr(out),
                                      _ptr(ok))

@@ -860,6 +860,53 @@ int64_t csv_parse_float64(const uint8_t* pool, const int64_t* offsets,
   return 0;
 }
 
+// Permissive variants: record per-field ok and keep going, returning the
+// failure count — the parse-first inference path resolves failures
+// against null tokens afterwards instead of prescanning every field.
+int64_t csv_parse_int64p(const uint8_t* pool, const int64_t* offsets,
+                         const int64_t* ids, const uint8_t* skip,
+                         int64_t n, int64_t* out, uint8_t* ok) {
+  int64_t failures = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) { out[i] = 0; ok[i] = 1; continue; }
+    std::string_view v = csv_trim(csv_field(pool, offsets, ids[i]));
+    if (!v.empty() && v.front() == '+' && v.size() > 1) v.remove_prefix(1);
+    int64_t value = 0;
+    auto r = std::from_chars(v.data(), v.data() + v.size(), value);
+    if (r.ec == std::errc() && r.ptr == v.data() + v.size() && !v.empty()) {
+      out[i] = value;
+      ok[i] = 1;
+    } else {
+      out[i] = 0;
+      ok[i] = 0;
+      ++failures;
+    }
+  }
+  return failures;
+}
+
+int64_t csv_parse_float64p(const uint8_t* pool, const int64_t* offsets,
+                           const int64_t* ids, const uint8_t* skip,
+                           int64_t n, double* out, uint8_t* ok) {
+  int64_t failures = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (skip && skip[i]) { out[i] = 0.0; ok[i] = 1; continue; }
+    std::string_view v = csv_trim(csv_field(pool, offsets, ids[i]));
+    if (!v.empty() && v.front() == '+' && v.size() > 1) v.remove_prefix(1);
+    double value = 0.0;
+    auto r = std::from_chars(v.data(), v.data() + v.size(), value);
+    if (r.ec == std::errc() && r.ptr == v.data() + v.size() && !v.empty()) {
+      out[i] = value;
+      ok[i] = 1;
+    } else {
+      out[i] = 0.0;
+      ok[i] = 0;
+      ++failures;
+    }
+  }
+  return failures;
+}
+
 // Token-set matcher with (first char, length) quick reject: most fields
 // are numbers/words that share no first byte with the null spellings.
 struct CsvTokenSet {
