@@ -462,10 +462,20 @@ def _run_suite():
 
 
 def _run():
+    # persistent compile cache: chip sessions pre-warm every rung's
+    # program in .jax_cache (233 MB after CHIP_SESSION_r05), turning
+    # the driver's cold-process Q1/Q3 compiles from minutes into reads
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+    except Exception:  # noqa: BLE001 - cache is an optimization
+        pass
     if os.environ.get("ARROW_TPU_BENCH_PLATFORM") == "cpu":
         # the axon plugin overrides JAX_PLATFORMS, so force via config
         # (same dance as tests/conftest.py) — used for harness testing
-        import jax
         jax.config.update("jax_platforms", "cpu")
     if os.environ.get("ARROW_TPU_BENCH_SUITE") == "1":
         return _run_suite()
