@@ -64,7 +64,15 @@ def movement_mode() -> str:
                       "expected auto|sort|direct|scatter|gather — "
                       "using auto", stacklevel=2)
     import jax
-    return "direct" if jax.default_backend() == "cpu" else "sort"
+    if jax.default_backend() == "cpu":
+        return "direct"
+    # Pallas compaction auto-selects ONLY on banked chip evidence: a
+    # session A/B that measured the butterfly kernel faster than the
+    # sort path on this platform (platform_check.pallas_measured)
+    from ..platform_check import pallas_measured
+    if pallas_measured("compact"):
+        return "pallas"
+    return "sort"
 
 
 def use_sort_paths() -> bool:
@@ -360,6 +368,15 @@ def segment_reduce(values: jax.Array, gids: jax.Array, num_segments: int,
         ops = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
                "max": jax.ops.segment_max}
         return ops[op](values, gids, num_segments=num_segments)
+    if op == "sum" and values.dtype in (jnp.float32, jnp.float64) \
+            and identity == 0.0:
+        from ..platform_check import pallas_measured
+        from .pallas_move import MAX_SEGMENTS
+        if num_segments <= MAX_SEGMENTS and \
+                pallas_measured("group_sum"):
+            from .pallas_move import grouped_sum_pallas
+            return grouped_sum_pallas(values, gids.astype(jnp.int32),
+                                      num_segments)
     if num_segments <= _SMALL_SEGMENT_LOOP:
         return _segment_reduce_loop(values, gids, num_segments, op,
                                     identity)

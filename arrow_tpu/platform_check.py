@@ -216,6 +216,19 @@ def self_check(force: bool = False, jit_deadline: float = 120.0,
     return result
 
 
+def pallas_measured(name: str) -> bool:
+    """True when a chip session measured the Pallas path named `name`
+    ('compact', 'group_sum') FASTER than the XLA path on this platform
+    and banked it in the probe cache (chip_session_r5.py bank_probe).
+    The movement layer auto-selects Pallas only on this evidence —
+    never from a bare compile-probe."""
+    cached = cached_probe()
+    if not cached:
+        return False
+    return bool(cached.get("measured", {}).get(name)) and \
+        bool(cached.get("pallas", {}).get("ok"))
+
+
 def pallas_allowed() -> bool:
     """Availability of the Pallas TPU kernel tier, probe-backed.
 

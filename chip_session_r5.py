@@ -363,6 +363,47 @@ def main():
                                          "sum", 0.0)),
         (f64, keys8), 2 * 8 * nm, nm, deadline=600.0)
 
+    # bank the A/B verdicts into the platform probe cache: the movement
+    # layer auto-selects Pallas only on this measured evidence
+    # (platform_check.pallas_measured)
+    def bank_probe():
+        try:
+            from arrow_tpu import platform_check as pcheck
+            ms = {}
+            for line in open(OUT_PATH):
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "metric" in rec and "ms" in rec:
+                    ms[rec["metric"]] = rec["ms"]
+            if "filter_compact_4xf64_pallas_r5" not in ms and \
+                    "group_sum_512_pallas_r5" not in ms:
+                return           # no successful Pallas row: no claim
+            measured = {
+                "compact": ms.get("filter_compact_4xf64_pallas_r5",
+                                  float("inf")) <
+                ms.get("filter_compact_4xf64_r5", 0.0),
+                "group_sum": ms.get("group_sum_512_pallas_r5",
+                                    float("inf")) <
+                ms.get("group_sum_512_r5", 0.0),
+            }
+            stamp = {"ok": True, "secs": 0.0,
+                     "tail": "chip session r5 A/B"}
+            pcheck._write_cache({
+                "key": pcheck._cache_key(),
+                "kind": pcheck.platform_kind(), "ts": time.time(),
+                "trivial_jit": stamp, "f64_bitcast": stamp,
+                "pallas": stamp, "measured": measured,
+                "chosen": {"pallas_agg": "on", "sync_nodes": "on",
+                           "movement": "auto",
+                           "f64_planes": "bitcast"}})
+            bank({"phase": "probe_cache", **measured})
+        except Exception as e:  # noqa: BLE001
+            bank({"phase": "probe_cache_error", "error": repr(e)[:200]})
+
+    bank_probe()
+
     bank({"phase": "done", "total_s": round(time.time() - T_START, 1)})
 
 

@@ -111,3 +111,63 @@ def test_grouped_sum_rejects_oversize():
     g = jnp.zeros(10, jnp.int32)
     with pytest.raises(ValueError):
         grouped_sum_pallas(v, g, 4096, interpret=True)
+
+
+class TestMeasuredGating:
+    """Auto-selection of Pallas movement rides ONLY on banked chip A/B
+    evidence (platform_check.pallas_measured)."""
+
+    def _fake_cache(self, monkeypatch, measured):
+        from arrow_tpu import platform_check as pc
+        fake = {"key": "k", "kind": "tpu",
+                "pallas": {"ok": True},
+                "measured": measured}
+        monkeypatch.setattr(pc, "cached_probe", lambda: fake)
+
+    def test_pallas_measured_reads_cache(self, monkeypatch):
+        from arrow_tpu import platform_check as pc
+        self._fake_cache(monkeypatch, {"compact": True,
+                                       "group_sum": False})
+        assert pc.pallas_measured("compact")
+        assert not pc.pallas_measured("group_sum")
+
+    def test_no_cache_means_no_pallas(self, monkeypatch):
+        from arrow_tpu import platform_check as pc
+        monkeypatch.setattr(pc, "cached_probe", lambda: None)
+        assert not pc.pallas_measured("compact")
+
+    def test_movement_mode_auto_uses_evidence(self, monkeypatch):
+        import jax
+        from arrow_tpu import platform_check as pc
+        from arrow_tpu.compute import move
+        monkeypatch.delenv("ARROW_TPU_MOVEMENT", raising=False)
+        self._fake_cache(monkeypatch, {"compact": True})
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert move.movement_mode() == "pallas"
+        self._fake_cache(monkeypatch, {"compact": False})
+        assert move.movement_mode() == "sort"
+
+    def test_segment_reduce_routes_to_pallas(self, monkeypatch):
+        """With group_sum evidence banked, segment_reduce produces the
+        same result through the Pallas kernel (interpreter mode)."""
+        import jax.numpy as jnp
+        import numpy as np
+        from arrow_tpu import platform_check as pc
+        from arrow_tpu.compute import move, pallas_move
+        self._fake_cache(monkeypatch, {"group_sum": True})
+        monkeypatch.setenv("ARROW_TPU_MOVEMENT", "sort")
+        called = {}
+        real = pallas_move.grouped_sum_pallas
+
+        def spy(values, gids, num_segments, **kw):
+            called["yes"] = True
+            return real(values, gids, num_segments, interpret=True)
+        monkeypatch.setattr(pallas_move, "grouped_sum_pallas", spy)
+        rng = np.random.default_rng(0)
+        v = jnp.asarray(rng.normal(size=4096))
+        g = jnp.asarray(rng.integers(0, 16, 4096).astype(np.int32))
+        out = move.segment_reduce(v, g, 16, "sum", 0.0)
+        assert called.get("yes")
+        expect = np.zeros(16)
+        np.add.at(expect, np.asarray(g), np.asarray(v))
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-9)
