@@ -1,10 +1,10 @@
 #!/usr/bin/env python
-"""Assemble round-4 perf artifacts from banked chip-session rows.
+"""Assemble round-5 perf artifacts from banked chip-session rows.
 
-CHIP_SESSION_r04.jsonl accumulates every successful measurement across
+CHIP_SESSION_r05.jsonl accumulates every successful measurement across
 sessions (append + fsync at bank time). This script folds them into:
-  BENCH_MICRO_r04.json — best (lowest-ms) row per micro metric
-  BENCH_SESSION_r04.json — every Q1/Q3 macro row, in order
+  BENCH_MICRO_r05.json — best (lowest-ms) row per micro metric
+  BENCH_SESSION_r05.json — every Q1/Q3 macro row, in order
 Run at any time; idempotent.
 """
 
@@ -12,7 +12,7 @@ import json
 import os
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "CHIP_SESSION_r04.jsonl")
+SRC = os.path.join(HERE, "CHIP_SESSION_r05.jsonl")
 
 
 def main():
@@ -38,14 +38,14 @@ def main():
                 best = micro.get(m)
                 if best is None or rec["ms"] < best["ms"]:
                     micro[m] = rec
-    with open(os.path.join(HERE, "BENCH_MICRO_r04.json"), "w") as f:
-        json.dump({"source": "CHIP_SESSION_r04.jsonl",
+    with open(os.path.join(HERE, "BENCH_MICRO_r05.json"), "w") as f:
+        json.dump({"source": "CHIP_SESSION_r05.jsonl",
                    "hardware": "v5e via axon tunnel (1 chip)",
                    "rows": sorted(micro.values(),
                                   key=lambda r: r["metric"]),
                    "watchdog_exits": notes}, f, indent=1)
-    with open(os.path.join(HERE, "BENCH_SESSION_r04.json"), "w") as f:
-        json.dump({"source": "CHIP_SESSION_r04.jsonl",
+    with open(os.path.join(HERE, "BENCH_SESSION_r05.json"), "w") as f:
+        json.dump({"source": "CHIP_SESSION_r05.jsonl",
                    "rows": macros}, f, indent=1)
     print(f"micro metrics: {len(micro)}; macro rows: {len(macros)}")
 
