@@ -351,6 +351,10 @@ def __getattr__(name):
                    name)
 
 
+def __dir__():
+    return sorted(list(globals()) + list(_NATIVE_FS))
+
+
 # --- pyarrow.fs name parity --------------------------------------------------
 
 FileStats = FileInfo  # deprecated pyarrow alias
