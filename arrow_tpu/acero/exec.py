@@ -490,6 +490,9 @@ class Declaration:
                                     chunk_rows=chunk_rows,
                                     distributed=distributed, mesh=mesh)
             self.last_query_context = qc
+            if os.environ.get("ARROW_TPU_OTEL_EXPORT"):
+                from ..utils.otel import export_query
+                export_query(qc, plan_name=self.factory_name)
             return out
         # column-pruning rewrite (prune.py): narrows hashjoin output
         # projections / sources / projects to what the plan above needs.

@@ -364,3 +364,73 @@ def test_sparse_csf_tensor():
     buf = io.BytesIO()
     write_sparse_tensor(sy, buf)
     assert np.array_equal(read_sparse_tensor(buf.getvalue()).to_dense(), Y)
+
+
+class TestOtelExport:
+    """OTLP/JSON trace export of query node metrics (reference:
+    util/tracing.h + opentelemetry OTLP exporter)."""
+
+    def _run_query(self, tmp_path, dest):
+        import os
+
+        import arrow_tpu as at
+        from arrow_tpu import acero
+        from arrow_tpu.acero.query_context import QueryOptions
+        t = at.table({"a": [1, 2, 3, 4], "b": [1.0, 2.0, 3.0, 4.0]})
+        decl = acero.Declaration(
+            "filter", acero.FilterNodeOptions(acero.field("a") > 1),
+            inputs=[acero.Declaration(
+                "table_source", acero.TableSourceNodeOptions(t))])
+        os.environ["ARROW_TPU_OTEL_EXPORT"] = dest
+        try:
+            out = decl.to_table(query_options=QueryOptions())
+        finally:
+            del os.environ["ARROW_TPU_OTEL_EXPORT"]
+        assert out.num_rows == 3
+        return decl.last_query_context
+
+    def test_otlp_file_export(self, tmp_path):
+        import json
+        path = str(tmp_path / "traces.jsonl")
+        self._run_query(tmp_path, path)
+        lines = open(path).read().strip().splitlines()
+        assert len(lines) == 1
+        payload = json.loads(lines[0])
+        spans = payload["resourceSpans"][0]["scopeSpans"][0]["spans"]
+        assert len(spans) >= 2                       # root + nodes
+        names = {s["name"] for s in spans}
+        assert any("filter" in n or "table_source" in n or
+                   n == "filter" for n in names), names
+        root = spans[0]
+        assert all(s.get("parentSpanId") == root["spanId"]
+                   for s in spans[1:])
+        assert payload["resourceSpans"][0]["resource"][
+            "attributes"][0]["value"]["stringValue"] == "arrow_tpu"
+
+    def test_otlp_http_export(self, tmp_path):
+        """POSTs to a live OTLP/HTTP-shaped collector endpoint."""
+        import json
+        import threading
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+        got = []
+
+        class Collector(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                got.append(json.loads(self.rfile.read(n)))
+                self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        srv = HTTPServer(("127.0.0.1", 0), Collector)
+        thr = threading.Thread(target=srv.serve_forever, daemon=True)
+        thr.start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/v1/traces"
+            self._run_query(tmp_path, url)
+            assert got and "resourceSpans" in got[0]
+        finally:
+            srv.shutdown()
