@@ -138,8 +138,8 @@ def main():
     from __graft_entry__ import _q1_chain_decls
 
     # ---- 1. Q3 device-gen ladder (the round's #1 deliverable) -------
-    def q3_rung(sf, iters):
-        name = f"tpch_q3_sf{sf:g}_rows_per_s"
+    def q3_rung(sf, iters, suffix=""):
+        name = f"tpch_q3_sf{sf:g}{suffix}_rows_per_s"
         if name in _DONE:
             return
         from arrow_tpu.io.tpch_device import q3_device_plan
@@ -173,8 +173,8 @@ def main():
     q3_phase()
 
     # ---- 2. Q1 8-aggregate ladder ------------------------------------
-    def q1_rung(sf, iters):
-        name = f"tpch_q1_sf{sf:g}_8agg_rows_per_s"
+    def q1_rung(sf, iters, suffix=""):
+        name = f"tpch_q1_sf{sf:g}_8agg{suffix}_rows_per_s"
         if name in _DONE:
             return
         from arrow_tpu.io.tpch_device import q1_device_batch
@@ -403,6 +403,26 @@ def main():
             bank({"phase": "probe_cache_error", "error": repr(e)[:200]})
 
     bank_probe()
+
+    # ---- 6. post-probe pre-warm: once measured evidence enables the
+    # Pallas movement/agg routing, the macro programs CHANGE — compile
+    # them into the persistent cache now so the driver's bench.py run
+    # hits warm compiles instead of cold Mosaic compiles on the tunnel
+    def postprobe_phase():
+        from arrow_tpu import platform_check as pcheck
+        cached = pcheck.cached_probe() or {}
+        meas = cached.get("measured", {})
+        if not (meas.get("compact") or meas.get("group_sum")):
+            bank({"phase": "postprobe_skip", "measured": meas})
+            return
+        if remaining() > 420:
+            guarded("tpch_q1_postprobe", 1200, q1_rung, SF_TOP / 10, 5,
+                    "_postprobe")
+        if remaining() > 600:
+            guarded("tpch_q3_postprobe", 1800, q3_rung, SF_TOP / 10, 3,
+                    "_postprobe")
+
+    postprobe_phase()
 
     bank({"phase": "done", "total_s": round(time.time() - T_START, 1)})
 
