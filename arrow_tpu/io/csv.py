@@ -1161,6 +1161,71 @@ def _format_value(v) -> str:
     return str(v)
 
 
+def _raw_format_column(col, delim: str):
+    """(offsets int64[n+1], pool u8) of csv-ready cells for one column,
+    staying in native byte pools end to end (no python string
+    materialization), or None when the type needs another path.
+    Supported: ints (<= int64 range), float64, string (+dictionary of
+    string)."""
+    import numpy as np
+
+    from .. import native as nat
+    from .. import types as T
+    if nat.get_lib() is None:
+        return None
+    arr = col.combine() if hasattr(col, "combine") else col
+    t = arr.type
+    if t.id == T.TypeId.DICTIONARY:
+        if t.value_type.id not in (T.TypeId.STRING,
+                                   T.TypeId.LARGE_STRING):
+            return None
+        try:
+            arr = arr.cast(t.value_type)
+        except Exception:  # noqa: BLE001
+            return None
+        t = arr.type
+    valid = arr.is_valid_mask() if arr.null_count else None
+    if t.is_integer:
+        try:
+            a = np.asarray(arr.data.values(), dtype=t.to_numpy_dtype())
+        except (ValueError, TypeError):
+            return None
+        if t.id == T.TypeId.UINT64 and len(a) and \
+                a.max() > np.iinfo(np.int64).max:
+            return None
+        return nat.csv_format_i64(a.astype(np.int64, copy=False),
+                                  valid, raw=True)
+    if t.id == T.TypeId.DOUBLE:
+        try:
+            a = np.asarray(arr.data.values(), dtype=np.float64)
+        except (ValueError, TypeError):
+            return None
+        return nat.csv_format_f64(a, valid, raw=True)
+    if t.id in (T.TypeId.STRING, T.TypeId.LARGE_STRING):
+        offs = np.asarray(arr.data.offsets())
+        if offs.dtype != np.int32:
+            if len(offs) and offs[-1] > np.iinfo(np.int32).max:
+                return None
+            offs = offs.astype(np.int32)
+        pool = np.asarray(arr.data.data_bytes())
+        return nat.csv_quote_cells(pool, offs, valid, delim)
+    return None
+
+
+def _write_csv_body_native(data, names, delim: str):
+    """Whole CSV body as one u8 array via the native per-column
+    formatters + row interleave (csv/writer.cc assembly analogue), or
+    None when any column needs the generic path."""
+    from .. import native as nat
+    cols = []
+    for nm in names:
+        r = _raw_format_column(data.column(nm), delim)
+        if r is None:
+            return None
+        cols.append(r)
+    return nat.csv_interleave(cols, data.num_rows, delim)
+
+
 def _fast_format_column(col, delim: str):
     """One list of csv-ready cell strings for a primitive column, or
     None when the type needs the generic row path. Numerics format in
@@ -1239,6 +1304,25 @@ def write_csv(data: Union[Table, RecordBatch], sink,
     names = data.column_names
     if wo.include_header:
         w.writerow(names)
+    # fastest path: int64/float64/string columns stay native byte
+    # pools end to end — per-column C formatters + one C row
+    # interleave, no python string materialization at all
+    if wo.quoting_style == "needed" and _single_ascii(wo.delimiter) \
+            and data.num_rows:
+        body = _write_csv_body_native(data, names, wo.delimiter)
+        if body is not None:
+            raw = getattr(text, "buffer", None)
+            if raw is not None:
+                text.flush()
+                raw.write(body.tobytes())
+            else:
+                text.write(body.tobytes().decode("utf8"))
+            if wrap:
+                text.flush()
+                text.detach()
+            if close:
+                text.close()
+            return
     # fast path: all-primitive columns pre-format per COLUMN (C-level
     # U-casts + one quoting pass), rows assemble with zip + join —
     # ~10x over per-cell csv.writer (reference: csv/writer.cc casts

@@ -174,6 +174,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_format_f64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.csv_quote_cells.restype = ctypes.c_int64
+        lib.csv_quote_cells.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_uint8, ctypes.c_void_p,
+            ctypes.c_void_p]
+        lib.csv_interleave.restype = ctypes.c_int64
+        lib.csv_interleave.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_uint8, ctypes.c_void_p]
         lib.csv_format_i64.restype = ctypes.c_int64
         lib.csv_format_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -842,7 +851,8 @@ def snappy_compress(data: bytes) -> Optional[bytes]:
     return out[:n].tobytes()
 
 
-def csv_format_f64(vals: np.ndarray, valid: Optional[np.ndarray]):
+def csv_format_f64(vals: np.ndarray, valid: Optional[np.ndarray],
+                   raw: bool = False):
     """Shortest-round-trip decimal strings for an f64 column
     (std::to_chars; csv/writer.cc float formatting analogue). Returns a
     list of str (invalid rows -> ""), or None without the native lib.
@@ -862,12 +872,15 @@ def csv_format_f64(vals: np.ndarray, valid: Optional[np.ndarray]):
         vptr = _ptr(valid)
     total = lib.csv_format_f64(_ptr(vals), vptr, n, _ptr(pool),
                                _ptr(offs))
+    if raw:
+        return offs, pool[:total]
     text = pool[:total].tobytes().decode("ascii")
     ol = offs.tolist()
     return [text[ol[i]:ol[i + 1]] for i in range(n)]
 
 
-def csv_format_i64(vals: np.ndarray, valid: Optional[np.ndarray]):
+def csv_format_i64(vals: np.ndarray, valid: Optional[np.ndarray],
+                   raw: bool = False):
     lib = get_lib()
     if lib is None:
         return None
@@ -881,9 +894,59 @@ def csv_format_i64(vals: np.ndarray, valid: Optional[np.ndarray]):
         vptr = _ptr(valid)
     total = lib.csv_format_i64(_ptr(vals), vptr, n, _ptr(pool),
                                _ptr(offs))
+    if raw:
+        return offs, pool[:total]
     text = pool[:total].tobytes().decode("ascii")
     ol = offs.tolist()
     return [text[ol[i]:ol[i + 1]] for i in range(n)]
+
+
+def csv_quote_cells(pool: np.ndarray, offsets_i32: np.ndarray,
+                    valid: Optional[np.ndarray], delim: str):
+    """QUOTE_MINIMAL pass over a string column's (pool, i32 offsets);
+    returns (offsets int64[n+1], quoted pool u8) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(offsets_i32) - 1
+    pool = np.ascontiguousarray(pool, np.uint8)
+    offsets_i32 = np.ascontiguousarray(offsets_i32, np.int32)
+    vptr = None
+    if valid is not None:
+        valid = np.ascontiguousarray(valid, np.uint8)
+        vptr = _ptr(valid)
+    out_pool = np.empty(2 * len(pool) + 2 * n + 2, np.uint8)
+    out_offs = np.empty(n + 1, np.int64)
+    total = lib.csv_quote_cells(_ptr(pool), _ptr(offsets_i32), vptr, n,
+                                ord(delim), _ptr(out_pool),
+                                _ptr(out_offs))
+    return out_offs, out_pool[:total]
+
+
+def csv_interleave(cols, n: int, delim: str) -> Optional[np.ndarray]:
+    """Interleave per-column (offsets int64[n+1], pool u8) pairs into
+    one CSV body (delim-joined cells, CRLF rows); returns u8 array."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ncols = len(cols)
+    offs_arr = (ctypes.c_void_p * ncols)()
+    pool_arr = (ctypes.c_void_p * ncols)()
+    total = n * (ncols + 1)          # delims + CRLF
+    keep = []
+    for i, (offs, pool) in enumerate(cols):
+        offs = np.ascontiguousarray(offs, np.int64)
+        pool = np.ascontiguousarray(pool, np.uint8)
+        keep.append((offs, pool))
+        offs_arr[i] = _ptr(offs)
+        pool_arr[i] = _ptr(pool)
+        total += int(offs[-1])
+    out = np.empty(total, np.uint8)
+    written = lib.csv_interleave(ncols, ctypes.cast(offs_arr,
+                                                   ctypes.c_void_p),
+                                 ctypes.cast(pool_arr, ctypes.c_void_p),
+                                 n, ord(delim), _ptr(out))
+    return out[:written]
 
 
 def orc_rlev2_decode(data: bytes, n: int, signed: bool):

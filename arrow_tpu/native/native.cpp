@@ -1562,22 +1562,43 @@ int64_t csv_format_f64(const double* vals, const uint8_t* valid,
         if (v < 0) { std::memcpy(out + pos, "-inf", 4); pos += 4; }
         else { std::memcpy(out + pos, "inf", 3); pos += 3; }
       } else {
-        auto res = std::to_chars(out + pos, out + pos + 32, v);
+        char* tok = out + pos;
+        auto res = std::to_chars(tok, tok + 32, v);
         pos = res.ptr - out;
-        // python floats always show a decimal point or exponent;
-        // to_chars writes integral doubles as "42" -> append ".0"
-        // (scan the emitted token for '.'/'e')
-        bool plain = true;
-        for (char* c = out + (offsets[i] == 0 && i == 0 ? 0 : offsets[i]);
-             c < out + pos; ++c) {
-          if (*c == '.' || *c == 'e' || *c == 'n' || *c == 'i') {
-            plain = false;
-            break;
+        // python-repr normalization: to_chars picks scientific
+        // whenever shorter ("1e-04", "1e+15"); python repr keeps
+        // fixed for -4 <= exponent < 16 — rewrite those in place
+        char* epos = nullptr;
+        for (char* c = tok; c < out + pos; ++c) {
+          if (*c == 'e') { epos = c; break; }
+        }
+        if (epos) {
+          int exp = atoi(epos + 1);
+          if (exp >= -4 && exp < 16) {
+            auto fres = std::to_chars(tok, tok + 32, v,
+                                      std::chars_format::fixed);
+            pos = fres.ptr - out;
+            epos = nullptr;  // now fixed: fall through to '.' check
           }
         }
-        if (plain) {
-          out[pos++] = '.';
-          out[pos++] = '0';
+        if (!epos && std::fabs(v) >= 1e16) {
+          // python switches to scientific at 1e16 even when fixed is
+          // shorter ("843053430426600064" -> "8.430534304266001e+17")
+          auto sres = std::to_chars(tok, tok + 32, v,
+                                    std::chars_format::scientific);
+          pos = sres.ptr - out;
+        } else if (!epos) {
+          bool plain = true;
+          for (char* c = tok; c < out + pos; ++c) {
+            if (*c == '.' || *c == 'e' || *c == 'n' || *c == 'i') {
+              plain = false;
+              break;
+            }
+          }
+          if (plain) {
+            out[pos++] = '.';
+            out[pos++] = '0';
+          }
         }
       }
     }
@@ -1597,6 +1618,64 @@ int64_t csv_format_i64(const int64_t* vals, const uint8_t* valid,
       pos = res.ptr - out;
     }
     offsets[i + 1] = pos;
+  }
+  return pos;
+}
+
+// QUOTE_MINIMAL pass over a (pool, i32 offsets) string column: cells
+// containing the delimiter, quotes, or newlines are wrapped with
+// embedded quotes doubled; invalid cells emit empty. out_pool must
+// hold 2*len(pool) + 2n bytes (csv/writer.cc quoting analogue).
+int64_t csv_quote_cells(const uint8_t* pool, const int32_t* offsets,
+                        const uint8_t* valid, int64_t n, uint8_t delim,
+                        uint8_t* out_pool, int64_t* out_offsets) {
+  int64_t pos = 0;
+  out_offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!valid || valid[i]) {
+      int32_t a = offsets[i], b = offsets[i + 1];
+      bool needs = false;
+      for (int32_t j = a; j < b; ++j) {
+        uint8_t c = pool[j];
+        if (c == delim || c == '"' || c == '\n' || c == '\r') {
+          needs = true;
+          break;
+        }
+      }
+      if (!needs) {
+        std::memcpy(out_pool + pos, pool + a, b - a);
+        pos += b - a;
+      } else {
+        out_pool[pos++] = '"';
+        for (int32_t j = a; j < b; ++j) {
+          uint8_t c = pool[j];
+          out_pool[pos++] = c;
+          if (c == '"') out_pool[pos++] = '"';
+        }
+        out_pool[pos++] = '"';
+      }
+    }
+    out_offsets[i + 1] = pos;
+  }
+  return pos;
+}
+
+// Row-major interleave of pre-formatted column cell pools into one CSV
+// body: cells joined by delim, rows terminated with \r\n. Returns
+// bytes written (csv/writer.cc's final assembly, minus its buffering).
+int64_t csv_interleave(int64_t ncols, const int64_t* const* offsets,
+                       const uint8_t* const* pools, int64_t n,
+                       uint8_t delim, uint8_t* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t c = 0; c < ncols; ++c) {
+      if (c) out[pos++] = delim;
+      int64_t a = offsets[c][i], b = offsets[c][i + 1];
+      std::memcpy(out + pos, pools[c] + a, b - a);
+      pos += b - a;
+    }
+    out[pos++] = '\r';
+    out[pos++] = '\n';
   }
   return pos;
 }
