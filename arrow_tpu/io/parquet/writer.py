@@ -261,7 +261,7 @@ class ParquetWriter:
     def __init__(self, sink: Union[str, BinaryIO], schema: Schema,
                  compression: Optional[str] = None,
                  use_dictionary: bool = True,
-                 write_bloom_filters: bool = True,
+                 write_bloom_filters: bool = False,
                  column_encoding=None,
                  encryption_properties=None,
                  data_page_size: Optional[int] = 1024 * 1024):

@@ -317,7 +317,8 @@ def test_bloom_filter_write_read_prune():
     t3 = at.table({"a": [1, 5, 9], "s": ["aa", "bb", "cc"]})
     t4 = at.table({"a": [2, 6, 10], "s": ["dd", "ee", "ff"]})
     buf = io.BytesIO()
-    w = pq.ParquetWriter(buf, t3.schema)
+    # blooms are opt-in since round 5 (pyarrow's writer default too)
+    w = pq.ParquetWriter(buf, t3.schema, write_bloom_filters=True)
     w.write_table(t3)
     w.write_table(t4)
     w.close()
