@@ -593,6 +593,13 @@ def _rlev2_encode(vals: np.ndarray, signed: bool) -> bytes:
     n = len(vals)
     if n == 0:
         return b""
+    if n >= 64:
+        from ..native import orc_rlev2_encode
+        native = orc_rlev2_encode(np.asarray(vals).astype(np.int64,
+                                                          copy=False),
+                                  signed)
+        if native is not None:
+            return native
     if signed:
         u = _zigzag(np.asarray(vals, np.int64))
     else:
@@ -722,12 +729,27 @@ def _encode_column(arr: Array, kind: int):
         streams.append((_S_DATA, vals.tobytes()))
         return streams, 0, 0
     if kind in (_K_STRING, _K_BINARY):
-        vals = [v for v, ok in zip(arr.to_pylist(), mask) if ok]
-        raws = [v.encode() if isinstance(v, str) else bytes(v)
-                for v in vals]
-        lens = np.fromiter((len(r) for r in raws), np.int64,
-                           count=len(raws))
-        streams.append((_S_DATA, b"".join(raws)))
+        # stay on the (offsets, pool) buffers — no python string
+        # materialization (the to_pylist round trip was ~500 ms of a
+        # 1M-row table write)
+        offs = np.asarray(arr.data.offsets(), dtype=np.int64)
+        pool = np.asarray(arr.data.data_bytes())
+        lens_all = np.diff(offs)
+        if has_nulls:
+            lens = lens_all[mask]
+            ids = np.flatnonzero(mask).astype(np.int64)
+            from ..native import gather_var_bytes
+            g = gather_var_bytes(pool, offs, ids) if len(ids) else None
+            if g is not None:
+                data = g[1].tobytes()
+            else:
+                ol = offs.tolist()
+                raw = pool.tobytes()
+                data = b"".join(raw[ol[i]:ol[i + 1]] for i in ids)
+        else:
+            lens = lens_all
+            data = pool[offs[0]:offs[-1]].tobytes()
+        streams.append((_S_DATA, data))
         streams.append((_S_LENGTH, _rlev2_encode(lens, False)))
         return streams, 2, 0
     if kind == _K_TIMESTAMP:

@@ -187,6 +187,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.csv_format_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.orc_rlev2_encode.restype = ctypes.c_int64
+        lib.orc_rlev2_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p]
         lib.orc_rlev2_decode.restype = ctypes.c_int64
         lib.orc_rlev2_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -947,6 +951,20 @@ def csv_interleave(cols, n: int, delim: str) -> Optional[np.ndarray]:
                                  ctypes.cast(pool_arr, ctypes.c_void_p),
                                  n, ord(delim), _ptr(out))
     return out[:written]
+
+
+def orc_rlev2_encode(vals: np.ndarray, signed: bool) -> Optional[bytes]:
+    """ORC RLEv2 encode (SHORT_REPEAT + DIRECT subset), byte-identical
+    to io/orc.py's python encoder; None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.int64)
+    n = len(vals)
+    out = np.empty(9 * n + 2 * (n // 512 + 2) + 16, np.uint8)
+    written = lib.orc_rlev2_encode(_ptr(vals), n, 1 if signed else 0,
+                                   _ptr(out))
+    return out[:written].tobytes()
 
 
 def orc_rlev2_decode(data: bytes, n: int, signed: bool):

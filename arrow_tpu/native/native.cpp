@@ -1682,6 +1682,98 @@ int64_t csv_interleave(int64_t ncols, const int64_t* const* offsets,
 
 
 // ---------------------------------------------------------------------------
+// ORC RLEv2 encode (SHORT_REPEAT runs + DIRECT literals — the same
+// always-decodable subset as the python encoder in io/orc.py, emitted
+// byte-identically). out must hold 9*n + 2*(n/512+2) bytes.
+// ---------------------------------------------------------------------------
+
+static const int kOrcWidthEnc[32] = {
+  1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,
+  26,28,30,32,40,48,56,64};
+
+int64_t orc_rlev2_encode(const int64_t* vals, int64_t n,
+                         int32_t is_signed, uint8_t* out) {
+  if (n == 0) return 0;
+  std::vector<uint64_t> u(static_cast<size_t>(n));
+  if (is_signed) {
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t v = vals[i];
+      u[i] = (static_cast<uint64_t>(v) << 1) ^
+             static_cast<uint64_t>(v >> 63);
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i) u[i] = static_cast<uint64_t>(vals[i]);
+  }
+  uint8_t* p = out;
+
+  auto emit_direct = [&](int64_t lo, int64_t hi) {
+    for (int64_t c0 = lo; c0 < hi; c0 += 512) {
+      int64_t cnt = std::min<int64_t>(512, hi - c0);
+      uint64_t mx = 0;
+      for (int64_t k = 0; k < cnt; ++k) mx |= u[c0 + k];
+      int width = mx ? 64 - __builtin_clzll(mx) : 1;
+      int wc = 0;
+      while (kOrcWidthEnc[wc] < width) ++wc;
+      int cw = kOrcWidthEnc[wc];
+      *p++ = static_cast<uint8_t>((1 << 6) | (wc << 1) |
+                                  ((cnt - 1) >> 8));
+      *p++ = static_cast<uint8_t>((cnt - 1) & 0xFF);
+      int nb = 0;
+      uint8_t cur = 0;
+      for (int64_t k = 0; k < cnt; ++k) {
+        uint64_t v = u[c0 + k];
+        int rem = cw;
+        while (rem > 0) {
+          int take = rem < 8 - nb ? rem : 8 - nb;
+          uint64_t bits = (v >> (rem - take)) &
+                          ((1ull << take) - 1);
+          cur = static_cast<uint8_t>((cur << take) | bits);
+          nb += take;
+          rem -= take;
+          if (nb == 8) {
+            *p++ = cur;
+            cur = 0;
+            nb = 0;
+          }
+        }
+      }
+      if (nb) *p++ = static_cast<uint8_t>(cur << (8 - nb));
+    }
+  };
+
+  int64_t i = 0;
+  while (i < n) {
+    int64_t run = 1;
+    while (i + run < n && u[i + run] == u[i]) ++run;
+    if (run >= 3) {
+      uint64_t v = u[i];
+      int width = v ? 64 - __builtin_clzll(v) : 0;
+      int nbytes = v ? (width + 7) / 8 : 1;
+      int64_t left = run;
+      while (left >= 3) {
+        int take = static_cast<int>(std::min<int64_t>(left, 10));
+        *p++ = static_cast<uint8_t>(((nbytes - 1) << 3) | (take - 3));
+        for (int b = nbytes - 1; b >= 0; --b)
+          *p++ = static_cast<uint8_t>(v >> (8 * b));
+        left -= take;
+      }
+      if (left) emit_direct(i + run - left, i + run);
+      i += run;
+    } else {
+      int64_t lo = i;
+      while (i < n) {
+        int64_t r2 = 1;
+        while (i + r2 < n && u[i + r2] == u[i]) ++r2;
+        if (r2 >= 3) break;
+        i += r2;
+      }
+      emit_direct(lo, i);
+    }
+  }
+  return p - out;
+}
+
+// ---------------------------------------------------------------------------
 // ORC RLEv2 decode (SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA) —
 // liborc RleDecoderV2 analogue. MSB-first bit packing, big-endian
 // bases, zigzag for signed. Returns bytes consumed or -1 on overrun.
