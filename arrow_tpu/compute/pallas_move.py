@@ -72,12 +72,12 @@ def _linear_roll_left(x, s, block_rows):
     flat = row * _LANES + lane
 
     def roll_l(v, amt, axis, size):
-        # pltpu.roll wants non-negative shifts: left by amt == right by
-        # size - amt
+        # jnp.roll (concatenate-of-slices) — this backend's tpu.roll op
+        # fails verification, the concatenate form lowers fine
         amt = amt % size
         if amt == 0:
             return v
-        return pltpu.roll(v, size - amt, axis=axis)
+        return jnp.roll(v, -amt, axis=axis)
 
     if s % _LANES == 0:
         out = roll_l(x, s // _LANES, 0, block_rows)
@@ -89,58 +89,63 @@ def _linear_roll_left(x, s, block_rows):
     return jnp.where(flat < w - s, out, jnp.zeros_like(out))
 
 
-def _compact_kernel(n_planes, block_rows, bases_ref, keep_ref, *rest):
-    """rest = plane_refs..., out_refs..., sem. Sequential grid over
-    blocks; each block butterfly-compacts in VMEM, then DMAs its full
-    tile window to the output at its base offset (next block's window
-    overwrites the junk tail)."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _compact_kernel(n_planes, block_rows, keep_ref, *rest):
+    """rest = plane_refs..., out_refs... — ONE tile, gridless: the
+    butterfly compacts the (block_rows, 128) tile in VMEM and writes
+    the compacted tile (junk tail) to the same-shaped outputs; the
+    caller stitches tiles at their base offsets in XLA."""
+    w = block_rows * _LANES
     plane_refs = rest[:n_planes]
     out_refs = rest[n_planes:2 * n_planes]
-    sems = rest[2 * n_planes]
-    i = pl.program_id(0)
-    w = block_rows * _LANES
 
     keep = keep_ref[:, :] != 0
     # exclusive prefix (row-major flat order) of DROPPED flags =
     # each element's total left shift
-    drop = jnp.where(keep, 0, 1).astype(jnp.int32)
-    lane_ps = jnp.cumsum(drop, axis=1)
-    row_tot = lane_ps[:, _LANES - 1:_LANES]
-    row_carry = jnp.cumsum(row_tot, axis=0) - row_tot
+    # x64 mode makes weak python-int literals int64, and Mosaic's
+    # 64-bit convert support recurses in _convert_helper — pin every
+    # in-kernel integer to int32 explicitly
+    drop = jnp.where(keep, jnp.int32(0), jnp.int32(1))
+
+    def _inclusive_scan(x, axis, size):
+        # Mosaic has no cumsum primitive (and this backend's pad
+        # lowering recurses): log-depth shifted adds (Hillis-Steele)
+        # with zero-filled shifts built from concatenate+slice
+        step = 1
+        while step < size:
+            if axis == 1:
+                z = jnp.zeros((x.shape[0], step), x.dtype)
+                x = x + jnp.concatenate([z, x[:, :-step]], axis=1)
+            else:
+                z = jnp.zeros((step, x.shape[1]), x.dtype)
+                x = x + jnp.concatenate([z, x[:-step, :]], axis=0)
+            step *= 2
+        return x
+
+    lane_ps = _inclusive_scan(drop, 1, _LANES)
+    # row carry stays FULL-WIDTH: narrow (R,1) scans crash this
+    # backend's compiler (bisected); the broadcast costs nothing on a
+    # 128-lane VPU
+    row_tot = jnp.zeros_like(drop) + lane_ps[:, _LANES - 1:_LANES]
+    row_carry = _inclusive_scan(row_tot, 0, block_rows) - row_tot
     shift = lane_ps - drop + row_carry
     # dropped elements never move (and never pull)
-    r = jnp.where(keep, shift, 0).astype(jnp.int32)
+    r = jnp.where(keep, shift, jnp.int32(0))
     # mark dropped slots dead so survivors are exactly the kept prefix
     planes = [p_ref[:, :] for p_ref in plane_refs]
 
     n_stages = max(1, (w - 1).bit_length())
     for k in range(n_stages):
         rr = _linear_roll_left(r, 1 << k, block_rows)
-        take = jnp.logical_and((rr >> k) & 1 == 1,
-                               jnp.ones_like(rr, jnp.bool_))
+        take = ((rr >> jnp.int32(k)) & jnp.int32(1)) == jnp.int32(1)
         new_planes = []
         for p in planes:
             rp = _linear_roll_left(p, 1 << k, block_rows)
             new_planes.append(jnp.where(take, rp, p))
         planes = new_planes
-        r = jnp.where(take, rr - (1 << k), r)
+        r = jnp.where(take, rr - jnp.int32(1 << k), r)
 
-    base = bases_ref[i]
-    for p_ref, out_ref, vals, sem in zip(
-            plane_refs, out_refs, planes,
-            [sems.at[j] for j in range(n_planes)]):
-        def inner(scratch, vals=vals, out_ref=out_ref, sem=sem):
-            scratch[:, :] = vals
-            flat_dst = out_ref.at[pl.ds(base, w)]
-            cp = pltpu.make_async_copy(
-                scratch.at[:, :].reshape(w), flat_dst, sem)
-            cp.start()
-            cp.wait()
-        pl.run_scoped(inner, scratch=pltpu.VMEM(
-            (block_rows, _LANES), vals.dtype))
+    for out_ref, vals in zip(out_refs, planes):
+        out_ref[:, :] = vals
 
 
 def compact_planes_pallas(keep: jax.Array,
@@ -151,9 +156,16 @@ def compact_planes_pallas(keep: jax.Array,
     front, preserving order. planes are 1-D 32-bit arrays of equal
     length; returns compacted planes of the SAME length (tail beyond
     the kept count is junk — callers carry the count separately, as
-    compute/move.compact_by_mask already does)."""
+    compute/move.compact_by_mask already does).
+
+    Gridless-per-tile design: this backend's remote Mosaic compiler
+    crashes on ANY gridded pallas_call (bisected 2026-08-22:
+    adv_in_adv_out minimal repro), so each tile runs its own gridless
+    kernel call (ONE compile — identical shapes) compacting in VMEM,
+    and XLA stitches tiles with a chain of dynamic_update_slices at the
+    per-tile exclusive bases (later tiles overwrite earlier junk tails,
+    exactly the old sequential-grid DMA semantics)."""
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     n = keep.shape[0]
     per_block = block_rows * _LANES
@@ -165,7 +177,7 @@ def compact_planes_pallas(keep: jax.Array,
 
     keep_i = jnp.pad(keep.astype(jnp.int32), (0, n_pad - n))
     k2 = keep_i.reshape(nb * block_rows, _LANES)
-    # pass A (XLA): per-block exclusive bases
+    # per-tile exclusive bases (XLA)
     blk_counts = jnp.sum(keep_i.reshape(nb, per_block), axis=1,
                          dtype=jnp.int32)
     bases = (jnp.cumsum(blk_counts) - blk_counts).astype(jnp.int32)
@@ -174,26 +186,26 @@ def compact_planes_pallas(keep: jax.Array,
     tiled = [p.reshape(nb * block_rows, _LANES) for p in padded]
 
     kern = functools.partial(_compact_kernel, len(planes), block_rows)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((block_rows, _LANES),
-                               lambda i, b: (i, 0))]
-        + [pl.BlockSpec((block_rows, _LANES), lambda i, b: (i, 0))
-           for _ in planes],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)
-                   for _ in planes],
-        scratch_shapes=[pltpu.SemaphoreType.DMA((len(planes),))],
-    )
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         kern,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_pad + per_block,), p.dtype)
+        out_shape=[jax.ShapeDtypeStruct((block_rows, _LANES), p.dtype)
                    for p in planes],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(bases, k2, *tiled)
-    return [o[:n] for o in outs]
+    )
+    tile_outs: List[List[jax.Array]] = []
+    for b in range(nb):
+        sl = slice(b * block_rows, (b + 1) * block_rows)
+        res = call(k2[sl], *[t[sl] for t in tiled])
+        tile_outs.append(res if isinstance(res, (list, tuple))
+                         else [res])
+    outs = []
+    for pi, p in enumerate(planes):
+        acc = jnp.zeros(n_pad + per_block, p.dtype)
+        for b in range(nb):
+            flat = tile_outs[b][pi].reshape(per_block)
+            acc = jax.lax.dynamic_update_slice(acc, flat, (bases[b],))
+        outs.append(acc[:n])
+    return outs
 
 
 # --- any-dtype column wrapper ----------------------------------------------
@@ -203,6 +215,57 @@ def _f64_bitcast_ok() -> bool:
     compiler rejects it; CPU and direct TPU accept)."""
     from .move import f64_planes_mode
     return f64_planes_mode() == "bitcast"
+
+
+def _scale_by_exp2(x, e):
+    """x * 2**e EXACTLY for int32 exponents |e| <= 2047: binary
+    exponentiation over exact power-of-two f64 constants (the chip's
+    exp2 is an approximation even at integer arguments — measured
+    off-by-one-ulp mantissas). Each multiply by a power of two is
+    exact; the factor order (small to large) keeps intermediates
+    monotone toward the final value, so nothing over/underflows that
+    the final value wouldn't."""
+    neg = e < 0
+    k = jnp.abs(e)
+    for bit in range(10):            # factors 2^1 .. 2^512
+        f = jnp.float64(2.0 ** (1 << bit))
+        finv = jnp.float64(2.0 ** -(1 << bit))
+        hit = ((k >> bit) & 1) == 1
+        x = jnp.where(hit, x * jnp.where(neg, finv, f), x)
+    hit = ((k >> 10) & 1) == 1       # bit 10 (1024) = 2^512 twice
+    h = jnp.float64(2.0 ** 512)
+    hinv = jnp.float64(2.0 ** -512)
+    x = jnp.where(hit, x * jnp.where(neg, hinv, h)
+                  * jnp.where(neg, hinv, h), x)
+    return x
+
+
+def _frexp_arith(x):
+    """jnp.frexp replacement with NO 64-bit bitcasts (jnp.frexp lowers
+    through an s64 bitcast-convert the tunneled compiler's X64 rewriter
+    rejects): exponent from floor(log2)+correction, mantissa by exact
+    power-of-two scaling. x must be finite; zeros pass through as
+    (0, 0)."""
+    ax = jnp.abs(x)
+    pos = ax > 0.0
+    safe = jnp.where(pos, ax, 1.0)
+    e = (jnp.floor(jnp.log2(safe)) + 1.0).astype(jnp.int32)
+    m = _scale_by_exp2(safe, -e)
+    for _ in range(2):      # log2 rounding can be off by one
+        big = m >= 1.0
+        m = jnp.where(big, m * 0.5, m)
+        e = jnp.where(big, e + 1, e)
+        small = jnp.logical_and(m < 0.5, pos)
+        m = jnp.where(small, m * 2.0, m)
+        e = jnp.where(small, e - 1, e)
+    m = jnp.where(pos, m, 0.0)
+    e = jnp.where(pos, e, 0)
+    return jnp.where(x < 0, -m, m), e
+
+
+def _ldexp_arith(m, e):
+    """jnp.ldexp replacement without 64-bit bitcasts (exact scaling)."""
+    return _scale_by_exp2(m, e.astype(jnp.int32))
 
 
 def _to_planes(a: jax.Array):
@@ -227,9 +290,13 @@ def _to_planes(a: jax.Array):
         # specials carried in a class plane — move._scatter_f64_frexp's
         # scheme)
         finite = jnp.isfinite(a)
-        m, e = jnp.frexp(jnp.where(finite, a, 0.0))
+        m, e = _frexp_arith(jnp.where(finite, a, 0.0))
         mi = (m * jnp.float64(2.0 ** 53)).astype(jnp.int64)
-        is_negzero = jnp.logical_and(a == 0.0, jnp.signbit(a))
+        # jnp.signbit on f64 lowers through an s64 bitcast this
+        # backend rejects; -0.0 detects via 1/x == -inf instead
+        is_negzero = jnp.logical_and(
+            a == 0.0,
+            jnp.float64(1.0) / jnp.where(a == 0.0, a, 1.0) < 0.0)
         cls = jnp.where(jnp.isnan(a), 3,
                         jnp.where(a == jnp.inf, 1,
                                   jnp.where(a == -jnp.inf, 2,
@@ -269,7 +336,7 @@ def _from_planes(planes: List[jax.Array], spec) -> jax.Array:
         e = (packed & 0x3FFFF) - 16384
         cls = packed >> 18
         m2 = mi.astype(jnp.float64) * jnp.float64(2.0 ** -53)
-        v = jnp.ldexp(m2, e)
+        v = _ldexp_arith(m2, e)
         v = jnp.where(cls == 1, jnp.inf, v)
         v = jnp.where(cls == 2, -jnp.inf, v)
         v = jnp.where(cls == 3, jnp.nan, v)
@@ -305,40 +372,31 @@ def compact_arrays_pallas(keep: jax.Array,
 
 # --- grouped sum ------------------------------------------------------------
 
-def _gsum_kernel(num_segments, vh_ref, vl_ref, g_ref, out_ref, acc_ref):
-    """float-float grouped sum, fori_loop over slots (program size is
-    O(1) in num_segments, unlike the unrolled experimental kernel)."""
+def _gsum_kernel(num_segments, acc_rows, vh_ref, vl_ref, g_ref,
+                 out_ref):
+    """float-float grouped sum of ONE tile, gridless (see
+    compact_planes_pallas on why no grid), fori_loop over slots so
+    program size stays O(1) in num_segments."""
     import jax.experimental.pallas as pl
-    from ..experimental.pallas_agg import _df_row_reduce, _ff_add
-
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    from ..experimental.pallas_agg import _df_row_reduce
 
     vh = vh_ref[:, :]
     vl = vl_ref[:, :]
     g = g_ref[:, :]
+    out_ref[:, :] = jnp.zeros((acc_rows, _LANES), jnp.float32)
 
-    def body(s, _):
+    def body(s, c):
         m = g == s
         # compensated log-depth block reduce (plain f32 sums of the hi
         # plane alone round to ~2^-24*rows; the ff fold keeps ~2^-48)
         bh, bl = _df_row_reduce(jnp.where(m, vh, 0.0),
                                 jnp.where(m, vl, 0.0))
-        ah = acc_ref[pl.ds(2 * s, 1), :]
-        al = acc_ref[pl.ds(2 * s + 1, 1), :]
-        nh, nl = _ff_add(ah, al, bh, bl)
-        acc_ref[pl.ds(2 * s, 1), :] = nh
-        acc_ref[pl.ds(2 * s + 1, 1), :] = nl
-        return 0
+        out_ref[pl.ds(2 * s, 1), :] = bh
+        out_ref[pl.ds(2 * s + 1, 1), :] = bl
+        return c
 
-    jax.lax.fori_loop(0, num_segments, body, 0)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        out_ref[:, :] = acc_ref[:, :]
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(num_segments), body,
+                      jnp.int32(0))
 
 
 def grouped_sum_pallas(values: jax.Array, gids: jax.Array,
@@ -347,9 +405,12 @@ def grouped_sum_pallas(values: jax.Array, gids: jax.Array,
                        interpret: bool = False) -> jax.Array:
     """Per-group sum for f64/f32 values, int32 gids in
     [0, num_segments); dead rows must carry value 0. num_segments <=
-    MAX_SEGMENTS. Returns (num_segments,) in the value dtype."""
+    MAX_SEGMENTS. Returns (num_segments,) in the value dtype.
+
+    One gridless kernel call per tile (single compile — identical
+    shapes); per-tile (2S, 128) float-float partials combine in f64 on
+    the XLA side, preserving the ~2^-48 error bound."""
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
     from ..experimental.pallas_agg import split_f64_ff
 
     if num_segments > MAX_SEGMENTS:
@@ -370,19 +431,20 @@ def grouped_sum_pallas(values: jax.Array, gids: jax.Array,
         vh, vl = v, jnp.zeros_like(v)
     else:
         raise ValueError(f"unsupported dtype {values.dtype}")
+    vh2 = vh.reshape(nb * block_rows, _LANES)
+    vl2 = vl.reshape(nb * block_rows, _LANES)
 
     acc_rows = max(8, _cdiv(2 * num_segments, 8) * 8)
-    spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0))
-    out = pl.pallas_call(
-        functools.partial(_gsum_kernel, num_segments),
-        grid=(nb,),
-        in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((acc_rows, _LANES), lambda i: (0, 0)),
+    call = pl.pallas_call(
+        functools.partial(_gsum_kernel, num_segments, acc_rows),
         out_shape=jax.ShapeDtypeStruct((acc_rows, _LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((acc_rows, _LANES), jnp.float32)],
         interpret=interpret,
-    )(vh.reshape(nb * block_rows, _LANES),
-      vl.reshape(nb * block_rows, _LANES), g2)
-    hi = out[0:2 * num_segments:2].astype(jnp.float64)
-    lo = out[1:2 * num_segments + 1:2].astype(jnp.float64)
-    return jnp.sum(hi + lo, axis=1).astype(out_dtype)
+    )
+    total = jnp.zeros(num_segments, jnp.float64)
+    for b in range(nb):
+        sl = slice(b * block_rows, (b + 1) * block_rows)
+        out = call(vh2[sl], vl2[sl], g2[sl])
+        hi = out[0:2 * num_segments:2].astype(jnp.float64)
+        lo = out[1:2 * num_segments + 1:2].astype(jnp.float64)
+        total = total + jnp.sum(hi + lo, axis=1)
+    return total.astype(out_dtype)
