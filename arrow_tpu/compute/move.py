@@ -369,7 +369,13 @@ def segment_reduce(values: jax.Array, gids: jax.Array, num_segments: int,
                "max": jax.ops.segment_max}
         return ops[op](values, gids, num_segments=num_segments)
     if op == "sum" and values.dtype in (jnp.float32, jnp.float64) \
-            and identity == 0.0:
+            and identity == 0.0 and num_segments > _SMALL_SEGMENT_LOOP:
+        # mid-cardinality only: below _SMALL_SEGMENT_LOOP the masked
+        # broadcast reduce fuses into the surrounding XLA program
+        # (pallas_call is a fusion barrier — routing Q1's 6-group sums
+        # through it would break the fused macro), above MAX_SEGMENTS
+        # the VMEM accumulator doesn't fit. Chip A/B 2026-08-22:
+        # 512 segments x 4M f64 rows 14.9 ms Pallas vs 34.1 ms sorted.
         from ..platform_check import pallas_measured
         from .pallas_move import MAX_SEGMENTS
         if num_segments <= MAX_SEGMENTS and \

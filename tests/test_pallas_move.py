@@ -165,9 +165,11 @@ class TestMeasuredGating:
         monkeypatch.setattr(pallas_move, "grouped_sum_pallas", spy)
         rng = np.random.default_rng(0)
         v = jnp.asarray(rng.normal(size=4096))
-        g = jnp.asarray(rng.integers(0, 16, 4096).astype(np.int32))
-        out = move.segment_reduce(v, g, 16, "sum", 0.0)
+        # >_SMALL_SEGMENT_LOOP segments: below that the fused masked
+        # reduce is kept (pallas_call is a fusion barrier)
+        g = jnp.asarray(rng.integers(0, 128, 4096).astype(np.int32))
+        out = move.segment_reduce(v, g, 128, "sum", 0.0)
         assert called.get("yes")
-        expect = np.zeros(16)
+        expect = np.zeros(128)
         np.add.at(expect, np.asarray(g), np.asarray(v))
         np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-9)
