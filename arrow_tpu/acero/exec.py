@@ -72,6 +72,61 @@ class PlanMetrics:
 last_plan_metrics = PlanMetrics()
 
 
+# --- speculative capacity classes -------------------------------------------
+# (reference analogue: none — adaptive requery is a TPU-architecture
+# consequence: data-dependent output sizes must resolve to static
+# capacity classes before the next program dispatches, and on a
+# tunneled device that mid-plan sync costs a full RTT)
+
+_SPEC = {"depth": 0, "checks": [], "caps": {}}
+
+
+def _spec_enabled() -> bool:
+    return os.environ.get("ARROW_TPU_SPECULATIVE_CAPS", "off") == "on"
+
+
+def _spec_cap(key: tuple, owner, total_dev, extra_dev=None):
+    """Capacity class for a data-dependent output size.
+
+    Returns (cap, total_int_or_None). Inside an active speculation
+    scope with a cached class for this node, the guess is used WITHOUT
+    reading the count back; the (count, cap) pair is queued for the
+    end-of-plan verification. Otherwise: synchronous readback (today's
+    behavior) and the class is remembered. `owner` anchors the id()-
+    keyed entry against id recycling via a weakref."""
+    import weakref
+    if _SPEC["depth"] > 0:
+        hit = _SPEC["caps"].get(key)
+        if hit is not None:
+            ref, cap = hit
+            if ref() is owner:
+                _SPEC["checks"].append((total_dev, extra_dev, cap, key))
+                return cap, None
+    total = int(total_dev)
+    extra = int(extra_dev) if extra_dev is not None else 0
+    cap = capacity_class(max(total + extra, 1))
+    try:
+        _SPEC["caps"][key] = (weakref.ref(owner), cap)
+    except TypeError:
+        pass
+    return cap, total
+
+
+def _spec_verify():
+    """End-of-plan verification of every speculated capacity; returns
+    the keys whose counts exceeded their class (evicted)."""
+    import numpy as _vnp
+    bad = []
+    for total_dev, extra_dev, cap, key in _SPEC["checks"]:
+        n = int(_vnp.asarray(total_dev))
+        if extra_dev is not None:
+            n += int(_vnp.asarray(extra_dev))
+        if n > cap:
+            bad.append(key)
+            _SPEC["caps"].pop(key, None)
+    return bad
+
+
 def _cached_jit(key: tuple, make_fn: Callable, **jit_kwargs) -> Callable:
     fn = _JIT_CACHE.get(key)
     if fn is None:
@@ -479,6 +534,38 @@ class Declaration:
     def to_table(self, use_threads: bool = True,
                  chunk_rows: int = None, distributed: bool = False,
                  mesh=None, query_options=None) -> Table:
+        # speculative capacity classes (ARROW_TPU_SPECULATIVE_CAPS=on):
+        # repeat executions reuse each join's last output-capacity class
+        # instead of synchronously reading the match count mid-plan —
+        # on the tunneled chip every such sync is a ~27 ms RTT. All
+        # speculated counts verify HERE, at the end-of-plan sync the
+        # result readback already pays; an exceeded capacity (the
+        # output silently truncates to its class) invalidates that
+        # node's cache and re-executes the whole plan — correctness
+        # never depends on the guess.
+        if _spec_enabled() and _SPEC["depth"] == 0:
+            _SPEC["depth"] = 1
+            try:
+                out = None
+                for _attempt in range(3):
+                    _SPEC["checks"] = []
+                    out = self.to_table(use_threads=use_threads,
+                                        chunk_rows=chunk_rows,
+                                        distributed=distributed,
+                                        mesh=mesh,
+                                        query_options=query_options)
+                    bad = _spec_verify()
+                    if not bad:
+                        return out
+                    import warnings
+                    warnings.warn(
+                        f"speculative capacity exceeded on {len(bad)} "
+                        "node(s); re-executing with fresh counts",
+                        stacklevel=2)
+                return out
+            finally:
+                _SPEC["depth"] = 0
+                _SPEC["checks"] = []
         # query_options: per-query resource controls + metrics
         # (QueryOptions, acero/query_context.py; reference
         # exec_plan.h:510 / query_context.h:36)
@@ -1127,16 +1214,21 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
         mask_vals = matched if jt == "right semi" else unmatched
         return _cached_jit(fkey, make_bfilter)(right, mask_vals)
     if jt in ("left semi", "left anti"):
-        total = int(plan.total)
-        out_cap = capacity_class(total)
-        return _join_materialize(options, plan, left, right, out_cap, total,
-                                 0, unmatched, probe_only=True)
+        out_cap, total = _spec_cap(
+            ("join_cap", jt, id(options), left.capacity, right.capacity),
+            options, plan.total)
+        return _join_materialize(options, plan, left, right, out_cap,
+                                 total or 0, 0, unmatched,
+                                 probe_only=True)
 
-    total = int(plan.total)
-    extra = int(n_unmatched) if jt in ("right outer", "full outer") else 0
-    out_cap = capacity_class(total + extra)
-    return _join_materialize(options, plan, left, right, out_cap, total,
-                             extra, unmatched)
+    extra_dev = n_unmatched if jt in ("right outer", "full outer") else None
+    out_cap, total = _spec_cap(
+        ("join_cap", jt, id(options), left.capacity, right.capacity),
+        options, plan.total, extra_dev)
+    # total/extra beyond capacity choice ride the program as traced
+    # values (plan.total / n_unm) — the ints are display-only
+    return _join_materialize(options, plan, left, right, out_cap,
+                             total or 0, 0, unmatched)
 
 
 def _join_output_schema(options: HashJoinNodeOptions, left: DeviceBatch,
