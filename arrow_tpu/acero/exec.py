@@ -1184,7 +1184,8 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
             out = {"plan": plan, "unmatched": unmatched,
                    "matched": matched,
                    "n_unm": jnp.sum(unmatched, dtype=jnp.int64),
-                   "n_mat": jnp.sum(matched, dtype=jnp.int64)}
+                   "n_mat": jnp.sum(matched, dtype=jnp.int64),
+                   "max_c": jnp.max(plan.counts)}
             if l_changed:
                 out["left"] = left_b
             if r_changed:
@@ -1222,13 +1223,33 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
                                  probe_only=True)
 
     extra_dev = n_unmatched if jt in ("right outer", "full outer") else None
+    # primary-key (unique-build) detection piggybacks on the capacity
+    # readback: max(counts) rides the SAME prep program, and fetching it
+    # together with total costs no extra round trip. Skipped under
+    # speculative capacity classes (the whole point there is no sync;
+    # a stale uniqueness guess would be a CORRECTNESS bug, not a
+    # capacity miss, so it never speculates).
+    unique_build = False
+    total_pref = plan.total
+    if jt in ("inner", "left outer") and \
+            not (_spec_enabled() and _SPEC["depth"] > 0) and \
+            os.environ.get("ARROW_TPU_JOIN_UNIQUE", "on") == "on":
+        tot_i, max_i = (int(v) for v in
+                        jax.device_get((plan.total, res["max_c"])))
+        unique_build = max_i <= 1
+        total_pref = tot_i
     out_cap, total = _spec_cap(
         ("join_cap", jt, id(options), left.capacity, right.capacity),
-        options, plan.total, extra_dev)
+        options, total_pref, extra_dev)
+    if unique_build:
+        # identity / compaction expansion works in probe-capacity space
+        out_cap = left.capacity if jt == "left outer" \
+            else min(out_cap, left.capacity)
     # total/extra beyond capacity choice ride the program as traced
     # values (plan.total / n_unm) — the ints are display-only
     return _join_materialize(options, plan, left, right, out_cap,
-                             total or 0, 0, unmatched)
+                             total or 0, 0, unmatched,
+                             unique_build=unique_build)
 
 
 def _join_output_schema(options: HashJoinNodeOptions, left: DeviceBatch,
@@ -1255,23 +1276,31 @@ def _join_output_schema(options: HashJoinNodeOptions, left: DeviceBatch,
 
 
 def _join_materialize(options, plan, left, right, out_cap: int, total: int,
-                      extra: int, unmatched, probe_only: bool = False):
+                      extra: int, unmatched, probe_only: bool = False,
+                      unique_build: bool = False):
     jt = options.join_type
     lnames, rnames, out_schema = _join_output_schema(options, left, right,
                                                      probe_only)
     key = ("join_mat", jt, out_cap, tuple(lnames), tuple(rnames),
-           _dict_ids(left), _dict_ids(right))
+           _dict_ids(left), _dict_ids(right), unique_build)
 
     def make():
         def fn(plan, left, right, unmatched):
             probe_idx, build_idx, build_valid, row_live = \
-                J.join_gather_indices(plan, out_cap, jt)
+                J.join_gather_indices(plan, out_cap, jt,
+                                      unique_build=unique_build)
             # an EMPTY output list is a valid projection (emit no
             # columns from that side — tpch q3's inner join does this),
             # distinct from None/unset meaning "all columns"
             lsub = left.select(list(lnames))
-            lcols = [] if not lnames else \
-                J.gather_batch_columns(lsub, probe_idx, None, out_cap)
+            if unique_build and jt == "left outer":
+                # identity expansion: probe columns pass through unmoved
+                lcols = list(lsub.columns)
+            elif not lnames:
+                lcols = []
+            else:
+                lcols = J.gather_batch_columns(lsub, probe_idx, None,
+                                               out_cap)
             out_cols = list(lcols)
             n_out = plan.total.astype(jnp.int32)
             if not probe_only:

@@ -96,6 +96,52 @@ def _side_gids(build_cols: Sequence[DeviceColumn],
     return gids[:b_cap], gids[b_cap:]
 
 
+_MAXW = 0xFFFFFFFFFFFFFFFF
+
+
+def _direct_key_kind(col: DeviceColumn) -> Optional[str]:
+    """Dtype kind for the direct (no-grouper) single-key path. Kinds must
+    match across sides because order words normalize signed/unsigned/float
+    differently (the grouper path's equality_word folds signed+unsigned
+    into one word space; order_word does not)."""
+    v = col.values
+    if v.ndim != 1:
+        return None
+    dt = v.dtype
+    if dt == jnp.bool_:
+        return "b"
+    if jnp.issubdtype(dt, jnp.unsignedinteger):
+        return "u"
+    if jnp.issubdtype(dt, jnp.integer):
+        return "i"
+    if jnp.issubdtype(dt, jnp.floating):
+        return "f"
+    return None
+
+
+def _use_direct_single_key(build_cols, probe_cols) -> bool:
+    import os
+    if os.environ.get("ARROW_TPU_JOIN_DIRECT", "on") == "off":
+        return False
+    if len(build_cols) != 1 or len(probe_cols) != 1:
+        return False
+    kb = _direct_key_kind(build_cols[0])
+    return kb is not None and kb == _direct_key_kind(probe_cols[0])
+
+
+def _direct_word(col: DeviceColumn) -> jax.Array:
+    """Order word that is ALSO equality-preserving for the direct path:
+    NaNs canonicalize to the max word (NaN joins NaN, like the grouper
+    path's canonical-NaN equality word; the max word is unreachable for
+    non-NaN floats on both the bitcast and float-float lowerings)."""
+    from .keys import order_word
+    w = order_word(col)
+    v = col.values
+    if jnp.issubdtype(v.dtype, jnp.floating):
+        w = jnp.where(jnp.isnan(v), jnp.uint64(_MAXW), w)
+    return w
+
+
 def build_join_plan(build_cols: Sequence[DeviceColumn],
                     probe_cols: Sequence[DeviceColumn],
                     build_count, probe_count,
@@ -104,28 +150,67 @@ def build_join_plan(build_cols: Sequence[DeviceColumn],
     p_cap = probe_cols[0].capacity
     build_mask = jnp.arange(b_cap, dtype=jnp.int32) < build_count
     probe_mask = jnp.arange(p_cap, dtype=jnp.int32) < probe_count
-
-    gb, gp = _side_gids(build_cols, probe_cols, build_mask, probe_mask)
-
-    # sort build rows by gid, carrying gb and the row index as payloads
-    # (no post-sort gathers: element gathers are quadratic on TPU)
-    from .move import sort_with_payload
-    sort_key = jnp.where(gb >= 0, gb.astype(jnp.uint64) * 2,
-                         jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    sorted_gb_raw, order_b32 = sort_with_payload(
-        [sort_key], [gb, jnp.arange(b_cap, dtype=jnp.int32)])
-    order_b = order_b32.astype(jnp.int64)
-    sorted_gb = jnp.where(sorted_gb_raw >= 0, sorted_gb_raw,
-                          jnp.asarray(2 ** 62, jnp.int64))
-
-    probe_valid_key = gp >= 0
-    gp_search = jnp.where(probe_valid_key, gp, -1)
     m = _searchsorted_method()
-    left = jnp.searchsorted(sorted_gb, gp_search, side="left",
-                            method=m)
-    right = jnp.searchsorted(sorted_gb, gp_search, side="right",
-                             method=m)
-    counts = jnp.where(probe_valid_key, right - left, 0).astype(jnp.int64)
+    from .move import sort_with_payload
+
+    if _use_direct_single_key(build_cols, probe_cols):
+        # Direct single-key path: no shared grouper, no probe-side sort.
+        # Sort ONLY the build side by (live-class, order word) and binary
+        # search the probe's order words against it — O(B log B + P)
+        # instead of the grouper's O((B+P) log (B+P)) multi-operand
+        # concat sort, and a far smaller HLO (the concat-sort form is
+        # what wedges remote compiles at SF1 shapes, docs/TUNNEL.md).
+        bc, pc_ = build_cols[0], probe_cols[0]
+        wb = _direct_word(bc)
+        wp = _direct_word(pc_)
+        null_b = jnp.zeros(b_cap, jnp.bool_) if bc.validity is None \
+            else ~bc.validity
+        null_p = jnp.zeros(p_cap, jnp.bool_) if pc_.validity is None \
+            else ~pc_.validity
+        live_b = jnp.logical_and(build_mask, ~null_b)
+        live_p = jnp.logical_and(probe_mask, ~null_p)
+        cls = jnp.where(live_b, jnp.uint32(0), jnp.uint32(1))
+        sorted_w, order_b32 = sort_with_payload(
+            [cls, wb], [wb, jnp.arange(b_cap, dtype=jnp.int32)])
+        order_b = order_b32.astype(jnp.int64)
+        live_count = jnp.sum(live_b.astype(jnp.int32))
+        pos = jnp.arange(b_cap, dtype=jnp.int32)
+        # dead rows (null key / padding) sorted to the tail; pin their
+        # word payload to MAXW so the array stays monotone, then clamp
+        # search results to the live region so MAXW probe keys (int64
+        # max / canonical NaN) only match LIVE MAXW build rows
+        sorted_w = jnp.where(pos < live_count, sorted_w,
+                             jnp.uint64(_MAXW))
+        left = jnp.searchsorted(sorted_w, wp, side="left", method=m)
+        right = jnp.searchsorted(sorted_w, wp, side="right", method=m)
+        left = jnp.minimum(left, live_count)
+        right = jnp.minimum(right, live_count)
+        probe_valid_key = live_p
+        counts = jnp.where(live_p, right - left, 0).astype(jnp.int64)
+        sorted_gb = sorted_w
+    else:
+        gb, gp = _side_gids(build_cols, probe_cols, build_mask,
+                            probe_mask)
+
+        # sort build rows by gid, carrying gb and the row index as
+        # payloads (no post-sort gathers: element gathers are quadratic
+        # on TPU)
+        sort_key = jnp.where(gb >= 0, gb.astype(jnp.uint64) * 2,
+                             jnp.uint64(_MAXW))
+        sorted_gb_raw, order_b32 = sort_with_payload(
+            [sort_key], [gb, jnp.arange(b_cap, dtype=jnp.int32)])
+        order_b = order_b32.astype(jnp.int64)
+        sorted_gb = jnp.where(sorted_gb_raw >= 0, sorted_gb_raw,
+                              jnp.asarray(2 ** 62, jnp.int64))
+
+        probe_valid_key = gp >= 0
+        gp_search = jnp.where(probe_valid_key, gp, -1)
+        left = jnp.searchsorted(sorted_gb, gp_search, side="left",
+                                method=m)
+        right = jnp.searchsorted(sorted_gb, gp_search, side="right",
+                                 method=m)
+        counts = jnp.where(probe_valid_key,
+                           right - left, 0).astype(jnp.int64)
 
     if join_type in ("left outer", "full outer"):
         out_counts = jnp.where(jnp.logical_and(probe_mask, counts == 0),
@@ -142,31 +227,80 @@ def build_join_plan(build_cols: Sequence[DeviceColumn],
     offsets = jnp.cumsum(out_counts) - out_counts  # exclusive
     total = jnp.sum(out_counts)
 
-    # build rows that matched at least one live probe row
-    matched_hits = jnp.zeros(b_cap + 1, jnp.int64)
-    # scatter-add probe counts at 'left' positions, subtract after 'right'
-    matched_hits = matched_hits.at[left].add(
-        jnp.where(counts > 0, 1, 0))
-    matched_hits = matched_hits.at[right].add(
-        jnp.where(counts > 0, -1, 0))
-    covered = jnp.cumsum(matched_hits[:-1]) > 0  # sorted-build positions
-    build_matched = jnp.zeros(b_cap, jnp.bool_).at[order_b].set(covered)
-
+    # build rows that matched at least one live probe row — consumed
+    # ONLY by the right/full join types, and the dominant prep cost
+    # when computed via scatter-add difference arrays (chip bisect:
+    # 264 of ~300 ms at 1M probes; 1-D scatters serialize on this
+    # lowering, move.py header). Gate it by join type and compute it
+    # scatter-free: a sorted-build position s is covered iff
+    # #(probe intervals opening at or before s) > #(closing at or
+    # before s) — two int32 sorts of the interval endpoints + two
+    # searchsorteds replace the scatter-adds + cumsum.
     if join_type in ("right outer", "full outer", "right semi",
                      "right anti"):
-        pass  # build_matched consumed by the caller for the scan phase
+        is_match = counts > 0
+        end = jnp.int32(b_cap + 1)
+        sl = jnp.sort(jnp.where(is_match, left.astype(jnp.int32), end))
+        sr = jnp.sort(jnp.where(is_match, right.astype(jnp.int32), end))
+        pos = jnp.arange(b_cap, dtype=jnp.int32)
+        n_open = jnp.searchsorted(sl, pos, side="right", method=m)
+        n_closed = jnp.searchsorted(sr, pos, side="right", method=m)
+        covered = (n_open - n_closed) > 0  # sorted-build positions
+        build_matched = jnp.zeros(b_cap, jnp.bool_).at[order_b].set(
+            covered)
+    else:
+        build_matched = jnp.zeros(b_cap, jnp.bool_)
 
     return JoinPlan(order_b, sorted_gb, left, counts, offsets, total,
                     probe_mask, build_matched)
 
 
 def join_gather_indices(plan: JoinPlan, out_capacity: int,
-                        join_type: str = "inner"):
+                        join_type: str = "inner",
+                        unique_build: bool = False):
     """Expand the plan into (probe_idx, build_idx, build_valid, row_live)
     arrays of length out_capacity.
 
-    build_valid=False rows are outer-join rows with a null build side."""
-    from .move import gather_rows
+    build_valid=False rows are outer-join rows with a null build side.
+
+    unique_build=True is the primary-key join fast path (the host
+    observed max(counts) <= 1 in the same readback that sizes the
+    output): every probe row matches at most one build row, so the
+    offsets-searchsorted match expansion — the JoinMatchIterator
+    analogue and the largest program in the general materialize —
+    collapses to an identity mapping (left outer) or one compaction
+    sort (inner). Reference analogue: the no-duplicate-keys branch of
+    swiss_join.cc's probe processing."""
+    from .move import gather_rows, sort_with_payload
+    b_len = plan.order_b.shape[0]
+    if unique_build and join_type == "left outer":
+        # identity expansion: each live probe row emits exactly one
+        # output row at its own position (out_capacity == probe cap)
+        p_cap = plan.counts.shape[0]
+        probe_idx = jnp.arange(p_cap, dtype=jnp.int64)
+        row_live = plan.probe_live
+        (build_idx,) = gather_rows(
+            [plan.order_b],
+            jnp.minimum(plan.left.astype(jnp.int64), b_len - 1))
+        build_valid = jnp.logical_and(plan.counts > 0, row_live)
+        return probe_idx, build_idx, build_valid, row_live
+    if unique_build and join_type == "inner":
+        # ONE stable compaction sort over the probe side (matched rows
+        # first, original order kept) carrying the probe index and the
+        # match position; no offsets searchsorted, no probe-state gather
+        p_cap = plan.counts.shape[0]
+        drop = plan.counts <= 0
+        iota = jnp.arange(p_cap, dtype=jnp.int32)
+        s_iota, s_left = sort_with_payload(
+            [drop], [iota, plan.left.astype(jnp.int32)])
+        probe_idx = s_iota[:out_capacity].astype(jnp.int64)
+        g_left = s_left[:out_capacity].astype(jnp.int64)
+        out_i = jnp.arange(out_capacity, dtype=jnp.int64)
+        row_live = out_i < plan.total
+        (build_idx,) = gather_rows(
+            [plan.order_b], jnp.minimum(g_left, b_len - 1))
+        build_valid = row_live
+        return probe_idx, build_idx, build_valid, row_live
     out_i = jnp.arange(out_capacity, dtype=jnp.int64)
     row_live = out_i < plan.total
     # which probe row produced output row i: offsets are sorted
