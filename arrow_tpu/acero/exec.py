@@ -78,7 +78,7 @@ last_plan_metrics = PlanMetrics()
 # capacity classes before the next program dispatches, and on a
 # tunneled device that mid-plan sync costs a full RTT)
 
-_SPEC = {"depth": 0, "checks": [], "caps": {}}
+_SPEC = {"depth": 0, "checks": [], "caps": {}, "uniq": {}, "uchecks": []}
 
 
 def _spec_enabled() -> bool:
@@ -124,6 +124,14 @@ def _spec_verify():
         if n > cap:
             bad.append(key)
             _SPEC["caps"].pop(key, None)
+    # speculated unique-build joins: the PK-join materialize is only
+    # CORRECT when max(counts) <= 1 held this execution too — a
+    # violated guess is a wrong answer, not just a truncation, so it
+    # verifies exactly like capacities and forces a re-execution
+    for max_c_dev, key in _SPEC["uchecks"]:
+        if int(_vnp.asarray(max_c_dev)) > 1:
+            bad.append(key)
+            _SPEC["uniq"].pop(key, None)
     return bad
 
 
@@ -549,6 +557,7 @@ class Declaration:
                 out = None
                 for _attempt in range(3):
                     _SPEC["checks"] = []
+                    _SPEC["uchecks"] = []
                     out = self.to_table(use_threads=use_threads,
                                         chunk_rows=chunk_rows,
                                         distributed=distributed,
@@ -566,6 +575,7 @@ class Declaration:
             finally:
                 _SPEC["depth"] = 0
                 _SPEC["checks"] = []
+                _SPEC["uchecks"] = []
         # query_options: per-query resource controls + metrics
         # (QueryOptions, acero/query_context.py; reference
         # exec_plan.h:510 / query_context.h:36)
@@ -1231,13 +1241,31 @@ def _execute_hashjoin(options: HashJoinNodeOptions, left: DeviceBatch,
     # capacity miss, so it never speculates).
     unique_build = False
     total_pref = plan.total
+    spec_active = _spec_enabled() and _SPEC["depth"] > 0
+    ukey = ("join_unique", jt, id(options), left.capacity, right.capacity)
     if jt in ("inner", "left outer") and \
-            not (_spec_enabled() and _SPEC["depth"] > 0) and \
             os.environ.get("ARROW_TPU_JOIN_UNIQUE", "on") == "on":
-        tot_i, max_i = (int(v) for v in
-                        jax.device_get((plan.total, res["max_c"])))
-        unique_build = max_i <= 1
-        total_pref = tot_i
+        hit = _SPEC["uniq"].get(ukey) if spec_active else None
+        if hit is not None and hit[0]() is options:
+            # speculation-scope cache hit: no sync — reuse the
+            # remembered uniqueness and queue max(counts) for the
+            # end-of-plan verify (a stale True would be WRONG output,
+            # so it re-executes on violation, like capacity misses)
+            unique_build = hit[1]
+            if unique_build:
+                _SPEC["uchecks"].append((res["max_c"], ukey))
+        else:
+            # sync readback (first execution pays this via _spec_cap
+            # anyway); remember the flag for later speculated runs
+            tot_i, max_i = (int(v) for v in
+                            jax.device_get((plan.total, res["max_c"])))
+            unique_build = max_i <= 1
+            total_pref = tot_i
+            import weakref
+            try:
+                _SPEC["uniq"][ukey] = (weakref.ref(options), unique_build)
+            except TypeError:
+                pass
     out_cap, total = _spec_cap(
         ("join_cap", jt, id(options), left.capacity, right.capacity),
         options, total_pref, extra_dev)

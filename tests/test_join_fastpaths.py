@@ -173,3 +173,37 @@ def test_empty_build_side(jt, monkeypatch):
     ours = _ours(_import(lpa), _import(rpa), jt)
     ref = _pyarrow(lpa, rpa, jt)
     assert ours.num_rows == ref.num_rows
+
+
+def test_speculative_unique_eviction(monkeypatch):
+    """A remembered unique-build guess must be VERIFIED: reusing the
+    same options object against a build side that grew duplicate keys
+    has to re-execute on the general path (wrong-output guard), per
+    the end-of-plan _spec_verify contract."""
+    monkeypatch.setenv("ARROW_TPU_SPECULATIVE_CAPS", "on")
+    opts = HashJoinNodeOptions("inner", left_keys=["k"],
+                               right_keys=["j"])
+    pk = np.array([0, 1, 2, 3, 0, 1], np.int64)
+
+    def run(bk):
+        lsrc = Declaration("table_source", TableSourceNodeOptions(
+            at.table({"k": pk, "lv": np.arange(6.0)})))
+        rsrc = Declaration("table_source", TableSourceNodeOptions(
+            at.table({"j": bk, "rv": np.arange(len(bk)) * 1.0})))
+        d = Declaration("hashjoin", opts, inputs=[lsrc, rsrc])
+        return d.to_table()
+
+    uniq = np.array([0, 1, 2, 9], np.int64)
+    out1 = run(uniq)
+    out2 = run(uniq)  # speculated: unique path from cache
+    assert out1.num_rows == out2.num_rows == 5
+    dup = np.array([0, 0, 1, 9], np.int64)  # build keys now duplicate
+    out3 = run(dup)
+    # 2 probes of k=0 x 2 build rows + 2 probes of k=1 x 1 = 6 rows,
+    # but the CONTENT differs from a stale unique materialize: row
+    # count alone would still be 6 only if expansion ran correctly
+    import pyarrow as _pa
+    df = _pa.table(out3).to_pandas().sort_values(
+        ["k", "lv", "rv"]).reset_index(drop=True)
+    assert len(df) == 6
+    assert list(df[df["k"] == 0]["rv"]) == [0.0, 1.0, 0.0, 1.0]
