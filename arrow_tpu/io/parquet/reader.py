@@ -730,9 +730,114 @@ class ParquetFile:
 
     def _read_chunk(self, cs: ColumnSchema, chunk: Dict,
                     num_rows: int) -> Array:
-        defs, reps, values_parts, bin_parts, dictionary = \
-            self._read_chunk_raw(cs, chunk)
+        fast = self._read_chunk_fast(cs, chunk)
+        if fast is not None:
+            defs, reps, values_parts, bin_parts, dictionary = fast
+        else:
+            defs, reps, values_parts, bin_parts, dictionary = \
+                self._read_chunk_raw(cs, chunk)
         return _assemble(cs, defs, values_parts, bin_parts, dictionary)
+
+    def _read_chunk_fast(self, cs: ColumnSchema, chunk: Dict):
+        """Whole-chunk native decode for flat fixed-width columns: ONE
+        pq_scan_pages call parses every page header and ONE
+        pq_decode_flat call decompresses pages, decodes definition
+        levels and PLAIN/dictionary-index values (the batch analogue of
+        parquet/column_reader.cc's page loop — the per-page Python round
+        trips were ~80% of a 1M-row numeric read). Returns the
+        _read_chunk_raw tuple, or None to fall back (exotic codec/
+        encoding/nesting, encryption, no native lib)."""
+        if chunk.get("_crypto") is not None or cs.max_rep > 0 or \
+                cs.max_def > 1:
+            return None
+        meta = chunk.get(3)
+        codec = meta.get(4, 0)
+        if codec not in (CODEC_UNCOMPRESSED, CODEC_SNAPPY):
+            return None
+        width = {INT32: 4, INT64: 8, FLOAT: 4, DOUBLE: 8}.get(
+            cs.physical)
+        if width is None:
+            if cs.physical == FLBA and cs.type_length > 0:
+                width = cs.type_length
+            else:
+                return None
+        from ...native import pq_decode_flat, pq_scan_pages
+        num_values = meta.get(5, 0)
+        if num_values <= 0:
+            return None
+        data_off = meta.get(9)
+        dict_off = meta.get(11)
+        start = dict_off if dict_off is not None else data_off
+        total = meta.get(7, 0) + (1 << 16)
+        with self._src_lock:
+            self.src.seek(start)
+            blob = self.src.read(total)
+        tab = pq_scan_pages(blob, num_values)
+        if tab is None or not len(tab):
+            return None
+        is_data = (tab[:, 0] == PAGE_DATA) | (tab[:, 0] == PAGE_DATA_V2)
+        encs = set(tab[is_data, 5].tolist())
+        if not encs <= {ENC_PLAIN, ENC_PLAIN_DICTIONARY,
+                        ENC_RLE_DICTIONARY}:
+            return None
+        dict_rows = tab[tab[:, 0] == PAGE_DICT]
+        if len(dict_rows) > 1 or \
+                (len(dict_rows) and
+                 int(dict_rows[0, 5]) not in (ENC_PLAIN,
+                                              ENC_PLAIN_DICTIONARY)):
+            return None
+        if bool((tab[tab[:, 0] == PAGE_DATA_V2][:, 8] > 0).any()):
+            return None  # repetition levels on a flat column
+        from .rle import bit_width_for
+        def_bw = bit_width_for(max(cs.max_def, 1))
+        res = pq_decode_flat(blob, tab,
+                             1 if codec == CODEC_SNAPPY else 0,
+                             cs.max_def, def_bw, width, num_values)
+        if res is None:
+            return None
+        validity, plain, idx, page_kind, page_np, dict_bytes = res
+        if len(validity) != num_values:
+            return None
+        dictionary = None
+        if len(dict_rows) and dict_bytes:
+            dictionary = _decode_plain(cs, dict_bytes,
+                                       int(dict_rows[0, 4]))
+        np_dtype = {INT32: np.int32, INT64: np.int64,
+                    FLOAT: np.float32, DOUBLE: np.float64}.get(
+            cs.physical)
+
+        def plain_arr(buf, nb, npres):
+            return buf[:nb].view(np_dtype) if np_dtype is not None \
+                else buf[:nb].reshape(npres, width)
+
+        kinds = set(page_kind.tolist()) - {0}
+        n_present_all = int(page_np.sum())
+        if kinds <= {1}:
+            # uniform plain pages: the decode buffer IS the dense value
+            # array — one zero-copy view, no per-page slicing
+            values_parts: List = [("plain", plain_arr(
+                plain, n_present_all * width, n_present_all))]
+        elif kinds == {2}:
+            if dictionary is None:
+                return None
+            values_parts = [("dict", idx[:n_present_all])]
+        else:
+            if dictionary is None:
+                return None
+            values_parts = []
+            p_off = i_off = 0
+            for k, npres in zip(page_kind.tolist(), page_np.tolist()):
+                if k == 1:
+                    nb = npres * width
+                    values_parts.append(
+                        ("plain", plain_arr(plain[p_off:], nb, npres)))
+                    p_off += nb
+                elif k == 2:
+                    values_parts.append(
+                        ("dict", idx[i_off:i_off + npres]))
+                    i_off += npres
+        reps = np.zeros(0, dtype=np.int64)  # flat: unused downstream
+        return validity, reps, values_parts, [], dictionary
 
     def _read_chunk_raw(self, cs: ColumnSchema, chunk: Dict):
         meta = chunk.get(3)

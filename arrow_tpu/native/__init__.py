@@ -195,6 +195,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.orc_rlev2_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_void_p]
+        lib.pq_scan_pages.restype = ctypes.c_int64
+        lib.pq_scan_pages.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p]
+        lib.pq_decode_flat.restype = ctypes.c_int64
+        lib.pq_decode_flat.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -981,3 +995,73 @@ def orc_rlev2_decode(data: bytes, n: int, signed: bool):
     if consumed < 0:
         raise ValueError("ORC RLEv2 stream truncated/corrupt")
     return out
+
+
+def pq_scan_pages(blob, expect_values: int) -> Optional[np.ndarray]:
+    """Parse every page header of a parquet column-chunk blob in ONE
+    native call (SerializedPageReader analogue). Returns an (n_pages,
+    10) int64 table: [ptype, payload_off, comp, uncomp, nvals, enc,
+    nnulls, dl_len, rl_len, v2_values_compressed]; None if the native
+    library is unavailable or the blob is malformed/truncated."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(blob, np.uint8)
+    max_pages = 8
+    while True:
+        tab = np.empty((max_pages, 10), dtype=np.int64)
+        n = lib.pq_scan_pages(_ptr(src), len(src), expect_values,
+                              max_pages, _ptr(tab))
+        if n < 0:
+            if max_pages < (1 << 22):
+                # could also be truncation mid-scan; a larger table
+                # only helps when pages overflowed it
+                probe = int((tab[:, 4] > 0).sum())
+                if probe >= max_pages - 1:
+                    max_pages *= 8
+                    continue
+            return None
+        return tab[:n]
+
+
+def pq_decode_flat(blob, tab: np.ndarray, codec: int, max_def: int,
+                   def_bw: int, byte_width: int, expect_values: int):
+    """Decode a flat fixed-width column chunk in ONE native call:
+    per-page decompress + definition-level RLE + PLAIN value copy /
+    dictionary-index RLE (parquet/column_reader.cc inner loop).
+    Returns (validity_u8, plain_bytes, idx_i64, page_kind, page_np,
+    dict_bytes) or None when unsupported (exotic encoding, codec, or
+    no native library)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(blob, np.uint8)
+    tab = np.ascontiguousarray(tab, dtype=np.int64)
+    n_pages = len(tab)
+    uncomp_total = int(tab[:, 3].sum())
+    dict_rows = tab[tab[:, 0] == 2]
+    dict_cap = int(dict_rows[:, 3].max()) if len(dict_rows) else 1
+    is_data = (tab[:, 0] == 0) | (tab[:, 0] == 3)
+    encs = tab[is_data, 5]
+    any_plain = bool((encs == 0).any())
+    any_idx = bool(((encs == 2) | (encs == 8)).any())
+    validity = np.empty(max(expect_values, 1), dtype=np.uint8)
+    plain = np.empty(max(uncomp_total, 1) if any_plain else 1,
+                     dtype=np.uint8)
+    idx = np.empty(max(expect_values, 1) if any_idx else 1,
+                   dtype=np.int64)
+    dict_buf = np.empty(max(dict_cap, 1), dtype=np.uint8)
+    page_kind = np.empty(n_pages, dtype=np.int64)
+    page_np = np.empty(n_pages, dtype=np.int64)
+    totals = np.zeros(6, dtype=np.int64)
+    rc = lib.pq_decode_flat(
+        _ptr(src), len(src), _ptr(tab), n_pages, codec, max_def,
+        def_bw, byte_width, _ptr(validity), len(validity), _ptr(plain),
+        len(plain), _ptr(idx), len(idx), _ptr(dict_buf), len(dict_buf),
+        _ptr(page_kind), _ptr(page_np), _ptr(totals))
+    if rc != 0:
+        return None
+    nv, npres, pbytes, icount, dbytes = (int(totals[i]) for i in
+                                         range(5))
+    return (validity[:nv], plain[:pbytes], idx[:icount], page_kind,
+            page_np, dict_buf[:dbytes].tobytes())

@@ -1954,3 +1954,326 @@ int64_t orc_rlev2_decode(const uint8_t* data, int64_t len, int64_t n,
 }
 
 }  // extern "C"
+
+// --- Parquet flat-column page walking --------------------------------
+// Batch analogue of the reference's SerializedPageReader +
+// ColumnReader inner loop (parquet/column_reader.cc): ONE call parses
+// every page header (thrift compact protocol), decompresses page
+// bodies, decodes definition levels to a validity byte array and
+// copies/decodes values — the per-page Python round trips (header
+// parse, decompress, RLE decode, numpy glue) were ~80% of a 1M-row
+// read. Flat (max_rep == 0) fixed-width columns; the Python reader
+// keeps the general path for everything else.
+
+namespace pq {
+
+struct TC {
+  const uint8_t* d;
+  int64_t len, pos;
+  bool ok;
+};
+
+static uint64_t tc_varint(TC& r) {
+  uint64_t v = 0;
+  int shift = 0;
+  while (r.pos < r.len && shift < 64) {
+    uint8_t b = r.d[r.pos++];
+    v |= (uint64_t)(b & 0x7F) << shift;
+    if (!(b & 0x80)) return v;
+    shift += 7;
+  }
+  r.ok = false;
+  return 0;
+}
+
+static int64_t tc_zigzag(TC& r) {
+  uint64_t u = tc_varint(r);
+  return (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+}
+
+static void tc_skip(TC& r, int type);
+
+static void tc_skip_struct(TC& r) {
+  while (r.ok) {
+    if (r.pos >= r.len) { r.ok = false; return; }
+    uint8_t fh = r.d[r.pos++];
+    if (fh == 0) return;  // STOP
+    int type = fh & 0x0F;
+    if ((fh >> 4) == 0) tc_zigzag(r);  // long-form field id
+    tc_skip(r, type);
+  }
+}
+
+static void tc_skip(TC& r, int type) {
+  switch (type) {
+    case 1: case 2: return;                    // bool true/false
+    case 3: r.pos += 1; return;                // byte
+    case 4: case 5: case 6: tc_varint(r); return;  // i16/i32/i64
+    case 7: r.pos += 8; return;                // double
+    case 8: {                                  // binary
+      uint64_t n = tc_varint(r);
+      r.pos += (int64_t)n;
+      return;
+    }
+    case 9: case 10: {                         // list/set
+      if (r.pos >= r.len) { r.ok = false; return; }
+      uint8_t h = r.d[r.pos++];
+      int64_t n = h >> 4;
+      int et = h & 0x0F;
+      if (n == 15) n = (int64_t)tc_varint(r);
+      for (int64_t i = 0; i < n && r.ok; i++) tc_skip(r, et);
+      return;
+    }
+    case 11: {                                 // map
+      uint64_t n = tc_varint(r);
+      if (n == 0) return;
+      if (r.pos >= r.len) { r.ok = false; return; }
+      uint8_t kv = r.d[r.pos++];
+      for (uint64_t i = 0; i < n && r.ok; i++) {
+        tc_skip(r, kv >> 4);
+        tc_skip(r, kv & 0x0F);
+      }
+      return;
+    }
+    case 12: tc_skip_struct(r); return;        // struct
+    default: r.ok = false; return;
+  }
+}
+
+struct Page {
+  int64_t ptype = -1, uncomp = 0, comp = 0;
+  int64_t nvals = 0, enc = -1, nnulls = 0;
+  int64_t dl_len = 0, rl_len = 0, v2_comp = 1;
+};
+
+// parse one sub-struct whose interesting fields are all varint/bool,
+// dispatching by field id through `slot` (ids 1..8 -> pointers, null
+// to skip)
+static void tc_parse_flat_struct(TC& r, int64_t** slot, int n_slots) {
+  int64_t fid = 0;  // field ids are delta-encoded per struct
+  while (r.ok) {
+    if (r.pos >= r.len) { r.ok = false; return; }
+    uint8_t fh = r.d[r.pos++];
+    if (fh == 0) return;
+    int type = fh & 0x0F;
+    int delta = fh >> 4;
+    if (delta == 0) fid = tc_zigzag(r); else fid += delta;
+    int64_t* dst = (fid >= 1 && fid <= n_slots) ? slot[fid - 1] : nullptr;
+    if (dst && (type >= 4 && type <= 6)) {
+      *dst = tc_zigzag(r);
+    } else if (dst && (type == 1 || type == 2)) {
+      *dst = (type == 1) ? 1 : 0;
+    } else {
+      tc_skip(r, type);
+    }
+  }
+}
+
+static bool parse_page_header(TC& r, Page& p) {
+  int64_t fid = 0;
+  while (r.ok) {
+    if (r.pos >= r.len) return false;
+    uint8_t fh = r.d[r.pos++];
+    if (fh == 0) break;  // STOP
+    int type = fh & 0x0F;
+    int delta = fh >> 4;
+    if (delta == 0) fid = tc_zigzag(r); else fid += delta;
+    if (fid == 1 && type >= 4 && type <= 6) {
+      p.ptype = tc_zigzag(r);
+    } else if (fid == 2 && type >= 4 && type <= 6) {
+      p.uncomp = tc_zigzag(r);
+    } else if (fid == 3 && type >= 4 && type <= 6) {
+      p.comp = tc_zigzag(r);
+    } else if (fid == 5 && type == 12) {       // DataPageHeader
+      int64_t* slots[4] = {&p.nvals, &p.enc, nullptr, nullptr};
+      tc_parse_flat_struct(r, slots, 4);
+    } else if (fid == 7 && type == 12) {       // DictionaryPageHeader
+      int64_t* slots[2] = {&p.nvals, &p.enc};
+      tc_parse_flat_struct(r, slots, 2);
+    } else if (fid == 8 && type == 12) {       // DataPageHeaderV2
+      int64_t* slots[7] = {&p.nvals, &p.nnulls, nullptr, &p.enc,
+                           &p.dl_len, &p.rl_len, &p.v2_comp};
+      tc_parse_flat_struct(r, slots, 7);
+    } else {
+      tc_skip(r, type);
+    }
+  }
+  return r.ok;
+}
+
+}  // namespace pq
+
+extern "C" {
+
+// tab: [max_pages][10] int64 — per page:
+//   0 ptype, 1 payload_off, 2 comp_len, 3 uncomp_len, 4 nvals,
+//   5 enc, 6 nnulls, 7 dl_len, 8 rl_len, 9 v2_values_compressed
+// Returns page count, or -1 malformed / truncated.
+int64_t pq_scan_pages(const uint8_t* blob, int64_t len,
+                      int64_t expect_values, int64_t max_pages,
+                      int64_t* tab) {
+  pq::TC r{blob, len, 0, true};
+  int64_t npages = 0, consumed = 0;
+  while (consumed < expect_values && npages < max_pages) {
+    pq::Page p;
+    if (r.pos >= r.len) return -1;
+    if (!pq::parse_page_header(r, p) || !r.ok) return -1;
+    if (r.pos + p.comp > len) return -1;
+    int64_t* row = tab + npages * 10;
+    row[0] = p.ptype;
+    row[1] = r.pos;
+    row[2] = p.comp;
+    row[3] = p.uncomp;
+    row[4] = p.nvals;
+    row[5] = p.enc;
+    row[6] = p.nnulls;
+    row[7] = p.dl_len;
+    row[8] = p.rl_len;
+    row[9] = p.v2_comp;
+    r.pos += p.comp;
+    if (p.ptype == 0 || p.ptype == 3)  // DATA_PAGE / DATA_PAGE_V2
+      consumed += p.nvals;
+    npages++;
+  }
+  return consumed >= expect_values ? npages : -1;
+}
+
+// Decode a flat fixed-width column chunk scanned by pq_scan_pages.
+// codec: 0 none, 1 snappy. out_validity: one byte per value (1 =
+// present); page_kind: 0 dict/skip, 1 plain, 2 dict-index;
+// totals[5]: {values_done, n_present, plain_bytes, idx_count,
+// dict_bytes}. Returns 0, or negative error (-2 malformed, -3
+// unsupported encoding, -4 capacity).
+int64_t pq_decode_flat(const uint8_t* blob, int64_t len,
+                       const int64_t* tab, int64_t n_pages,
+                       int32_t codec, int32_t max_def, int32_t def_bw,
+                       int32_t byte_width,
+                       uint8_t* out_validity, int64_t validity_cap,
+                       uint8_t* out_plain, int64_t plain_cap,
+                       int64_t* out_idx, int64_t idx_cap,
+                       uint8_t* out_dict, int64_t dict_cap,
+                       int64_t* page_kind, int64_t* page_npresent,
+                       int64_t* totals) {
+  std::vector<uint8_t> scratch;
+  std::vector<int64_t> lvl;
+  int64_t vpos = 0, ppos = 0, ipos = 0, dbytes = 0, npresent_all = 0;
+  for (int64_t pi = 0; pi < n_pages; pi++) {
+    const int64_t* row = tab + pi * 10;
+    int64_t ptype = row[0], off = row[1], comp = row[2],
+            uncomp = row[3], nvals = row[4], enc = row[5],
+            dl_len = row[7], rl_len = row[8], v2c = row[9];
+    page_kind[pi] = 0;
+    page_npresent[pi] = 0;
+    if (off + comp > len) return -2;
+    if (ptype == 2) {                         // DICTIONARY_PAGE
+      if (enc != 0 && enc != 2) return -3;    // PLAIN[_DICTIONARY]
+      if (uncomp > dict_cap) return -4;
+      if (codec == 0) {
+        if (comp > dict_cap) return -4;
+        std::memcpy(out_dict, blob + off, comp);
+        dbytes = comp;
+      } else {
+        int64_t n = snappy_decompress(blob + off, comp, out_dict,
+                                      dict_cap);
+        if (n < 0) return -2;
+        dbytes = n;
+      }
+      continue;
+    }
+    if (ptype != 0 && ptype != 3) continue;   // index pages etc.
+    const uint8_t* body;
+    int64_t body_len;
+    const uint8_t* levels = nullptr;
+    int64_t levels_len = 0;
+    if (ptype == 3) {                         // V2: levels uncompressed
+      if (rl_len > 0) return -3;              // flat only
+      levels = blob + off;
+      levels_len = dl_len;
+      const uint8_t* vsrc = blob + off + dl_len + rl_len;
+      int64_t vlen = comp - dl_len - rl_len;
+      if (vlen < 0) return -2;
+      if (codec != 0 && v2c) {
+        scratch.resize(uncomp - dl_len - rl_len + 8);
+        int64_t n = snappy_decompress(vsrc, vlen, scratch.data(),
+                                      (int64_t)scratch.size());
+        if (n < 0) return -2;
+        body = scratch.data();
+        body_len = n;
+      } else {
+        body = vsrc;
+        body_len = vlen;
+      }
+    } else {                                  // V1: whole payload
+      if (codec == 0) {
+        body = blob + off;
+        body_len = comp;
+      } else {
+        scratch.resize(uncomp + 8);
+        int64_t n = snappy_decompress(blob + off, comp, scratch.data(),
+                                      (int64_t)scratch.size());
+        if (n < 0) return -2;
+        body = scratch.data();
+        body_len = n;
+      }
+      if (max_def > 0) {
+        if (body_len < 4) return -2;
+        int64_t ll = (int64_t)body[0] | ((int64_t)body[1] << 8) |
+                     ((int64_t)body[2] << 16) | ((int64_t)body[3] << 24);
+        if (4 + ll > body_len) return -2;
+        levels = body + 4;
+        levels_len = ll;
+        body += 4 + ll;
+        body_len -= 4 + ll;
+      }
+    }
+    // definition levels -> validity bytes
+    int64_t n_present = nvals;
+    if (vpos + nvals > validity_cap) return -4;
+    if (max_def > 0 && levels_len > 0) {
+      lvl.resize(nvals);
+      int64_t used = rle_decode(levels, levels_len, 0, nvals, def_bw,
+                                lvl.data());
+      if (used < 0) return -2;
+      n_present = 0;
+      for (int64_t i = 0; i < nvals; i++) {
+        uint8_t v = lvl[i] == max_def;
+        out_validity[vpos + i] = v;
+        n_present += v;
+      }
+    } else {
+      std::memset(out_validity + vpos, 1, nvals);
+    }
+    vpos += nvals;
+    npresent_all += n_present;
+    // values
+    if (enc == 0) {                           // PLAIN fixed width
+      int64_t nb = n_present * (int64_t)byte_width;
+      if (nb > body_len || ppos + nb > plain_cap) return -2;
+      std::memcpy(out_plain + ppos, body, nb);
+      ppos += nb;
+      page_kind[pi] = 1;
+    } else if (enc == 2 || enc == 8) {        // [PLAIN_/RLE_]DICTIONARY
+      if (body_len < 1) return -2;
+      int32_t bw = body[0];
+      if (ipos + n_present > idx_cap) return -4;
+      if (n_present > 0) {
+        int64_t used = rle_decode(body + 1, body_len - 1, 0, n_present,
+                                  bw, out_idx + ipos);
+        if (used < 0) return -2;
+      }
+      ipos += n_present;
+      page_kind[pi] = 2;
+    } else {
+      return -3;
+    }
+    page_npresent[pi] = n_present;
+  }
+  totals[0] = vpos;
+  totals[1] = npresent_all;
+  totals[2] = ppos;
+  totals[3] = ipos;
+  totals[4] = dbytes;
+  return 0;
+}
+
+}  // extern "C"

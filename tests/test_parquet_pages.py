@@ -123,3 +123,47 @@ def test_parquet_pre_buffer_single_read():
     assert CountingIO.reads == 1   # one coalesced read for all chunks
     assert got.column("a").to_pylist()[:3] == [0, 1, 2]
     assert got.column("c").to_pylist()[-1] == 49_999.0
+
+
+def test_native_page_walker_shapes():
+    """The whole-chunk native decode (pq_scan_pages + pq_decode_flat)
+    must agree with pyarrow across page versions, codecs, null
+    densities and dictionary fallback (reader.py _read_chunk_fast;
+    reference: parquet/column_reader.cc page loop)."""
+    import io
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    from arrow_tpu.io import parquet as apq
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    base = {
+        "i64": rng.integers(-10**12, 10**12, n),
+        "i32": rng.integers(-50, 50, n).astype(np.int32),
+        "f64": rng.normal(size=n),
+        "f32": rng.normal(size=n).astype(np.float32),
+        "dictable": rng.integers(0, 8, n),
+    }
+    nulls = rng.random(n) < 0.3
+    cols = {}
+    for k, v in base.items():
+        cols[k] = pa.array(v)
+        cols[k + "_null"] = pa.array(
+            np.ma.masked_array(v, mask=nulls))
+    t = pa.table(cols)
+    for version in ("1.0", "2.0"):
+        for codec in ("snappy", "none"):
+            buf = io.BytesIO()
+            papq.write_table(t, buf, compression=codec,
+                             data_page_version=version,
+                             data_page_size=64 * 1024)
+            data = buf.getvalue()
+            ours = pa.table(apq.read_table(io.BytesIO(data)))
+            ref = papq.read_table(io.BytesIO(data))
+            for nm in t.schema.names:
+                a = ours.column(nm).to_pandas()
+                b = ref.column(nm).to_pandas()
+                import pandas.testing as pdt
+                pdt.assert_series_equal(a, b, check_names=False), \
+                    (version, codec, nm)
