@@ -120,14 +120,17 @@ def group_ids(ctx: ExecContext,
         return _group_ids_perfect(ctx, key_cols, sizes)
     row_mask = ctx.row_mask()
     keys = group_key_arrays(key_cols, row_mask)
-    # ONE stable sort returns the sorted keys, the sorted row mask AND the
-    # permutation (payload carry: re-gathering keys by perm would be a
-    # quadratic 1-D element gather on TPU — compute/move.py)
+    # ONE stable sort returns the sorted keys AND the permutation
+    # (payload carry: re-gathering keys by perm would be a quadratic
+    # 1-D element gather on TPU — compute/move.py). The row mask rides
+    # INSIDE the packed class word (padding rows sort to the all-ones
+    # sentinel), not as its own operand.
     iota = jnp.arange(cap, dtype=jnp.int64)
-    sort_out = jax.lax.sort(tuple(keys) + (row_mask, iota), dimension=0,
+    sort_out = jax.lax.sort(tuple(keys) + (iota,), dimension=0,
                             is_stable=True, num_keys=len(keys))
     sorted_keys = list(sort_out[:len(keys)])
-    sorted_mask_carried = sort_out[len(keys)]
+    from .keys import GROUP_KEY_DEAD
+    sorted_mask_carried = sort_out[0] != jnp.uint64(GROUP_KEY_DEAD)
     perm = sort_out[-1]
     idx = jnp.arange(cap, dtype=jnp.int64)
     neq = jnp.zeros(cap, jnp.bool_)

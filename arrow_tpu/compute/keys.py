@@ -166,16 +166,38 @@ def stable_sort_indices(keys: List[jax.Array], capacity: int) -> jax.Array:
 
 def group_key_arrays(cols: Sequence[DeviceColumn],
                      row_mask: jax.Array) -> List[jax.Array]:
-    """Equality keys for grouping: per column [null_class, bits]. Nulls form
-    their own group (reference Grouper semantics); NaN bit patterns group
-    bitwise like the reference's memcmp rows."""
-    keys = []
-    for col in cols:
-        cap = col.capacity
+    """Equality keys for grouping: ONE packed class word + one bits word
+    per column. Nulls form their own group (reference Grouper
+    semantics); NaN bit patterns group bitwise like the reference's
+    memcmp rows.
+
+    The per-column null classes pack into a single uint64 bitmask
+    operand (bit i = column i is null; dead/padding rows = all-ones —
+    distinct from every live pattern for < 64 keys). Grouping only
+    needs EQUALITY runs, so any total order over the packed word is
+    fine, and the packing halves the lax.sort operand count: a 3-key
+    group sort drops from 7 operands to 4, below the >6-operand shape
+    that wedges the tunneled remote compiler (docs/TUNNEL.md)."""
+    cap = cols[0].capacity if cols else row_mask.shape[0]
+    if len(cols) > 63:
+        # bitmask would overflow: one class word per 63-column block
+        parts: List[jax.Array] = []
+        for start in range(0, len(cols), 63):
+            parts.extend(group_key_arrays(cols[start:start + 63],
+                                          row_mask))
+        return parts
+    cls_bits = jnp.zeros(cap, jnp.uint64)
+    keys: List[jax.Array] = []
+    for i, col in enumerate(cols):
         is_null = (~col.validity if col.validity is not None
                    else jnp.zeros(cap, jnp.bool_))
-        cls = jnp.where(row_mask, is_null.astype(jnp.uint8), jnp.uint8(2))
+        cls_bits = cls_bits | (is_null.astype(jnp.uint64)
+                               << jnp.uint64(i))
         word = jnp.where(is_null, jnp.uint64(0), equality_word(col))
-        keys.append(cls)
         keys.append(word)
-    return keys
+    cls_bits = jnp.where(row_mask, cls_bits,
+                         jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    return [cls_bits] + keys
+
+
+GROUP_KEY_DEAD = 0xFFFFFFFFFFFFFFFF  # packed-class word of padding rows
