@@ -142,10 +142,50 @@ def group_ids(ctx: ExecContext,
     # group id in SORTED order
     gid_sorted = jnp.cumsum(is_new.astype(jnp.int64)) - 1
     num_groups = jnp.sum(is_new, dtype=jnp.int64)
-
-    # first-appearance position of each sorted-group (min original index);
-    # int32 payloads keep every scatter on the TPU-linear path
     perm32 = perm.astype(jnp.int32)
+
+    from .move import use_sort_paths
+    if use_sort_paths():
+        # Scatter-free appearance ranking (chip: cap-sized 1-D
+        # scatters serialize — the same op class was 264 of ~300 ms of
+        # join prep). Three payload-carrying sorts replace the
+        # scatter-min + two argsort/scatter inversions + the
+        # rank[gid_sorted] element gather:
+        #  (1) broadcast each group's first-appearance row index
+        #      (= its head row's perm: the key sort is stable) over
+        #      the group's run via a segmented log-depth scan;
+        #  (2) sort rows by that index — groups land in appearance
+        #      order, so a run-head cumsum IS the appearance gid;
+        #  (3) sort by perm to restore row order.
+        head_val = jnp.where(is_new, perm32, 0)
+
+        def comb(a, b):
+            f1, v1 = a
+            f2, v2 = b
+            return jnp.logical_or(f1, f2), jnp.where(f2, v2, v1)
+
+        _, fp = jax.lax.associative_scan(comb, (is_new, head_val))
+        fp = jnp.where(sorted_mask, fp, jnp.int32(cap))
+        srt2 = jax.lax.sort((fp, perm32), dimension=0, is_stable=True,
+                            num_keys=1)
+        fp2, perm2 = srt2
+        live2 = fp2 < jnp.int32(cap)
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        h = jnp.logical_or(pos == 0, fp2 != jnp.roll(fp2, 1))
+        h = jnp.logical_and(h, live2)
+        gid2 = (jnp.cumsum(h.astype(jnp.int32)) - 1)
+        gid2 = jnp.where(live2, gid2, jnp.int32(cap))
+        _, gids32 = jax.lax.sort((perm2, gid2), dimension=0,
+                                 is_stable=True, num_keys=1)
+        gids = jnp.where(row_mask, gids32, cap).astype(jnp.int64)
+        # appearance-ordered first-occurrence rows = first positions
+        # ascending (rank IS the order by first_pos)
+        rep = jnp.sort(jnp.where(is_new, perm32,
+                                 jnp.int32(cap))).astype(jnp.int64)
+        return GroupResult(gids, num_groups, rep)
+
+    # direct (CPU/GPU) movement: native scatters are linear and faster
+    # than extra sorts
     first_pos32 = jnp.full(cap, cap, jnp.int32).at[
         jnp.where(sorted_mask, gid_sorted, cap).astype(jnp.int32)].min(
         jnp.where(sorted_mask, perm32, cap), mode="drop")

@@ -145,3 +145,49 @@ def test_sort_planes_payloads_exact(monkeypatch):
     for g, w in zip(got, want):
         assert g.dtype == w.dtype
         assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_group_ids_sort_path_appearance_order(monkeypatch):
+    """The scatter-free grouper (use_sort_paths) must produce identical
+    appearance-ordered ids/reps to the direct path — including null
+    keys, padding rows, and duplicate-heavy groups."""
+    import jax
+    import numpy as np
+    import pyarrow as pa
+    import arrow_tpu as at
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    k = rng.integers(0, 37, n)
+    mask = rng.random(n) < 0.15
+    vals = rng.normal(size=n)
+    t = pa.table({"k": pa.array(np.ma.masked_array(k, mask)),
+                  "k2": rng.integers(0, 5, n), "v": vals})
+    from arrow_tpu.table import RecordBatchReader
+
+    def run():
+        ours = RecordBatchReader.from_stream(t).read_all()
+        g = ours.group_by(["k", "k2"], use_threads=False).aggregate(
+            [("v", "sum"), ("v", "count")])
+        return pa.table(g).to_pandas()
+
+    base = run()
+    monkeypatch.setenv("ARROW_TPU_MOVEMENT", "sort")
+    jax.clear_caches()
+    sorted_mode = run()
+    monkeypatch.delenv("ARROW_TPU_MOVEMENT")
+    jax.clear_caches()
+    import pandas.testing as pdt
+    # appearance order must match EXACTLY (no re-sorting before compare)
+    pdt.assert_frame_equal(base, sorted_mode, check_dtype=False)
+    ref = t.group_by(["k", "k2"], use_threads=False).aggregate(
+        [("v", "sum"), ("v", "count")]).to_pandas()
+    # content parity vs pyarrow (sorted: appearance order of the
+    # engine's chunked grouping differs from pyarrow's single-pass
+    # order — pre-existing, covered by test_acero's parity suite)
+    a = base[ref.columns].sort_values(["k", "k2"],
+                                      na_position="last").reset_index(
+        drop=True)
+    b = ref.sort_values(["k", "k2"], na_position="last").reset_index(
+        drop=True)
+    pdt.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
